@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.ops._
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
+  * implemented operator from SURVEY.md §2.
+  *
+  * Numeric-parity conventions (Spark vs DuckDB must hash-match):
+  *  - money sums are computed as integer cent-sums
+  *    (`round(x*100)::long`), which are EXACT in any summation order;
+  *  - small-magnitude derived doubles (avgs, scores, similarities) are
+  *    `round(_, 4)`;
+  *  - `floor()` instead of double->int casts (DuckDB rounds, Spark
+  *    truncates);
+  *  - timestamps are exported as epoch micros or formatted strings,
+  *    never raw (ns-vs-us parquet physical types).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  /** money -> exact integer cents (deterministic across engines). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def microsOf(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Last-event-per-user state within a time window — the "snapshot at t"
+    * used to exercise the CDC diff on the deterministic events table.
+    */
+  private def snapshotAt(events: DataFrame, lo: String, hi: String): DataFrame =
+    Analytics
+      .latestPerKey(
+        events.filter(col("ts") > lit(lo) && col("ts") <= lit(hi)),
+        Seq("user_id"),
+        "ts",
+        "event_id"
+      )
+      .select(col("user_id"), col("value"), col("event_type").as("etype"), col("props"))
+
+  private val prevLo = "2024-01-10 00:00:00"
+  private val prevHi = "2024-01-10 06:00:00"
+  private val newLo = "2024-01-20 00:00:00"
+  private val newHi = "2024-01-20 06:00:00"
+
+  /** Flagship: CDC snapshot diff on sf0.001 (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = t(spark, "/root/testdata/sf0.001", "events")
+    SnapshotDiff.diff(
+      snapshotAt(ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+      Some(snapshotAt(ev, "2024-01-01 00:00:00", "2024-01-10 00:00:00")),
+      "user_id"
+    )
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 + A-class: filtered scan with predicate pushdown + exact agg
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(
+            cents(col("l_extendedprice")) *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          ).as("revenue_e4"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // J1: the core CDC snapshot-diff operator (insert/update/delete)
+    "q02_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SnapshotDiff
+        .diff(snapshotAt(ev, newLo, newHi), Some(snapshotAt(ev, prevLo, prevHi)), "user_id")
+        .select(
+          col("event_type"),
+          col("key_value"),
+          size(col("changed")).as("n_changed"),
+          element_at(col("old_values"), "value").cast("double").as("old_value"),
+          element_at(col("new_values"), "value").cast("double").as("new_value")
+        )
+    }),
+
+    // A4/W2: SCD2 fold (valid_from / valid_to / is_current)
+    "q03_scd2_versions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+      Scd2
+        .apply(ev, Seq("user_id"), payloadCol = "props")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("data"),
+          microsOf(col("valid_from")).as("vf_us"),
+          microsOf(col("valid_to")).as("vt_us"),
+          col("is_current")
+        )
+    }),
+
+    // P4/W1: current-state view (latest version per key)
+    "q04_current_state" -> ((s, dir) => {
+      Analytics
+        .latestPerKey(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"))
+    }),
+
+    // A1: event histogram with rollup grand total
+    "q05_event_histogram" -> ((s, dir) => Analytics.eventHistogram(t(s, dir, "events"))),
+
+    // A2/J4/ST6: daily tumbling counts, calendar gap-filled with zeros
+    "q06_daily_gapfill" -> ((s, dir) => {
+      val daily =
+        Analytics.dailyCounts(t(s, dir, "events"), filterExpr = col("event_type") === "error")
+      Analytics
+        .gapFill(daily, "2023-12-28", "2024-02-03")
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("value"))
+    }),
+
+    // O1-O3: deterministic top-k
+    "q07_top_orders" -> ((s, dir) => {
+      Analytics
+        .topK(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 10)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
+
+    // W3/W4: rolling z-score anomaly detection over the daily series
+    "q08_anomaly_scores" -> ((s, dir) => {
+      val daily =
+        Analytics.dailyCounts(t(s, dir, "events"), filterExpr = col("event_type") === "error")
+      val series = Analytics
+        .gapFill(daily, "2023-12-28", "2024-02-03")
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("value"))
+      Anomaly
+        .score(series, Seq.empty, lookback = 7, threshold = 2.0)
+        .select(
+          col("date"),
+          col("value"),
+          round(col("expected_value"), 4).as("expected_value"),
+          round(col("score"), 4).as("score"),
+          col("is_anomaly")
+        )
+    }),
+
+    // R1: unpivot wide -> long
+    "q09_unpivot_lineitem" -> ((s, dir) => {
+      Reshape.unpivot(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      )
+    }),
+
+    // R2/R3: pivot long -> wide with plan-time value list
+    "q10_pivot_events" -> ((s, dir) => {
+      Reshape
+        .pivotCounts(
+          t(s, dir, "events"),
+          "user_id",
+          "event_type",
+          Seq("click", "error", "purchase", "signup", "view")
+        )
+        // n_ prefix: bare `view` is a reserved word in the oracle dialect
+        .select(
+          col("user_id"),
+          col("click").as("n_click"),
+          col("error").as("n_error"),
+          col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"),
+          col("view").as("n_view")
+        )
+    }),
+
+    // U1 + broadcast join: union of heterogeneous inputs + dim join
+    "q11_union_by_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionByName(su)
+        .join(broadcast(t(s, dir, "nation")), col("nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // U2: anti join (key-set difference)
+    "q12_customers_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    // F1-F7: scalar function surface (sanitize/hash/split/cast)
+    "q13_scalar_functions" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        Fns.sanitizeName(col("p_type")).as("type_sanitized"),
+        substring(md5(col("p_name")), 1, 8).as("name_md5_8"),
+        element_at(split(col("p_brand"), "#"), 2).as("brand_id"),
+        upper(element_at(split(col("p_type"), " "), 1)).as("type_head"),
+        Fns.toNumeric(col("p_size")).as("size_num")
+      )
+    }),
+
+    // J1 detail: per-column {old,new} change map, exploded
+    "q14_changed_columns" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SnapshotDiff
+        .diff(snapshotAt(ev, newLo, newHi), Some(snapshotAt(ev, prevLo, prevHi)), "user_id")
+        .filter(col("event_type") === "update")
+        .select(col("key_value"), explode(col("changed")).as(Seq("col_name", "ch")))
+        .select(
+          col("key_value"),
+          col("col_name"),
+          col("ch.old").as("old_val"),
+          col("ch.new").as("new_val")
+        )
+    }),
+
+    // J2-ish: per-key previous-version lookup via lag
+    "q15_prev_value_lookup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val snapNew = snapSql(newLo, newHi)
+    val snapPrev = snapSql(prevLo, prevHi)
+    Map(
+      "q01_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(round(sum(l_quantity),0) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+          |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+          |  round(avg(l_quantity),4) AS avg_qty,
+          |  count(*) AS n
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q02_snapshot_diff" ->
+        s"""WITH sn AS ($snapNew), so AS ($snapPrev)
+           |SELECT
+           |  CASE WHEN so.user_id IS NULL THEN 'insert'
+           |       WHEN sn.user_id IS NULL THEN 'delete'
+           |       ELSE 'update' END AS event_type,
+           |  CAST(coalesce(sn.user_id, so.user_id) AS VARCHAR) AS key_value,
+           |  CASE WHEN so.user_id IS NULL THEN 3
+           |       WHEN sn.user_id IS NULL THEN 0
+           |       ELSE CAST(so.value IS DISTINCT FROM sn.value AS INT)
+           |          + CAST(so.etype IS DISTINCT FROM sn.etype AS INT)
+           |          + CAST(so.props IS DISTINCT FROM sn.props AS INT) END AS n_changed,
+           |  so.value AS old_value, sn.value AS new_value
+           |FROM sn FULL OUTER JOIN so ON sn.user_id = so.user_id
+           |WHERE NOT (sn.user_id IS NOT NULL AND so.user_id IS NOT NULL
+           |  AND so.value IS NOT DISTINCT FROM sn.value
+           |  AND so.etype IS NOT DISTINCT FROM sn.etype
+           |  AND so.props IS NOT DISTINCT FROM sn.props)""".stripMargin,
+      "q03_scd2_versions" ->
+        """SELECT user_id, event_id, props AS data,
+          |  epoch_us(ts) AS vf_us,
+          |  epoch_us(lead(ts) OVER w) AS vt_us,
+          |  (lead(ts) OVER w IS NULL) AS is_current
+          |FROM events WHERE user_id < 30
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+      "q04_current_state" ->
+        """SELECT user_id, event_id, value FROM (
+          |  SELECT user_id, event_id, value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1""".stripMargin,
+      "q05_event_histogram" ->
+        """SELECT coalesce(event_type, 'TOTAL') AS event_type, count(*) AS n
+          |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+      "q06_daily_gapfill" -> gapfillSql,
+      "q07_top_orders" ->
+        """SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+          |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+      "q08_anomaly_scores" ->
+        s"""WITH series AS ($gapfillSql),
+           |s AS (SELECT date, value,
+           |   avg(value) OVER w AS exp_raw,
+           |   stddev_samp(value) OVER w AS std,
+           |   count(*) OVER () AS n
+           | FROM series
+           | WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+           |sc AS (SELECT *, CASE WHEN exp_raw IS NULL OR std IS NULL OR std = 0
+           |   THEN 0.0 ELSE abs(value - exp_raw)/std END AS score FROM s),
+           |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, date) AS rnk FROM sc)
+           |SELECT date, value, round(coalesce(exp_raw, value),4) AS expected_value,
+           |  round(score,4) AS score,
+           |  (n >= 12 AND score > 2.0 AND rnk <= CAST(floor(n*0.25) AS BIGINT)) AS is_anomaly
+           |FROM r""".stripMargin,
+      "q09_unpivot_lineitem" ->
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+      "q10_pivot_events" ->
+        """SELECT user_id,
+          |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+          |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+          |FROM events GROUP BY user_id""".stripMargin,
+      "q11_union_by_nation" ->
+        """SELECT n_name, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer
+          |  UNION ALL SELECT s_nationkey FROM supplier) u
+          |JOIN nation ON n_nationkey = nationkey GROUP BY n_name""".stripMargin,
+      "q12_customers_no_orders" ->
+        """SELECT c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      "q13_scalar_functions" ->
+        """SELECT p_partkey,
+          |  regexp_replace(regexp_replace(regexp_replace(trim(p_type), '[^A-Za-z0-9]+', '_', 'g'), '^_+', ''), '_+$', '') AS type_sanitized,
+          |  substr(md5(p_name), 1, 8) AS name_md5_8,
+          |  split_part(p_brand, '#', 2) AS brand_id,
+          |  upper(split_part(p_type, ' ', 1)) AS type_head,
+          |  CAST(p_size AS DOUBLE) AS size_num
+          |FROM part""".stripMargin,
+      "q14_changed_columns" ->
+        s"""WITH sn AS ($snapNew), so AS ($snapPrev),
+           |j AS (SELECT sn.user_id,
+           |   CAST(so.value AS VARCHAR) AS o_value, CAST(sn.value AS VARCHAR) AS n_value,
+           |   so.etype AS o_etype, sn.etype AS n_etype,
+           |   so.props AS o_props, sn.props AS n_props
+           | FROM sn JOIN so ON sn.user_id = so.user_id)
+           |SELECT CAST(user_id AS VARCHAR) AS key_value, 'value' AS col_name, o_value AS old_val, n_value AS new_val
+           |  FROM j WHERE o_value IS DISTINCT FROM n_value
+           |UNION ALL
+           |SELECT CAST(user_id AS VARCHAR), 'etype', o_etype, n_etype
+           |  FROM j WHERE o_etype IS DISTINCT FROM n_etype
+           |UNION ALL
+           |SELECT CAST(user_id AS VARCHAR), 'props', o_props, n_props
+           |  FROM j WHERE o_props IS DISTINCT FROM n_props""".stripMargin,
+      "q15_prev_value_lookup" ->
+        """SELECT event_id, user_id, value,
+          |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+          |FROM events WHERE user_id < 10""".stripMargin
+    )
+  }
+
+  private def snapSql(lo: String, hi: String): String =
+    s"""SELECT user_id, value, event_type AS etype, props FROM (
+       |  SELECT user_id, value, event_type, props,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WHERE ts > TIMESTAMP '$lo' AND ts <= TIMESTAMP '$hi') WHERE rn = 1""".stripMargin
+
+  private val gapfillSql =
+    """SELECT strftime(cal.d, '%Y-%m-%d') AS date, coalesce(cnt.value, 0.0) AS value
+      |FROM (SELECT unnest(generate_series(DATE '2023-12-28', DATE '2024-02-03', INTERVAL 1 DAY))::DATE AS d) cal
+      |LEFT JOIN (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS value
+      |           FROM events WHERE event_type = 'error' GROUP BY 1) cnt USING (d)""".stripMargin
 }

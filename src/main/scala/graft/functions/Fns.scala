@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.8 F1-F13) as codegen'd Column
+  * combinators — no UDFs anywhere; every helper composes built-in
+  * `org.apache.spark.sql.functions`.
+  */
+object Fns {
+
+  /** F1 `_sanitize_name` (reference `azuredatalake.py:35-40`):
+    * keep alnum else `_`, collapse runs, strip leading/trailing `_`.
+    */
+  def sanitizeName(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(trim(c), "[^A-Za-z0-9]+", "_"), "^_+", ""),
+      "_+$",
+      ""
+    )
+
+  /** F2 metric safe_name (reference `azuredatalake.py:190-198`):
+    * space->_, &->and, /->_, %->pct, strip parens.
+    */
+  def metricSafeName(c: Column): Column = {
+    val noParens = regexp_replace(c, "[()]", "")
+    val amp = regexp_replace(noParens, "&", "and")
+    val pct = regexp_replace(amp, "%", "pct")
+    regexp_replace(pct, "[ /]+", "_")
+  }
+
+  /** F4 file-id content hash (reference `app/app.py:109-112`). */
+  def contentId(name: Column, content: Column): Column =
+    concat(name, lit("_"), substring(md5(content), 1, 8))
+
+  /** F5 company-id from filename (reference `app/app.py:537`). */
+  def companyIdFromFilename(c: Column): Column =
+    upper(element_at(split(regexp_replace(c, "\\.[^.]*$", ""), "-"), 1))
+
+  /** F6 sheet-name parse (reference `app/app.py:623-624`):
+    * "Balance-Sheet-TTM" -> (STATEMENT=Balance, FREQUENCY=TTM).
+    */
+  def statementOf(sheet: Column): Column =
+    coalesce(element_at(split(sheet, "-"), 1), lit("GENERAL"))
+  def frequencyOf(sheet: Column): Column =
+    coalesce(element_at(split(sheet, "-"), -1), lit("ANNUAL"))
+
+  /** F7 numeric coercion: invalid -> null (reference
+    * `pd.to_numeric(errors='coerce')`, azuredatalake.py:208-211 — Spark
+    * cast has identical semantics).
+    */
+  def toNumeric(c: Column): Column = c.cast("double")
+
+  /** F8 NaN -> null normalization, scalar and map forms
+    * (reference `consumer.py:93-102`).
+    */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+  def mapNanToNull(m: Column): Column =
+    transform_values(m, (_, v) => when(v === lit("NaN"), lit(null)).otherwise(v))
+
+  /** Whitespace tokenization after punctuation strip — shared by the text
+    * analysis / dedup operators. Lowercased, non-alnum -> space.
+    */
+  def tokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
+      t => t =!= ""
+    )
+
+  /** Word n-gram shingles from a token array: sliding windows of size n
+    * joined by single spaces. Pure expression (transform over sequence) —
+    * distributed, codegen-friendly, no UDF.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    )
+  }
+
+  /** Deterministic 64-bit hash family: h_i(x) = xxhash64(x) * A_i + B_i
+    * (wrapping Long arithmetic — deterministic across JVMs). Used by
+    * MinHash / SimHash / LSH. Seeds derive from a fixed base so results
+    * are reproducible run-to-run.
+    */
+  def hashFamily(c: Column, i: Int): Column = {
+    val a = 0x9e3779b97f4a7c15L * (2L * i + 1)
+    val b = 0xbf58476d1ce4e5b9L * (i + 1)
+    xxhash64(c) * lit(a) + lit(b)
+  }
+
+  /** Cosine similarity between two array<float/double> columns — a single
+    * sequential fold (`aggregate` over `zip_with`), codegen'd, no UDF.
+    * Computed in double precision.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** L2-normalize an array<float/double> column (double precision). */
+  def l2normalize(a: Column): Column = {
+    val nrm = sqrt(
+      aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    )
+    transform(a, v => v.cast("double") / nrm)
+  }
+}

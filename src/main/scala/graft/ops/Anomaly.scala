@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native anomaly scoring replacing the reference's external Azure
+  * Anomaly Detector call (reference `automl_anomaly_detection.py:120-141`:
+  * granularity=daily, sensitivity=95, max_anomaly_ratio=0.25, minimum 12
+  * points at `:112`).
+  *
+  * Model: rolling z-score. expected = trailing mean of the previous
+  * `lookback` points (excluding current); score = |value - expected| /
+  * trailing stddev; anomaly when score > threshold, capped so at most
+  * `maxAnomalyRatio` of the series flags (the reference's knob) by
+  * keeping only the top-scoring points when over the cap.
+  *
+  * Pure window expressions — scales as a single shuffle on the series
+  * key; per-series state never leaves the executors.
+  */
+object Anomaly {
+
+  def score(
+      series: DataFrame,
+      partitionKeys: Seq[String],
+      dateCol: String = "date",
+      valueCol: String = "value",
+      lookback: Int = 7,
+      threshold: Double = 2.0,
+      maxAnomalyRatio: Double = 0.25,
+      minPoints: Int = 12
+  ): DataFrame = {
+    val pk = partitionKeys.map(col)
+    val wOrd = Window.partitionBy(pk: _*).orderBy(col(dateCol))
+    val wTrail = wOrd.rowsBetween(-lookback, -1)
+    val wAll = Window
+      .partitionBy(pk: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val scored = series
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("expected_value", avg(col(valueCol)).over(wTrail))
+      .withColumn("_std", stddev_samp(col(valueCol)).over(wTrail))
+      .withColumn(
+        "score",
+        when(
+          col("expected_value").isNull || col("_std").isNull || col("_std") === 0.0,
+          lit(0.0)
+        ).otherwise(abs(col(valueCol) - col("expected_value")) / col("_std"))
+      )
+      .withColumn("expected_value", coalesce(col("expected_value"), col(valueCol)))
+
+    // cap: rank anomaly candidates by score desc; only the top
+    // floor(n * maxAnomalyRatio) may flag (reference max_anomaly_ratio)
+    val wRank = Window.partitionBy(pk: _*).orderBy(col("score").desc, col(dateCol))
+    scored
+      .withColumn("_rank", row_number().over(wRank))
+      .withColumn(
+        "is_anomaly",
+        col("_n") >= minPoints &&
+          col("score") > threshold &&
+          // floor, not cast: DuckDB CAST(double AS INT) rounds while Spark
+          // truncates — floor() agrees everywhere
+          col("_rank") <= floor(col("_n") * maxAnomalyRatio).cast("long")
+      )
+      .drop("_n", "_std", "_rank")
+  }
+}
