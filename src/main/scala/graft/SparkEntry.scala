@@ -230,6 +230,70 @@ object SparkEntry {
         .filter(col("user_id") < 10)
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .select(col("event_id"), col("user_id"), col("value"), col("prev_value"))
+    }),
+
+    // Dedup: exact (hash-groupBy on content fingerprint)
+    "q16_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Dedup: brute-force word-3-gram Jaccard via shingle inverted index
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", shingleSize = 3, threshold = 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // Dedup: MinHash + LSH banding (candidates verified by exact Jaccard).
+    // No SQL oracle (signature hashes aren't expressible in ANSI SQL);
+    // its recall vs q17's exact pairs is asserted in DedupSpec.
+    "q18_minhash_lsh" -> ((s, dir) => {
+      Dedup
+        .minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // Dedup: 64-bit SimHash, banded candidates, hamming <= 16
+    "q19_simhash_pairs" -> ((s, dir) => {
+      Dedup
+        .simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // Similarity search: brute-force cosine top-5 for 20 query vectors
+    "q20_embedding_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "embedding", "vec_id", 5)
+        .select(
+          col("qid"),
+          col("cid"),
+          round(col("cosine"), 4).as("cs4"),
+          col("rank").cast("long").as("rnk")
+        )
+    }),
+
+    // Similarity: random-hyperplane LSH candidate pairs above cosine 0.3
+    "q21_embedding_lsh" -> ((s, dir) => {
+      Dedup
+        .embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64, threshold = 0.3)
+        .select(col("i"), col("j"), round(col("cosine"), 4).as("cs4"))
+    }),
+
+    // Text analysis: marker-token language ID
+    "q22_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Text analysis: surface-statistics quality scoring
+    "q23_text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Text analysis: token counting (whitespace + BPE-ish estimate)
+    "q24_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Text analysis: normalized-content fingerprint + dup-group size
+    "q25_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Multimodal: binary media column + metadata projection (decode is
+    // stubbed; the Spark plumbing — schema/pruning/batching — is real)
+    "q26_multimodal_meta" -> ((s, dir) => {
+      Multimodal.metadata(Multimodal.attachBinary(t(s, dir, "documents"), "text", "doc_id"))
     })
   )
 
@@ -345,9 +409,88 @@ object SparkEntry {
       "q15_prev_value_lookup" ->
         """SELECT event_id, user_id, value,
           |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-          |FROM events WHERE user_id < 10""".stripMargin
+          |FROM events WHERE user_id < 10""".stripMargin,
+      "q16_dedup_exact" ->
+        """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper, count(*) AS n_dups
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+      "q17_ngram_jaccard" ->
+        s"""WITH t AS ($wordsSql),
+           |s AS (SELECT DISTINCT doc_id,
+           |   unnest(list_transform(range(1, len(words)-1),
+           |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+           | FROM t WHERE len(words) >= 3),
+           |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+           |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT i, j, round(CAST(inter AS DOUBLE)/(ca.n + cb.n - inter), 4) AS jaccard
+           |FROM p JOIN c ca ON ca.doc_id = p.i JOIN c cb ON cb.doc_id = p.j
+           |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
+      "q20_embedding_topk" -> {
+        def dot(x: String, y: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |p AS (SELECT qid, cid,
+           |   ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+           | FROM q, c WHERE qid <> cid),
+           |r AS (SELECT qid, cid, cosine,
+           |   row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, cid) AS rn FROM p)
+           |SELECT qid, cid, round(cosine, 4) AS cs4, rn AS rnk FROM r WHERE rn <= 5""".stripMargin
+      },
+      "q22_langid" ->
+        s"""WITH t AS ($wordsSql),
+           |s AS (SELECT t.doc_id, d.text,
+           |   len(list_filter(words, w -> w IN ('the','a','of','and','is'))) AS s_en,
+           |   len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+           |   len(list_filter(words, w -> w IN ('le','la','les','et','est'))) AS s_fr,
+           |   len(list_filter(words, w -> w IN ('el','los','las','es','y'))) AS s_es
+           | FROM t JOIN documents d ON d.doc_id = t.doc_id)
+           |SELECT doc_id,
+           | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |      WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |      ELSE 'es' END AS pred_lang
+           |FROM s""".stripMargin,
+      "q23_text_quality" ->
+        s"""WITH t AS ($wordsSql),
+           |s AS (SELECT t.doc_id, length(d.text) AS n_chars, len(words) AS n_words,
+           |   len(list_distinct(words)) AS n_distinct,
+           |   list_reduce(list_transform(words, w -> strlen(w)), (a, b) -> a + b) AS char_sum,
+           |   len(list_filter(words, w -> w IN ('the','a','of','and','is'))) AS stop_hits
+           | FROM t JOIN documents d ON d.doc_id = t.doc_id)
+           |SELECT doc_id, n_chars, n_words, n_distinct,
+           | round(CAST(char_sum AS DOUBLE)/n_words, 4) AS avg_word_len,
+           | round(CAST(n_distinct AS DOUBLE)/n_words, 4) AS ttr,
+           | round(CAST(stop_hits AS DOUBLE)/n_words, 4) AS stopword_ratio,
+           | round(0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+           |     + 0.3*(CAST(n_distinct AS DOUBLE)/n_words)
+           |     + 0.3*(1.0 - CAST(stop_hits AS DOUBLE)/n_words), 4) AS quality
+           |FROM s""".stripMargin,
+      "q24_token_count" ->
+        s"""WITH t AS ($wordsSql)
+           |SELECT t.doc_id, len(words) AS ws_tokens, (length(d.text) + 3) // 4 AS bpe_est
+           |FROM t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin,
+      "q25_fingerprints" ->
+        s"""WITH t AS ($wordsSql),
+           |f AS (SELECT doc_id, md5(array_to_string(words, ' ')) AS fingerprint FROM t)
+           |SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_same FROM f""".stripMargin,
+      "q26_multimodal_meta" ->
+        """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5,
+          |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+          |  octet_length(CAST(text AS BLOB)) % 480 AS fake_height,
+          |  octet_length(CAST(text AS BLOB)) % 16 + 1 AS n_frames
+          |FROM documents""".stripMargin
     )
   }
+
+  /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */
+  private val wordsSql =
+    """SELECT doc_id,
+      |  list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |              w -> w <> '') AS words
+      |FROM documents""".stripMargin
 
   private def snapSql(lo: String, hi: String): String =
     s"""SELECT user_id, value, event_type AS etype, props FROM (

@@ -78,16 +78,13 @@ object Fns {
     )
   }
 
-  /** Deterministic 64-bit hash family: h_i(x) = xxhash64(x) * A_i + B_i
-    * (wrapping Long arithmetic — deterministic across JVMs). Used by
-    * MinHash / SimHash / LSH. Seeds derive from a fixed base so results
-    * are reproducible run-to-run.
+  /** Deterministic 64-bit hash family: h_i(x) = xxhash64(i, x) — the
+    * family index is hashed together with the value (multi-arg xxhash64
+    * chains the seed), giving independent functions without multiply-add
+    * arithmetic that would trip ANSI overflow checks. Used by MinHash /
+    * SimHash / LSH; reproducible run-to-run.
     */
-  def hashFamily(c: Column, i: Int): Column = {
-    val a = 0x9e3779b97f4a7c15L * (2L * i + 1)
-    val b = 0xbf58476d1ce4e5b9L * (i + 1)
-    xxhash64(c) * lit(a) + lit(b)
-  }
+  def hashFamily(c: Column, i: Int): Column = xxhash64(lit(i), c)
 
   /** Cosine similarity between two array<float/double> columns — a single
     * sequential fold (`aggregate` over `zip_with`), codegen'd, no UDF.

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard. All are pure
+  * DataFrame transforms — per-document signatures are computed with
+  * codegen'd array expressions (no explode of shingles for signing, no
+  * UDFs), candidate generation is a bucket equi-join (shuffle on the
+  * bucket key), and verification touches only candidate pairs.
+  *
+  * Scale notes (100 TB): signatures are O(1) per document and computed
+  * map-side; the only shuffles are (a) the bucket join on
+  * (band_index, band_hash) and (b) the candidate-pair verify join. Skewed
+  * buckets (boilerplate shingles) are bounded because bucket keys hash
+  * the whole band of r minhashes, and AQE skew-join splitting handles
+  * residual hot buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text, keep the smallest id
+    * (hash-groupBy — one shuffle on the fingerprint).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingle set per document, as an array column. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(Fns.shingles(Fns.tokens(col(textCol)), n)).as("shingles")
+    ).filter(size(col("shingles")) > 0)
+
+  /** MinHash signature: sig[i] = min over shingles of h_i(shingle), the
+    * classic permutation-min estimator (Broder '97). One pass over the
+    * shingle array per hash function — all inside a single projection.
+    */
+  def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val sig = array(
+      (0 until numHashes).map(i =>
+        array_min(transform(col("shingles"), s => Fns.hashFamily(s, i)))
+      ): _*
+    )
+    shingled.select(col("doc_id"), col("shingles"), sig.as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and key each band by its hash. Documents sharing any band key are
+    * candidate pairs.
+    */
+  def lshCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bhash")
+      )
+    }
+    val exploded = signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs only: join each side's shingle
+    * set back in and compare with set-semantics array ops.
+    */
+  def verifyJaccard(candidates: DataFrame, shingled: DataFrame): DataFrame = {
+    val si = shingled.select(col("doc_id").as("i"), col("shingles").as("sh_i"))
+    val sj = shingled.select(col("doc_id").as("j"), col("shingles").as("sh_j"))
+    candidates
+      .join(si, "i")
+      .join(sj, "j")
+      .select(
+        col("i"),
+        col("j"),
+        (size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))).cast("double")).as("jaccard")
+      )
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    * bucket-join -> exact-verify. Returns (i, j, jaccard) pairs with
+    * jaccard >= threshold among LSH candidates.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val shingled = shingleSets(df, textCol, idCol, shingleSize).cache()
+    val signed = minHashSignatures(shingled, numHashes)
+    val cand = lshCandidates(signed, bands, numHashes / bands)
+    verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard pairs via a shingle inverted-index join
+    * (exact, no LSH): explode distinct shingles, self-join on shingle,
+    * count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val shingled = shingleSets(df, textCol, idCol, shingleSize)
+    val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = inv
+      .as("a")
+      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "n_i"), "i")
+      .join(counts.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "n_j"), "j")
+      .select(
+        col("i"),
+        col("j"),
+        (col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")).cast("double"))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per bit, sum +1/-1 votes of every
+    * token-hash (token multiplicity = weight), take the sign. Computed as
+    * one nested array expression — no explode, no UDF.
+    */
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // materialize token hashes once, then fold 64 static bit columns over
+    // the stored array (shift amounts must be literals)
+    val hashed = df.select(
+      col(idCol).as("doc_id"),
+      transform(Fns.tokens(col(textCol)), t => xxhash64(t)).as("hs")
+    )
+    val bitCols = (0 until 64).map { i =>
+      when(
+        aggregate(
+          col("hs"),
+          lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        ) > 0,
+        lit(1L)
+      ).otherwise(lit(0L))
+    }
+    // shift+or, not acc*2+b: the final shift touches the sign bit and
+    // multiply would raise ANSI ARITHMETIC_OVERFLOW
+    val sim = bitCols.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    hashed.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit keys
+    * (pigeonhole: hamming distance <= 3 guarantees one identical band),
+    * bucket-join, then verify hamming distance with bit_count(xor).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val signed = simHashes(df, textCol, idCol)
+    val bandCols = (0 until 4).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bhash")
+      )
+    }
+    val exploded = signed
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val cand = exploded
+      .as("a")
+      .join(
+        exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("i"),
+        col("b.doc_id").as("j"),
+        col("a.simhash").as("sh_i"),
+        col("b.simhash").as("sh_j")
+      )
+      .distinct()
+    cand
+      .select(
+        col("i"),
+        col("j"),
+        bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets -> candidate
+    * pairs -> exact cosine verify. Hyperplanes are derived from a fixed
+    * seed so runs are reproducible.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      threshold: Double = 0.9,
+      seed: Long = 42L
+  ): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
+    def dotPlane(p: Seq[Double]): Column =
+      aggregate(
+        zip_with(col(vecCol), typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).foldLeft(lit(0L)) { (acc, k) =>
+        acc * 2 + when(dotPlane(planes(b * bitsPerBand + k)) > 0, 1L).otherwise(0L)
+      }
+      struct(lit(b).as("band"), key.as("bhash"))
+    }
+    val exploded = df
+      .select(col(idCol).as("doc_id"), col(vecCol).as("v"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("v"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    exploded
+      .as("a")
+      .join(
+        exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.v").as("v_i"), col("b.v").as("v_j"))
+      .distinct()
+      .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions over the shared [[Fns.tokens]] normalization —
+  * per-row, map-side, no shuffles (fingerprint grouping aside).
+  */
+object TextAnalysis {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y")
+  )
+
+  /** N-gram/stopword-heuristic language ID: count language-marker tokens,
+    * pick the argmax (fixed priority order on ties); CJK-range characters
+    * short-circuit to zh.
+    */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isInCollection(ms)))
+    }
+    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // \x{...} escapes parse in both Java regex and RE2 (\uXXXX is Java-only)
+    df.select(
+      col(idCol).as("doc_id"),
+      when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick).as("pred_lang")
+    )
+  }
+
+  /** Quality scoring from surface statistics (length, lexical diversity,
+    * stopword ratio) — the classic cheap pre-filter before model-based
+    * scoring.
+    */
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    val words = size(toks)
+    val distinctWords = size(array_distinct(toks))
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = size(filter(toks, t => t.isInCollection(markers.head._2)))
+    val ttr = distinctWords.cast("double") / words.cast("double")
+    val stopRatio = stopHits.cast("double") / words.cast("double")
+    val lengthScore = least(words.cast("double") / lit(100.0), lit(1.0))
+    // integer outputs widened to long: DuckDB len()/length() are BIGINT
+    df.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      words.cast("long").as("n_words"),
+      distinctWords.cast("long").as("n_distinct"),
+      round(charSum.cast("double") / words.cast("double"), 4).as("avg_word_len"),
+      round(ttr, 4).as("ttr"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 4)
+        .as("quality")
+    )
+  }
+
+  /** Token counting: exact whitespace tokens + a BPE-ish estimate
+    * (chars/4, the standard rule of thumb) — both integer-exact.
+    */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(Fns.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      expr(s"(length($textCol) + 3) div 4").cast("long").as("bpe_est")
+    )
+
+  /** Document fingerprint: md5 of the normalized token stream, plus the
+    * size of each fingerprint's duplicate group. Normalization = lower,
+    * strip non-alnum, collapse whitespace — robust to formatting-only
+    * variation.
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = md5(concat_ws(" ", Fns.tokens(col(textCol))))
+    val w = Window.partitionBy(col("fingerprint"))
+    df.select(col(idCol).as("doc_id"), fp.as("fingerprint"))
+      .withColumn("n_same", count(lit(1)).over(w))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class AnalyticsAnomalySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("gapFill fills missing days with zero over the full calendar") {
+    val daily = Seq(("2024-01-01", 5.0), ("2024-01-04", 2.0))
+      .toDF("d", "value")
+      .select(to_date($"d").as("date"), $"value")
+    val filled = Analytics.gapFill(daily, "2024-01-01", "2024-01-05").orderBy("date")
+    assert(filled.count() === 5)
+    assert(filled.select("value").as[Double].collect().toSeq === Seq(5.0, 0.0, 0.0, 2.0, 0.0))
+  }
+
+  test("eventHistogram rollup total equals sum of groups") {
+    val df = Seq("a", "a", "b").toDF("event_type")
+    val h = Analytics.eventHistogram(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") === 2 && h("b") === 1 && h("TOTAL") === 3)
+  }
+
+  test("topK is deterministic under value ties") {
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 5.0)).toDF("id", "v")
+    val got = Analytics.topK(df, "v", "id", 2).select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L))
+  }
+
+  test("latestPerKey picks max (ts, tiebreak) row") {
+    val df = Seq(("k", 1L, 1L, "old"), ("k", 2L, 1L, "mid"), ("k", 2L, 2L, "new"))
+      .toDF("k", "ts", "id", "v")
+    val got = Analytics.latestPerKey(df, Seq("k"), "ts", "id").select("v").as[String].head()
+    assert(got === "new")
+  }
+
+  test("anomaly: planted spike is flagged, flat series is not") {
+    val flat = (1 to 30).map(i => (f"2024-01-$i%02d", 5.0 + (i % 3))) // mild noise
+    val spiked = flat.updated(20, ("2024-01-21", 50.0))
+    val score = Anomaly.score(
+      spiked.toDF("date", "value"),
+      partitionKeys = Seq.empty,
+      lookback = 7,
+      threshold = 2.0
+    )
+    val flagged = score.filter($"is_anomaly").select("date").as[String].collect()
+    assert(flagged.contains("2024-01-21"))
+    // the spike dominates; at most the ratio cap can flag
+    assert(flagged.length <= (30 * 0.25).toInt)
+  }
+
+  test("anomaly: series below minPoints never flags") {
+    val tiny = (1 to 5).map(i => (s"2024-01-0$i", if (i == 3) 100.0 else 1.0))
+    val score =
+      Anomaly.score(tiny.toDF("date", "value"), Seq.empty, lookback = 2, minPoints = 12)
+    assert(score.filter($"is_anomaly").count() === 0)
+  }
+}

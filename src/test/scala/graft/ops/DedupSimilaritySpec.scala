@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id").orderBy("keeper").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("keeper") === 1L && got(0).getAs[Long]("n_dups") === 2L)
+  }
+
+  test("minhash LSH finds every exact-Jaccard pair >= 0.5 on real docs (recall check)") {
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup
+      .minHashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (verify step is exact)")
+    // banding with 8 bands of 4 at jac>=0.8 gives recall ~1; planted dups are >=0.8
+    assert(exact.nonEmpty && lsh === exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
+  }
+
+  test("simhash: permuted word order collides, disjoint vocab does not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"), // same bag of words
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simHashes(df, "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("brute-force top-k matches an independently computed answer") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs.filter(_._1 < 5)
+    val want = q.map { case (qid, qv) =>
+      qid -> vecs
+        .filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, BigDecimal(cos(qv, cv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(3)
+        .map(_._1)
+        .toSeq
+    }.toMap
+    val got = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", 3)
+      .orderBy("qid", "rank")
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got === want)
+  }
+
+  test("IVF ANN returns k results per query from probed cells") {
+    val got = Similarity
+      .ivfTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 3, nCells = 8, nProbe = 8)
+      .groupBy("qid").count()
+    // nProbe == nCells degenerates to exhaustive search -> exactly k each
+    assert(got.select("count").as[Long].collect().forall(_ === 3L))
+  }
+
+  test("embedding LSH near-dup pairs are cosine-verified (no false positives)") {
+    val pairs = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
+      .select("cosine").as[Double].collect()
+    assert(pairs.forall(_ >= 0.3))
+  }
+}

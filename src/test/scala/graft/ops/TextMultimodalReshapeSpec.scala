@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class TextMultimodalReshapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("tokenCounts: whitespace tokens and bpe estimate") {
+    val df = Seq((1L, "Hello, world! foo")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "text", "doc_id").head()
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    assert(r.getAs[Long]("bpe_est") === (17L + 3) / 4)
+  }
+
+  test("langId picks the marker-dominant language; CJK short-circuits") {
+    val df = Seq(
+      (1L, "the cat and the dog is a pet of the house"),
+      (2L, "der hund und die katze und das ist gut"),
+      (3L, "le chat et la maison les arbres est grand"),
+      (4L, "你好世界")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "zh"))
+  }
+
+  test("quality: repeated-word doc scores below diverse doc") {
+    val df = Seq(
+      (1L, Seq.fill(50)("spam").mkString(" ")),
+      (2L, (1 to 50).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) < q(2L))
+  }
+
+  test("fingerprints: formatting-only variants collide") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("fingerprint"), r.getAs[Long]("n_same"))).toMap
+    assert(fp(1L)._1 === fp(2L)._1)
+    assert(fp(1L)._2 === 2L && fp(3L)._2 === 1L)
+  }
+
+  test("multimodal: metadata projection agrees with the decode stub") {
+    val docs = Seq((1L, "some media payload bytes"), (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs, "text", "doc_id").cache()
+    val meta = Multimodal.metadata(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(meta(id).getAs[Long]("byte_len") === feats(id).byte_len)
+      assert(meta(id).getAs[String]("content_md5") === feats(id).content_md5)
+      assert(meta(id).getAs[Long]("n_frames").toInt === feats(id).n_frames)
+      assert(feats(id).frame_means.length === feats(id).n_frames)
+    }
+  }
+
+  test("multimodal: frame sampling strides over n_frames") {
+    val docs = Seq((1L, "0123456789abcdef0123456789abcdef0")).toDF("doc_id", "text") // 33 bytes -> 2 frames
+    val media = Multimodal.attachBinary(docs, "text", "doc_id")
+    val idx = Multimodal.sampleFrameIndexes(media, stride = 1).select("frame_idx").as[Long].collect().toSeq
+    assert(idx === Seq(0L, 1L))
+  }
+
+  test("unpivot -> pivot round trip preserves values") {
+    val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "m1", "m2")
+    val long = Reshape.unpivot(wide, Seq("id"), Seq("m1", "m2"))
+    assert(long.count() === 4)
+    val m = long.filter($"id" === 1L && $"metric" === "m2").select("value").as[Double].head()
+    assert(m === 20.0)
+  }
+
+  test("flattenMap expands map payload to columns") {
+    val df = Seq((1L, Map("a" -> "x", "b" -> "y"))).toDF("id", "payload")
+    val flat = Reshape.flattenMap(df, "payload", Some(Seq("a", "b")), prefix = "new_")
+    assert(flat.columns.toSeq === Seq("id", "new_a", "new_b"))
+    assert(flat.select("new_b").as[String].head() === "y")
+  }
+
+  test("pivotCounts with explicit values, missing combos filled 0") {
+    val df = Seq(("u1", "x"), ("u1", "x"), ("u2", "y")).toDF("user", "t")
+    val p = Reshape.pivotCounts(df, "user", "t", Seq("x", "y"))
+    val m = p.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("u1") === ((2L, 0L)) && m("u2") === ((0L, 1L)))
+  }
+}
