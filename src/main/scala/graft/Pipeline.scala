@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.ops.{Analytics, Anomaly, Reshape, Scd2, SnapshotDiff}
+import graft.sources.SnapshotSource
+
+/** Thin library entry points composing the reference's §3.1 upload
+  * lifecycle as pure DataFrame stages: one `QueryExecution` from
+  * snapshot to events to SCD2/exports — the process boundaries of the
+  * reference (Kafka/Postgres/ADLS hops per event) become plain
+  * transformations.
+  */
+object Pipeline {
+
+  /** The `POST /upload` path (reference `app/app.py:336-398`): diff the
+    * new snapshot against the previous one, emit the event batch.
+    */
+  def ingest(
+      newSnapshot: SnapshotSource.Snapshot,
+      prevSnapshot: Option[SnapshotSource.Snapshot],
+      companyId: String,
+      tableName: String
+  ): DataFrame =
+    SnapshotDiff.diffAsEvents(
+      newSnapshot.df,
+      prevSnapshot.map(_.df),
+      newSnapshot.keyColumn,
+      companyId,
+      tableName
+    )
+
+  /** Event log -> SCD2 version table (consumer apply path). */
+  def applyEvents(eventLog: DataFrame): DataFrame =
+    Scd2.apply(eventLog, Seq("company_id", "table_name", "key_value"))
+
+  /** R1 per-metric unpivot export (reference `azuredatalake.py:170-221`):
+    * wide snapshot -> long (metric, date, value) with sanitized metric
+    * names; written `partitionBy("metric")` instead of file-per-metric.
+    */
+  def unpivotExport(snapshot: SnapshotSource.Snapshot, metricCol: String): DataFrame = {
+    val dateCols = snapshot.df.columns.filterNot(c => c == snapshot.keyColumn || c == metricCol)
+    Reshape
+      .unpivot(
+        snapshot.df,
+        idCols = Seq(snapshot.keyColumn, metricCol),
+        valueCols = dateCols.toSeq,
+        metricName = "obs_date",
+        valueName = "value"
+      )
+      .select(
+        col(snapshot.keyColumn).as("key"),
+        Fns.metricSafeName(col(metricCol)).as("metric"),
+        col("obs_date"),
+        Fns.toNumeric(col("value")).as("value")
+      )
+  }
+
+  /** The anomaly-detection path (reference §3.3): daily event counts,
+    * gap-filled, scored with the native rolling z-score.
+    */
+  def anomalyScan(
+      eventLog: DataFrame,
+      start: String,
+      end: String,
+      lookback: Int = 7,
+      threshold: Double = 2.0
+  ): DataFrame = {
+    val daily = eventLog
+      .groupBy(
+        col("company_id"),
+        col("table_name"),
+        to_date(col("ts")).as("date")
+      )
+      .agg(count(lit(1)).cast("double").as("value"))
+    // gap-fill per (company, table) series
+    val spark = eventLog.sparkSession
+    val calendar = spark
+      .range(1)
+      .select(explode(sequence(to_date(lit(start)), to_date(lit(end)), expr("interval 1 day"))).as("date"))
+    val keys = eventLog.select("company_id", "table_name").distinct()
+    val series = keys
+      .crossJoin(calendar)
+      .join(daily, Seq("company_id", "table_name", "date"), "left")
+      .na.fill(0.0, Seq("value"))
+    Anomaly.score(series, Seq("company_id", "table_name"), lookback = lookback, threshold = threshold)
+  }
+}

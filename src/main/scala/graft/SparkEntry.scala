@@ -355,8 +355,8 @@ object SparkEntry {
            |   count(*) OVER () AS n
            | FROM series
            | WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-           |sc AS (SELECT *, CASE WHEN exp_raw IS NULL OR std IS NULL OR std = 0
-           |   THEN 0.0 ELSE abs(value - exp_raw)/std END AS score FROM s),
+           |sc AS (SELECT *, CASE WHEN exp_raw IS NULL OR std IS NULL
+           |   THEN 0.0 ELSE abs(value - exp_raw)/greatest(std, 0.001) END AS score FROM s),
            |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, date) AS rnk FROM sc)
            |SELECT date, value, round(coalesce(exp_raw, value),4) AS expected_value,
            |  round(score,4) AS score,

@@ -43,10 +43,12 @@ object Anomaly {
       .withColumn("_std", stddev_samp(col(valueCol)).over(wTrail))
       .withColumn(
         "score",
-        when(
-          col("expected_value").isNull || col("_std").isNull || col("_std") === 0.0,
-          lit(0.0)
-        ).otherwise(abs(col(valueCol) - col("expected_value")) / col("_std"))
+        // stddev floored at 1e-3: a constant baseline (std = 0) must not
+        // hide a spike — |v - mean| / 0 would otherwise be score 0
+        when(col("expected_value").isNull || col("_std").isNull, lit(0.0))
+          .otherwise(
+            abs(col(valueCol) - col("expected_value")) / greatest(col("_std"), lit(1e-3))
+          )
       )
       .withColumn("expected_value", coalesce(col("expected_value"), col(valueCol)))
 

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wide-snapshot CSV reader (reference S1/F13/F8: `app/app.py:129,
+  * 609-614, 144-146`): header auto-detection, first-column key
+  * promotion, blank/NaN -> null normalization, all values kept as
+  * strings (the reference's degradation, diffed as strings — SURVEY.md
+  * §1.2).
+  */
+object SnapshotSource {
+
+  final case class Snapshot(df: DataFrame, keyColumn: String)
+
+  /** Header auto-detect (reference `app/app.py:609-614`): among the
+    * first 3 rows, the header is the first containing a cell with
+    * "date" (case-insensitive); defaults to row 0. Driver-side over a
+    * 3-row sample — never a full scan.
+    */
+  def detectHeaderRow(spark: SparkSession, path: String): Int = {
+    val head3 = spark.read
+      .option("header", "false")
+      .csv(path)
+      .limit(3)
+      .collect()
+    val idx = head3.indexWhere(r =>
+      (0 until r.length).exists(i =>
+        Option(r.getString(i)).exists(_.toLowerCase.contains("date"))
+      )
+    )
+    math.max(idx, 0)
+  }
+
+  /** Read a snapshot: skip pre-header junk rows, promote the first
+    * column to key, normalize empty/NaN strings to null.
+    */
+  def read(spark: SparkSession, path: String, headerRow: Option[Int] = None): Snapshot = {
+    val skip = headerRow.getOrElse(detectHeaderRow(spark, path))
+    val raw =
+      if (skip == 0)
+        spark.read.option("header", "true").csv(path)
+      else {
+        // re-read with the detected header: drop the first `skip` rows by
+        // reading headerless and re-labeling from the detected header row
+        val noHeader = spark.read.option("header", "false").csv(path)
+        val headerVals = noHeader.limit(skip + 1).collect().last.toSeq.map(String.valueOf)
+        val named = noHeader.toDF(headerVals.map(_.trim): _*)
+        // exclude the junk + header rows (deterministic small prefix)
+        val junk = named.limit(skip + 1)
+        named.exceptAll(junk)
+      }
+    val cleaned = raw.select(raw.columns.map { c =>
+      val v = trim(raw(c))
+      when(v === "" || upper(v) === "NAN" || upper(v) === "NULL", lit(null))
+        .otherwise(v)
+        .as(c)
+    }.toIndexedSeq: _*)
+    Snapshot(cleaned, raw.columns.head)
+  }
+
+  /** Union heterogeneous sheets/files by name (reference U1,
+    * `app/app.py:646`): missing columns null-filled.
+    */
+  def unionSnapshots(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.Scd2
+
+/** Structured-Streaming composition of the CDC pipeline (SURVEY.md §2.9).
+  *
+  * The reference consumes Kafka one event at a time (~110 events/s,
+  * commit-per-event, fire-and-forget daemon threads —
+  * `consumer.py:104-228`). Here each micro-batch applies thousands of
+  * events in one vectorized merge, and the "side effects" (delta export,
+  * anomaly trigger) run inside the same `foreachBatch` transaction —
+  * strictly stronger semantics (ST3) at orders of magnitude more
+  * throughput.
+  *
+  * Exactly-once: checkpointed source offsets + idempotent merge keyed on
+  * event_id (ST1: the reference's UNIQUE + ON CONFLICT DO NOTHING
+  * becomes dropDuplicates / dropDuplicatesWithinWatermark).
+  */
+object CdcStream {
+
+  /** Wire schema of a CDC event on the bus (JSON value), mirroring the
+    * reference's `CDCEvent` model (`app/app.py:80-89`).
+    */
+  val eventWireSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("event_type", StringType),
+    StructField("company_id", StringType),
+    StructField("table_name", StringType),
+    StructField("ts", TimestampType),
+    StructField("key_column", StringType),
+    StructField("key_value", StringType),
+    StructField("old_values", MapType(StringType, StringType)),
+    StructField("new_values", MapType(StringType, StringType))
+  ))
+
+  /** S7/ST5: Kafka source wiring (reference `consumer.py:377-397`).
+    * Format-string based — compiles without kafka jars; untested in this
+    * environment (no broker), the tested path is [[fileEventStream]]
+    * which exercises identical downstream plumbing.
+    */
+  def fromKafka(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), eventWireSchema).as("e"))
+      .select("e.*")
+
+  /** S6: Kafka sink — key `{company}_{table}` (NOT the reference's
+    * `{company}_{table}_{event_type}` at `app/app.py:275`, which breaks
+    * per-record ordering across event types; SURVEY.md ST2 records this
+    * as an intended-semantics fix).
+    */
+  def toKafka(events: DataFrame, servers: String, topic: String, checkpoint: String): StreamingQuery =
+    events
+      .select(
+        concat_ws("_", col("company_id"), col("table_name")).as("key"),
+        to_json(struct(events.columns.map(col): _*)).as("value")
+      )
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** File-based event stream (the locally testable source: parquet files
+    * dropped into a directory are the "topic").
+    */
+  def fileEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventWireSchema).parquet(dir)
+
+  /** ST1: at-least-once -> effectively-once dedup with event-time
+    * watermark bounding the dedup state.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** ST3: apply each micro-batch of events to the SCD2 state table
+    * transactionally (merge only touched keys, then atomically replace).
+    *
+    * Local state layout: parquet dir swapped via temp-dir rename. At
+    * cluster scale the same merge writes a partitioned table
+    * (partitionBy(company_id, table_name)) replacing only touched
+    * partitions, or a Delta MERGE where available — the dataflow
+    * (Scd2.merge) is identical.
+    */
+  def scd2Sink(
+      events: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      keys: Seq[String] = Seq("company_id", "table_name", "key_value")
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (Files.exists(Paths.get(statePath)))
+            Some(spark.read.parquet(statePath))
+          else None
+        val base = existing.getOrElse {
+          Scd2.apply(batch.limit(0), keys) // empty frame with target schema
+        }
+        val merged = Scd2.merge(base, batch.dropDuplicates("event_id"), keys)
+        val tmp = statePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val p = Paths.get(statePath)
+        if (Files.exists(p)) {
+          val old = Paths.get(statePath + ".old")
+          Files.move(p, old)
+          Files.move(Paths.get(tmp), p)
+          deleteRecursively(old.toFile)
+        } else Files.move(Paths.get(tmp), p)
+        ()
+      }
+      .start()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  final case class KeyedEvent(company_id: String, table_name: String, event_id: String)
+  final case class TriggerFire(company_id: String, table_name: String, count: Long)
+
+  /** ST4: the reference's every-Nth-event anomaly trigger
+    * (`utils.py:73-98`: Redis INCR per (company,table), fire on every
+    * 10th, 24h TTL) as a stateful streaming counter with a processing
+    * time timeout standing in for the TTL.
+    */
+  def everyNthTrigger(
+      events: Dataset[KeyedEvent],
+      n: Int,
+      // None => counters never expire (and the query quiesces when the
+      // source drains — pending processing-time timeouts otherwise keep
+      // scheduling micro-batches forever)
+      ttl: Option[String] = Some("24 hours")
+  ): Dataset[TriggerFire] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(e => (e.company_id, e.table_name))
+      .flatMapGroupsWithState[Long, TriggerFire](OutputMode.Append, timeoutConf) {
+        case ((company, table), batch, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + batch.size
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration)
+            // one fire per N-boundary crossed within the batch
+            (prev / n + 1 to next / n).iterator.map(k => TriggerFire(company, table, k * n))
+          }
+      }
+  }
+
+  /** ST6: tumbling daily buckets with watermark — the anomaly series
+    * feed, computed incrementally.
+    */
+  def dailyEventCounts(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("company_id"), col("table_name"))
+      .agg(count(lit(1)).as("value"))
+      .select(
+        to_date(col("window.start")).as("date"),
+        col("company_id"),
+        col("table_name"),
+        col("value")
+      )
+}

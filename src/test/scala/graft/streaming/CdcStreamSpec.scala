@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.ops.Scd2
+
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkEvents(rows: (String, String, String, String, String, Timestamp)*) =
+    rows.toDF("event_id", "event_type", "company_id", "table_name", "key_value", "ts")
+      .withColumn("key_column", lit("k"))
+      .withColumn("old_values", map().cast("map<string,string>"))
+      .withColumn("new_values", map(lit("v"), col("event_id")))
+      .select(CdcStream.eventWireSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  test("streamed scd2 state equals batch fold over all events") {
+    val tmp = Files.createTempDirectory("cdcstream").toString
+    val srcDir = s"$tmp/events"
+    val statePath = s"$tmp/scd2_state"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    val batch1 = mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00")),
+      ("e3", "insert", "c1", "t1", "k2", ts("2024-01-01 00:00:00"))
+    )
+    val batch2 = mkEvents(
+      ("e4", "update", "c1", "t1", "k1", ts("2024-01-03 00:00:00")),
+      ("e5", "delete", "c1", "t1", "k2", ts("2024-01-04 00:00:00")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00")) // replay dup
+    )
+    batch1.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val q = CdcStream.scd2Sink(
+      CdcStream.fileEventStream(spark, srcDir),
+      statePath,
+      s"$tmp/ckpt"
+    )
+    q.processAllAvailable()
+    batch2.coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val keys = Seq("company_id", "table_name", "key_value")
+    val streamed = spark.read.parquet(statePath)
+    val batchFold = Scd2.apply(batch1.unionByName(batch2), keys)
+    val proj = Seq("key_value", "event_id", "is_current")
+    assert(
+      streamed.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet ===
+        batchFold.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+    )
+    // k1 current version is e4; k2 deleted -> no current
+    val current = Scd2.currentState(streamed)
+    assert(current.filter($"key_value" === "k1").select("event_id").as[String].head() === "e4")
+    assert(current.filter($"key_value" === "k2").count() === 0)
+  }
+
+  test("every-Nth trigger fires once per N events per key") {
+    val tmp = Files.createTempDirectory("trig").toString
+    val srcDir = s"$tmp/events"
+    val events = (1 to 25).map(i => CdcStream.KeyedEvent("c1", "t1", s"e$i")) ++
+      (1 to 9).map(i => CdcStream.KeyedEvent("c2", "t2", s"f$i"))
+    events.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("company_id string, table_name string, event_id string")
+      .parquet(srcDir)
+      .as[CdcStream.KeyedEvent]
+    val fires = CdcStream.everyNthTrigger(stream, n = 10, ttl = None)
+    val q = fires.writeStream
+      .format("memory")
+      .queryName("fires")
+      .outputMode(OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fires").as[CdcStream.TriggerFire].collect().toSet
+    assert(got === Set(
+      CdcStream.TriggerFire("c1", "t1", 10),
+      CdcStream.TriggerFire("c1", "t1", 20)
+    ))
+  }
+
+  test("watermark dedup drops replayed event ids") {
+    val tmp = Files.createTempDirectory("dedup").toString
+    val srcDir = s"$tmp/events"
+    mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e2", "insert", "c1", "t1", "k2", ts("2024-01-01 00:05:00"))
+    ).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CdcStream
+      .dedupWithinWatermark(CdcStream.fileEventStream(spark, srcDir))
+      .writeStream.format("memory").queryName("deduped").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").select("event_id").as[String].collect().sorted.toSeq === Seq("e1", "e2"))
+  }
+
+  test("streaming daily counts match batch gap-less aggregation") {
+    val tmp = Files.createTempDirectory("daily").toString
+    val srcDir = s"$tmp/events"
+    mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 05:00:00")),
+      ("e2", "insert", "c1", "t1", "k2", ts("2024-01-01 23:59:59")),
+      ("e3", "insert", "c1", "t1", "k3", ts("2024-01-03 00:00:00"))
+    ).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CdcStream
+      .dailyEventCounts(CdcStream.fileEventStream(spark, srcDir))
+      .writeStream.format("memory").queryName("daily").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // append-mode windows emit only once the watermark passes their end:
+    // push a later event to advance the watermark beyond 01-03's window
+    mkEvents(("e9", "insert", "c1", "t1", "k9", ts("2024-01-07 00:00:00")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("daily")
+      .select(date_format($"date", "yyyy-MM-dd"), $"value")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-03" -> 1L))
+  }
+}
