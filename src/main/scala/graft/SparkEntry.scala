@@ -32,11 +32,13 @@ object SparkEntry {
 
   /** Last-event-per-user state within a time window — the "snapshot at t"
     * used to exercise the CDC diff on the deterministic events table.
+    * Reads via eventsBetween so the range predicate prunes parquet row
+    * groups instead of filtering post-conversion.
     */
-  private def snapshotAt(events: DataFrame, lo: String, hi: String): DataFrame =
+  private def snapshotAt(s: SparkSession, dir: String, lo: String, hi: String): DataFrame =
     Analytics
       .latestPerKey(
-        events.filter(col("ts") > lit(lo) && col("ts") <= lit(hi)),
+        graft.sources.Tables.eventsBetween(s, dir, lo, hi),
         Seq("user_id"),
         "ts",
         "event_id"
@@ -50,10 +52,10 @@ object SparkEntry {
 
   /** Flagship: CDC snapshot diff on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
-    val ev = t(spark, "/root/testdata/sf0.001", "events")
+    val dir = "/root/testdata/sf0.001"
     SnapshotDiff.diff(
-      snapshotAt(ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
-      Some(snapshotAt(ev, "2024-01-01 00:00:00", "2024-01-10 00:00:00")),
+      snapshotAt(spark, dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+      Some(snapshotAt(spark, dir, "2024-01-01 00:00:00", "2024-01-10 00:00:00")),
       "user_id"
     )
   }
@@ -78,9 +80,8 @@ object SparkEntry {
 
     // J1: the core CDC snapshot-diff operator (insert/update/delete)
     "q02_snapshot_diff" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
       SnapshotDiff
-        .diff(snapshotAt(ev, newLo, newHi), Some(snapshotAt(ev, prevLo, prevHi)), "user_id")
+        .diff(snapshotAt(s, dir, newLo, newHi), Some(snapshotAt(s, dir, prevLo, prevHi)), "user_id")
         .select(
           col("event_type"),
           col("key_value"),
@@ -210,9 +211,8 @@ object SparkEntry {
 
     // J1 detail: per-column {old,new} change map, exploded
     "q14_changed_columns" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
       SnapshotDiff
-        .diff(snapshotAt(ev, newLo, newHi), Some(snapshotAt(ev, prevLo, prevHi)), "user_id")
+        .diff(snapshotAt(s, dir, newLo, newHi), Some(snapshotAt(s, dir, prevLo, prevHi)), "user_id")
         .filter(col("event_type") === "update")
         .select(col("key_value"), explode(col("changed")).as(Seq("col_name", "ch")))
         .select(

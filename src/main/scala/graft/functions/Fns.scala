@@ -68,14 +68,23 @@ object Fns {
     )
 
   /** Word n-gram shingles from a token array: sliding windows of size n
-    * joined by single spaces. Pure expression (transform over sequence) —
-    * distributed, codegen-friendly, no UDF.
+    * joined by single spaces.
+    *
+    * Built by zipping n shifted copies of the array (`zip_with` +
+    * `slice`), NOT by `transform(indices, i => slice(toks, i, n))`: a
+    * lambda body re-evaluates every outer expression it references once
+    * PER ELEMENT, which turns an upstream tokenization into O(len^2)
+    * work per row (observed 11s for 5k docs before the rewrite, ~1s
+    * after). Here each shifted copy is evaluated once per row; the tail
+    * windows shorter than n zip with null and are filtered out (concat
+    * propagates null, unlike concat_ws which would silently emit
+    * shorter grams).
     */
   def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    )
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(grams, g => g.isNotNull)
   }
 
   /** Deterministic 64-bit hash family: h_i(x) = xxhash64(i, x) — the

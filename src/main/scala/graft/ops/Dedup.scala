@@ -30,12 +30,15 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingle set per document, as an array column. */
+  /** Distinct word n-gram shingle set per document, as an array column.
+    * Tokenization happens in its own projection so the shingle expression
+    * (which references the token array ~n+2 times) reuses one computed
+    * array per row instead of re-running the regex split each time.
+    */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(Fns.shingles(Fns.tokens(col(textCol)), n)).as("shingles")
-    ).filter(size(col("shingles")) > 0)
+    df.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), array_distinct(Fns.shingles(col("toks"), n)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** MinHash signature: sig[i] = min over shingles of h_i(shingle), the
     * classic permutation-min estimator (Broder '97). One pass over the
@@ -123,9 +126,14 @@ object Dedup {
     val shingled = shingleSets(df, textCol, idCol, shingleSize)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inter = inv
+    // singleton shingles can never form a pair — dropping them shrinks the
+    // self-join input without changing any intersection count (the
+    // Jaccard denominator still uses the full per-doc shingle counts)
+    val shared = inv.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2).select("sh")
+    val inv2 = inv.join(shared, "sh")
+    val inter = inv2
       .as("a")
-      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(inv2.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -239,9 +247,17 @@ object Dedup {
       }
       struct(lit(b).as("band"), key.as("bhash"))
     }
+    // pre-normalize once per vector: candidate verification then needs a
+    // single dot product per pair instead of three folds (dot + 2 norms)
     val exploded = df
-      .select(col(idCol).as("doc_id"), col(vecCol).as("v"), explode(array(bandCols: _*)).as("bk"))
+      .select(
+        col(idCol).as("doc_id"),
+        Fns.l2normalize(col(vecCol)).as("v"),
+        explode(array(bandCols: _*)).as("bk")
+      )
       .select(col("doc_id"), col("v"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, vv) => acc + vv)
     exploded
       .as("a")
       .join(
@@ -251,7 +267,7 @@ object Dedup {
       )
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.v").as("v_i"), col("b.v").as("v_j"))
       .distinct()
-      .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
+      .select(col("i"), col("j"), dot(col("v_i"), col("v_j")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
