@@ -95,19 +95,15 @@ object Fns {
     */
   def hashFamily(c: Column, i: Int): Column = xxhash64(lit(i), c)
 
-  /** Cosine similarity between two array<float/double> columns — a single
-    * sequential fold (`aggregate` over `zip_with`), codegen'd, no UDF.
-    * Computed in double precision.
+  /** Cosine similarity between two array<float/double> columns, in
+    * double precision. Delegates to the native
+    * [[graft.plans.CosineSimilarity]] expression (one primitive loop per
+    * row, no intermediate arrays); bit-identical to the
+    * `aggregate(zip_with(...))` fold formulation — asserted in
+    * SurfaceSpec — because both sum left-to-right from 0.0.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity.cosineSim(a, b)
 
   /** L2-normalize an array<float/double> column (double precision). */
   def l2normalize(a: Column): Column = {

@@ -247,17 +247,9 @@ object Dedup {
       }
       struct(lit(b).as("band"), key.as("bhash"))
     }
-    // pre-normalize once per vector: candidate verification then needs a
-    // single dot product per pair instead of three folds (dot + 2 norms)
     val exploded = df
-      .select(
-        col(idCol).as("doc_id"),
-        Fns.l2normalize(col(vecCol)).as("v"),
-        explode(array(bandCols: _*)).as("bk")
-      )
+      .select(col(idCol).as("doc_id"), col(vecCol).as("v"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("v"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
-    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, vv) => acc + vv)
     exploded
       .as("a")
       .join(
@@ -267,7 +259,9 @@ object Dedup {
       )
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.v").as("v_i"), col("b.v").as("v_j"))
       .distinct()
-      .select(col("i"), col("j"), dot(col("v_i"), col("v_j")).as("cosine"))
+      // native single-loop cosine (graft.plans.CosineSimilarity) — the
+      // candidate-verify pass is the hot loop of this operator
+      .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

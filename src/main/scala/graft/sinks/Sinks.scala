@@ -1,0 +1,49 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY.md §2.1 S8-S12): partitioned append tables
+  * replacing the reference's per-event files and row-at-a-time inserts.
+  *
+  * Layout principle for 100 TB: the reference's logical layout
+  * (company/table/metric as directories, one file per event/metric —
+  * `azuredatalake.py:181-214`) becomes partition COLUMNS of append-only
+  * tables. Same prunability, none of the small-file explosion; writers
+  * append whole micro-batches.
+  */
+object Sinks {
+
+  /** S8: append-only CDC event log, partitioned for pruning by tenant
+    * and day (the two predicates every readback query carries).
+    */
+  def appendEventLog(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("company_id", "table_name", "event_date")
+      .parquet(path)
+
+  /** S10/R1: per-metric long table — `partitionBy(metric)` instead of the
+    * reference's file-per-metric (`azuredatalake.py:181-214`).
+    */
+  def writeMetricPartitioned(long: DataFrame, path: String): Unit =
+    long.write.mode(SaveMode.Overwrite).partitionBy("metric").parquet(path)
+
+  /** S12: JSON results (anomaly payloads, metadata). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Readback with partition pruning (P7 path-predicate equivalent). */
+  def readEventLog(
+      spark: SparkSession,
+      path: String,
+      companyId: Option[String] = None,
+      tableName: Option[String] = None
+  ): DataFrame = {
+    val base = spark.read.parquet(path)
+    val f1 = companyId.map(c => base.filter(col("company_id") === c)).getOrElse(base)
+    tableName.map(t => f1.filter(col("table_name") === t)).getOrElse(f1)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.CosineSimilarity
+import graft.sinks.Sinks
+import graft.sources.{Converters, SnapshotStore}
+
+class SurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("snapshot store: versioning, latest/previous, time travel, max version") {
+    val root = Files.createTempDirectory("store").toString + "/snaps"
+    assert(SnapshotStore.maxVersion(root) === -1L)
+    val v0 = Seq(("k1", "a")).toDF("k", "v")
+    val v1 = Seq(("k1", "b")).toDF("k", "v")
+    assert(SnapshotStore.write(v0, root) === 0L)
+    assert(SnapshotStore.write(v1, root) === 1L)
+    assert(SnapshotStore.maxVersion(root) === 1L)
+    assert(SnapshotStore.readLatest(spark, root).get.select("v").as[String].head() === "b")
+    assert(SnapshotStore.readPrevious(spark, root).get.select("v").as[String].head() === "a")
+    assert(SnapshotStore.readVersion(spark, root, 0).select("v").as[String].head() === "a")
+  }
+
+  test("event-log sink: partitioned append + pruned readback") {
+    val path = Files.createTempDirectory("evlog").toString + "/events"
+    val events = Seq(
+      ("e1", "c1", "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("e2", "c2", "t1", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))
+    ).toDF("event_id", "company_id", "table_name", "ts")
+    Sinks.appendEventLog(events, path)
+    Sinks.appendEventLog(events.filter($"event_id" === "e1"), path) // append again
+    val all = Sinks.readEventLog(spark, path)
+    assert(all.count() === 3)
+    val c1 = Sinks.readEventLog(spark, path, companyId = Some("c1"))
+    assert(c1.count() === 2)
+    // partition pruning visible in the plan
+    val plan = c1.queryExecution.executedPlan.toString
+    assert(plan.contains("company_id") )
+  }
+
+  test("zip fan-in: extracts csvs (skipping __MACOSX), unions by name") {
+    val dir = Files.createTempDirectory("zip")
+    val zipPath = dir.resolve("bundle.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(zipPath))
+    def add(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes); zos.closeEntry()
+    }
+    add("a.csv", "Company,Date,2024\nacme,Cash,1")
+    add("sub/b.csv", "Company,Date,2023\nduk,Debt,2")
+    add("__MACOSX/junk.csv", "x,y\n1,2")
+    add("readme.txt", "not a csv")
+    zos.close()
+    val got = Converters.zipCsvFanIn(spark, zipPath.toString, dir.resolve("work")).get
+    assert(got.count() === 2)
+    assert(got.columns.toSet === Set("Company", "Date", "2024", "2023"))
+  }
+
+  test("chatbot intent routing") {
+    assert(Chatbot.classify("how many changes last week") === Chatbot.Historical)
+    assert(Chatbot.classify("any anomalies today?") === Chatbot.AnomalyIntent)
+    assert(Chatbot.classify("predict next quarter") === Chatbot.Prediction)
+    val log = Seq(("e1", "insert", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val canned = Chatbot.query(spark, log, "forecast revenue")
+    assert(canned.select("intent").as[String].head() === "prediction")
+  }
+
+  test("native cosine expression is bit-identical to the fold-based column") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    val pairs = emb.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("j"), $"embedding".as("b")).limit(50))
+    // fold-based reference formulation, built inline (Fns.cosine now
+    // delegates to the native expression)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val fold = dot($"a", $"b") / (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b")))
+    val diff = pairs
+      .select(fold.as("builtin"), CosineSimilarity.cosineSim($"a", $"b").as("native"))
+      .filter(not($"builtin" <=> $"native"))
+    assert(diff.count() === 0)
+  }
+
+  test("native cosine: null in, null out; length mismatch raises") {
+    val df = Seq(
+      (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+      (None, Some(Array(1.0f, 0.0f)))
+    ).toDF("a", "b")
+    val got = df.select(CosineSimilarity.cosineSim($"a", $"b").as("c")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).isNullAt(0))
+  }
+}
