@@ -294,6 +294,53 @@ object SparkEntry {
     // stubbed; the Spark plumbing — schema/pruning/batching — is real)
     "q26_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadata(Multimodal.attachBinary(t(s, dir, "documents"), "text", "doc_id"))
+    }),
+
+    // J2/W2: point-in-time (as-of) state — the temporal-table lookup
+    "q27_asof_state" -> ((s, dir) => {
+      val scd = Scd2.apply(
+        graft.sources.Tables.eventsBetween(s, dir, "2024-01-01 00:00:00", "2024-01-20 00:00:00"),
+        Seq("user_id"),
+        payloadCol = "props"
+      )
+      Scd2
+        .asOf(scd, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        .select(col("user_id"), col("event_id"), col("data"))
+    }),
+
+    // A5/ST4 (batch analog): every-Nth-event marker per key
+    "q28_every_nth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("seq", row_number().over(w))
+        .filter(pmod(col("seq"), lit(10)) === 0)
+        .select(col("user_id"), col("event_id"), col("seq").cast("long").as("seq"))
+    }),
+
+    // P2: drop rows whose payload columns are all null
+    "q29_drop_allnull_rows" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("source")).as("source")
+        )
+        .na.drop("all", Seq("lang", "source"))
+    }),
+
+    // F9: JSON encode/decode round trip of the event payload
+    "q30_json_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      val encoded = ev.select(
+        col("event_id"),
+        to_json(struct(col("event_type"), col("value"))).as("payload")
+      )
+      encoded
+        .select(
+          col("event_id"),
+          expr("from_json(payload, 'event_type string, value double')").as("p")
+        )
+        .select(col("event_id"), col("p.event_type").as("event_type"), col("p.value").as("value"))
     })
   )
 
@@ -481,7 +528,30 @@ object SparkEntry {
           |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
           |  octet_length(CAST(text AS BLOB)) % 480 AS fake_height,
           |  octet_length(CAST(text AS BLOB)) % 16 + 1 AS n_frames
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+      "q27_asof_state" ->
+        """SELECT user_id, event_id, props AS data FROM (
+          |  SELECT user_id, event_id, props, ts AS valid_from,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          |  FROM events
+          |  WHERE ts > TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+          |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin,
+      "q28_every_nth" ->
+        """SELECT user_id, event_id, seq FROM (
+          |  SELECT user_id, event_id,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+          |  FROM events)
+          |WHERE seq % 10 = 0""".stripMargin,
+      "q29_drop_allnull_rows" ->
+        """SELECT * FROM (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+          |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS source
+          |  FROM documents)
+          |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
+      "q30_json_roundtrip" ->
+        """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin
     )
   }
 
