@@ -64,4 +64,29 @@ object SnapshotSource {
     */
   def unionSnapshots(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** F11 date-column inference (reference `consumer.py:276-300`): first
+    * column whose lowercase name is a known date word, else None.
+    */
+  def inferDateColumn(columns: Seq[String]): Option[String] = {
+    val dateWords = Set("date", "time", "period", "month", "day")
+    columns.find(c => dateWords.contains(c.toLowerCase))
+  }
+
+  /** P1 operational projection (reference `azuredatalake.py:236-254`):
+    * `Date` + any column whose name contains id/code/key
+    * (case-insensitive); fallback first 3 columns; append a literal
+    * company_id. The name predicate is driver-side over `df.columns` —
+    * never a data scan.
+    */
+  def operationalProjection(df: DataFrame, companyId: String): DataFrame = {
+    val cols = df.columns
+    val picked = cols.filter { c =>
+      val lc = c.toLowerCase
+      lc == "date" || lc.contains("id") || lc.contains("code") || lc.contains("key")
+    }
+    val keep = if (picked.nonEmpty) picked.toSeq else cols.take(3).toSeq
+    df.select(keep.map(df(_)): _*)
+      .withColumn("company_id", org.apache.spark.sql.functions.lit(companyId))
+  }
 }
