@@ -328,6 +328,31 @@ object SparkEntry {
         .na.drop("all", Seq("lang", "source"))
     }),
 
+    // Custom Aggregator surface (§2.11): per-key series scored by the
+    // typed ZScoreAggregator (same model as q08; agreement with the
+    // window implementation is asserted in ZScoreAggregatorSpec, so a
+    // rows-only check suffices here)
+    "q31_anomaly_aggregator" -> ((s, dir) => {
+      import s.implicits._
+      val daily =
+        Analytics.dailyCounts(t(s, dir, "events"), filterExpr = col("event_type") === "error")
+      val series = Analytics
+        .gapFill(daily, "2023-12-28", "2024-02-03")
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("value"))
+      series
+        .as[(String, Double)]
+        .groupByKey(_ => 0)
+        .agg(new graft.plans.ZScoreAggregator(lookback = 7, threshold = 2.0).toColumn)
+        .flatMap(_._2)
+        .select(
+          col("ts").as("date"),
+          col("value"),
+          round(col("expected_value"), 4).as("expected_value"),
+          round(col("score"), 4).as("score"),
+          col("is_anomaly")
+        )
+    }),
+
     // F9: JSON encode/decode round trip of the event payload
     "q30_json_roundtrip" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 20)
@@ -551,7 +576,25 @@ object SparkEntry {
           |  FROM documents)
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
-        """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin
+        """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      // identical model to q08 — the aggregator path must reproduce the
+      // window path (also asserted at 1e-9 in ZScoreAggregatorSpec)
+      "q31_anomaly_aggregator" -> {
+        s"""WITH series AS ($gapfillSql),
+           |s AS (SELECT date, value,
+           |   avg(value) OVER w AS exp_raw,
+           |   stddev_samp(value) OVER w AS std,
+           |   count(*) OVER () AS n
+           | FROM series
+           | WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+           |sc AS (SELECT *, CASE WHEN exp_raw IS NULL OR std IS NULL
+           |   THEN 0.0 ELSE abs(value - exp_raw)/greatest(std, 0.001) END AS score FROM s),
+           |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, date) AS rnk FROM sc)
+           |SELECT date, value, round(coalesce(exp_raw, value),4) AS expected_value,
+           |  round(score,4) AS score,
+           |  (n >= 12 AND score > 2.0 AND rnk <= CAST(floor(n*0.25) AS BIGINT)) AS is_anomaly
+           |FROM r""".stripMargin
+      }
     )
   }
 

@@ -126,15 +126,29 @@ object Dedup {
     val shingled = shingleSets(df, textCol, idCol, shingleSize)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
-    // singleton shingles can never form a pair — dropping them shrinks the
-    // self-join input without changing any intersection count (the
-    // Jaccard denominator still uses the full per-doc shingle counts)
-    val shared = inv.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2).select("sh")
-    val inv2 = inv.join(shared, "sh")
-    val inter = inv2
-      .as("a")
-      .join(inv2.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // one shuffle on shingle: collect each shingle's (small) posting list
+    // and emit its pair combinations, instead of a self-join that would
+    // recompute the whole upstream for both sides. Posting lists are
+    // sorted so emitted pairs have i < j. At open-web scale a
+    // doc-frequency cap on ultra-common shingles bounds the quadratic
+    // blowup (identical mitigation applies to a self-join).
+    val postings = inv
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairCombos = flatten(
+      transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        k =>
+          transform(
+            slice(col("ids"), k + 1, size(col("ids"))),
+            j => struct(element_at(col("ids"), k).as("i"), j.as("j"))
+          )
+      )
+    )
+    val inter = postings
+      .select(explode(pairCombos).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "n_i"), "i")
