@@ -58,6 +58,39 @@ object Pipeline {
       )
   }
 
+  /** The `POST /upload-zip` bulk path (reference `app/app.py:509-646`,
+    * SURVEY.md §3.2): extract every workbook from the zip, read every
+    * sheet (header auto-detect, first column renamed METRIC), stamp
+    * SECTOR/COMPANY/STATEMENT/FREQUENCY metadata (F5/F6/P8), union all
+    * sheets null-filling missing columns (U1).
+    */
+  def consolidateZip(
+      spark: SparkSession,
+      zipPath: String,
+      workDir: java.nio.file.Path,
+      sector: String = "GAS UTILITY"
+  ): Option[DataFrame] = {
+    val workbooks = sources.Converters.extractEntries(zipPath, workDir, _.endsWith(".xlsx"))
+    val sheets = workbooks.flatMap { wb =>
+      val file = wb.getFileName.toString
+      val company = file.stripSuffix(".xlsx").split("-").head.toUpperCase
+      sources.Converters.xlsxToCsv(wb.toString, workDir.resolve("sheets")).map {
+        case (sheetName, csv) =>
+          val parts = sheetName.split("-")
+          val statement = parts.headOption.filter(_.nonEmpty).getOrElse("GENERAL")
+          val frequency = if (parts.length > 1) parts.last else "ANNUAL"
+          val snap = sources.SnapshotSource.read(spark, csv.toString)
+          snap.df
+            .withColumnRenamed(snap.keyColumn, "METRIC")
+            .withColumn("SECTOR", lit(sector))
+            .withColumn("COMPANY", lit(company))
+            .withColumn("STATEMENT", lit(statement))
+            .withColumn("FREQUENCY", lit(frequency))
+      }
+    }
+    if (sheets.isEmpty) None else Some(sources.SnapshotSource.unionSnapshots(sheets.toSeq))
+  }
+
   /** The anomaly-detection path (reference §3.3): daily event counts,
     * gap-filled, scored with the native rolling z-score.
     */

@@ -53,23 +53,106 @@ object Converters {
     out.toSeq
   }
 
-  /** S2/S3 stub: xlsx decoding requires a spreadsheet codec (e.g. POI)
-    * not present here. The conversion contract: each sheet becomes one
-    * CSV fed to [[SnapshotSource.read]], sheets union via
-    * [[SnapshotSource.unionSnapshots]] (reference `app/app.py:597-619`).
+  /** S2/S3: minimal OOXML spreadsheet reader (xlsx = zip of XML; parsed
+    * with JDK zip + scala-xml, both on Spark's classpath). Handles the
+    * subset the reference's workbooks use: shared strings, inline
+    * strings, numbers, sparse cells addressed by A1-style refs. Each
+    * sheet becomes one CSV `<base>-<sheet>.csv` fed to
+    * [[SnapshotSource.read]] (reference `app/app.py:597-619`).
     */
-  def xlsxToCsv(xlsxPath: String, workDir: Path): Seq[Path] =
-    throw new UnsupportedOperationException(
-      "xlsx decoding needs a spreadsheet codec library (unavailable in this environment); " +
-        "pre-convert workbooks to CSV and use SnapshotSource/zipCsvFanIn"
-    )
+  def xlsxToCsv(xlsxPath: String, workDir: Path): Seq[(String, Path)] = {
+    val entries = readZipBytes(xlsxPath)
+    def xml(name: String): Option[scala.xml.Elem] =
+      entries.get(name).map(b => scala.xml.XML.loadString(new String(b, "UTF-8")))
 
-  /** S4 stub: docx table extraction (reference `app/app.py:290-333`
-    * via mammoth+BeautifulSoup) — same contract: first table -> CSV.
+    val shared: IndexedSeq[String] = xml("xl/sharedStrings.xml") match {
+      case Some(sst) => (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+      case None => IndexedSeq.empty
+    }
+    val rels: Map[String, String] = xml("xl/_rels/workbook.xml.rels") match {
+      case Some(r) =>
+        (r \ "Relationship").map { rel =>
+          val target = (rel \@ "Target").stripPrefix("/xl/").stripPrefix("./")
+          (rel \@ "Id") -> s"xl/${target.stripPrefix("xl/")}"
+        }.toMap
+      case None => Map.empty
+    }
+    val wb = xml("xl/workbook.xml").getOrElse(return Seq.empty)
+    val base = Paths.get(xlsxPath).getFileName.toString.stripSuffix(".xlsx")
+
+    (wb \\ "sheet").flatMap { s =>
+      val name = s \@ "name"
+      val rid = s.attributes.asAttrMap.collectFirst {
+        case (k, v) if k == "r:id" || k.endsWith(":id") => v
+      }
+      val sheetEntry = rid.flatMap(rels.get).orElse(Some("xl/worksheets/sheet1.xml"))
+      sheetEntry.flatMap(e => xml(e)).map { sheet =>
+        val rows = (sheet \\ "row").map { row =>
+          val cells = (row \ "c").map { c =>
+            val ref = c \@ "r" // e.g. "B3"
+            val colIdx = ref.takeWhile(_.isLetter).foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+            val v = (c \ "v").text
+            val text = (c \@ "t") match {
+              case "s" => if (v.nonEmpty) shared(v.toInt) else ""
+              case "inlineStr" => (c \\ "t").map(_.text).mkString
+              case _ => v
+            }
+            colIdx -> text
+          }
+          val width = if (cells.isEmpty) 0 else cells.map(_._1).max + 1
+          val arr = Array.fill(width)("")
+          cells.foreach { case (i, t) => if (i >= 0) arr(i) = t }
+          arr.toSeq
+        }
+        val out = workDir.resolve(s"$base-${sanitizeFileName(name)}.csv")
+        Files.createDirectories(out.getParent)
+        Files.writeString(out, rows.map(_.map(csvQuote).mkString(",")).mkString("\n"))
+        name -> out
+      }
+    }.toSeq
+  }
+
+  /** S4: docx first-table extraction (docx = zip of XML; reference
+    * `app/app.py:290-333` did mammoth->HTML->BeautifulSoup — here the
+    * table is read straight from `word/document.xml`: first w:tbl, rows
+    * w:tr, cells w:tc, text = concatenated w:t runs).
     */
-  def docxToCsv(docxPath: String, workDir: Path): Path =
-    throw new UnsupportedOperationException(
-      "docx decoding needs a document codec library (unavailable in this environment); " +
-        "pre-convert to CSV and use SnapshotSource.read"
-    )
+  def docxToCsv(docxPath: String, workDir: Path): Option[Path] = {
+    val entries = readZipBytes(docxPath)
+    entries.get("word/document.xml").flatMap { bytes =>
+      val doc = scala.xml.XML.loadString(new String(bytes, "UTF-8"))
+      (doc \\ "tbl").headOption.map { tbl =>
+        val rows = (tbl \ "tr").map { tr =>
+          (tr \ "tc").map(tc => (tc \\ "t").map(_.text).mkString.trim)
+        }
+        val base = Paths.get(docxPath).getFileName.toString.stripSuffix(".docx")
+        val out = workDir.resolve(s"$base.csv")
+        Files.createDirectories(out.getParent)
+        Files.writeString(out, rows.map(_.map(csvQuote).mkString(",")).mkString("\n"))
+        out
+      }
+    }
+  }
+
+  private def csvQuote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def sanitizeFileName(s: String): String =
+    s.replaceAll("[^A-Za-z0-9._-]+", "_")
+
+  private def readZipBytes(path: String): Map[String, Array[Byte]] = {
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val zis = new ZipInputStream(Files.newInputStream(Paths.get(path)))
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out(e.getName) = zis.readAllBytes()
+        zis.closeEntry()
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    out.toMap
+  }
 }
