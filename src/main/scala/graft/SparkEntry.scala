@@ -533,12 +533,12 @@ object SparkEntry {
            |   len(list_filter(words, w -> w IN ('the','a','of','and','is'))) AS stop_hits
            | FROM t JOIN documents d ON d.doc_id = t.doc_id)
            |SELECT doc_id, n_chars, n_words, n_distinct,
-           | round(CAST(char_sum AS DOUBLE)/n_words, 4) AS avg_word_len,
-           | round(CAST(n_distinct AS DOUBLE)/n_words, 4) AS ttr,
-           | round(CAST(stop_hits AS DOUBLE)/n_words, 4) AS stopword_ratio,
-           | round(0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+           | floor(CAST(char_sum AS DOUBLE)/n_words * 10000)/10000 AS avg_word_len,
+           | floor(CAST(n_distinct AS DOUBLE)/n_words * 10000)/10000 AS ttr,
+           | floor(CAST(stop_hits AS DOUBLE)/n_words * 10000)/10000 AS stopword_ratio,
+           | floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
            |     + 0.3*(CAST(n_distinct AS DOUBLE)/n_words)
-           |     + 0.3*(1.0 - CAST(stop_hits AS DOUBLE)/n_words), 4) AS quality
+           |     + 0.3*(1.0 - CAST(stop_hits AS DOUBLE)/n_words)) * 10000)/10000 AS quality
            |FROM s""".stripMargin,
       "q24_token_count" ->
         s"""WITH t AS ($wordsSql)

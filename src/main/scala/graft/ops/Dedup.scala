@@ -106,7 +106,9 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val shingled = shingleSets(df, textCol, idCol, shingleSize).cache()
+    // no .cache(): the shingle projection is cheap to recompute and a
+    // cached plan would pin executor memory past this operator's lifetime
+    val shingled = shingleSets(df, textCol, idCol, shingleSize)
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)

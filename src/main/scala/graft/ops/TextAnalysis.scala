@@ -53,16 +53,22 @@ object TextAnalysis {
     val ttr = distinctWords.cast("double") / words.cast("double")
     val stopRatio = stopHits.cast("double") / words.cast("double")
     val lengthScore = least(words.cast("double") / lit(100.0), lit(1.0))
-    // integer outputs widened to long: DuckDB len()/length() are BIGINT
+    // integer outputs widened to long (DuckDB len()/length() are BIGINT).
+    // Ratios are TRUNCATED to 4 decimals (floor), not rounded: these
+    // rationals have small denominators (multiples of word counts) so
+    // values landing exactly on x.xxxx5 occur in practice, and engines
+    // disagree on the half-rule there; floor of the same double is
+    // tie-free and engine-independent.
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
     df.select(
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       words.cast("long").as("n_words"),
       distinctWords.cast("long").as("n_distinct"),
-      round(charSum.cast("double") / words.cast("double"), 4).as("avg_word_len"),
-      round(ttr, 4).as("ttr"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 4)
+      trunc4(charSum.cast("double") / words.cast("double")).as("avg_word_len"),
+      trunc4(ttr).as("ttr"),
+      trunc4(stopRatio).as("stopword_ratio"),
+      trunc4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio))
         .as("quality")
     )
   }
