@@ -239,7 +239,7 @@ object SparkEntry {
     "q17_ngram_jaccard" -> ((s, dir) => {
       Dedup
         .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", shingleSize = 3, threshold = 0.5)
-        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("i"), col("j"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     }),
 
     // Dedup: MinHash + LSH banding (candidates verified by exact Jaccard).
@@ -248,7 +248,7 @@ object SparkEntry {
     "q18_minhash_lsh" -> ((s, dir) => {
       Dedup
         .minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
-        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("i"), col("j"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     }),
 
     // Dedup: 64-bit SimHash, banded candidates, hamming <= 16
@@ -351,6 +351,26 @@ object SparkEntry {
           round(col("score"), 4).as("score"),
           col("is_anomaly")
         )
+    }),
+
+    // Vocabulary: deterministic top-k corpus token frequencies
+    "q32_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)),
+
+    // TF-IDF weights (df/N over the full corpus, output restricted)
+    "q33_tfidf" -> ((s, dir) => {
+      TextAnalysis
+        .tfIdf(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("doc_id") < 50)
+    }),
+
+    // Corpus near-dedup: cluster MinHash-LSH pairs, keep min-id per
+    // cluster (rows-only: pairs derive from hash signatures; clustering
+    // correctness is asserted in DedupSimilaritySpec)
+    "q34_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.5)
+      Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
     // F9: JSON encode/decode round trip of the event payload
@@ -494,7 +514,7 @@ object SparkEntry {
            |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
            |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
            |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-           |SELECT i, j, round(CAST(inter AS DOUBLE)/(ca.n + cb.n - inter), 4) AS jaccard
+           |SELECT i, j, floor(CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) * 10000)/10000 AS jaccard
            |FROM p JOIN c ca ON ca.doc_id = p.i JOIN c cb ON cb.doc_id = p.j
            |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
       "q20_embedding_topk" -> {
@@ -577,6 +597,19 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q32_top_tokens" ->
+        s"""WITH t AS ($wordsSql), tok AS (SELECT unnest(words) AS token FROM t)
+           |SELECT token, count(*) AS n FROM tok GROUP BY token
+           |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+      "q33_tfidf" ->
+        s"""WITH t AS ($wordsSql),
+           |tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+           |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT doc_id, token, tf,
+           |  floor(tf * ln((n_docs + 1.0)/(df + 1.0)) * 10000)/10000 AS tfidf
+           |FROM tf JOIN dfreq USING (token) CROSS JOIN n WHERE doc_id < 50""".stripMargin,
       // identical model to q08 — the aggregator path must reproduce the
       // window path (also asserted at 1e-9 in ZScoreAggregatorSpec)
       "q31_anomaly_aggregator" -> {

@@ -164,6 +164,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each node adopts the smallest label among itself and
+    * its neighbors until fixpoint (bounded by `maxIter`; converges in
+    * graph-diameter rounds — near-dup clusters are tiny, so a handful of
+    * joins). Returns (doc_id, cluster) where cluster = min doc_id of the
+    * component. Driver-free: every step is a join + groupBy.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge list once: without this every iteration's
+    // join re-executes the (possibly expensive) pair-producing plan
+    val edges = pairs
+      .select(col("i").as("id"), col("j").as("nb"))
+      .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val nbLabels = edges
+        .join(labels.select(col("id").as("nb"), col("cluster").as("nb_cluster")), "nb")
+        .groupBy("id")
+        .agg(min(col("nb_cluster")).as("min_nb"))
+      val next = labels
+        .join(nbLabels, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old"))
+        .limit(1)
+        .count() > 0
+      labels = next.localCheckpoint(true) // cut the growing lineage per round
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus-level near-dedup: cluster LSH-verified pairs, keep the
+    * smallest doc_id per cluster, pass through unpaired docs.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    df.join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .drop("cluster")
+  }
+
   /** 64-bit SimHash per document: per bit, sum +1/-1 votes of every
     * token-hash (token multiplicity = weight), take the sign. Computed as
     * one nested array expression — no explode, no UDF.

@@ -83,6 +83,38 @@ object TextAnalysis {
       expr(s"(length($textCol) + 3) div 4").cast("long").as("bpe_est")
     )
 
+  /** Vocabulary: token frequencies across the corpus, deterministic
+    * top-k by (count desc, token asc). One explode + one shuffle.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** TF-IDF per (doc, token): tf = in-doc occurrences, idf =
+    * ln((N+1)/(df+1)) with N = corpus size. Two aggregations + one
+    * broadcast-joined scalar; weights truncated to 4 decimals (ln is
+    * irrational — truncation only guards the engine half-rule).
+    */
+  def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("token"),
+        col("tf"),
+        (floor(
+          col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) * 10000
+        ) / 10000).as("tfidf")
+      )
+  }
+
   /** Document fingerprint: md5 of the normalized token stream, plus the
     * size of each fingerprint's duplicate group. Normalization = lower,
     * strip non-alnum, collapse whitespace — robust to formatting-only

@@ -76,6 +76,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.select("count").as[Long].collect().forall(_ === 3L))
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val kept = Dedup.dedupCorpus(df, "doc_id", pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 7L))
+  }
+
   test("embedding LSH near-dup pairs are cosine-verified (no false positives)") {
     val pairs = Dedup
       .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
