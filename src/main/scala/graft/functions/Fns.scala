@@ -46,10 +46,11 @@ object Fns {
     coalesce(element_at(split(sheet, "-"), -1), lit("ANNUAL"))
 
   /** F7 numeric coercion: invalid -> null (reference
-    * `pd.to_numeric(errors='coerce')`, azuredatalake.py:208-211 — Spark
-    * cast has identical semantics).
+    * `pd.to_numeric(errors='coerce')`, azuredatalake.py:208-211).
+    * try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    * THROWS on malformed strings instead of producing null.
     */
-  def toNumeric(c: Column): Column = c.cast("double")
+  def toNumeric(c: Column): Column = c.try_cast("double")
 
   /** F8 NaN -> null normalization, scalar and map forms
     * (reference `consumer.py:93-102`).

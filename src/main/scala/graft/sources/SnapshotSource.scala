@@ -50,13 +50,18 @@ object SnapshotSource {
         val junk = named.limit(skip + 1)
         named.exceptAll(junk)
       }
-    val cleaned = raw.select(raw.columns.map { c =>
+    // P3 (reference `azuredatalake.py:175`): drop junk columns
+    // (Unnamed/dotted artifacts of spreadsheet exports) — a driver-side
+    // name filter, never a data scan
+    val junkFree = raw.columns.filterNot(c => c.startsWith("Unnamed") || c.contains("."))
+    val keep = if (junkFree.isEmpty) raw.columns.toSeq else junkFree.toSeq
+    val cleaned = raw.select(keep.map { c =>
       val v = trim(raw(c))
       when(v === "" || upper(v) === "NAN" || upper(v) === "NULL", lit(null))
         .otherwise(v)
         .as(c)
     }.toIndexedSeq: _*)
-    Snapshot(cleaned, raw.columns.head)
+    Snapshot(cleaned, keep.head)
   }
 
   /** Union heterogeneous sheets/files by name (reference U1,
