@@ -22,12 +22,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warmup: touch every table once (page cache + reader init + codegen)
+    // warmup: touch every table at the target SF (page cache + reader
+    // init), then run every query once at the smallest SF — this
+    // compiles each query's whole-stage codegen and JITs the hot loops
+    // so the timed pass measures execution, not first-touch compilation
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach { t =>
         try graft.sources.Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
