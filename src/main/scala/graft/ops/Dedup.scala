@@ -41,16 +41,23 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
 
   /** MinHash signature: sig[i] = min over shingles of h_i(shingle), the
-    * classic permutation-min estimator (Broder '97). One pass over the
-    * shingle array per hash function — all inside a single projection.
+    * classic permutation-min estimator (Broder '97). Shingle STRINGS are
+    * hashed once to 64-bit bases; the k-function family then hashes
+    * longs (xxhash64(i, base)) — k string hashes per doc would otherwise
+    * dominate (observed ~40% of the operator's time at k=32).
     */
   def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val based = shingled.select(
+      col("doc_id"),
+      col("shingles"),
+      transform(col("shingles"), s => xxhash64(s)).as("hs")
+    )
     val sig = array(
       (0 until numHashes).map(i =>
-        array_min(transform(col("shingles"), s => Fns.hashFamily(s, i)))
+        array_min(transform(col("hs"), h => Fns.hashFamily(h, i)))
       ): _*
     )
-    shingled.select(col("doc_id"), col("shingles"), sig.as("sig"))
+    based.select(col("doc_id"), col("shingles"), sig.as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
