@@ -373,6 +373,26 @@ object SparkEntry {
       Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // As-of join (engine extension; absent from the reference): each
+    // purchase matched to the user's latest click at or before it
+    "q35_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin
+        .asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts", prefix = "m_")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("m_click_id").as("click_id"),
+          unix_micros(col("m_click_ts").cast("timestamp")).as("click_ts_us")
+        )
+    }),
+
     // F9: JSON encode/decode round trip of the event payload
     "q30_json_roundtrip" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 20)
@@ -597,6 +617,13 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q35_asof_join" ->
+        """SELECT p.user_id, p.event_id, c.click_id, epoch_us(c.click_ts) AS click_ts_us
+          |FROM (SELECT user_id, event_id, ts FROM events
+          |      WHERE event_type = 'purchase' AND user_id < 50) p
+          |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+          |                FROM events WHERE event_type = 'click') c
+          |ON p.user_id = c.user_id AND c.click_ts <= p.ts""".stripMargin,
       "q32_top_tokens" ->
         s"""WITH t AS ($wordsSql), tok AS (SELECT unnest(words) AS token FROM t)
            |SELECT token, count(*) AS n FROM tok GROUP BY token
