@@ -373,6 +373,39 @@ object SparkEntry {
       Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // Top-k per group: highest-value orders within each market segment
+    "q36_topk_per_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+      Analytics
+        .topKPerGroup(
+          o.join(c, col("o_custkey") === col("c_custkey")),
+          Seq("c_mktsegment"),
+          "o_totalprice",
+          "o_orderkey",
+          3
+        )
+        .select(
+          col("c_mktsegment"),
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          col("rank").cast("long").as("rnk")
+        )
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user
+    "q37_sessionize" -> ((s, dir) => {
+      Analytics
+        .sessionize(
+          t(s, dir, "events").filter(col("user_id") < 20),
+          Seq("user_id"),
+          "ts",
+          "event_id",
+          gapSeconds = 1800
+        )
+        .select(col("user_id"), col("event_id"), col("session_id"))
+    }),
+
     // As-of join (engine extension; absent from the reference): each
     // purchase matched to the user's latest click at or before it
     "q35_asof_join" -> ((s, dir) => {
@@ -617,6 +650,25 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q36_topk_per_segment" ->
+        """SELECT c_mktsegment, o_orderkey,
+          |  CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents, rnk
+          |FROM (
+          |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY c_mktsegment
+          |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          |  FROM orders JOIN customer ON o_custkey = c_custkey)
+          |WHERE rnk <= 3""".stripMargin,
+      "q37_sessionize" ->
+        """SELECT user_id, event_id,
+          |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          |FROM (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+          |         THEN 1 ELSE 0 END AS is_new
+          |  FROM events WHERE user_id < 20)""".stripMargin,
       "q35_asof_join" ->
         """SELECT p.user_id, p.event_id, c.click_id, epoch_us(c.click_ts) AS click_ts_us
           |FROM (SELECT user_id, event_id, ts FROM events

@@ -83,6 +83,51 @@ object Analytics {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Top-k per group (the distributed form of O-class readbacks): rank
+    * within each group, keep k. One shuffle on the group keys.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      valueCol: String,
+      tieBreak: String,
+      k: Int
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(groupKeys.map(col): _*)
+      .orderBy(col(valueCol).desc, col(tieBreak).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event exceeds `gapSeconds`. Session ids are a running sum
+    * of session-start flags per key — pure window algebra, one shuffle;
+    * the streaming analogue is `flatMapGroupsWithState` with a session
+    * timeout.
+    */
+  def sessionize(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreak: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieBreak))
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prev.isNull || unix_micros(col(tsCol).cast("timestamp")) -
+        unix_micros(prev.cast("timestamp")) > gapSeconds * 1000000L,
+      1L
+    ).otherwise(0L)
+    events
+      .withColumn("_new", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+      )
+      .drop("_new")
+  }
+
   /** W3 rolling aggregate over the preceding `window` rows (inclusive of
     * current) per partition key.
     */

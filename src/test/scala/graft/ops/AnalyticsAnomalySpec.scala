@@ -37,6 +37,27 @@ class AnalyticsAnomalySpec extends AnyFunSuite {
     assert(got === "new")
   }
 
+  test("topKPerGroup keeps k best rows per group, deterministic on ties") {
+    val df = Seq(("g1", 1L, 9.0), ("g1", 2L, 9.0), ("g1", 3L, 1.0), ("g2", 4L, 5.0))
+      .toDF("g", "id", "v")
+    val got = Analytics.topKPerGroup(df, Seq("g"), "v", "id", 2)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("g1", 1L), ("g1", 2L), ("g2", 4L)))
+  }
+
+  test("sessionize: gap > threshold starts a new session per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("u1", 1L, ts("2024-01-01 10:00:00")),
+      ("u1", 2L, ts("2024-01-01 10:10:00")), // same session (10 min)
+      ("u1", 3L, ts("2024-01-01 11:30:00")), // gap 80 min -> new session
+      ("u2", 4L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Analytics.sessionize(df, Seq("user_id"), "ts", "event_id", 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("anomaly: planted spike is flagged, flat series is not") {
     val flat = (1 to 30).map(i => (f"2024-01-$i%02d", 5.0 + (i % 3))) // mild noise
     val spiked = flat.updated(20, ("2024-01-21", 50.0))
