@@ -373,6 +373,31 @@ object SparkEntry {
       Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // Distinct aggregates (absent from the reference; table stakes at
+    // scale — Catalyst plans the expand + two-phase agg)
+    "q38_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // CUBE grouping sets over two dimensions with subtotal labels
+    "q39_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"),
+          col("sum_qty")
+        )
+    }),
+
     // Top-k per group: highest-value orders within each market segment
     "q36_topk_per_segment" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -650,6 +675,15 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q38_distinct_agg" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q39_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  count(*) AS n, CAST(round(sum(l_quantity),0) AS BIGINT) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
       "q36_topk_per_segment" ->
         """SELECT c_mktsegment, o_orderkey,
           |  CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents, rnk
