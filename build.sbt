@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-run output verbatim (no "[info] " prefix) so the one-line
+// JSON that Bench/Verify print is machine-parseable from sbt's stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,8 +49,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for log-noise-proof parsing: also drop the same
+    // line in a file next to the build.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     spark.stop()
   }

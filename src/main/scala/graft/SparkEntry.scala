@@ -190,10 +190,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // U2: anti join (key-set difference)
+    // U2: anti join (key-set difference). The orders side is restricted
+    // to one year so the difference is non-empty at every SF (with the
+    // full table every customer has an order and the check is vacuous).
     "q12_customers_no_orders" -> ((s, dir) => {
+      val orders95 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders95, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))
     }),
 
@@ -243,8 +247,9 @@ object SparkEntry {
     }),
 
     // Dedup: MinHash + LSH banding (candidates verified by exact Jaccard).
-    // No SQL oracle (signature hashes aren't expressible in ANSI SQL);
-    // its recall vs q17's exact pairs is asserted in DedupSpec.
+    // Oracle: DedupSimilaritySpec asserts LSH pair set == exact-Jaccard
+    // pair set at this threshold (recall 1 on this corpus), so the
+    // exact-Jaccard SQL is a valid hash oracle for the LSH output.
     "q18_minhash_lsh" -> ((s, dir) => {
       Dedup
         .minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
@@ -365,8 +370,10 @@ object SparkEntry {
     }),
 
     // Corpus near-dedup: cluster MinHash-LSH pairs, keep min-id per
-    // cluster (rows-only: pairs derive from hash signatures; clustering
-    // correctness is asserted in DedupSimilaritySpec)
+    // cluster. Oracle: LSH pairs == exact-Jaccard pairs on this corpus
+    // (DedupSimilaritySpec), so the keepers equal connected-component
+    // minima over the exact pair set — computed in SQL via a recursive
+    // transitive-closure CTE.
     "q34_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.5)
@@ -552,7 +559,9 @@ object SparkEntry {
           |JOIN nation ON n_nationkey = nationkey GROUP BY n_name""".stripMargin,
       "q12_customers_no_orders" ->
         """SELECT c_custkey FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin,
       "q13_scalar_functions" ->
         """SELECT p_partkey,
           |  regexp_replace(regexp_replace(regexp_replace(trim(p_type), '[^A-Za-z0-9]+', '_', 'g'), '^_+', ''), '_+$', '') AS type_sanitized,
@@ -583,18 +592,24 @@ object SparkEntry {
       "q16_dedup_exact" ->
         """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
-      "q17_ngram_jaccard" ->
-        s"""WITH t AS ($wordsSql),
-           |s AS (SELECT DISTINCT doc_id,
-           |   unnest(list_transform(range(1, len(words)-1),
-           |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-           | FROM t WHERE len(words) >= 3),
-           |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-           |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-           |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-           |SELECT i, j, floor(CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) * 10000)/10000 AS jaccard
-           |FROM p JOIN c ca ON ca.doc_id = p.i JOIN c cb ON cb.doc_id = p.j
-           |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
+      "q17_ngram_jaccard" -> exactJaccardPairsSql,
+      // valid for the LSH path because DedupSimilaritySpec pins
+      // LSH pair set == exact pair set at threshold 0.5 on this corpus
+      "q18_minhash_lsh" -> exactJaccardPairsSql,
+      "q34_dedup_corpus" ->
+        s"""WITH RECURSIVE $jaccardCtes,
+           |pr AS (SELECT i, j
+           |  FROM p JOIN c ca ON ca.doc_id = p.i JOIN c cb ON cb.doc_id = p.j
+           |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+           |edges AS (SELECT i AS id, j AS nb FROM pr UNION SELECT j AS id, i AS nb FROM pr),
+           |walk(id, lbl) AS (
+           |  SELECT DISTINCT id, id AS lbl FROM edges
+           |  UNION
+           |  SELECT e.id, w.lbl FROM edges e JOIN walk w ON w.id = e.nb),
+           |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+           |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+           |WHERE comp.cluster IS NULL OR comp.cluster = d.doc_id""".stripMargin,
+      "q21_embedding_lsh" -> embeddingLshSql,
       "q20_embedding_topk" -> {
         def dot(x: String, y: String) =
           s"list_reduce(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
@@ -695,8 +710,8 @@ object SparkEntry {
           |WHERE rnk <= 3""".stripMargin,
       "q37_sessionize" ->
         """SELECT user_id, event_id,
-          |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           |FROM (
           |  SELECT user_id, event_id, ts,
           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -742,6 +757,65 @@ object SparkEntry {
            |FROM r""".stripMargin
       }
     )
+  }
+
+  /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
+    * (q17/q18/q34): distinct word-3-gram shingles, per-doc counts, and
+    * intersection counts per (i, j) candidate pair.
+    */
+  private lazy val jaccardCtes =
+    s"""t AS ($wordsSql),
+       |s AS (SELECT DISTINCT doc_id,
+       |   unnest(list_transform(range(1, len(words)-1),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       | FROM t WHERE len(words) >= 3),
+       |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private lazy val exactJaccardPairsSql =
+    s"""WITH $jaccardCtes
+       |SELECT i, j, floor(CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) * 10000)/10000 AS jaccard
+       |FROM p JOIN c ca ON ca.doc_id = p.i JOIN c cb ON cb.doc_id = p.j
+       |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin
+
+  /** Oracle for q21: replays [[Dedup.embeddingNearDupPairs]]'s seeded
+    * random-hyperplane banding in SQL. The planes come from the SAME
+    * seeded RNG call sequence, embedded as double literals (Double
+    * round-trips exactly through its shortest decimal representation),
+    * and both engines fold the dot products left-to-right over doubles,
+    * so bucket keys and cosines are bit-identical.
+    */
+  private lazy val embeddingLshSql: String = {
+    val bands = 4
+    val bitsPerBand = 4
+    val dim = 64
+    val rnd = new scala.util.Random(42L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
+    def dotPlane(p: Seq[Double]): String = {
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (a, b) -> a + b)"
+    }
+    def bandKey(b: Int): String =
+      (0 until bitsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"($acc * 2 + CASE WHEN ${dotPlane(planes(b * bitsPerBand + k))} > 0 THEN 1 ELSE 0 END)"
+      }
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandKey(b)} AS bhash FROM embeddings")
+      .mkString("\nUNION ALL ")
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+    s"""WITH k AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash AND a.vec_id < b.vec_id),
+       |v AS (SELECT i, j,
+       |   ${dot("ei.embedding", "ej.embedding")} /
+       |     (sqrt(${dot("ei.embedding", "ei.embedding")}) * sqrt(${dot("ej.embedding", "ej.embedding")})) AS cosine
+       | FROM cand
+       | JOIN embeddings ei ON ei.vec_id = cand.i
+       | JOIN embeddings ej ON ej.vec_id = cand.j)
+       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
   }
 
   /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */
