@@ -30,6 +30,14 @@ object AsOfJoin {
     * @param keys    equi-join keys
     * @param leftTs  event-time column on the left
     * @param rightTs event-time column on the right
+    * @param tieBreak columns of `right` that order right rows sharing the
+    *                 same (key, ts) — the row with the GREATEST tiebreak
+    *                 tuple wins. Defaults to every orderable right
+    *                 payload column (in `right`'s column order), which
+    *                 makes the match deterministic without caller input;
+    *                 pass explicitly when the payload carries maps/arrays
+    *                 that should participate or when a specific rule
+    *                 (e.g. "highest version wins") applies.
     */
   def asOf(
       left: DataFrame,
@@ -37,17 +45,31 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      prefix: String = "right_"
+      prefix: String = "right_",
+      tieBreak: Seq[String] = Seq.empty
   ): DataFrame = {
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val leftCols = left.columns.toSeq
     val rpayType = StructType(rightPayload.map(right.schema(_)))
     val lpayType = StructType(leftCols.map(left.schema(_)))
+    // ties among right rows at the same (key, ts) must resolve
+    // deterministically: last() picks the final row in window order, so
+    // ordering ascending by the tiebreak tuple selects its maximum
+    val tieCols = {
+      val orderable = rightPayload.filter(c =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(right.schema(c).dataType)
+      )
+      if (tieBreak.nonEmpty) tieBreak
+      else if (orderable.nonEmpty) orderable
+      else Seq(rightTs) // payload all non-orderable (e.g. maps): pin the ts
+    }
+    val tieType = StructType(tieCols.map(right.schema(_)))
 
     val taggedRight = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"),
         lit(0).as("_side"),
+        struct(tieCols.map(col): _*).as("_tie"),
         struct(rightPayload.map(col): _*).as("_rpay"),
         lit(null).cast(lpayType).as("_lpay")
       ): _*
@@ -56,6 +78,7 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(leftTs).as("_ts"),
         lit(1).as("_side"),
+        lit(null).cast(tieType).as("_tie"),
         lit(null).cast(rpayType).as("_rpay"),
         struct(leftCols.map(col): _*).as("_lpay")
       ): _*
@@ -63,7 +86,7 @@ object AsOfJoin {
 
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedRight
       .unionByName(taggedLeft)

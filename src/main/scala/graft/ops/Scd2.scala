@@ -73,19 +73,29 @@ object Scd2 {
     *
     * Scale: `existing` is only scanned for the touched keys (a broadcast
     * semi-join when the batch is small), and only those groups re-window.
+    * A backfill batch can carry more keys than the driver can broadcast,
+    * so the hint is size-guarded: past `broadcastKeyLimit` distinct keys
+    * the joins fall back to shuffle semi/anti joins (AQE may still
+    * upgrade them at runtime if the actual build side turns out small).
+    * The guard costs one count over the batch's distinct keys — noise
+    * next to the merge itself.
     */
   def merge(
       existing: DataFrame,
       batch: DataFrame,
       keys: Seq[String],
       tsCol: String = "ts",
-      payloadCol: String = "new_values"
+      payloadCol: String = "new_values",
+      broadcastKeyLimit: Long = 4000000L
   ): DataFrame = {
     val touched = batch.select(keys.map(col): _*).distinct()
-    val untouched = existing.join(broadcast(touched), keys, "left_anti")
+    val fitsBroadcast =
+      touched.limit((broadcastKeyLimit + 1).toInt).count() <= broadcastKeyLimit
+    val touchedHinted = if (fitsBroadcast) broadcast(touched) else touched
+    val untouched = existing.join(touchedHinted, keys, "left_anti")
     // rebuild events for touched keys from their existing versions + batch
     val replay = existing
-      .join(broadcast(touched), keys, "left_semi")
+      .join(touchedHinted, keys, "left_semi")
       .select(
         keys.map(col) ++ Seq(
           col("event_id"),

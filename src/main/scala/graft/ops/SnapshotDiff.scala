@@ -76,7 +76,7 @@ object SnapshotDiff {
           col("_key").as("key_value"),
           map().cast("map<string,string>").as("old_values"),
           col("_vals").as("new_values"),
-          changedMap(map().cast("map<string,string>"), col("_vals")).as("changed")
+          insertChangedMap(col("_vals")).as("changed")
         )
       case Some(prev) =>
         val p = dedup(canonical(prev, keyCol, orderCol)).as("p")
@@ -97,7 +97,11 @@ object SnapshotDiff {
             coalesce(col("n._key"), col("p._key")).as("key_value"),
             oldVals.as("old_values"),
             newVals.as("new_values"),
-            changedMap(oldVals, newVals).as("changed")
+            // inserts report EVERY new column (a null-valued column is
+            // still "new"); the null-safe compare only applies to updates
+            when(col("p._key").isNull, insertChangedMap(newVals))
+              .otherwise(changedMap(oldVals, newVals))
+              .as("changed")
           )
           // updates with zero changed columns are no-ops, not events
           // (reference emits an update only `if changes`, app/app.py:233-246)
@@ -110,6 +114,18 @@ object SnapshotDiff {
     * the new map (dropped columns) are filtered out, as are unchanged
     * pairs (null-safe compare).
     */
+  /** Insert change map: every new column, old side null — including
+    * columns whose new value is null (the unchanged-filter's
+    * `!(null <=> null)` would otherwise silently drop them and
+    * `size(changed)` would undercount the row's columns).
+    */
+  private def insertChangedMap(newVals: Column): Column =
+    map_zip_with(
+      map().cast("map<string,string>"),
+      newVals,
+      (_, o, nv) => struct(o.as("old"), nv.as("new"))
+    )
+
   private def changedMap(oldVals: Column, newVals: Column): Column = {
     val zipped = map_zip_with(
       oldVals,

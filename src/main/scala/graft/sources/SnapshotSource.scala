@@ -46,9 +46,20 @@ object SnapshotSource {
         val noHeader = spark.read.option("header", "false").csv(path)
         val headerVals = noHeader.limit(skip + 1).collect().last.toSeq.map(String.valueOf)
         val named = noHeader.toDF(headerVals.map(_.trim): _*)
-        // exclude the junk + header rows (deterministic small prefix)
-        val junk = named.limit(skip + 1)
-        named.exceptAll(junk)
+        // POSITIONAL prefix drop (not a value-based exceptAll, which
+        // would remove a matching data row from anywhere in the file and
+        // cost a full shuffle): a row is junk iff it lies in its file's
+        // FIRST block and its within-partition ordinal is <= skip.
+        // monotonically_increasing_id encodes (partitionId << 33) |
+        // ordinal, and the CSV reader preserves physical row order
+        // within a partition, so this is exact, per-file, and shuffle-
+        // free. (Junk prefixes are tiny — always inside block 0.)
+        val ordinal = monotonically_increasing_id().bitwiseAND((1L << 33) - 1)
+        named
+          .withColumn("_ord", ordinal)
+          .withColumn("_blk", input_file_block_start())
+          .filter(!(col("_blk") === 0 && col("_ord") <= skip))
+          .drop("_ord", "_blk")
       }
     // P3 (reference `azuredatalake.py:175`): drop junk columns
     // (Unnamed/dotted artifacts of spreadsheet exports) — a driver-side

@@ -46,14 +46,33 @@ object CdcStream {
     * which exercises identical downstream plumbing.
     */
   def fromKafka(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
+    fromWire(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+  /** Wire deserialization: JSON `value` bytes -> typed event columns.
+    * Factored out of [[fromKafka]] so the exact bytes-on-the-bus path is
+    * testable without a broker (CdcStreamSpec round-trips
+    * [[toWire]] ∘ [[fromWire]] through a streamed micro-batch).
+    */
+  def fromWire(wire: DataFrame): DataFrame =
+    wire
       .select(from_json(col("value").cast("string"), eventWireSchema).as("e"))
       .select("e.*")
+
+  /** Wire serialization: (key = `{company}_{table}`, value = event JSON)
+    * — exactly what [[toKafka]] puts on the bus.
+    */
+  def toWire(events: DataFrame): DataFrame =
+    events.select(
+      concat_ws("_", col("company_id"), col("table_name")).as("key"),
+      to_json(struct(events.columns.map(col): _*)).as("value")
+    )
 
   /** S6: Kafka sink — key `{company}_{table}` (NOT the reference's
     * `{company}_{table}_{event_type}` at `app/app.py:275`, which breaks
@@ -61,11 +80,7 @@ object CdcStream {
     * as an intended-semantics fix).
     */
   def toKafka(events: DataFrame, servers: String, topic: String, checkpoint: String): StreamingQuery =
-    events
-      .select(
-        concat_ws("_", col("company_id"), col("table_name")).as("key"),
-        to_json(struct(events.columns.map(col): _*)).as("value")
-      )
+    toWire(events)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
@@ -105,9 +120,16 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val p = Paths.get(statePath)
+        val old = Paths.get(statePath + ".old")
+        // crash recovery: the two-move swap below is not atomic — a crash
+        // between them leaves the state only at .old. Restore it before
+        // reading (the idempotent event_id merge makes the replayed batch
+        // safe); a leftover .old NEXT TO live state is a crash after the
+        // second move and is deleted below before the swap re-runs.
+        if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
         val existing =
-          if (Files.exists(Paths.get(statePath)))
-            Some(spark.read.parquet(statePath))
+          if (Files.exists(p)) Some(spark.read.parquet(statePath))
           else None
         val base = existing.getOrElse {
           Scd2.apply(batch.limit(0), keys) // empty frame with target schema
@@ -115,9 +137,8 @@ object CdcStream {
         val merged = Scd2.merge(base, batch.dropDuplicates("event_id"), keys)
         val tmp = statePath + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val p = Paths.get(statePath)
         if (Files.exists(p)) {
-          val old = Paths.get(statePath + ".old")
+          if (Files.exists(old)) deleteRecursively(old.toFile) // stale from a post-swap crash
           Files.move(p, old)
           Files.move(Paths.get(tmp), p)
           deleteRecursively(old.toFile)

@@ -35,6 +35,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("right-side (key, ts) ties resolve deterministically: greatest tiebreak tuple wins") {
+    val left = Seq(("u1", 10L, "l1")).toDF("k", "t", "lv")
+    // three right rows at the identical (key, ts): the default tiebreak
+    // orders by the atomic payload columns, so (9, "z") > (9, "a") > (3, "m")
+    val right = Seq(
+      ("u1", 10L, 9, "a"),
+      ("u1", 10L, 3, "m"),
+      ("u1", 10L, 9, "z")
+    ).toDF("k", "t", "prio", "rv")
+    val got = AsOfJoin
+      .asOf(left, right, Seq("k"), "t", "t")
+      .select("right_prio", "right_rv")
+      .as[(Int, String)]
+      .head()
+    assert(got === ((9, "z")))
+    // explicit tiebreak overrides the default column order
+    val got2 = AsOfJoin
+      .asOf(left, right, Seq("k"), "t", "t", tieBreak = Seq("rv"))
+      .select("right_rv")
+      .as[String]
+      .head()
+    assert(got2 === "z")
+  }
+
   test("right rows never leak keys absent from the left") {
     val left = Seq(("u1", 10L, "a")).toDF("k", "t", "lv")
     val right = Seq(("u9", 1L, "x")).toDF("k", "t", "rv")

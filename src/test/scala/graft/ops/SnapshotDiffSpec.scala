@@ -41,6 +41,25 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(m("b").getAs[String]("new") === "w9")
   }
 
+  test("insert changed map includes null-valued new columns (full column count)") {
+    // an insert whose row carries a null column is still an insert of
+    // that column: size(changed) must equal the payload column count,
+    // not drop the null ones (they'd vanish under the !(null <=> null)
+    // unchanged-filter that only applies to updates)
+    val prev = snap(("1", "v1", "w1"))
+    val next = Seq(("1", "v1", "w1"), ("2", null, "w2")).toDF("k", "a", "b")
+    val ins = SnapshotDiff.diff(next, Some(prev), "k").filter($"event_type" === "insert")
+    val m = ins.select("changed").head().getMap[String, Row](0)
+    assert(m.keySet === Set("a", "b"))
+    assert(m("a").getAs[String]("old") === null && m("a").getAs[String]("new") === null)
+    assert(m("b").getAs[String]("new") === "w2")
+    // same rule on the no-previous-snapshot (all-inserts) path
+    val m2 = SnapshotDiff
+      .diff(Seq(("9", null, "x")).toDF("k", "a", "b"), None, "k")
+      .select("changed").head().getMap[String, Row](0)
+    assert(m2.keySet === Set("a", "b"))
+  }
+
   test("quirk (c): null == null is no-change") {
     val prev = Seq(("1", Option.empty[String], "w")).toDF("k", "a", "b")
     val next = Seq(("1", Option.empty[String], "w")).toDF("k", "a", "b")

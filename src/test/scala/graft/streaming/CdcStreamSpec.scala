@@ -91,6 +91,43 @@ class CdcStreamSpec extends AnyFunSuite {
     ))
   }
 
+  test("kafka wire format round-trips exactly through a streamed micro-batch") {
+    val tmp = Files.createTempDirectory("wire").toString
+    val srcDir = s"$tmp/wire"
+    // payload exercises the full wire surface: nested maps, null map
+    // values, empty maps, unicode, quotes-in-values
+    val events = Seq(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00"),
+        Map.empty[String, String], Map("v" -> "1", "name" -> "acme \"inc\" ü")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-02 12:34:56"),
+        Map("v" -> "1"), Map("v" -> null)),
+      ("e3", "delete", "c2", "t9", "k2", ts("2024-01-03 23:59:59"),
+        Map("v" -> "9"), Map.empty[String, String])
+    ).toDF("event_id", "event_type", "company_id", "table_name", "key_value", "ts",
+      "old_values", "new_values")
+      .withColumn("key_column", lit("k"))
+      .select(CdcStream.eventWireSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+    // producer side: the exact (key, value) projection toKafka publishes
+    CdcStream.toWire(events).coalesce(1).write.mode("append").parquet(srcDir)
+    // consumer side: fromKafka's parse, driven as a real micro-batch
+    val q = CdcStream
+      .fromWire(spark.readStream.schema("key string, value string").parquet(srcDir))
+      .writeStream.format("memory").queryName("wire_rt").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(CdcStream.eventWireSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .as[(String, String, String, String, Timestamp, String, String,
+          Map[String, String], Map[String, String])]
+        .collect().toSet
+    assert(setOf(spark.table("wire_rt")) === setOf(events))
+    // and the bus key partitions per (company, table) for ordered apply
+    val keys = CdcStream.toWire(events).select("key").as[String].collect().toSet
+    assert(keys === Set("c1_t1", "c2_t9"))
+  }
+
   test("watermark dedup drops replayed event ids") {
     val tmp = Files.createTempDirectory("dedup").toString
     val srcDir = s"$tmp/events"
