@@ -276,6 +276,26 @@ object SparkEntry {
         )
     }),
 
+    // Similarity: IVF ANN (Lloyd k-means cells, nProbe probing) measured
+    // as recall against the exact brute-force top-5. Rows-only check:
+    // k-means isn't SQL-expressible; DedupSimilaritySpec asserts
+    // recall@5 >= 0.9 on this corpus.
+    "q40_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity
+        .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      exact
+        .join(approx, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall"))
+    }),
+
     // Similarity: random-hyperplane LSH candidate pairs above cosine 0.3
     "q21_embedding_lsh" -> ((s, dir) => {
       Dedup

@@ -42,29 +42,57 @@ object Dedup {
 
   /** MinHash signature: sig[i] = min over shingles of h_i(shingle), the
     * classic permutation-min estimator (Broder '97). Shingle STRINGS are
-    * hashed once to 64-bit bases; the k-function family then hashes
-    * longs (xxhash64(i, base)) — k string hashes per doc would otherwise
-    * dominate (observed ~40% of the operator's time at k=32).
+    * hashed once to 64-bit bases; the k-function family then runs inside
+    * the native [[graft.plans.MinHashSignature]] expression — ONE
+    * primitive loop per row instead of k boxed transform/array_min
+    * passes (q18 was round 1's slowest query; the k passes were why).
+    * Signatures are bit-identical to the composed
+    * `array_min(transform(hs, h => xxhash64(lit(i), h)))` form
+    * (PlansSpec pins this).
     */
-  def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val based = shingled.select(
+  def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled.select(
       col("doc_id"),
       col("shingles"),
-      transform(col("shingles"), s => xxhash64(s)).as("hs")
+      graft.plans.MinHashSignature
+        .minhashSignature(transform(col("shingles"), s => xxhash64(s)), numHashes)
+        .as("sig")
     )
-    val sig = array(
-      (0 until numHashes).map(i =>
-        array_min(transform(col("hs"), h => Fns.hashFamily(h, i)))
-      ): _*
+
+  /** Sorted pair combinations of a (small) posting list: all (ids[k],
+    * ids[m]) with k < m, as an array of structs — pair generation
+    * without a self-join.
+    */
+  private def pairCombos(ids: Column): Column =
+    flatten(
+      transform(
+        sequence(lit(1), size(ids) - 1),
+        k =>
+          transform(
+            slice(ids, k + 1, size(ids)),
+            j => struct(element_at(ids, k).as("i"), j.as("j"))
+          )
+      )
     )
-    based.select(col("doc_id"), col("shingles"), sig.as("sig"))
-  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and key each band by its hash. Documents sharing any band key are
     * candidate pairs.
+    *
+    * Pair generation goes through per-bucket posting lists (ONE shuffle
+    * on the band key; a self-join would scan and shuffle the signature
+    * plan twice). `maxBucket` caps the posting list a bucket may emit
+    * pairs from: an open-web corpus has degenerate buckets (boilerplate
+    * banners hash thousands of docs together) whose quadratic pair
+    * blowup would dominate the job; dropping them loses only pairs that
+    * other, selective bands still produce (any band match suffices).
     */
-  def lshCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(
+      signed: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
@@ -75,10 +103,14 @@ object Dedup {
     val exploded = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val postings = exploded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val bounded = maxBucket.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    bounded
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
   }
 
@@ -110,27 +142,36 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // no .cache(): the shingle projection is cheap to recompute and a
     // cached plan would pin executor memory past this operator's lifetime
     val shingled = shingleSets(df, textCol, idCol, shingleSize)
     val signed = minHashSignatures(shingled, numHashes)
-    val cand = lshCandidates(signed, bands, numHashes / bands)
+    val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force n-gram Jaccard pairs via a shingle inverted-index join
     * (exact, no LSH): explode distinct shingles, self-join on shingle,
     * count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `maxDocFreq` caps a shingle's posting list: an open-web corpus has
+    * near-universal shingles (boilerplate) whose quadratic pair blowup
+    * dominates the job. Dropping them UNDERCOUNTS intersections for
+    * pairs that share them, so capped results are a (slightly
+    * conservative) approximation — exact for every pair whose shared
+    * shingles are all under the cap; leave None for the exact oracle.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.3
+      threshold: Double = 0.3,
+      maxDocFreq: Option[Int] = None
   ): DataFrame = {
     val shingled = shingleSets(df, textCol, idCol, shingleSize)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -138,25 +179,14 @@ object Dedup {
     // one shuffle on shingle: collect each shingle's (small) posting list
     // and emit its pair combinations, instead of a self-join that would
     // recompute the whole upstream for both sides. Posting lists are
-    // sorted so emitted pairs have i < j. At open-web scale a
-    // doc-frequency cap on ultra-common shingles bounds the quadratic
-    // blowup (identical mitigation applies to a self-join).
+    // sorted so emitted pairs have i < j.
     val postings = inv
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val pairCombos = flatten(
-      transform(
-        sequence(lit(1), size(col("ids")) - 1),
-        k =>
-          transform(
-            slice(col("ids"), k + 1, size(col("ids"))),
-            j => struct(element_at(col("ids"), k).as("i"), j.as("j"))
-          )
-      )
-    )
-    val inter = postings
-      .select(explode(pairCombos).as("p"))
+    val bounded = maxDocFreq.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    val inter = bounded
+      .select(explode(pairCombos(col("ids"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -219,31 +249,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per bit, sum +1/-1 votes of every
-    * token-hash (token multiplicity = weight), take the sign. Computed as
-    * one nested array expression — no explode, no UDF.
+    * token-hash (token multiplicity = weight), take the sign. Runs in
+    * the native [[graft.plans.SimHash64]] expression — one pass over the
+    * token hashes instead of 64 separate aggregate folds (the whole cost
+    * of this operator at sf0.1 in BENCH_r01); output bit-identical to
+    * the composed form (PlansSpec).
     */
-  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // materialize token hashes once, then fold 64 static bit columns over
-    // the stored array (shift amounts must be literals)
-    val hashed = df.select(
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
       col(idCol).as("doc_id"),
-      transform(Fns.tokens(col(textCol)), t => xxhash64(t)).as("hs")
+      graft.plans.SimHash64
+        .simhash64(transform(Fns.tokens(col(textCol)), t => xxhash64(t)))
+        .as("simhash")
     )
-    val bitCols = (0 until 64).map { i =>
-      when(
-        aggregate(
-          col("hs"),
-          lit(0L),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-        ) > 0,
-        lit(1L)
-      ).otherwise(lit(0L))
-    }
-    // shift+or, not acc*2+b: the final shift touches the sign bit and
-    // multiply would raise ANSI ARITHMETIC_OVERFLOW
-    val sim = bitCols.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
-    hashed.select(col("doc_id"), sim.as("simhash"))
-  }
 
   /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit keys
     * (pigeonhole: hamming distance <= 3 guarantees one identical band),
@@ -262,24 +280,24 @@ object Dedup {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bhash")
       )
     }
+    // per-bucket posting lists (one shuffle on the band key) rather than
+    // a bucket self-join that would scan the signature plan twice
     val exploded = signed
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
-    val cand = exploded
-      .as("a")
-      .join(
-        exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
+    val postings = exploded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    postings
+      .select(explode(pairCombos(col("ids"))).as("p"))
       .select(
-        col("a.doc_id").as("i"),
-        col("b.doc_id").as("j"),
-        col("a.simhash").as("sh_i"),
-        col("b.simhash").as("sh_j")
+        col("p.i.doc_id").as("i"),
+        col("p.j.doc_id").as("j"),
+        col("p.i.simhash").as("sh_i"),
+        col("p.j.simhash").as("sh_j")
       )
       .distinct()
-    cand
       .select(
         col("i"),
         col("j"),

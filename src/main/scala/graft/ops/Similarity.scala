@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,14 +44,78 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: cluster the corpus to `nCells` centroids (one pass of
-    * deterministic seeded k-means-like assignment: centroids are the
-    * first distinct vectors by id — cheap and reproducible; real
-    * pipelines would run k-means), then answer queries by searching only
-    * the `nProbe` nearest cells.
+  /** Per-vector scored-cell array against a literal centroid set:
+    * `array(struct(round(cos,6), -cent_id), ...)` — struct ordering makes
+    * max = (best cosine, then SMALLEST cent_id), the deterministic
+    * tiebreak. Entirely map-side: the centroids ride along as literals
+    * (same role as a broadcast), no join, no shuffle.
+    */
+  private def scoredCells(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(round(Fns.cosine(vec, typedLit(v)), 6).as("cs"), lit(-id).as("negid"))
+    }: _*)
+
+  /** Nearest-centroid assignment, map-side (one projection, zero
+    * shuffles): argmax over the literal centroid array.
+    */
+  private def assignCells(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    vecs.select(
+      col("cid"),
+      col("cv"),
+      (-array_max(scoredCells(col("cv"), cents)).getField("negid")).as("cent_id")
+    )
+
+  /** Lloyd k-means over the corpus, seeded with the first `nCells`
+    * vectors by id (deterministic). Centroids are driver-held metadata —
+    * nCells x dim doubles, bytes-scale like any broadcast dim table — so
+    * each round is ONE map-side assignment pass plus ONE (cent_id, pos)
+    * mean aggregation; no per-row driver loops. Cells that go empty keep
+    * their previous centroid (keeps cell count stable and deterministic).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      lloydIters: Int = 3
+  ): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .orderBy(col(idCol))
+      .limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .collect()
+      .toSeq
+    val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    for (_ <- 0 until lloydIters) {
+      val means = assignCells(vecs, cents)
+        .select(col("cent_id"), posexplode(col("cv").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")
+          ).as("v")
+        )
+        .as[(Long, Seq[Double])]
+        .collect()
+        .toMap
+      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+    }
+    cents
+  }
+
+  /** IVF ANN: Lloyd-trained coarse centroids partition the corpus into
+    * cells; a query searches only its `nProbe` nearest cells.
     *
-    * At 100 TB the corpus is written bucketed by cell id; a query touches
-    * nProbe/nCells of the data.
+    * At 100 TB the assigned corpus is written bucketed by `cent_id` so a
+    * query reads nProbe/nCells of the data; here the assignment is
+    * computed inline (map-side argmax — no shuffle), and the only
+    * shuffles are the probe-cell join and the final per-query top-k.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -60,31 +124,22 @@ object Similarity {
       idCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      lloydIters: Int = 3
   ): DataFrame = {
-    val cents = corpus
-      .orderBy(col(idCol))
-      .limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    // assign: nearest centroid per corpus vector (broadcast centroids)
-    val wAssign = Window.partitionBy(col("cid")).orderBy(round(col("cs"), 6).desc, col("cent_id"))
-    val assigned = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .select(col("cid"), col("cv"), col("cent_id"), Fns.cosine(col("cv"), col("cent_v")).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("cv"), col("cent_id"))
-    // probe: nProbe nearest cells per query
-    val wProbe = Window.partitionBy(col("qid")).orderBy(round(col("cs"), 6).desc, col("cent_id"))
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
+    val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+    // probes: nProbe best cells per query, map-side (sort the scored-cell
+    // array descending, take nProbe, explode)
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cent_id"), Fns.cosine(col("qv"), col("cent_v")).as("cs"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cent_id"))
-    // search only probed cells
+      .select(
+        col("qid"),
+        col("qv"),
+        explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
+      )
+      .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
+    // search only probed cells (queries are small -> AQE broadcasts them)
     val wTop = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid"))
     probes
       .join(assigned, "cent_id")

@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SURVEY.md §2.1 S2-S5). Container formats are not analytics
   * operators: the reference converts xlsx/docx/zip to tabular form in
   * its API layer (`app/app.py:290-333,425-465,574-646`); we do the same
-  * ahead of `SnapshotSource`. XLSX/DOCX decoding needs codec libraries
-  * not present in this environment — those entry points are explicit
-  * stubs; ZIP fan-in (S5) is fully implemented for CSV payloads.
+  * ahead of `SnapshotSource`. XLSX and DOCX are real readers built on
+  * the JDK's zip + scala-xml over the OOXML part structure (no external
+  * codec library); ZIP fan-in (S5) is fully implemented for CSV
+  * payloads. DOCX reads the first `w:tbl` table only (no paragraph
+  * fallback yet — reference `app/app.py:316-333`).
   *
   * Scale note: at 100 TB inputs arrive as parquet/CSV on object storage,
   * not zipped workbooks; this surface exists for reference parity. A

@@ -31,6 +31,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && lsh === exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("doc-frequency / bucket caps: generous cap == uncapped, tight cap only removes") {
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // no shingle on this corpus is hotter than the corpus size, so a
+    // corpus-sized cap must change nothing
+    val capped = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, maxDocFreq = Some(10000))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped === exact)
+    // a tight cap may only drop pairs (conservative approximation)
+    val tight = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5, maxDocFreq = Some(2))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(exact))
+    // same for the LSH bucket cap
+    val lsh = Dedup
+      .minHashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lshCapped = Dedup
+      .minHashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5, maxBucket = Some(10000))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lshCapped === lsh)
+  }
+
   test("simhash: permuted word order collides, disjoint vocab does not") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),
@@ -74,6 +99,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .groupBy("qid").count()
     // nProbe == nCells degenerates to exhaustive search -> exactly k each
     assert(got.select("count").as[Long].collect().forall(_ === 3L))
+  }
+
+  test("IVF with Lloyd-trained centroids reaches recall@5 >= 0.9 vs brute force") {
+    val qs = emb.filter($"vec_id" < 20)
+    val exact = Similarity
+      .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // this corpus is near-uniform (no planted cluster structure) — the
+    // adversarial case for IVF — so hitting 0.9 takes probing half the
+    // cells; clustered real-world embeddings need far fewer probes
+    val approx = Similarity
+      .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8, lloydIters = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall over ${exact.size} exact neighbors")
+  }
+
+  test("kmeans centroids move toward cluster means and keep cell count") {
+    val cents0 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 0)
+    val cents3 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 3)
+    assert(cents0.size === 8 && cents3.size === 8)
+    assert(cents0.map(_._1) === cents3.map(_._1)) // stable cell ids
+    // training must actually change the centroids from their seeds
+    assert(cents0.map(_._2) !== cents3.map(_._2))
   }
 
   test("clusters: min-label propagation finds connected components") {

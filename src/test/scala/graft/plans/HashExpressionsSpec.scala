@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.functions.Fns
+
+/** Parity pins for the native hash expressions: each must be
+  * bit-identical to the composed built-in formulation it replaced, on
+  * real corpus data (so the recall/oracle evidence for the composed
+  * forms transfers).
+  */
+class HashExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("MinHashSignature == composed array_min(transform(xxhash64)) form") {
+    val numHashes = 32
+    val based = docs
+      .select(col("doc_id"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(Fns.shingles(col("toks"), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    val composed = array(
+      (0 until numHashes).map(i =>
+        array_min(transform(col("hs"), h => Fns.hashFamily(h, i)))
+      ): _*
+    )
+    val mismatches = based
+      .select(
+        col("doc_id"),
+        MinHashSignature.minhashSignature(col("hs"), numHashes).as("native"),
+        composed.as("composed")
+      )
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("SimHash64 == composed 64-aggregate shiftleft/or fold") {
+    val hashed = docs.select(
+      col("doc_id"),
+      transform(Fns.tokens(col("text")), t => xxhash64(t)).as("hs")
+    )
+    val bitCols = (0 until 64).map { i =>
+      when(
+        aggregate(
+          col("hs"),
+          lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        ) > 0,
+        lit(1L)
+      ).otherwise(lit(0L))
+    }
+    val composed = bitCols.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    val mismatches = hashed
+      .select(SimHash64.simhash64(col("hs")).as("native"), composed.as("composed"))
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("SimHash64 edge cases: empty input -> 0, null -> null") {
+    val df = Seq(
+      (1L, Some(Seq.empty[Long])),
+      (2L, None)
+    ).toDF("id", "hs")
+    val got = df
+      .select(col("id"), SimHash64.simhash64(col("hs")).as("s"))
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(got(1L) === Some(0L))
+    assert(got(2L) === None)
+  }
+}
