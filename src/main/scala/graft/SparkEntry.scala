@@ -478,6 +478,32 @@ object SparkEntry {
         )
     }),
 
+    // Skew mitigation: two-phase salted count+sum must equal the plain
+    // aggregate (the oracle computes it unsalted — algebraic identity)
+    "q41_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
+      Skew
+        .saltedCount(li, Seq("l_returnflag"))
+        .join(Skew.saltedSum(li, Seq("l_returnflag"), "price_cents"), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("sum").as("sum_cents"))
+    }),
+
+    // F2/F4/F5/F6: the name/id scalar functions not covered by q13
+    "q42_name_functions" -> ((s, dir) => {
+      val sheet = regexp_replace(col("p_name"), " ", "-")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        Fns.metricSafeName(
+          concat(col("p_name"), lit(" ("), col("p_type"), lit(") 50% & up"))
+        ).as("metric_name"),
+        Fns.statementOf(sheet).as("stmt"),
+        Fns.frequencyOf(sheet).as("freq"),
+        Fns.contentId(col("p_brand"), col("p_name")).as("content_id"),
+        Fns.companyIdFromFilename(concat(sheet, lit(".xlsx"))).as("company_id")
+      )
+    }),
+
     // F9: JSON encode/decode round trip of the event payload
     "q30_json_roundtrip" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 20)
@@ -710,6 +736,22 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q41_salted_agg" ->
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q42_name_functions" ->
+        """SELECT p_partkey,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    p_name || ' (' || p_type || ') 50% & up',
+          |    '[()]', '', 'g'), '&', 'and', 'g'), '%', 'pct', 'g'), '[ /]+', '_', 'g') AS metric_name,
+          |  split_part(regexp_replace(p_name, ' ', '-', 'g'), '-', 1) AS stmt,
+          |  list_extract(string_split(regexp_replace(p_name, ' ', '-', 'g'), '-'),
+          |    len(string_split(regexp_replace(p_name, ' ', '-', 'g'), '-'))) AS freq,
+          |  p_brand || '_' || substr(md5(p_name), 1, 8) AS content_id,
+          |  upper(split_part(regexp_replace(regexp_replace(p_name, ' ', '-', 'g') || '.xlsx',
+          |    '\.[^.]*$', ''), '-', 1)) AS company_id
+          |FROM part""".stripMargin,
       "q38_distinct_agg" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ahead of `SnapshotSource`. XLSX and DOCX are real readers built on
   * the JDK's zip + scala-xml over the OOXML part structure (no external
   * codec library); ZIP fan-in (S5) is fully implemented for CSV
-  * payloads. DOCX reads the first `w:tbl` table only (no paragraph
-  * fallback yet — reference `app/app.py:316-333`).
+  * payloads. DOCX reads the first `w:tbl` table, falling back to
+  * tab-split paragraphs for table-less documents (reference
+  * `app/app.py:316-333`).
   *
   * Scale note: at 100 TB inputs arrive as parquet/CSV on object storage,
   * not zipped workbooks; this surface exists for reference parity. A
@@ -114,24 +115,37 @@ object Converters {
     }.toSeq
   }
 
-  /** S4: docx first-table extraction (docx = zip of XML; reference
-    * `app/app.py:290-333` did mammoth->HTML->BeautifulSoup — here the
-    * table is read straight from `word/document.xml`: first w:tbl, rows
-    * w:tr, cells w:tc, text = concatenated w:t runs).
+  /** S4: docx extraction (docx = zip of XML; reference
+    * `app/app.py:290-333` did mammoth->HTML->BeautifulSoup — here read
+    * straight from `word/document.xml`): first w:tbl table (rows w:tr,
+    * cells w:tc, text = concatenated w:t runs); when the document has no
+    * table, fall back to the reference's paragraph path
+    * (`app/app.py:318-321`): each non-blank paragraph is one row, split
+    * into cells on tabs. Ragged rows are fine — the CSV reader
+    * null-pads short rows.
     */
   def docxToCsv(docxPath: String, workDir: Path): Option[Path] = {
     val entries = readZipBytes(docxPath)
     entries.get("word/document.xml").flatMap { bytes =>
       val doc = scala.xml.XML.loadString(new String(bytes, "UTF-8"))
-      (doc \\ "tbl").headOption.map { tbl =>
-        val rows = (tbl \ "tr").map { tr =>
-          (tr \ "tc").map(tc => (tc \\ "t").map(_.text).mkString.trim)
-        }
+      val rows: Seq[Seq[String]] = (doc \\ "tbl").headOption match {
+        case Some(tbl) =>
+          (tbl \ "tr").map { tr =>
+            (tr \ "tc").map(tc => (tc \\ "t").map(_.text).mkString.trim)
+          }
+        case None =>
+          (doc \\ "p")
+            .map(p => (p \\ "t").map(_.text).mkString)
+            .filter(_.trim.nonEmpty)
+            .map(_.split('\t').toSeq.map(_.trim))
+      }
+      if (rows.isEmpty) None
+      else {
         val base = Paths.get(docxPath).getFileName.toString.stripSuffix(".docx")
         val out = workDir.resolve(s"$base.csv")
         Files.createDirectories(out.getParent)
         Files.writeString(out, rows.map(_.map(csvQuote).mkString(",")).mkString("\n"))
-        out
+        Some(out)
       }
     }
   }

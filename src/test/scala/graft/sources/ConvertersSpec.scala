@@ -101,6 +101,27 @@ class ConvertersSpec extends AnyFunSuite {
     assert(snap.df.select("Date").as[String].head() === "Cash, net") // quoted comma survives
   }
 
+  test("docx without a table falls back to tab-split paragraphs (reference app.py:318-321)") {
+    val dir = Files.createTempDirectory("docxp")
+    val doc = zipOf(dir, "memo.docx")(
+      "word/document.xml" ->
+        """<?xml version="1.0"?><w:document xmlns:w="http://w"><w:body>
+          |<w:p><w:r><w:t>Company</w:t></w:r><w:r><w:t>&#9;Date</w:t></w:r></w:p>
+          |<w:p><w:r><w:t> </w:t></w:r></w:p>
+          |<w:p><w:r><w:t>acme&#9;2024-12-31</w:t></w:r></w:p>
+          |</w:body></w:document>""".stripMargin
+    )
+    val csv = Converters.docxToCsv(doc.toString, dir.resolve("out")).get
+    val snap = SnapshotSource.read(spark, csv.toString)
+    assert(snap.df.columns.toSeq === Seq("Company", "Date"))
+    assert(snap.df.select("Company").as[String].head() === "acme")
+    // a docx with neither tables nor text yields no CSV
+    val empty = zipOf(dir, "empty.docx")(
+      "word/document.xml" -> """<?xml version="1.0"?><w:document xmlns:w="http://w"><w:body/></w:document>"""
+    )
+    assert(Converters.docxToCsv(empty.toString, dir.resolve("out2")).isEmpty)
+  }
+
   test("consolidateZip: workbooks -> sheets -> metadata -> union (reference §3.2)") {
     val dir = Files.createTempDirectory("consol")
     val wb1 = mkXlsx(dir, "aep-financials.xlsx", Seq(
