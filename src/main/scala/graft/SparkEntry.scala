@@ -484,8 +484,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
       Skew
-        .saltedCount(li, Seq("l_returnflag"))
-        .join(Skew.saltedSum(li, Seq("l_returnflag"), "price_cents"), "l_returnflag")
+        .saltedCountSum(li, Seq("l_returnflag"), "price_cents")
         .select(col("l_returnflag"), col("n"), col("sum").as("sum_cents"))
     }),
 

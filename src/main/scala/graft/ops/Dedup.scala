@@ -146,9 +146,14 @@ object Dedup {
       maxBucket: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // no .cache(): the shingle projection is cheap to recompute and a
-    // cached plan would pin executor memory past this operator's lifetime
-    val shingled = shingleSets(df, textCol, idCol, shingleSize)
+    // materialize the shingle sets once: the plan reads them three times
+    // (signatures + both sides of the verify join) and the tokenization/
+    // shingling projection is the single most expensive map stage.
+    // localCheckpoint blocks are executor-local, spill to disk, and are
+    // GC-cleaned — unlike cache() they don't pin memory indefinitely.
+    // (Caveat: localCheckpoint is lost on executor failure; a cluster
+    // deployment at 100 TB writes signatures to a table instead.)
+    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(true)
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
@@ -173,7 +178,8 @@ object Dedup {
       threshold: Double = 0.3,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
-    val shingled = shingleSets(df, textCol, idCol, shingleSize)
+    // materialized once: read twice (inverted index + per-doc counts)
+    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(true)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     // one shuffle on shingle: collect each shingle's (small) posting list
@@ -227,12 +233,16 @@ object Dedup {
       val next = labels
         .join(nbLabels, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+        // checkpoint BEFORE the convergence check: the check then joins
+        // two already-materialized frames instead of re-executing the
+        // round's join+agg plan a second time (halves the per-round work)
+        .localCheckpoint(true) // also cuts the growing lineage per round
       changed = next
         .join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old"))
         .limit(1)
         .count() > 0
-      labels = next.localCheckpoint(true) // cut the growing lineage per round
+      labels = next
       iter += 1
     }
     labels

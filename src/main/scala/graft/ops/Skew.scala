@@ -34,6 +34,22 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).as("sum"))
 
+  /** Combined two-phase salted count + sum — ONE scan and one salted
+    * shuffle for both measures (running [[saltedCount]] and [[saltedSum]]
+    * separately scans the fact twice).
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      salts: Int = 16
+  ): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_pn"), sum(col(valueCol)).as("_ps"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_pn")).as("n"), sum(col("_ps")).as("sum"))
+
   /** Salted broadcast-side replication for joining a skewed fact against
     * a small dimension when broadcast is impossible: fact rows get a
     * random salt in [0, salts), the dimension is exploded `salts` times,

@@ -27,6 +27,15 @@ class SkewSpec extends AnyFunSuite {
     salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
   }
 
+  test("combined salted count+sum equals plain aggregate in one pass") {
+    val ints = skewed.withColumn("v", col("v").cast("long"))
+    val plain = ints.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sum"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Skew.saltedCountSum(ints, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("salted join equals plain join") {
     val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
     val plain = skewed.join(dim, Seq("k")).groupBy("label").count()
