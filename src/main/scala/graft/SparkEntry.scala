@@ -315,6 +315,39 @@ object SparkEntry {
     // Text analysis: normalized-content fingerprint + dup-group size
     "q25_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Gopher-style repetition/format quality signals. Duplicate lines
+    // are synthesized deterministically (same concat in the oracle) so
+    // the duplicate-line fractions are exercised non-vacuously.
+    "q43_gopher_quality" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(
+          "\n",
+          col("text"),
+          substring(col("text"), 1, 40),
+          substring(col("text"), 1, 40),
+          lit("unique tail")
+        ).as("text")
+      )
+      TextAnalysis.gopherQuality(lined, "text", "doc_id")
+    }),
+
+    // PII redaction (emails/URLs synthesized deterministically per doc —
+    // the corpus itself carries none, which would make the check vacuous)
+    "q44_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or https://ex.org/p/"),
+          col("doc_id").cast("string")
+        ).as("text")
+      )
+      TextAnalysis.redactPii(withPii, "text", "doc_id")
+    }),
+
     // Multimodal: binary media column + metadata projection (decode is
     // stubbed; the Spark plumbing — schema/pruning/batching — is real)
     "q26_multimodal_meta" -> ((s, dir) => {
@@ -706,6 +739,44 @@ object SparkEntry {
         s"""WITH t AS ($wordsSql),
            |f AS (SELECT doc_id, md5(array_to_string(words, ' ')) AS fingerprint FROM t)
            |SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_same FROM f""".stripMargin,
+      "q43_gopher_quality" ->
+        """WITH lined AS (
+          |  SELECT doc_id,
+          |    concat_ws(chr(10), text, substr(text, 1, 40), substr(text, 1, 40), 'unique tail') AS t
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |   list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+          |   list_filter(string_split(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'), ' '),
+          |               w -> w <> '') AS words
+          | FROM lined),
+          |m AS (SELECT doc_id,
+          |   len(lines) AS n_lines,
+          |   len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+          |   coalesce(list_sum(list_transform(
+          |     list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1),
+          |     x -> length(x))), 0) AS dup_chars,
+          |   coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS total_chars,
+          |   len(words) AS n_words,
+          |   coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS char_sum,
+          |   len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS alpha_words
+          | FROM l)
+          |SELECT doc_id, n_lines, n_dup_lines,
+          |  floor(CAST(n_dup_lines AS DOUBLE)/n_lines*10000)/10000 AS frac_dup_lines,
+          |  floor(CAST(dup_chars AS DOUBLE)/total_chars*10000)/10000 AS frac_chars_dup_lines,
+          |  floor(CAST(char_sum AS DOUBLE)/n_words*10000)/10000 AS mean_word_len,
+          |  floor(CAST(alpha_words AS DOUBLE)/n_words*10000)/10000 AS frac_alpha_words
+          |FROM m""".stripMargin,
+      "q44_pii_redaction" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || doc_id || '@example.com or https://ex.org/p/' || doc_id AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |                 'https?://[^\s]+', '<URL>', 'g') AS redacted,
+          |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
+          |FROM p""".stripMargin,
       "q26_multimodal_meta" ->
         """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5,
           |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,

@@ -115,6 +115,63 @@ object TextAnalysis {
       )
   }
 
+  /** Repetition/format quality signals in the style of the Gopher rules
+    * (Rae et al. '21 §A1.1): duplicate-line fraction (by count and by
+    * character mass), mean word length, fraction of alphabetic words —
+    * the cheap structural filters a curation pipeline runs before any
+    * model-based scorer. Pure per-row array expressions; the line array
+    * is materialized in its own projection so the nested per-line scans
+    * read a computed value instead of re-splitting the text.
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    val withLines = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("_text"),
+      filter(split(col(textCol), "\n"), l => trim(l) =!= "").as("_lines"),
+      Fns.tokens(col(textCol)).as("_toks")
+    )
+    val nLines = size(col("_lines"))
+    val nDupLines = nLines - size(array_distinct(col("_lines")))
+    // character mass of lines occurring more than once (each occurrence
+    // counts): per line, scan the (materialized) array for its multiplicity
+    val dupChars = aggregate(
+      filter(col("_lines"), l => size(filter(col("_lines"), x => x === l)) > 1),
+      lit(0L),
+      (acc, l) => acc + length(l)
+    )
+    val totalChars = aggregate(col("_lines"), lit(0L), (acc, l) => acc + length(l))
+    val nWords = size(col("_toks"))
+    val charSum = aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+    val alphaWords = size(filter(col("_toks"), t => t.rlike("[a-z]")))
+    withLines.select(
+      col("doc_id"),
+      nLines.cast("long").as("n_lines"),
+      nDupLines.cast("long").as("n_dup_lines"),
+      trunc4(nDupLines.cast("double") / nLines.cast("double")).as("frac_dup_lines"),
+      trunc4(dupChars.cast("double") / totalChars.cast("double")).as("frac_chars_dup_lines"),
+      trunc4(charSum.cast("double") / nWords.cast("double")).as("mean_word_len"),
+      trunc4(alphaWords.cast("double") / nWords.cast("double")).as("frac_alpha_words")
+    )
+  }
+
+  /** PII redaction: replace emails and URLs with placeholder tags and
+    * count the replacements — the standard scrub pass before training.
+    * Regexes stay in the RE2-compatible subset so the same pattern text
+    * runs identically under Java regex (Spark) and RE2 (the oracle).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), urlRe, "<URL>")
+        .as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).cast("long").as("n_urls")
+    )
+
   /** Document fingerprint: md5 of the normalized token stream, plus the
     * size of each fingerprint's duplicate group. Normalization = lower,
     * strip non-alnum, collapse whitespace — robust to formatting-only

@@ -35,6 +35,28 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed table at rest: pre-hash-partition (and sort) the data by
+    * its join/agg keys so downstream equi-joins and aggregations on
+    * `keys` read co-located buckets and skip the shuffle entirely —
+    * THE layout lever for repeated 100 TB fact-to-fact joins (broadcast
+    * covers small dims; bucketing covers big-big). `saveAsTable` is
+    * required: bucket metadata lives in the catalog, not the files.
+    * SinksSpec proves the join and agg plans over two bucketed tables
+    * contain no Exchange.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int = 64
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Readback with partition pruning (P7 path-predicate equivalent). */
   def readEventLog(
       spark: SparkSession,

@@ -189,6 +189,30 @@ object CdcStream {
       }
   }
 
+  /** Gap-based event-time sessions, computed incrementally with the
+    * built-in `session_window` (dynamic window merging in the streaming
+    * state store — the streaming analog of [[graft.ops.Analytics
+    * .sessionize]]; CdcStreamSpec pins streamed == batch session
+    * boundaries). A session closes `gap` after its last event; the
+    * watermark bounds state.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 days"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("company_id"), col("table_name"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("company_id"),
+        col("table_name"),
+        col("n_events")
+      )
+
   /** ST6: tumbling daily buckets with watermark — the anomaly series
     * feed, computed incrementally.
     */

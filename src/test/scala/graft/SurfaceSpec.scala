@@ -44,6 +44,30 @@ class SurfaceSpec extends AnyFunSuite {
     assert(plan.contains("company_id") )
   }
 
+  test("bucketed tables: equi-join and agg on the bucket key run shuffle-free") {
+    val orders = (1 to 1000).map(i => ((i - 1).toLong % 100 + 1, i.toLong)).toDF("custkey", "okey")
+    val cust = (1 to 100).map(i => (i.toLong, s"c$i")).toDF("custkey", "name")
+    Sinks.writeBucketed(orders, "b_orders", Seq("custkey"), numBuckets = 8)
+    Sinks.writeBucketed(cust, "b_cust", Seq("custkey"), numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so only bucket co-location can avoid the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_cust"), "custkey")
+      assert(joined.count() === 1000)
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), s"bucketed join shuffled:\n$joinPlan")
+      val agg = spark.table("b_orders").groupBy("custkey").count()
+      assert(agg.count() === 100)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg shuffled:\n$aggPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
   test("zip fan-in: extracts csvs (skipping __MACOSX), unions by name") {
     val dir = Files.createTempDirectory("zip")
     val zipPath = dir.resolve("bundle.zip")

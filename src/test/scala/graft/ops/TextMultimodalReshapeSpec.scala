@@ -38,6 +38,36 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(q(1L) < q(2L))
   }
 
+  test("gopherQuality: duplicate-line fractions and word stats") {
+    val df = Seq(
+      (1L, "alpha beta\nrepeat me\nrepeat me\n\ngamma"),
+      (2L, "one line only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_lines") === 4L) // blank line dropped
+    assert(d1.getAs[Long]("n_dup_lines") === 1L)
+    assert(d1.getAs[Double]("frac_dup_lines") === 0.25)
+    // dup mass: both "repeat me" occurrences (18 chars) over 33 total
+    assert(d1.getAs[Double]("frac_chars_dup_lines") === math.floor(18.0 / 33 * 10000) / 10000)
+    assert(got(2L).getAs[Long]("n_dup_lines") === 0L)
+    assert(got(2L).getAs[Double]("frac_alpha_words") === 1.0)
+  }
+
+  test("redactPii replaces emails/urls with tags and counts them") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
+      (2L, "clean text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("redacted") === "mail <EMAIL> or see <URL> now")
+    assert(got(1L).getAs[Long]("n_emails") === 1L && got(1L).getAs[Long]("n_urls") === 1L)
+    assert(got(2L).getAs[String]("redacted") === "clean text")
+    assert(got(2L).getAs[Long]("n_emails") === 0L && got(2L).getAs[Long]("n_urls") === 0L)
+  }
+
   test("fingerprints: formatting-only variants collide") {
     val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "text", "doc_id").collect()

@@ -144,6 +144,38 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(spark.table("deduped").select("event_id").as[String].collect().sorted.toSeq === Seq("e1", "e2"))
   }
 
+  test("streamed session windows match batch sessionize boundaries") {
+    val tmp = Files.createTempDirectory("sess").toString
+    val srcDir = s"$tmp/events"
+    // k-partition c1/t1: two sessions (00:00+00:10, then 01:00 after the
+    // 30-minute gap); c2/t2: one single-event session
+    val evs = mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-01 00:10:00")),
+      ("e3", "update", "c1", "t1", "k2", ts("2024-01-01 01:00:00")),
+      ("e4", "insert", "c2", "t2", "k9", ts("2024-01-01 00:05:00"))
+    )
+    evs.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CdcStream
+      .sessionCounts(CdcStream.fileEventStream(spark, srcDir))
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // advance the watermark past every session's close so they all emit
+    mkEvents(("e9", "insert", "c9", "t9", "k9", ts("2024-01-09 00:00:00")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .filter($"company_id".isin("c1", "c2"))
+      .select(date_format($"session_start", "yyyy-MM-dd HH:mm:ss"), $"company_id", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00", "c1", 2L),
+      ("2024-01-01 01:00:00", "c1", 1L),
+      ("2024-01-01 00:05:00", "c2", 1L)
+    ))
+  }
+
   test("streaming daily counts match batch gap-less aggregation") {
     val tmp = Files.createTempDirectory("daily").toString
     val srcDir = s"$tmp/events"
