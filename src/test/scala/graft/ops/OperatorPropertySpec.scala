@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** Property-style tests pinning the distributed operators against naive
+  * in-memory reference implementations over seeded randomized inputs
+  * (fixed-seed Random — same no-scalatestplus constraint as
+  * DiffPropertySpec).
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  test("asOf matches the naive per-row max(rightTs <= leftTs) lookup") {
+    for (_ <- 1 to 8) {
+      val keys = Seq("a", "b", "c")
+      val left = (1 to 30).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, s"l$i")
+      )
+      val right = (1 to 30).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong)
+      )
+      val got = AsOfJoin
+        .asOf(
+          left.toDF("k", "t", "lv"),
+          right.toDF("k", "t", "rid"),
+          Seq("k"), "t", "t"
+        )
+        .select("lv", "right_rid")
+        .as[(String, Option[Long])]
+        .collect()
+        .toMap
+      // naive: latest right ts <= left ts; ties -> greatest (t, rid)
+      // tuple, the operator's documented orderable-payload tiebreak
+      val want = left.map { case (k, lt, lv) =>
+        lv -> right
+          .filter { case (rk, rt, _) => rk == k && rt <= lt }
+          .sortBy { case (_, rt, rid) => (rt, rid) }
+          .lastOption
+          .map(_._3)
+      }.toMap
+      assert(got === want)
+    }
+  }
+
+  test("sessionize matches the naive gap-scan per key") {
+    for (_ <- 1 to 8) {
+      val evs = (1 to 40).map { i =>
+        (rnd.nextInt(3).toLong, new java.sql.Timestamp(rnd.nextInt(10000) * 1000L), i.toLong)
+      }
+      val gap = 600L
+      val got = Analytics
+        .sessionize(evs.toDF("user_id", "ts", "event_id"), Seq("user_id"), "ts", "event_id", gap)
+        .select("user_id", "event_id", "session_id")
+        .as[(Long, Long, Long)]
+        .collect()
+        .map { case (u, e, s) => (u, e) -> s }
+        .toMap
+      val want = evs
+        .groupBy(_._1)
+        .flatMap { case (u, rows) =>
+          val ordered = rows.sortBy(r => (r._2.getTime, r._3))
+          var sid = -1L
+          var lastTs = Long.MinValue
+          ordered.map { case (_, ts, eid) =>
+            if (lastTs == Long.MinValue || ts.getTime - lastTs > gap * 1000) sid += 1
+            lastTs = ts.getTime
+            (u, eid) -> sid
+          }
+        }
+        .toMap
+      assert(got === want)
+    }
+  }
+
+  test("topKPerGroup matches naive sort-take per group") {
+    for (_ <- 1 to 8) {
+      val rows = (1 to 50).map(i => (rnd.nextInt(4).toString, rnd.nextInt(100).toDouble, i.toLong))
+      val got = Analytics
+        .topKPerGroup(rows.toDF("g", "v", "id"), Seq("g"), "v", "id", 3)
+        .select("g", "id")
+        .as[(String, Long)]
+        .collect()
+        .toSet
+      val want = rows
+        .groupBy(_._1)
+        .toSeq
+        .flatMap { case (g, rs) =>
+          rs.sortBy { case (_, v, id) => (-v, id) }.take(3).map(r => (g, r._3))
+        }
+        .toSet
+      assert(got === want)
+    }
+  }
+}
