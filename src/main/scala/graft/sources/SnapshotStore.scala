@@ -32,10 +32,17 @@ object SnapshotStore {
 
   /** S14: write the next version (the "archive + replace current"
     * rotation collapses to an append of version N+1).
+    *
+    * Publication is ATOMIC: data is written to a `_tmp_v=N` staging dir
+    * (invisible to [[versionsOf]]) and renamed into place — readers can
+    * never observe a partially-written version, and a crashed writer
+    * leaves only staging junk that the next write overwrites.
     */
   def write(df: DataFrame, root: String): Long = {
     val next = maxVersion(root) + 1
-    df.write.parquet(s"$root/v=$next")
+    val staging = s"${root}/_tmp_v=$next"
+    df.write.mode("overwrite").parquet(staging) // overwrite clears a crashed writer's leftovers
+    Files.move(Paths.get(staging), Paths.get(s"$root/v=$next"))
     next
   }
 

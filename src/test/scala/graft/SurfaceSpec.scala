@@ -25,6 +25,13 @@ class SurfaceSpec extends AnyFunSuite {
     assert(SnapshotStore.readLatest(spark, root).get.select("v").as[String].head() === "b")
     assert(SnapshotStore.readPrevious(spark, root).get.select("v").as[String].head() === "a")
     assert(SnapshotStore.readVersion(spark, root, 0).select("v").as[String].head() === "a")
+    // a crashed writer's staging dir is invisible to readers and does
+    // not block the next writer from claiming the same version number
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_tmp_v=2"))
+    assert(SnapshotStore.maxVersion(root) === 1L)
+    val v2 = Seq(("k1", "c")).toDF("k", "v")
+    assert(SnapshotStore.write(v2, root) === 2L)
+    assert(SnapshotStore.readLatest(spark, root).get.select("v").as[String].head() === "c")
   }
 
   test("event-log sink: partitioned append + pruned readback") {
