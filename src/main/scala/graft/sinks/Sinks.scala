@@ -57,6 +57,42 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact the event log's accumulated micro-batch files: rewrite each
+    * (company_id, table_name, event_date) partition into
+    * ceil(rows / rowsPerFile) files. Streaming appends produce one file
+    * per micro-batch per partition — at 100 TB that's the classic
+    * small-file problem (open/seek overhead dominates scans; the
+    * NameNode/objectstore LIST gets slow). Rewrite goes through a
+    * staging dir + atomic rename so readers never see a half-compacted
+    * log.
+    */
+  def compactEventLog(
+      spark: SparkSession,
+      path: String,
+      rowsPerFile: Long = 4000000L
+  ): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = path + ".compact"
+    spark.read.parquet(path)
+      // one shuffle co-locating each partition's rows so the writer emits
+      // ceil(rows/rowsPerFile) files per partition instead of one per
+      // original input file (AQE coalesces the tiny reducers)
+      .repartition(col("company_id"), col("table_name"), col("event_date"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("company_id", "table_name", "event_date")
+      .parquet(staging)
+    val old = Paths.get(path + ".old")
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(staging), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(old.toFile)
+  }
+
   /** Readback with partition pruning (P7 path-predicate equivalent). */
   def readEventLog(
       spark: SparkSession,

@@ -51,6 +51,25 @@ class SurfaceSpec extends AnyFunSuite {
     assert(plan.contains("company_id") )
   }
 
+  test("compactEventLog collapses per-batch small files, preserving data") {
+    val path = Files.createTempDirectory("compact").toString + "/events"
+    val mk = (ids: Seq[Int]) =>
+      ids.map(i => (s"e$i", "c1", "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("event_id", "company_id", "table_name", "ts")
+    // 5 appends -> at least 5 files in the single partition
+    (1 to 5).foreach(b => Sinks.appendEventLog(mk(Seq(b)), path))
+    import scala.jdk.CollectionConverters._
+    def parquetCount = Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    val before = parquetCount
+    assert(before >= 5)
+    val want = Sinks.readEventLog(spark, path).select("event_id").as[String].collect().sorted.toSeq
+    Sinks.compactEventLog(spark, path)
+    assert(parquetCount < before)
+    val got = Sinks.readEventLog(spark, path).select("event_id").as[String].collect().sorted.toSeq
+    assert(got === want)
+  }
+
   test("bucketed tables: equi-join and agg on the bucket key run shuffle-free") {
     val orders = (1 to 1000).map(i => ((i - 1).toLong % 100 + 1, i.toLong)).toDF("custkey", "okey")
     val cust = (1 to 100).map(i => (i.toLong, s"c$i")).toDF("custkey", "name")

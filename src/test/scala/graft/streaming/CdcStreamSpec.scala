@@ -65,6 +65,39 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(current.filter($"key_value" === "k2").count() === 0)
   }
 
+  test("scd2 sink resumes from its checkpoint after a restart (ST5)") {
+    val tmp = Files.createTempDirectory("restart").toString
+    val srcDir = s"$tmp/events"
+    val statePath = s"$tmp/state"
+    val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batch1 = mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00"))
+    )
+    val batch2 = mkEvents(
+      ("e3", "update", "c1", "t1", "k1", ts("2024-01-03 00:00:00")),
+      ("e4", "insert", "c1", "t1", "k2", ts("2024-01-01 00:00:00"))
+    )
+    batch1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = CdcStream.scd2Sink(CdcStream.fileEventStream(spark, srcDir), statePath, ckpt)
+    q1.processAllAvailable()
+    q1.stop() // "crash": the query goes away, the checkpoint stays
+
+    batch2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = CdcStream.scd2Sink(CdcStream.fileEventStream(spark, srcDir), statePath, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(statePath)
+    val full = Scd2.apply(batch1.unionByName(batch2), Seq("company_id", "table_name", "key_value"))
+    val proj = Seq("key_value", "event_id", "is_current")
+    assert(
+      streamed.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet ===
+        full.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+    )
+  }
+
   test("every-Nth trigger fires once per N events per key") {
     val tmp = Files.createTempDirectory("trig").toString
     val srcDir = s"$tmp/events"
