@@ -213,6 +213,29 @@ object SparkEntry {
       )
     }),
 
+    // J1 generalized: composite-key diff (engine extension; the
+    // reference keys on the single first column only)
+    "q45_multikey_diff" -> ((s, dir) => {
+      def snap(lo: String, hi: String) =
+        Analytics
+          .latestPerKey(
+            graft.sources.Tables.eventsBetween(s, dir, lo, hi),
+            Seq("user_id", "event_type"),
+            "ts",
+            "event_id"
+          )
+          .select(col("user_id"), col("event_type"), col("value"))
+      SnapshotDiff
+        .diffKeys(snap(newLo, newHi), snap(prevLo, prevHi), Seq("user_id", "event_type"))
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          col("change_type"),
+          element_at(col("old_values"), "value").cast("double").as("old_value"),
+          element_at(col("new_values"), "value").cast("double").as("new_value")
+        )
+    }),
+
     // J1 detail: per-column {old,new} change map, exploded
     "q14_changed_columns" -> ((s, dir) => {
       SnapshotDiff
@@ -663,6 +686,26 @@ object SparkEntry {
            |UNION ALL
            |SELECT CAST(user_id AS VARCHAR), 'props', o_props, n_props
            |  FROM j WHERE o_props IS DISTINCT FROM n_props""".stripMargin,
+      "q45_multikey_diff" -> {
+        def msnap(lo: String, hi: String) =
+          s"""SELECT user_id, event_type, value FROM (
+             |  SELECT user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |  WHERE ts > TIMESTAMP '$lo' AND ts <= TIMESTAMP '$hi') WHERE rn = 1""".stripMargin
+        s"""WITH sn AS (${msnap(newLo, newHi)}), so AS (${msnap(prevLo, prevHi)})
+           |SELECT coalesce(sn.user_id, so.user_id) AS user_id,
+           |  coalesce(sn.event_type, so.event_type) AS event_type,
+           |  CASE WHEN so.user_id IS NULL THEN 'insert'
+           |       WHEN sn.user_id IS NULL THEN 'delete'
+           |       ELSE 'update' END AS change_type,
+           |  so.value AS old_value, sn.value AS new_value
+           |FROM sn FULL OUTER JOIN so
+           |  ON sn.user_id = so.user_id AND sn.event_type = so.event_type
+           |WHERE NOT (sn.user_id IS NOT NULL AND so.user_id IS NOT NULL
+           |  AND so.value IS NOT DISTINCT FROM sn.value)""".stripMargin
+      },
       "q15_prev_value_lookup" ->
         """SELECT event_id, user_id, value,
           |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value

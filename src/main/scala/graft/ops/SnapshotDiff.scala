@@ -114,6 +114,54 @@ object SnapshotDiff {
     * the new map (dropped columns) are filtered out, as are unchanged
     * pairs (null-safe compare).
     */
+  /** Composite-key diff (engine extension — the reference keys on the
+    * single first column only): same insert/update/delete + change-map
+    * semantics as [[diff]], keyed on `keyCols`, which come back as
+    * ordinary columns instead of the stringified key_value. The CDC kind
+    * column is named `change_type` (not `event_type`) so key columns
+    * named event_type don't collide. Null key parts join null-safely
+    * (`<=>` on the key struct). One shuffle on the composite key.
+    */
+  def diffKeys(
+      newDf: DataFrame,
+      prevDf: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Option[String] = None
+  ): DataFrame = {
+    def canon(df: DataFrame): DataFrame = {
+      val dataCols = df.columns.filterNot(keyCols.contains)
+      val kv = dataCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+      val ord = orderCol.map(col(_).cast("long")).getOrElse(monotonically_increasing_id())
+      df.select(
+        struct(keyCols.map(c => col(c).cast("string").as(c)): _*).as("_key"),
+        map(kv.toIndexedSeq: _*).as("_vals"),
+        ord.as("_ord")
+      )
+    }
+    val n = dedup(canon(newDf)).as("n")
+    val p = dedup(canon(prevDf)).as("p")
+    val joined = n.join(p, col("n._key") <=> col("p._key"), "full_outer")
+    val emptyMap = map().cast("map<string,string>")
+    val newVals = coalesce(col("n._vals"), emptyMap)
+    val oldVals = coalesce(col("p._vals"), emptyMap)
+    val key = coalesce(col("n._key"), col("p._key"))
+    joined
+      .select(
+        keyCols.map(c => key.getField(c).as(c)) ++ Seq(
+          when(col("p._key").isNull, "insert")
+            .when(col("n._key").isNull, "delete")
+            .otherwise("update")
+            .as("change_type"),
+          oldVals.as("old_values"),
+          newVals.as("new_values"),
+          when(col("p._key").isNull, insertChangedMap(newVals))
+            .otherwise(changedMap(oldVals, newVals))
+            .as("changed")
+        ): _*
+      )
+      .filter(col("change_type") =!= "update" || size(col("changed")) > 0)
+  }
+
   /** Insert change map: every new column, old side null — including
     * columns whose new value is null (the unchanged-filter's
     * `!(null <=> null)` would otherwise silently drop them and

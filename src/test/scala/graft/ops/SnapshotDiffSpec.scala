@@ -41,6 +41,29 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(m("b").getAs[String]("new") === "w9")
   }
 
+  test("diffKeys: composite keys classify per key tuple; null key parts join null-safely") {
+    val prev = Seq(
+      (Option(1L), "a", "v1"), (Option(1L), "b", "v2"),
+      (Option(2L), "a", "v3"), (Option.empty[Long], "a", "vn")
+    ).toDF("id", "sub", "v")
+    val next = Seq(
+      (Option(1L), "a", "v1"), (Option(1L), "b", "CHANGED"),
+      (Option(3L), "a", "v9"), (Option.empty[Long], "a", "vn")
+    ).toDF("id", "sub", "v")
+    val got = SnapshotDiff.diffKeys(next, prev, Seq("id", "sub"))
+      .select("id", "sub", "change_type")
+      .as[(Option[String], String, String)]
+      .collect()
+      .toSet
+    // unchanged (1,a) and null-keyed (null,a) emit nothing; the null key
+    // tuple matched its counterpart instead of producing insert+delete
+    assert(got === Set(
+      (Some("1"), "b", "update"),
+      (Some("2"), "a", "delete"),
+      (Some("3"), "a", "insert")
+    ))
+  }
+
   test("insert changed map includes null-valued new columns (full column count)") {
     // an insert whose row carries a null column is still an insert of
     // that column: size(changed) must equal the payload column count,
