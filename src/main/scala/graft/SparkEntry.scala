@@ -559,6 +559,31 @@ object SparkEntry {
       )
     }),
 
+    // Range join (engine extension; survey lists range/interval joins
+    // absent): orders within 90 days of each customer's first order,
+    // via the chunked equi-join — never a broadcast-nested-loop
+    "q46_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val iv = o
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("lo"))
+        .select(
+          col("o_custkey"),
+          col("lo"),
+          (col("lo") + expr("INTERVAL 90 DAYS")).as("hi")
+        )
+      RangeJoin
+        .pointInInterval(o, iv, Seq("o_custkey"), "o_orderdate", "lo", "hi",
+          chunkSeconds = 30L * 86400L)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          unix_micros(col("lo").cast("timestamp")).as("lo_us")
+        )
+    }),
+
     // F9: JSON encode/decode round trip of the event payload
     "q30_json_roundtrip" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 20)
@@ -849,6 +874,14 @@ object SparkEntry {
           |WHERE lang IS NOT NULL OR source IS NOT NULL""".stripMargin,
       "q30_json_roundtrip" ->
         """SELECT event_id, event_type, value FROM events WHERE user_id < 20""".stripMargin,
+      "q46_range_join" ->
+        """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate FROM orders WHERE o_custkey < 100),
+          |iv AS (SELECT o_custkey, min(o_orderdate) AS lo,
+          |         min(o_orderdate) + INTERVAL 90 DAY AS hi
+          |       FROM o GROUP BY o_custkey)
+          |SELECT o.o_custkey, o.o_orderkey, epoch_us(iv.lo) AS lo_us
+          |FROM o JOIN iv ON o.o_custkey = iv.o_custkey
+          |WHERE o.o_orderdate >= iv.lo AND o.o_orderdate < iv.hi""".stripMargin,
       "q41_salted_agg" ->
         """SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join — absent from the reference
+  * (SURVEY.md §2.3 lists theta/range/interval joins as absent) and not
+  * an equi-join Spark can shuffle natively: `p.t BETWEEN i.lo AND i.hi`
+  * alone plans as a broadcast-nested-loop, O(|P|x|I|) — a scale killer.
+  *
+  * Strategy (the standard chunked-interval-join): quantize time into
+  * fixed `chunkSeconds` cells; a point lives in exactly one cell, an
+  * interval covers ceil(len/chunk)+1 cells (exploded map-side via
+  * `sequence`). Equi-join on (key, cell) co-locates every point with
+  * every interval that could contain it, then the exact predicate
+  * refines. ONE hash shuffle, no nested loop; each (point, interval)
+  * pair meets in exactly one cell (the point's), so no dedup pass is
+  * needed.
+  *
+  * Pick `chunkSeconds` near the typical interval length: much smaller
+  * explodes long intervals over many cells; much larger packs unrelated
+  * intervals into hot cells. Degenerate months-long intervals belong on
+  * the broadcast path instead (they're rare by construction in
+  * event-time data).
+  */
+object RangeJoin {
+
+  /** @param points    one row per point; all columns pass through
+    * @param intervals one row per interval; all columns pass through
+    * @param keys      equi-key columns present on BOTH sides
+    * @param tCol      point timestamp column
+    * @param loCol     interval start column (inclusive)
+    * @param hiCol     interval end column (exclusive)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      tCol: String,
+      loCol: String,
+      hiCol: String,
+      chunkSeconds: Long = 86400L
+  ): DataFrame = {
+    val cellOfT = floor(unix_micros(col(tCol).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val p = points.withColumn("_cell", cellOfT)
+    val loCell = floor(unix_micros(col(loCol).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val hiCell = floor(unix_micros(col(hiCol).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val iv = intervals.withColumn("_cell", explode(sequence(loCell, hiCell)))
+    p.join(iv, keys :+ "_cell")
+      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .drop("_cell")
+  }
+}

@@ -78,6 +78,40 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pointInInterval matches the naive inequality join, without a nested loop") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    for (trial <- 1 to 5) {
+      val points = (1 to 60).map(i =>
+        (rnd.nextInt(3).toString, ts(rnd.nextInt(500000).toLong), i.toLong)
+      ).toDF("k", "t", "pid")
+      val intervals = (1 to 20).map(i =>
+        {
+          val lo = rnd.nextInt(500000).toLong
+          (rnd.nextInt(3).toString, ts(lo), ts(lo + rnd.nextInt(200000).toLong), i.toLong)
+        }
+      ).toDF("k", "lo", "hi", "iid")
+      val chunk = 40000L
+      val got = RangeJoin
+        .pointInInterval(points, intervals, Seq("k"), "t", "lo", "hi", chunk)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = points
+        .join(intervals, Seq("k"))
+        .filter($"t" >= $"lo" && $"t" < $"hi")
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got === want, s"trial $trial")
+    }
+    // the chunked plan must be a hash/merge equi-join, not a nested loop
+    val plan = RangeJoin
+      .pointInInterval(
+        Seq(("a", ts(1), 1L)).toDF("k", "t", "pid"),
+        Seq(("a", ts(0), ts(2), 1L)).toDF("k", "lo", "hi", "iid"),
+        Seq("k"), "t", "lo", "hi", 10L
+      )
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("topKPerGroup matches naive sort-take per group") {
     for (_ <- 1 to 8) {
       val rows = (1 to 50).map(i => (rnd.nextInt(4).toString, rnd.nextInt(100).toDouble, i.toLong))
