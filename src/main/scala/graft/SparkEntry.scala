@@ -371,6 +371,29 @@ object SparkEntry {
       TextAnalysis.redactPii(withPii, "text", "doc_id")
     }),
 
+    // Deterministic stratified sampling: 20 docs per (lang, source)
+    // stratum by md5-order (reproducible reservoir analog)
+    "q47_stratified_sample" -> ((s, dir) => {
+      Sampling
+        .perGroupSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          Seq("lang"),
+          "doc_id",
+          20
+        )
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Token-budget mixing: walk each lang stratum in md5 order keeping
+    // docs until ~2000 whitespace tokens are accumulated (soft cap)
+    "q48_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling
+        .budgetPerGroup(docs, Seq("lang"), "doc_id", "n_tokens", 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     // Multimodal: binary media column + metadata projection (decode is
     // stubbed; the Spark plumbing — schema/pruning/batching — is real)
     "q26_multimodal_meta" -> ((s, dir) => {
@@ -845,6 +868,23 @@ object SparkEntry {
           |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
           |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls
           |FROM p""".stripMargin,
+      "q47_stratified_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20""".stripMargin,
+      "q48_token_budget_mix" ->
+        s"""WITH t AS ($wordsSql),
+           |d AS (SELECT t.doc_id, doc.lang, CAST(len(words) AS BIGINT) AS n_tokens
+           |      FROM t JOIN documents doc ON doc.doc_id = t.doc_id),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |   sum(n_tokens) OVER (PARTITION BY lang
+           |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |                       ROWS UNBOUNDED PRECEDING) AS cum
+           | FROM d)
+           |SELECT doc_id, lang, n_tokens FROM c WHERE cum - n_tokens < 2000""".stripMargin,
       "q26_multimodal_meta" ->
         """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5,
           |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,

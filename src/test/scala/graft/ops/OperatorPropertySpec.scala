@@ -112,6 +112,30 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("sampling is deterministic across partitionings; budget cap is a soft cap") {
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
+      .toDF("id", "g", "w")
+    val a = Sampling.perGroupSample(df, Seq("g"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.perGroupSample(df.repartition(7), Seq("g"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(a === b && a.size === 30)
+    val kept = Sampling.budgetPerGroup(df, Seq("g"), "id", "w", 50L)
+      .groupBy("g").agg(sum("w").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    kept.foreach { case (g, s, n) =>
+      assert(s >= 50L, s"$g under-filled: $s") // crossed the cap (soft)
+      assert(s - 7 < 50L + 7, s"$g over-filled: $s") // by at most one row's weight
+      assert(n > 0)
+    }
+    // determinism under repartitioning for the budget walk too
+    val k1 = Sampling.budgetPerGroup(df, Seq("g"), "id", "w", 50L)
+      .select("id").as[Long].collect().toSet
+    val k2 = Sampling.budgetPerGroup(df.repartition(5), Seq("g"), "id", "w", 50L)
+      .select("id").as[Long].collect().toSet
+    assert(k1 === k2)
+  }
+
   test("topKPerGroup matches naive sort-take per group") {
     for (_ <- 1 to 8) {
       val rows = (1 to 50).map(i => (rnd.nextInt(4).toString, rnd.nextInt(100).toDouble, i.toLong))
