@@ -607,6 +607,43 @@ object SparkEntry {
         )
     }),
 
+    // Data-quality referential check: orders whose customer is missing
+    // from a (deterministically restricted) parent set — violations out
+    "q49_referential_check" -> ((s, dir) => {
+      val parent = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"))
+      Checks
+        .orphans(t(s, dir, "orders"), parent, Seq("o_custkey"), Seq("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orphans"))
+    }),
+
+    // Interval-overlap join: each customer's first-120-days-of-1995
+    // window against their first-120-days-of-1996 window (overlaps only
+    // when the 1995 window starts late and the 1996 one starts early)
+    "q50_interval_overlap" -> ((s, dir) => {
+      def firstWindow(yr: Int) =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("lo"))
+          .withColumn("hi", col("lo") + expr("INTERVAL 120 DAYS"))
+      RangeJoin
+        .intervalOverlap(
+          firstWindow(1995),
+          firstWindow(1996),
+          Seq("o_custkey"),
+          "lo", "hi", "lo", "hi",
+          chunkSeconds = 60L * 86400L
+        )
+        .select(
+          col("o_custkey"),
+          unix_micros(col("lo").cast("timestamp")).as("lo_us"),
+          unix_micros(col("r_lo").cast("timestamp")).as("r_lo_us")
+        )
+    }),
+
     // F9: JSON encode/decode round trip of the event payload
     "q30_json_roundtrip" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 20)
@@ -922,6 +959,21 @@ object SparkEntry {
           |SELECT o.o_custkey, o.o_orderkey, epoch_us(iv.lo) AS lo_us
           |FROM o JOIN iv ON o.o_custkey = iv.o_custkey
           |WHERE o.o_orderdate >= iv.lo AND o.o_orderdate < iv.hi""".stripMargin,
+      "q49_referential_check" ->
+        """SELECT o_custkey, count(*) AS n_orphans FROM orders
+          |WHERE NOT EXISTS (SELECT 1 FROM customer
+          |  WHERE c_custkey = o_custkey AND c_custkey % 3 <> 0)
+          |GROUP BY o_custkey""".stripMargin,
+      "q50_interval_overlap" ->
+        """WITH a AS (SELECT o_custkey, min(o_orderdate) AS lo,
+          |         min(o_orderdate) + INTERVAL 120 DAY AS hi
+          |       FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+          |b AS (SELECT o_custkey, min(o_orderdate) AS lo,
+          |         min(o_orderdate) + INTERVAL 120 DAY AS hi
+          |       FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+          |SELECT a.o_custkey, epoch_us(a.lo) AS lo_us, epoch_us(b.lo) AS r_lo_us
+          |FROM a JOIN b ON a.o_custkey = b.o_custkey
+          |WHERE a.lo < b.hi AND b.lo < a.hi""".stripMargin,
       "q41_salted_agg" ->
         """SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents

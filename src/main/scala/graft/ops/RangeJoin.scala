@@ -50,4 +50,44 @@ object RangeJoin {
       .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
       .drop("_cell")
   }
+
+  /** Interval-overlap join: all (left, right) interval pairs per key
+    * with `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅`, by the same cell quantization.
+    * An overlapping pair shares every cell of the intersection, so the
+    * join would duplicate it — instead each pair is emitted ONLY from
+    * the first cell of the intersection (`cell == floor(max(lLo, rLo))`)
+    * — the standard dedup-free trick: one shuffle, no distinct pass.
+    * Right columns return `prefix`ed where names collide.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lLoCol: String,
+      lHiCol: String,
+      rLoCol: String,
+      rHiCol: String,
+      chunkSeconds: Long = 86400L,
+      prefix: String = "r_"
+  ): DataFrame = {
+    def cellOf(c: String) =
+      floor(unix_micros(col(c).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val rightRenamed = right.columns.foldLeft(right) { (df, c) =>
+      if (!keys.contains(c) && left.columns.contains(c)) df.withColumnRenamed(c, prefix + c)
+      else df
+    }
+    def rcol(c: String) = if (left.columns.contains(c) && !keys.contains(c)) prefix + c else c
+    val l = left.withColumn("_cell", explode(sequence(cellOf(lLoCol), cellOf(lHiCol))))
+    val r = rightRenamed.withColumn("_cell", explode(sequence(cellOf(rcol(rLoCol)), cellOf(rcol(rHiCol)))))
+    l.join(r, keys :+ "_cell")
+      .filter(
+        col(lLoCol) < col(rcol(rHiCol)) && col(rcol(rLoCol)) < col(lHiCol) &&
+          // emit from the intersection's first cell only (dedup-free)
+          col("_cell") === floor(
+            unix_micros(greatest(col(lLoCol), col(rcol(rLoCol))).cast("timestamp")) /
+              (chunkSeconds * 1000000L)
+          )
+      )
+      .drop("_cell")
+  }
 }

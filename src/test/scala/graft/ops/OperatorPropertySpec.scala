@@ -112,6 +112,41 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalOverlap matches the naive overlap join with no duplicate pairs") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    for (trial <- 1 to 5) {
+      def gen(n: Int) = (1 to n).map { i =>
+        val lo = rnd.nextInt(500000).toLong
+        (rnd.nextInt(3).toString, ts(lo), ts(lo + rnd.nextInt(300000).toLong + 1), i.toLong)
+      }
+      val l = gen(25).toDF("k", "lo", "hi", "lid")
+      val r = gen(25).toDF("k", "lo", "hi", "rid")
+      val got = RangeJoin
+        .intervalOverlap(l, r, Seq("k"), "lo", "hi", "lo", "hi", chunkSeconds = 50000L)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"trial $trial emitted duplicate pairs")
+      val want = l.join(r.withColumnRenamed("lo", "rlo").withColumnRenamed("hi", "rhi"), Seq("k"))
+        .filter($"lo" < $"rhi" && $"rlo" < $"hi")
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got.toSet === want, s"trial $trial")
+    }
+  }
+
+  test("checks: duplicates, null profile, orphans") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (1L, None, "x"), (2L, Some("b"), "y"), (3L, None, "z")
+    ).toDF("id", "v", "w")
+    val dups = Checks.duplicateKeys(df, Seq("id")).as[(Long, Long)].collect().toSeq
+    assert(dups === Seq((1L, 2L)))
+    val nulls = Checks.nullCounts(df, Seq("v", "w")).as[(String, Long)].collect().toMap
+    assert(nulls === Map("v" -> 2L, "w" -> 0L))
+    val parent = Seq(1L, 2L).toDF("pid")
+    val orphans = Checks.orphans(df, parent, Seq("id"), Seq("pid"))
+      .select("id").as[Long].collect().toSeq
+    assert(orphans === Seq(3L))
+  }
+
   test("sampling is deterministic across partitionings; budget cap is a soft cap") {
     val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
       .toDF("id", "g", "w")
