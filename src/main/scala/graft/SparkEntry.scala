@@ -479,6 +479,20 @@ object SparkEntry {
       Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // Exact interpolated percentiles per group (sort-based `percentile`;
+    // both engines use the same linear-interpolation definition, so the
+    // match is bit-exact — verified including float representation)
+    "q51_percentiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          count(lit(1)).as("n")
+        )
+    }),
+
     // Distinct aggregates (absent from the reference; table stakes at
     // scale — Catalyst plans the expand + two-phase agg)
     "q38_distinct_agg" -> ((s, dir) => {
@@ -990,6 +1004,13 @@ object SparkEntry {
           |  upper(split_part(regexp_replace(regexp_replace(p_name, ' ', '-', 'g') || '.xlsx',
           |    '\.[^.]*$', ''), '-', 1)) AS company_id
           |FROM part""".stripMargin,
+      "q51_percentiles" ->
+        """SELECT lang,
+          |  quantile_cont(n_chars, 0.5) AS p50,
+          |  quantile_cont(n_chars, 0.9) AS p90,
+          |  quantile_cont(n_chars, 0.99) AS p99,
+          |  count(*) AS n
+          |FROM documents GROUP BY lang""".stripMargin,
       "q38_distinct_agg" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

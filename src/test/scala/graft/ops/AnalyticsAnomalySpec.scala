@@ -24,6 +24,21 @@ class AnalyticsAnomalySpec extends AnyFunSuite {
     assert(h("a") === 2 && h("b") === 1 && h("TOTAL") === 3)
   }
 
+  test("approx_count_distinct (HLL++ scale path for exact distinct) stays within 5%") {
+    // the sketch-based path a 100 TB deployment uses where q38's exact
+    // expand+two-phase distinct would shuffle too much
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val got = li
+      .agg(
+        countDistinct($"l_partkey").as("exact"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx")
+      )
+      .as[(Long, Long)]
+      .head()
+    val (exact, approx) = got
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("topK is deterministic under value ties") {
     val df = Seq((1L, 10.0), (2L, 10.0), (3L, 5.0)).toDF("id", "v")
     val got = Analytics.topK(df, "v", "id", 2).select("id").as[Long].collect().toSeq
