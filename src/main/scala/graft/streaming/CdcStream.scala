@@ -213,6 +213,38 @@ object CdcStream {
         col("n_events")
       )
 
+  /** Stream-stream interval join: attribute each left-stream event to
+    * the right-stream events of the same key inside
+    * `[l.ts - within, l.ts]` — e.g. purchases (left) attributed to the
+    * clicks (right) that preceded them. Both sides carry
+    * watermarks so the join state is bounded: Spark retains left rows
+    * only `within + watermark` past their event time. The streaming
+    * counterpart of [[graft.ops.AsOfJoin]] (which picks the single
+    * latest match; this emits every in-window pair — the streaming
+    * state model cannot know "latest" until the watermark closes, so
+    * pair-emission + downstream max is the scalable shape).
+    */
+  def joinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(
+      r,
+      keyCond &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      "inner"
+    )
+  }
+
   /** ST6: tumbling daily buckets with watermark — the anomaly series
     * feed, computed incrementally.
     */

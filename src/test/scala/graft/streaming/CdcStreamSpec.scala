@@ -209,6 +209,38 @@ class CdcStreamSpec extends AnyFunSuite {
     ))
   }
 
+  test("stream-stream interval join matches the batch inequality join") {
+    val tmp = Files.createTempDirectory("ssjoin").toString
+    val lDir = s"$tmp/purchases"
+    val rDir = s"$tmp/clicks"
+    val purchases = Seq(
+      ("p1", "u1", ts("2024-01-01 10:00:00")),
+      ("p2", "u1", ts("2024-01-01 12:00:00")),
+      ("p3", "u2", ts("2024-01-01 10:30:00"))
+    ).toDF("pid", "user", "ts")
+    val clicks = Seq(
+      ("c1", "u1", ts("2024-01-01 09:40:00")), // within 30m of p1
+      ("c2", "u1", ts("2024-01-01 09:00:00")), // too early for p1
+      ("c3", "u1", ts("2024-01-01 11:50:00")), // within 30m of p2
+      ("c4", "u2", ts("2024-01-01 10:30:00")), // equal ts -> inclusive
+      ("c5", "u3", ts("2024-01-01 10:00:00"))  // wrong key
+    ).toDF("cid", "user", "cts")
+    purchases.coalesce(1).write.mode("append").parquet(lDir)
+    clicks.coalesce(1).write.mode("append").parquet(rDir)
+    val joined = CdcStream.joinWithin(
+      spark.readStream.schema("pid string, user string, ts timestamp").parquet(lDir),
+      spark.readStream.schema("cid string, user string, cts timestamp").parquet(rDir),
+      Seq("user"), "ts", "cts", within = "30 minutes"
+    )
+    val q = joined
+      .select(col("pid"), col("cid"))
+      .writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").as[(String, String)].collect().toSet
+    assert(got === Set(("p1", "c1"), ("p2", "c3"), ("p3", "c4")))
+  }
+
   test("streaming daily counts match batch gap-less aggregation") {
     val tmp = Files.createTempDirectory("daily").toString
     val srcDir = s"$tmp/events"
