@@ -64,6 +64,24 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("SQL function registration: cosine_sim / minhash_signature / simhash64 callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(11L, 22L)))
+      .toDF("a", "b", "hs")
+      .createOrReplaceTempView("ext_t")
+    val row = spark
+      .sql("""SELECT cosine_sim(a, b) AS cs,
+              |       minhash_signature(hs, 4) AS sig,
+              |       simhash64(hs) AS sh FROM ext_t""".stripMargin)
+      .head()
+    assert(row.getAs[Double]("cs") === 1.0)
+    assert(row.getAs[Seq[Long]]("sig").length === 4)
+    // parity with the Column API on the same input
+    val viaColumn = Seq((Seq(11L, 22L))).toDF("hs")
+      .select(SimHash64.simhash64(col("hs"))).as[Long].head()
+    assert(row.getAs[Long]("sh") === viaColumn)
+  }
+
   test("SimHash64 edge cases: empty input -> 0, null -> null") {
     val df = Seq(
       (1L, Some(Seq.empty[Long])),
