@@ -493,6 +493,36 @@ object SparkEntry {
         )
     }),
 
+    // Canonical 3-way analytical join (TPC-H Q3 shape): dim filter
+    // broadcast, fact-fact shuffle join, agg + deterministic top-10
+    "q52_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01"))
+        .select(
+          col("l_orderkey"),
+          cents(col("l_extendedprice")).as("pc"),
+          round(col("l_discount") * 100).cast("long").as("dc")
+        )
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("pc") * (lit(100L) - col("dc"))).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+        .select(
+          col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"),
+          col("revenue_e4")
+        )
+    }),
+
     // Distinct aggregates (absent from the reference; table stakes at
     // scale — Catalyst plans the expand + two-phase agg)
     "q38_distinct_agg" -> ((s, dir) => {
@@ -1011,6 +1041,18 @@ object SparkEntry {
           |  quantile_cont(n_chars, 0.99) AS p99,
           |  count(*) AS n
           |FROM documents GROUP BY lang""".stripMargin,
+      "q52_shipping_priority" ->
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+          |         * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
       "q38_distinct_agg" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

@@ -97,6 +97,31 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(idx === Seq(0L, 1L))
   }
 
+  test("multimodal features feed ANN end-to-end (frame-mean vectors -> top-k)") {
+    // the full curation chain: binary column -> partition-streamed
+    // feature extraction -> fixed-dim vector -> similarity search
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val feats = Multimodal
+      .extractFeatures(Multimodal.attachBinary(docs, "text", "doc_id"))
+      .toDF()
+    val dim = 8
+    val vecs = feats.select(
+      col("doc_id").as("vec_id"),
+      slice(
+        concat(col("frame_means"), array_repeat(lit(0.0), dim)),
+        1, dim
+      ).as("v")
+    )
+    val topk = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), "v", "vec_id", 3)
+    val rows = topk.collect()
+    assert(rows.length === 9) // 3 queries x top-3
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= -1.0001 && c <= 1.0001
+    })
+  }
+
   test("unpivot -> pivot round trip preserves values") {
     val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "m1", "m2")
     val long = Reshape.unpivot(wide, Seq("id"), Seq("m1", "m2"))
