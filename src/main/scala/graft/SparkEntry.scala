@@ -1005,8 +1005,9 @@ object SparkEntry {
           |WHERE o.o_orderdate >= iv.lo AND o.o_orderdate < iv.hi""".stripMargin,
       "q49_referential_check" ->
         """SELECT o_custkey, count(*) AS n_orphans FROM orders
-          |WHERE NOT EXISTS (SELECT 1 FROM customer
-          |  WHERE c_custkey = o_custkey AND c_custkey % 3 <> 0)
+          |WHERE o_custkey IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM customer
+          |    WHERE c_custkey = o_custkey AND c_custkey % 3 <> 0)
           |GROUP BY o_custkey""".stripMargin,
       "q50_interval_overlap" ->
         """WITH a AS (SELECT o_custkey, min(o_orderdate) AS lo,

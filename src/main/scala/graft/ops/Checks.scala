@@ -20,10 +20,13 @@ object Checks {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
-  /** Null count per column, one pass (long format: col_name, n_nulls). */
+  /** Null count per column, one pass (long format: col_name, n_nulls).
+    * An empty input reports 0 per column (not null — `sum` over zero
+    * rows is null and would break `> 0` gates and Long decoders).
+    */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     val agged = df.select(
-      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*
+      cols.map(c => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c)): _*
     )
     agged
       .select(
@@ -36,6 +39,9 @@ object Checks {
 
   /** Referential-integrity violations: child rows whose key has no match
     * in `parent` (left anti join — AQE broadcasts a small parent).
+    * SQL FK semantics: rows with a NULL key part are NOT violations
+    * (a nullable FK is legitimately unset) and are excluded; use
+    * [[nullCounts]] to police nullability separately.
     */
   def orphans(
       child: DataFrame,
@@ -47,6 +53,8 @@ object Checks {
       .zip(parentKeys)
       .map { case (c, p) => child(c) === parent(p) }
       .reduce(_ && _)
-    child.join(parent, cond, "left_anti")
+    child
+      .filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      .join(parent, cond, "left_anti")
   }
 }

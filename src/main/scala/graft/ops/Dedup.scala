@@ -151,9 +151,12 @@ object Dedup {
     // shingling projection is the single most expensive map stage.
     // localCheckpoint blocks are executor-local, spill to disk, and are
     // GC-cleaned — unlike cache() they don't pin memory indefinitely.
-    // (Caveat: localCheckpoint is lost on executor failure; a cluster
-    // deployment at 100 TB writes signatures to a table instead.)
-    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(true)
+    // LAZY (eager=false): building the DataFrame stays side-effect free
+    // (plan audits don't run jobs); the first action materializes and
+    // every later read hits the blocks. (Caveat: localCheckpoint is lost
+    // on executor failure; a cluster deployment at 100 TB writes
+    // signatures to a table instead.)
+    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
@@ -178,8 +181,9 @@ object Dedup {
       threshold: Double = 0.3,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
-    // materialized once: read twice (inverted index + per-doc counts)
-    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(true)
+    // materialized once (lazily — see minHashLshPairs), read twice
+    // (inverted index + per-doc counts)
+    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     // one shuffle on shingle: collect each shingle's (small) posting list
@@ -221,7 +225,9 @@ object Dedup {
       .select(col("i").as("id"), col("j").as("nb"))
       .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: materializes during round 1's first action, reused after;
+      // constructing the clusters() plan itself stays job-free
+      .localCheckpoint(false)
     var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
     var iter = 0
     var changed = true

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** @param points    one row per point; all columns pass through
-    * @param intervals one row per interval; all columns pass through
+    * @param intervals one row per interval; non-key columns whose name
+    *                  collides with a point column return `prefix`ed
     * @param keys      equi-key columns present on BOTH sides
     * @param tCol      point timestamp column
     * @param loCol     interval start column (inclusive)
@@ -39,15 +40,22 @@ object RangeJoin {
       tCol: String,
       loCol: String,
       hiCol: String,
-      chunkSeconds: Long = 86400L
+      chunkSeconds: Long = 86400L,
+      prefix: String = "iv_"
   ): DataFrame = {
+    val ivRenamed = intervals.columns.foldLeft(intervals) { (df, c) =>
+      if (!keys.contains(c) && points.columns.contains(c)) df.withColumnRenamed(c, prefix + c)
+      else df
+    }
+    def icol(c: String) =
+      if (points.columns.contains(c) && !keys.contains(c)) prefix + c else c
     val cellOfT = floor(unix_micros(col(tCol).cast("timestamp")) / (chunkSeconds * 1000000L))
     val p = points.withColumn("_cell", cellOfT)
-    val loCell = floor(unix_micros(col(loCol).cast("timestamp")) / (chunkSeconds * 1000000L))
-    val hiCell = floor(unix_micros(col(hiCol).cast("timestamp")) / (chunkSeconds * 1000000L))
-    val iv = intervals.withColumn("_cell", explode(sequence(loCell, hiCell)))
+    val loCell = floor(unix_micros(col(icol(loCol)).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val hiCell = floor(unix_micros(col(icol(hiCol)).cast("timestamp")) / (chunkSeconds * 1000000L))
+    val iv = ivRenamed.withColumn("_cell", explode(sequence(loCell, hiCell)))
     p.join(iv, keys :+ "_cell")
-      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .filter(col(tCol) >= col(icol(loCol)) && col(tCol) < col(icol(hiCol)))
       .drop("_cell")
   }
 

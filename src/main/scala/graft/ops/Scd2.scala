@@ -77,8 +77,9 @@ object Scd2 {
     * so the hint is size-guarded: past `broadcastKeyLimit` distinct keys
     * the joins fall back to shuffle semi/anti joins (AQE may still
     * upgrade them at runtime if the actual build side turns out small).
-    * The guard costs one count over the batch's distinct keys — noise
-    * next to the merge itself.
+    * The touched-key set is materialized once (localCheckpoint) so the
+    * guard's count and both joins reuse it instead of re-running the
+    * batch's distinct three times per micro-batch.
     */
   def merge(
       existing: DataFrame,
@@ -88,9 +89,11 @@ object Scd2 {
       payloadCol: String = "new_values",
       broadcastKeyLimit: Long = 4000000L
   ): DataFrame = {
-    val touched = batch.select(keys.map(col): _*).distinct()
-    val fitsBroadcast =
-      touched.limit((broadcastKeyLimit + 1).toInt).count() <= broadcastKeyLimit
+    val touched = batch.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    // limit() takes an Int — clamp so an over-Int limit can neither make
+    // it negative (AnalysisException) nor wrap and falsely pass the guard
+    val probe = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt
+    val fitsBroadcast = touched.limit(probe).count() <= broadcastKeyLimit
     val touchedHinted = if (fitsBroadcast) broadcast(touched) else touched
     val untouched = existing.join(touchedHinted, keys, "left_anti")
     // rebuild events for touched keys from their existing versions + batch

@@ -25,17 +25,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * to the composed form (asserted in PlansSpec), so bucket assignments
   * and the DedupSimilaritySpec recall pin carry over unchanged.
   *
-  * Null elements are skipped (upstream shingle arrays are null-free);
-  * an empty input yields Long.MaxValue sentinels (upstream filters
-  * `size > 0`). Interpreted eval (CodegenFallback): the per-row loop is
-  * the hot loop; codegen would inline the same arithmetic.
+  * Degenerate inputs follow the composed form too: an empty array
+  * yields an array of k nulls (`array_min` of an empty array is null),
+  * and a null ELEMENT contributes `seeds(i)` per function (the xxhash64
+  * chain leaves the running hash unchanged on a null argument). The one
+  * deliberate divergence: a null INPUT null-propagates (SQL-idiomatic),
+  * where the composed form emits an array of nulls as an artifact.
+  * Interpreted eval (CodegenFallback): the per-row loop is the hot
+  * loop; codegen would inline the same arithmetic.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
   require(numHashes > 0, "numHashes must be positive")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -56,10 +60,19 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var e = 0
     while (e < n) {
-      if (!hs.isNullAt(e)) {
+      if (hs.isNullAt(e)) {
+        // xxhash64(i, null) == seeds(i): a null argument leaves the
+        // running hash unchanged in the builtin's fold
+        var i = 0
+        while (i < numHashes) {
+          if (seeds(i) < mins(i)) mins(i) = seeds(i)
+          i += 1
+        }
+      } else {
         val h = hs.getLong(e)
         var i = 0
         while (i < numHashes) {

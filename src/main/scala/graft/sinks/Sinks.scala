@@ -63,8 +63,9 @@ object Sinks {
     * per micro-batch per partition — at 100 TB that's the classic
     * small-file problem (open/seek overhead dominates scans; the
     * NameNode/objectstore LIST gets slow). Rewrite goes through a
-    * staging dir + atomic rename so readers never see a half-compacted
-    * log.
+    * staging dir + rename so readers never see a half-compacted log;
+    * a crash between the two renames is recovered from `.old` at the
+    * start of the next run (same protocol as the scd2 sink swap).
     */
   def compactEventLog(
       spark: SparkSession,
@@ -73,6 +74,14 @@ object Sinks {
   ): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val staging = path + ".compact"
+    val oldP = Paths.get(path + ".old")
+    // crash recovery mirrors scd2Sink: a crash between the two moves
+    // below leaves the log only at .old — restore it before reading; a
+    // leftover .old NEXT TO a live log is a post-swap crash — clear it
+    // so the swap can run again
+    if (!Files.exists(Paths.get(path)) && Files.exists(oldP))
+      Files.move(oldP, Paths.get(path))
+    if (Files.exists(oldP)) rmTree(oldP.toFile)
     spark.read.parquet(path)
       // one shuffle co-locating each partition's rows so the writer emits
       // ceil(rows/rowsPerFile) files per partition instead of one per
@@ -83,14 +92,14 @@ object Sinks {
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("company_id", "table_name", "event_date")
       .parquet(staging)
-    val old = Paths.get(path + ".old")
-    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(path), oldP)
     Files.move(Paths.get(staging), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(old.toFile)
+    rmTree(oldP.toFile)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 
   /** Readback with partition pruning (P7 path-predicate equivalent). */

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Wide-snapshot CSV reader (reference S1/F13/F8: `app/app.py:129,
@@ -47,19 +48,21 @@ object SnapshotSource {
         val headerVals = noHeader.limit(skip + 1).collect().last.toSeq.map(String.valueOf)
         val named = noHeader.toDF(headerVals.map(_.trim): _*)
         // POSITIONAL prefix drop (not a value-based exceptAll, which
-        // would remove a matching data row from anywhere in the file and
-        // cost a full shuffle): a row is junk iff it lies in its file's
-        // FIRST block and its within-partition ordinal is <= skip.
-        // monotonically_increasing_id encodes (partitionId << 33) |
-        // ordinal, and the CSV reader preserves physical row order
-        // within a partition, so this is exact, per-file, and shuffle-
-        // free. (Junk prefixes are tiny — always inside block 0.)
-        val ordinal = monotonically_increasing_id().bitwiseAND((1L << 33) - 1)
+        // would remove a matching data row from anywhere in the file):
+        // per-file row position = row_number over (input_file_name,
+        // monotonically_increasing_id). mII is strictly increasing in
+        // physical row order within a partition and files are read
+        // sequentially inside a packed partition, so ordering by it
+        // within each file recovers the exact file position even when
+        // Spark packs several small CSVs into one partition (a
+        // first-block/ordinal heuristic would silently keep later files'
+        // junk rows). Costs one shuffle on the rare skip>0 path only —
+        // junk-prefixed uploads are small by construction.
+        val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
         named
-          .withColumn("_ord", ordinal)
-          .withColumn("_blk", input_file_block_start())
-          .filter(!(col("_blk") === 0 && col("_ord") <= skip))
-          .drop("_ord", "_blk")
+          .withColumn("_pos", row_number().over(w))
+          .filter(col("_pos") > skip + 1)
+          .drop("_pos")
       }
     // P3 (reference `azuredatalake.py:175`): drop junk columns
     // (Unnamed/dotted artifacts of spreadsheet exports) — a driver-side

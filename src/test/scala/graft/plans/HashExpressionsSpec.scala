@@ -39,6 +39,31 @@ class HashExpressionsSpec extends AnyFunSuite {
       .filter(!(col("native") <=> col("composed")))
       .count()
     assert(mismatches === 0)
+    // degenerate inputs must match the composed form too (the SQL
+    // registration exposes them unguarded): empty array -> k nulls;
+    // null ELEMENT -> contributes seeds(i), like xxhash64's null-skip
+    val edge = Seq(
+      (1L, Some(Seq[Option[Long]]())),
+      (2L, Some(Seq[Option[Long]](Some(7L), None)))
+    ).toDF("id", "hs")
+    val edgeComposed = array(
+      (0 until 4).map(i => array_min(transform(col("hs"), h => Fns.hashFamily(h, i)))): _*
+    )
+    val edgeMismatch = edge
+      .select(
+        MinHashSignature.minhashSignature(col("hs"), 4).as("native"),
+        edgeComposed.as("composed")
+      )
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(edgeMismatch === 0)
+    // null INPUT is the one deliberate divergence: the native expression
+    // null-propagates (SQL-idiomatic), where the composed form emits an
+    // array of nulls as an artifact of array_min(transform(null))
+    val nullRow = Seq(Option.empty[Seq[Long]]).toDF("hs")
+      .select(MinHashSignature.minhashSignature(col("hs"), 4).as("native"))
+      .head()
+    assert(nullRow.isNullAt(0))
   }
 
   test("SimHash64 == composed 64-aggregate shiftleft/or fold") {
