@@ -394,6 +394,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
+    // Deterministic train/val/test split: md5-hex bucket in [0,4096)
+    // carved by cumulative fractions — stable under reprocessing/
+    // appends/repartitioning, entirely map-side (no global window)
+    "q53_split_assignment" -> ((s, dir) => {
+      Sampling.assignSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      )
+    }),
+
     // Multimodal: binary media column + metadata projection (decode is
     // stubbed; the Spark plumbing — schema/pruning/batching — is real)
     "q26_multimodal_meta" -> ((s, dir) => {
@@ -966,6 +977,16 @@ object SparkEntry {
            |                       ROWS UNBOUNDED PRECEDING) AS cum
            | FROM d)
            |SELECT doc_id, lang, n_tokens FROM c WHERE cum - n_tokens < 2000""".stripMargin,
+      "q53_split_assignment" ->
+        """SELECT doc_id,
+          |  CASE WHEN b < 3277 THEN 'train'
+          |       WHEN b < 3686 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS b
+          |FROM documents)""".stripMargin,
       "q26_multimodal_meta" ->
         """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS content_md5,
           |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private def hashOrder(idCol: String) = md5(col(idCol).cast("string"))
+
+  /** Uniform bucket in [0, 4096) from the first 3 hex chars of md5(id) —
+    * entirely map-side (no global ordering/window, which would funnel
+    * 100 TB through one partition) and engine-portable: both Spark and
+    * the oracle compute it from `md5`, `substring` and `instr` alone.
+    */
+  def hashBucket(idCol: String): Column = {
+    val hex = md5(col(idCol).cast("string"))
+    def nib(i: Int): Column = instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1
+    (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long")
+  }
+
+  /** Deterministic train/val/test assignment: md5-bucket each row and
+    * carve [0, 4096) by cumulative fractions. A row's split depends only
+    * on its id — stable under reprocessing, appends, and repartitioning
+    * (the property `rand(seed)` splits lack).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val bucket = hashBucket(idCol)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) =>
+        when(bucket < math.round(hi * 4096).toInt, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
 
   /** Deterministic "random" n-per-group sample: rank rows inside each
     * stratum by md5(id) and keep the first n. The per-group analog of

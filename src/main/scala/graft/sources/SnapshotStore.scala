@@ -46,6 +46,22 @@ object SnapshotStore {
     next
   }
 
+  /** Retention: delete all but the newest `keep` versions (always
+    * keeping at least the latest). Returns the versions removed.
+    * Complements [[write]]'s append-only growth — the time-travel
+    * horizon a deployment actually wants to bound.
+    */
+  def vacuum(root: String, keep: Int): Seq[Long] = {
+    val drop = versionsOf(root).dropRight(math.max(keep, 1))
+    drop.foreach(v => rmTree(new java.io.File(s"$root/v=$v")))
+    drop
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   /** W1/O1: latest snapshot (the reference's sort-by-mtime-take-newest,
     * `app/app.py:176-178`, made deterministic by explicit versions).
     */

@@ -32,6 +32,12 @@ class SurfaceSpec extends AnyFunSuite {
     val v2 = Seq(("k1", "c")).toDF("k", "v")
     assert(SnapshotStore.write(v2, root) === 2L)
     assert(SnapshotStore.readLatest(spark, root).get.select("v").as[String].head() === "c")
+    // retention drops all but the newest `keep`, never the latest
+    assert(SnapshotStore.vacuum(root, keep = 2) === Seq(0L))
+    assert(SnapshotStore.maxVersion(root) === 2L)
+    assert(SnapshotStore.readPrevious(spark, root).get.select("v").as[String].head() === "b")
+    assert(SnapshotStore.vacuum(root, keep = 0) === Seq(1L)) // floor at 1
+    assert(SnapshotStore.readLatest(spark, root).get.select("v").as[String].head() === "c")
   }
 
   test("event-log sink: partitioned append + pruned readback") {

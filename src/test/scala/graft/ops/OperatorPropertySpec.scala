@@ -171,6 +171,22 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(k1 === k2)
   }
 
+  test("assignSplit: partition of the data, stable under append, near target fractions") {
+    val df = (1 to 4000).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.assignSplit(df, "id", splits)
+    val bySplit = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit.values.sum === 4000L)
+    assert(math.abs(bySplit("train") - 3200L) < 200, bySplit.toString)
+    // a row's split depends only on its id: appending data changes nothing
+    val bigger = (1 to 8000).map(_.toLong).toDF("id")
+    val stable = Sampling.assignSplit(bigger, "id", splits)
+      .filter($"id" <= 4000).as[(Long, String)].collect().toMap
+    val orig = assigned.as[(Long, String)].collect().toMap
+    assert(stable === orig)
+  }
+
   test("topKPerGroup matches naive sort-take per group") {
     for (_ <- 1 to 8) {
       val rows = (1 to 50).map(i => (rnd.nextInt(4).toString, rnd.nextInt(100).toDouble, i.toLong))
