@@ -979,7 +979,8 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens FROM c WHERE cum - n_tokens < 2000""".stripMargin,
       "q53_split_assignment" ->
         """SELECT doc_id,
-          |  CASE WHEN b < 3277 THEN 'train'
+          |  CASE WHEN b IS NULL THEN NULL
+          |       WHEN b < 3277 THEN 'train'
           |       WHEN b < 3686 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM (SELECT doc_id,

@@ -21,7 +21,7 @@ object Sampling {
     * the oracle compute it from `md5`, `substring` and `instr` alone.
     */
   def hashBucket(idCol: String): Column = {
-    val hex = md5(col(idCol).cast("string"))
+    val hex = hashOrder(idCol) // the object's one canonical id hash
     def nib(i: Int): Column = instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1
     (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long")
   }
@@ -29,21 +29,27 @@ object Sampling {
   /** Deterministic train/val/test assignment: md5-bucket each row and
     * carve [0, 4096) by cumulative fractions. A row's split depends only
     * on its id — stable under reprocessing, appends, and repartitioning
-    * (the property `rand(seed)` splits lack).
+    * (the property `rand(seed)` splits lack). A null id yields a null
+    * split (propagated explicitly — silently concentrating null-id rows
+    * into one split would skew train/test separation).
     */
   def assignSplit(
       df: DataFrame,
       idCol: String,
       splits: Seq[(String, Double)]
   ): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall { case (_, f) => f > 0.0 && f <= 1.0 },
+      "each split fraction must be in (0, 1]")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
     val bucket = hashBucket(idCol)
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val assign = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+    // fold over all but the last split: the final carve is the otherwise
+    val carve = splits.init.zip(bounds).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) =>
         when(bucket < math.round(hi * 4096).toInt, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", assign)
+    df.withColumn("split", when(bucket.isNull, lit(null)).otherwise(carve))
   }
 
   /** Deterministic "random" n-per-group sample: rank rows inside each

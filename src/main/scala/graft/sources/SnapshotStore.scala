@@ -47,19 +47,24 @@ object SnapshotStore {
   }
 
   /** Retention: delete all but the newest `keep` versions (always
-    * keeping at least the latest). Returns the versions removed.
-    * Complements [[write]]'s append-only growth — the time-travel
-    * horizon a deployment actually wants to bound.
+    * keeping at least the latest). Returns the versions actually and
+    * FULLY removed — a version whose directory could not be deleted
+    * completely (open handle, permissions) is excluded, still listed by
+    * [[maxVersion]]/readers, and retried by the next vacuum, rather than
+    * being reported gone while a partial directory lingers.
     */
   def vacuum(root: String, keep: Int): Seq[Long] = {
-    val drop = versionsOf(root).dropRight(math.max(keep, 1))
-    drop.foreach(v => rmTree(new java.io.File(s"$root/v=$v")))
-    drop
+    versionsOf(root)
+      .dropRight(math.max(keep, 1))
+      .filter(v => rmTree(new java.io.File(s"$root/v=$v")))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
-    f.delete(); ()
+  /** Recursive delete; true only if everything (incl. `f`) is gone. */
+  private def rmTree(f: java.io.File): Boolean = {
+    val childrenOk =
+      if (f.isDirectory) Option(f.listFiles).forall(_.forall(rmTree))
+      else true
+    childrenOk && (f.delete() || !f.exists())
   }
 
   /** W1/O1: latest snapshot (the reference's sort-by-mtime-take-newest,

@@ -185,6 +185,15 @@ class OperatorPropertySpec extends AnyFunSuite {
       .filter($"id" <= 4000).as[(Long, String)].collect().toMap
     val orig = assigned.as[(Long, String)].collect().toMap
     assert(stable === orig)
+    // null id -> null split (never silently dumped into one split)
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val ns = Sampling.assignSplit(withNull, "id", splits)
+      .as[(Option[Long], Option[String])].collect().toMap
+    assert(ns(None) === None && ns(Some(1L)).isDefined)
+    // invalid fractions rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("a" -> 1.2, "b" -> -0.2))
+    }
   }
 
   test("topKPerGroup matches naive sort-take per group") {
