@@ -394,6 +394,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
+    // Sequence packing: docs -> ~4000-token training sequences per lang
+    "q54_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling
+        .packSequences(docs, Seq("lang"), "doc_id", "n_tokens", 4000L)
+        .select(col("doc_id"), col("lang"), col("seq_id"))
+    }),
+
     // Deterministic train/val/test split: md5-hex bucket in [0,4096)
     // carved by cumulative fractions — stable under reprocessing/
     // appends/repartitioning, entirely map-side (no global window)
@@ -977,6 +986,15 @@ object SparkEntry {
            |                       ROWS UNBOUNDED PRECEDING) AS cum
            | FROM d)
            |SELECT doc_id, lang, n_tokens FROM c WHERE cum - n_tokens < 2000""".stripMargin,
+      "q54_sequence_packing" ->
+        s"""WITH t AS ($wordsSql),
+           |d AS (SELECT t.doc_id, doc.lang, CAST(len(words) AS BIGINT) AS n_tokens
+           |      FROM t JOIN documents doc ON doc.doc_id = t.doc_id)
+           |SELECT doc_id, lang,
+           |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+           |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |     ROWS UNBOUNDED PRECEDING) - n_tokens) / 4000.0) AS BIGINT) AS seq_id
+           |FROM d""".stripMargin,
       "q53_split_assignment" ->
         """SELECT doc_id,
           |  CASE WHEN b IS NULL THEN NULL

@@ -15,6 +15,29 @@ object Sampling {
 
   private def hashOrder(idCol: String) = md5(col(idCol).cast("string"))
 
+  /** Sequence packing: assign each row a sequence id such that every
+    * sequence holds ~`budget` of `weightCol` (token counts) — the
+    * batching step that turns a curated corpus into fixed-size training
+    * sequences. Rows walk their stratum in md5(id) order; a row joins
+    * the sequence its cumulative START falls in (docs are not split;
+    * sequences overflow by at most one row's weight, the standard greedy
+    * approximation). One window shuffle per stratum — strata (e.g.
+    * language) bound the sort, no global ordering.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(hashOrder(idCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("seq_id", floor((sum(col(weightCol)).over(w) - col(weightCol)) / budget))
+  }
+
   /** Uniform bucket in [0, 4096) from the first 3 hex chars of md5(id) —
     * entirely map-side (no global ordering/window, which would funnel
     * 100 TB through one partition) and engine-portable: both Spark and

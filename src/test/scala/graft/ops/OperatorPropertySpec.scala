@@ -169,6 +169,18 @@ class OperatorPropertySpec extends AnyFunSuite {
     val k2 = Sampling.budgetPerGroup(df.repartition(5), Seq("g"), "id", "w", 50L)
       .select("id").as[Long].collect().toSet
     assert(k1 === k2)
+    // sequence packing: every row assigned, sequences hold ~budget
+    // (overflow bounded by one row's weight), ids contiguous from 0
+    val packed = Sampling.packSequences(df, Seq("g"), "id", "w", 40L)
+    assert(packed.count() === 200)
+    val perSeq = packed.groupBy("g", "seq_id").agg(sum("w").as("s"))
+      .as[(String, Long, Long)].collect()
+    perSeq.foreach { case (g, sid, s) =>
+      assert(s < 40L + 7L, s"($g,$sid) over-packed: $s")
+    }
+    val seqIds = packed.filter($"g" === "g1").select("seq_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(seqIds === (0L until seqIds.length).toSeq)
   }
 
   test("assignSplit: partition of the data, stable under append, near target fractions") {

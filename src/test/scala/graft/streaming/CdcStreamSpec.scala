@@ -98,6 +98,33 @@ class CdcStreamSpec extends AnyFunSuite {
     )
   }
 
+  test("SCD2 state rebuilds exactly from the append-only event log (source of truth)") {
+    // disaster-recovery property: the partitioned event log alone is
+    // sufficient to reconstruct the state table the streaming sink
+    // maintains — fold(readEventLog(appendEventLog(events))) == fold(events)
+    val tmp = Files.createTempDirectory("rebuild").toString
+    val logPath = s"$tmp/eventlog"
+    val events = mkEvents(
+      ("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")),
+      ("e2", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00")),
+      ("e3", "insert", "c2", "t2", "k2", ts("2024-01-01 00:00:00")),
+      ("e4", "delete", "c2", "t2", "k2", ts("2024-01-03 00:00:00"))
+    )
+    graft.sinks.Sinks.appendEventLog(events.filter($"event_id".isin("e1", "e3")), logPath)
+    graft.sinks.Sinks.appendEventLog(events.filter($"event_id".isin("e2", "e4")), logPath)
+    val keys = Seq("company_id", "table_name", "key_value")
+    val rebuilt = Scd2.apply(
+      graft.sinks.Sinks.readEventLog(spark, logPath).drop("event_date"),
+      keys
+    )
+    val direct = Scd2.apply(events, keys)
+    val proj = Seq("key_value", "event_id", "is_current")
+    assert(
+      rebuilt.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet ===
+        direct.select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+    )
+  }
+
   test("every-Nth trigger fires once per N events per key") {
     val tmp = Files.createTempDirectory("trig").toString
     val srcDir = s"$tmp/events"
