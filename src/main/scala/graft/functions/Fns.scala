@@ -61,12 +61,11 @@ object Fns {
 
   /** Whitespace tokenization after punctuation strip — shared by the text
     * analysis / dedup operators. Lowercased, non-alnum -> space.
+    * Delegates to the native [[graft.plans.Tokenize]] expression (one
+    * byte scan per row); bit-identical to the composed
+    * regexp_replace/split/filter form — pinned in TextExpressionsSpec.
     */
-  def tokens(text: Column): Column =
-    filter(
-      split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
-      t => t =!= ""
-    )
+  def tokens(text: Column): Column = graft.plans.TextExpressions.tokenize(text)
 
   /** Word n-gram shingles from a token array: sliding windows of size n
     * joined by single spaces.

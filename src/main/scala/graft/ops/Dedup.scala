@@ -31,13 +31,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
   /** Distinct word n-gram shingle set per document, as an array column.
-    * Tokenization happens in its own projection so the shingle expression
-    * (which references the token array ~n+2 times) reuses one computed
-    * array per row instead of re-running the regex split each time.
+    * Native one-pass tokenize + shingle expressions
+    * ([[graft.plans.Tokenize]], [[graft.plans.DistinctShingles]]) — the
+    * composed regex/zip_with pipeline was the hottest map stage of the
+    * dedup family; both natives are bit-identical to it
+    * (TextExpressionsSpec).
     */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), array_distinct(Fns.shingles(col("toks"), n)).as("shingles"))
+      .select(
+        col("doc_id"),
+        graft.plans.TextExpressions.distinctShingles(col("toks"), n).as("shingles")
+      )
       .filter(size(col("shingles")) > 0)
 
   /** MinHash signature: sig[i] = min over shingles of h_i(shingle), the
