@@ -47,6 +47,17 @@ object GraftExtensions {
       "simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))
+    ),
+    (
+      "tokenize",
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      (args: Seq[Expression]) => Tokenize(args(0))
+    ),
+    (
+      "distinct_shingles",
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      (args: Seq[Expression]) =>
+        DistinctShingles(args(0), intArg(args(1), "distinct_shingles n"))
     )
   )
 

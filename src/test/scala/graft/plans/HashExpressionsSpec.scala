@@ -101,6 +101,10 @@ class HashExpressionsSpec extends AnyFunSuite {
       .head()
     assert(row.getAs[Double]("cs") === 1.0)
     assert(row.getAs[Seq[Long]]("sig").length === 4)
+    val toks = spark
+      .sql("SELECT distinct_shingles(tokenize('A b c a b c'), 2) AS s")
+      .as[Seq[String]].head()
+    assert(toks === Seq("a b", "b c", "c a"))
     // parity with the Column API on the same input
     val viaColumn = Seq((Seq(11L, 22L))).toDF("hs")
       .select(SimHash64.simhash64(col("hs"))).as[Long].head()
