@@ -107,10 +107,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     // this corpus is near-uniform (no planted cluster structure) — the
-    // adversarial case for IVF — so hitting 0.9 takes probing half the
-    // cells; clustered real-world embeddings need far fewer probes
+    // adversarial case for IVF — so hitting 0.9 takes probing over half
+    // the cells; clustered real-world embeddings need far fewer probes.
+    // nProbe=9 measures 0.94 here, leaving margin over the 0.9 gate for
+    // k-means float jitter (mean aggregation order is not pinned).
     val approx = Similarity
-      .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8, lloydIters = 3)
+      .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 9, lloydIters = 3)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall@5 = $recall over ${exact.size} exact neighbors")
