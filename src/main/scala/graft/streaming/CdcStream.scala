@@ -71,7 +71,7 @@ object CdcStream {
   def toWire(events: DataFrame): DataFrame =
     events.select(
       concat_ws("_", col("company_id"), col("table_name")).as("key"),
-      to_json(struct(events.columns.map(col): _*)).as("value")
+      to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value")
     )
 
   /** S6: Kafka sink — key `{company}_{table}` (NOT the reference's
