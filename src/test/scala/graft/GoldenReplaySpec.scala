@@ -65,6 +65,42 @@ class GoldenReplaySpec extends AnyFunSuite {
     assert(parsed.getLong(1) > 0)
   }
 
+  test("R3 flatten round-trips a REAL reference output event file value-exact") {
+    // the reference's own produced artifact: a flattened update event
+    // with old_/new_ prefixed columns (SURVEY.md §2.10 R3, schema read
+    // from data/parquet/...). Reconstruct the map-form event from it,
+    // run OUR flatten, and compare every payload cell against the file.
+    val refOut =
+      "/root/reference/data/parquet/Balance-Sheet-TTM/temp_Balance-Sheet-TTM_b24993c4"
+    assume(Files.exists(Paths.get(refOut)), "reference corpus not present; skipping")
+    val golden = spark.read
+      .parquet(refOut + "/update_20250309023936_aep-financials.parquet")
+    val payloadCols = golden.columns.filter(_.startsWith("old_")).map(_.stripPrefix("old_")).toSeq
+    assert(payloadCols.nonEmpty && golden.columns.count(_.startsWith("new_")) === payloadCols.size)
+    val metaCols = golden.columns.filterNot(c => c.startsWith("old_") || c.startsWith("new_")).toSeq
+    // file row -> map-form CdcEvent (our internal payload shape)
+    def mapOf(prefix: String) =
+      map(payloadCols.flatMap(c => Seq(lit(c), golden(prefix + c).cast("string"))): _*)
+    val mapForm = golden.select(
+      metaCols.map(golden(_)) ++ Seq(mapOf("old_").as("old_values"), mapOf("new_").as("new_values")): _*
+    )
+    // OUR R2/R3 flatten back out, with the reference's column order
+    val ours = ops.Reshape.flattenMap(
+      ops.Reshape.flattenMap(mapForm, "old_values", Some(payloadCols), prefix = "old_"),
+      "new_values", Some(payloadCols), prefix = "new_"
+    )
+    assert(ours.columns.sorted.toSeq === golden.columns.sorted.toSeq)
+    // value-exact per payload cell (string-compared, null-safe)
+    val g = golden.head()
+    val o = ours.head()
+    val diffs = golden.columns.filter { c =>
+      val gv = Option(g.get(g.fieldIndex(c))).map(_.toString)
+      val ov = Option(o.get(o.fieldIndex(c))).map(_.toString)
+      gv != ov
+    }
+    assert(diffs.isEmpty, s"cells diverge: ${diffs.take(5).mkString(", ")}")
+  }
+
   test("scd2 end-state after replaying a 3-upload sequence matches the last snapshot") {
     assume(Files.exists(Paths.get(refCsv)), "reference corpus not present; skipping")
     val v0 = SnapshotSource.read(spark, refCsv)
