@@ -100,52 +100,127 @@ object CdcStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stable state-bucket id for a record key: `pmod(xxhash64(keys), n)`.
+    * MUST stay fixed for the life of a state table (changing `n` scatters
+    * keys across buckets; re-bucketing requires a full rebuild from the
+    * event log, which CdcStreamSpec proves is always possible).
+    */
+  def stateBucket(keys: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
   /** ST3: apply each micro-batch of events to the SCD2 state table
-    * transactionally (merge only touched keys, then atomically replace).
+    * transactionally — merge only touched KEYS, rewrite only touched
+    * PARTITIONS.
     *
-    * Local state layout: parquet dir swapped via temp-dir rename. At
-    * cluster scale the same merge writes a partitioned table
-    * (partitionBy(company_id, table_name)) replacing only touched
-    * partitions, or a Delta MERGE where available — the dataflow
-    * (Scd2.merge) is identical.
+    * State layout: `statePath/bucket=<pmod(xxhash64(keys), numBuckets)>/`
+    * parquet dirs. Per micro-batch the sink (1) collects the batch's
+    * touched bucket ids (≤ numBuckets ints — driver-safe), (2) reads ONLY
+    * those bucket dirs as `existing`, (3) runs the touched-key
+    * [[Scd2.merge]], (4) writes the result partitioned by bucket to a
+    * staging dir, (5) swaps each touched bucket dir individually. I/O per
+    * batch is O(touched buckets), not O(total state) — the property that
+    * survives 100 TB of SCD2 state (the reference rewrites per EVENT,
+    * `consumer.py:152-197`; round 2 of this sink rewrote per BATCH; both
+    * are O(state)). On a cluster the same dataflow is `replaceWhere`
+    * (Delta) or dynamic-partition overwrite; the bucket column doubles as
+    * the pruning predicate.
+    *
+    * Crash recovery: each bucket swap is the two-move `.old` protocol; a
+    * crash at any point leaves every bucket either fully old or fully
+    * new, [[recoverState]] restores moved-aside buckets on the next
+    * batch, and the idempotent event_id merge makes the checkpoint's
+    * replayed batch safe against partially-applied buckets.
     */
   def scd2Sink(
       events: DataFrame,
       statePath: String,
       checkpoint: String,
-      keys: Seq[String] = Seq("company_id", "table_name", "key_value")
+      keys: Seq[String] = Seq("company_id", "table_name", "key_value"),
+      numBuckets: Int = 16
   ): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val p = Paths.get(statePath)
-        val old = Paths.get(statePath + ".old")
-        // crash recovery: the two-move swap below is not atomic — a crash
-        // between them leaves the state only at .old. Restore it before
-        // reading (the idempotent event_id merge makes the replayed batch
-        // safe); a leftover .old NEXT TO live state is a crash after the
-        // second move and is deleted below before the swap re-runs.
-        if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
-        val existing =
-          if (Files.exists(p)) Some(spark.read.parquet(statePath))
-          else None
-        val base = existing.getOrElse {
-          Scd2.apply(batch.limit(0), keys) // empty frame with target schema
-        }
-        val merged = Scd2.merge(base, batch.dropDuplicates("event_id"), keys)
-        val tmp = statePath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (Files.exists(p)) {
-          if (Files.exists(old)) deleteRecursively(old.toFile) // stale from a post-swap crash
-          Files.move(p, old)
-          Files.move(Paths.get(tmp), p)
-          deleteRecursively(old.toFile)
-        } else Files.move(Paths.get(tmp), p)
-        ()
+        applyBatchToState(batch, statePath, keys, numBuckets)
       }
       .start()
+
+  /** One micro-batch of [[scd2Sink]], exposed for batch-mode use and
+    * direct testing (CdcStreamSpec asserts a single-bucket batch rewrites
+    * exactly one partition directory).
+    */
+  def applyBatchToState(
+      batch: DataFrame,
+      statePath: String,
+      keys: Seq[String] = Seq("company_id", "table_name", "key_value"),
+      numBuckets: Int = 16
+  ): Unit = {
+    val spark = batch.sparkSession
+    val root = Paths.get(statePath)
+    Files.createDirectories(root)
+    recoverState(root)
+    val deduped = batch.dropDuplicates("event_id")
+    val touched = deduped
+      .select(stateBucket(keys, numBuckets).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    if (touched.isEmpty) return
+    val existingDirs = touched
+      .map(b => root.resolve(s"bucket=$b"))
+      .filter(Files.exists(_))
+      .map(_.toString)
+    val existing =
+      if (existingDirs.nonEmpty) spark.read.parquet(existingDirs.toIndexedSeq: _*)
+      else Scd2.apply(deduped.limit(0), keys) // empty frame with target schema
+    val merged = Scd2.merge(existing, deduped, keys)
+    val tmp = statePath + ".tmp"
+    merged
+      .withColumn("bucket", stateBucket(keys, numBuckets))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(tmp)
+    touched.foreach { b =>
+      val fresh = Paths.get(s"$tmp/bucket=$b")
+      if (Files.exists(fresh)) swapDir(root.resolve(s"bucket=$b"), fresh)
+    }
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** Read back the SCD2 state table (drops the physical bucket column). */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop("bucket")
+
+  /** Two-move swap of one bucket dir: live -> .old, fresh -> live, drop
+    * .old. Not atomic; every crash window is covered by [[recoverState]].
+    */
+  private def swapDir(live: java.nio.file.Path, fresh: java.nio.file.Path): Unit = {
+    val old = Paths.get(live.toString + ".old")
+    if (Files.exists(live)) {
+      if (Files.exists(old)) deleteRecursively(old.toFile) // stale post-swap crash
+      Files.move(live, old)
+      Files.move(fresh, live)
+      deleteRecursively(old.toFile)
+    } else { Files.move(fresh, live); () }
+  }
+
+  /** Restore any bucket left mid-swap by a crash: a `bucket=N.old` with
+    * no live `bucket=N` is a crash between the two moves — move it back;
+    * a `.old` NEXT TO a live dir is a crash after the second move — drop
+    * it.
+    */
+  private def recoverState(root: java.nio.file.Path): Unit = {
+    if (!Files.exists(root)) return
+    val children = Option(root.toFile.listFiles).getOrElse(Array.empty)
+    children.filter(f => f.isDirectory && f.getName.endsWith(".old")).foreach { oldF =>
+      val live = Paths.get(oldF.getPath.stripSuffix(".old"))
+      if (!Files.exists(live)) { Files.move(oldF.toPath, live); () }
+      else deleteRecursively(oldF)
+    }
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))

@@ -98,6 +98,52 @@ class CdcStreamSpec extends AnyFunSuite {
     )
   }
 
+  test("a micro-batch touching one bucket rewrites exactly one partition directory") {
+    val tmp = Files.createTempDirectory("incr").toString
+    val srcDir = s"$tmp/events"
+    val statePath = s"$tmp/state"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // spread 20 keys over 8 buckets so the state has several partitions
+    val batch1 = mkEvents((1 to 20).map { i =>
+      (s"e$i", "insert", "c1", "t1", s"k$i", ts(f"2024-01-01 00:${i}%02d:00"))
+    }: _*)
+    batch1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CdcStream.scd2Sink(
+      CdcStream.fileEventStream(spark, srcDir), statePath, s"$tmp/ckpt", numBuckets = 8)
+    q.processAllAvailable()
+
+    def listing(): Map[String, Set[String]] = {
+      val root = new java.io.File(statePath)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles.map(f => s"${f.getName}@${f.lastModified}").toSet
+      }.toMap
+    }
+    val before = listing()
+    assert(before.size >= 2, s"need several buckets, got ${before.keys}") // precondition
+
+    // second micro-batch touches a single existing key -> a single bucket
+    mkEvents(("e99", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val after = listing()
+
+    assert(after.keySet === before.keySet) // no partition appears/disappears
+    val changed = before.keys.filter(d => before(d) != after(d))
+    assert(changed.size === 1, s"exactly one bucket dir may be rewritten, got $changed")
+
+    // and the state is still the exact batch fold
+    val all = batch1.unionByName(
+      mkEvents(("e99", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00"))))
+    val proj = Seq("key_value", "event_id", "is_current")
+    assert(
+      CdcStream.readState(spark, statePath)
+        .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet ===
+        Scd2.apply(all, Seq("company_id", "table_name", "key_value"))
+          .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+    )
+  }
+
   test("SCD2 state rebuilds exactly from the append-only event log (source of truth)") {
     // disaster-recovery property: the partitioned event log alone is
     // sufficient to reconstruct the state table the streaming sink
