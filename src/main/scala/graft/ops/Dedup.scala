@@ -330,6 +330,17 @@ object Dedup {
   /** Embedding near-dup: random-hyperplane LSH buckets -> candidate
     * pairs -> exact cosine verify. Hyperplanes are derived from a fixed
     * seed so runs are reproducible.
+    *
+    * Same per-bucket posting-list shape as [[lshCandidates]] /
+    * [[simHashPairs]]: the 16 hyperplane dot products per row run in ONE
+    * projection (the most expensive map stage), candidates come from one
+    * shuffle on the band key — a bucket self-join would scan and
+    * recompute that projection for BOTH join sides — and only candidate
+    * pairs join the raw vectors back for the exact-cosine verify. The
+    * plane fold is the sequential `aggregate(zip_with(...))` double sum
+    * on purpose: the DuckDB oracle replays the same seeded planes with a
+    * left-to-right `list_reduce`, so bucket keys are bit-identical
+    * across engines (q21's hash-exact check depends on it).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -339,7 +350,8 @@ object Dedup {
       bands: Int = 4,
       bitsPerBand: Int = 4,
       threshold: Double = 0.9,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
@@ -357,17 +369,22 @@ object Dedup {
       struct(lit(b).as("band"), key.as("bhash"))
     }
     val exploded = df
-      .select(col(idCol).as("doc_id"), col(vecCol).as("v"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("v"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
-    exploded
-      .as("a")
-      .join(
-        exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.v").as("v_i"), col("b.v").as("v_j"))
+      .select(col(idCol).as("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val postings = exploded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val bounded = maxBucket.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    val cand = bounded
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
+    val vi = df.select(col(idCol).as("i"), col(vecCol).as("v_i"))
+    val vj = df.select(col(idCol).as("j"), col(vecCol).as("v_j"))
+    cand
+      .join(vi, "i")
+      .join(vj, "j")
       // native single-loop cosine (graft.plans.CosineSimilarity) — the
       // candidate-verify pass is the hot loop of this operator
       .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))

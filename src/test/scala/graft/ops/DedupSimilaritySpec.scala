@@ -146,4 +146,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("cosine").as[Double].collect()
     assert(pairs.forall(_ >= 0.3))
   }
+
+  test("embedding LSH posting-list candidates == bucket self-join candidates") {
+    // pins the posting-list rewrite to the mathematically equivalent
+    // self-join formulation it replaced: identical (i, j, cosine) set
+    val fast = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
+      .select($"i", $"j", round($"cosine", 9)).as[(Long, Long, Double)].collect().toSet
+
+    // reference: same seeded planes, candidates via exploded-bucket self-join
+    val rnd = new scala.util.Random(42L)
+    val planes = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    def dotPlane(p: Seq[Double]) =
+      aggregate(zip_with($"embedding", typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+    val bandCols = (0 until 4).map { b =>
+      val key = (0 until 4).foldLeft(lit(0L)) { (acc, k) =>
+        acc * 2 + when(dotPlane(planes(b * 4 + k)) > 0, 1L).otherwise(0L)
+      }
+      struct(lit(b).as("band"), key.as("bhash"))
+    }
+    val exploded = emb
+      .select($"vec_id".as("doc_id"), $"embedding".as("v"), explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"v", $"bk.band".as("band"), $"bk.bhash".as("bhash"))
+    val slow = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.v").as("v_i"), col("b.v").as("v_j"))
+      .distinct()
+      .select($"i", $"j", round(graft.functions.Fns.cosine($"v_i", $"v_j"), 9).as("cosine"))
+      .filter($"cosine" >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(fast === slow)
+  }
+
+  test("embedding LSH bucket cap: generous cap == uncapped") {
+    val uncapped = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3,
+        maxBucket = Some(100000))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    val tight = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3,
+        maxBucket = Some(3))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(uncapped))
+  }
 }
