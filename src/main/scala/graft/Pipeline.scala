@@ -108,16 +108,10 @@ object Pipeline {
         to_date(col("ts")).as("date")
       )
       .agg(count(lit(1)).cast("double").as("value"))
-    // gap-fill per (company, table) series
-    val spark = eventLog.sparkSession
-    val calendar = spark
-      .range(1)
-      .select(explode(sequence(to_date(lit(start)), to_date(lit(end)), expr("interval 1 day"))).as("date"))
-    val keys = eventLog.select("company_id", "table_name").distinct()
-    val series = keys
-      .crossJoin(calendar)
-      .join(daily, Seq("company_id", "table_name", "date"), "left")
-      .na.fill(0.0, Seq("value"))
+    // per-(company, table) gap-fill: the key set comes from the tiny
+    // aggregated frame, not a second distinct scan over the event log
+    val series =
+      Analytics.gapFillPerKey(daily, Seq("company_id", "table_name"), start, end)
     Anomaly.score(series, Seq("company_id", "table_name"), lookback = lookback, threshold = threshold)
   }
 }

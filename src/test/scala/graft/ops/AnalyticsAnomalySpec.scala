@@ -18,6 +18,24 @@ class AnalyticsAnomalySpec extends AnyFunSuite {
     assert(filled.select("value").as[Double].collect().toSeq === Seq(5.0, 0.0, 0.0, 2.0, 0.0))
   }
 
+  test("gapFillPerKey gives every key its own full zero-filled calendar") {
+    val daily = Seq(
+      ("c1", "t1", "2024-01-01", 5.0),
+      ("c1", "t1", "2024-01-04", 2.0),
+      ("c2", "t2", "2024-01-02", 7.0)
+    ).toDF("company_id", "table_name", "d", "value")
+      .select($"company_id", $"table_name", to_date($"d").as("date"), $"value")
+    val filled = Analytics
+      .gapFillPerKey(daily, Seq("company_id", "table_name"), "2024-01-01", "2024-01-05")
+    assert(filled.count() === 10) // 2 keys x 5 days
+    val c1 = filled.filter($"company_id" === "c1").orderBy("date")
+      .select("value").as[Double].collect().toSeq
+    assert(c1 === Seq(5.0, 0.0, 0.0, 2.0, 0.0))
+    val c2 = filled.filter($"company_id" === "c2").orderBy("date")
+      .select("value").as[Double].collect().toSeq
+    assert(c2 === Seq(0.0, 7.0, 0.0, 0.0, 0.0))
+  }
+
   test("eventHistogram rollup total equals sum of groups") {
     val df = Seq("a", "a", "b").toDF("event_type")
     val h = Analytics.eventHistogram(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
