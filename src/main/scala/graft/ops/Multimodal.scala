@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
-  * The Spark-side shape is real and tested (schema, partitioning, batch
-  * iteration); the codec itself is STUBBED with a deterministic fake
-  * because no image/audio libraries exist in this environment — the
-  * `decodeStub` marks exactly where a JNI/javacpp codec call would go.
+  * The decode path is REAL for every format the JDK ships ImageIO
+  * readers for (PNG, BMP, GIF incl. multi-frame, JPEG, WBMP, TIFF on
+  * Java 17) — true width/height/frame count and per-frame mean
+  * luminance, zero extra dependencies. Bytes no reader claims (text
+  * corpora, audio, video) fall back to a deterministic byte-derived
+  * surrogate so any corpus flows end-to-end; that fallback marks
+  * exactly where a JNI/javacpp codec (ffmpeg et al.) would widen
+  * coverage.
   *
   * Scale notes: binaries stay in executor memory one partition at a
   * time (`mapPartitions` streams the iterator — no collect, no
@@ -36,23 +40,68 @@ object Multimodal {
   def attachBinary(df: DataFrame, srcCol: String, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(srcCol).cast("binary").as("media"))
 
-  /** STUB decode: a real implementation would call an image/audio codec
-    * here (e.g. javacpp-ffmpeg) per element. The fake derives
-    * deterministic pseudo-metadata from the bytes so tests are stable.
+  /** Decode one media value. Real ImageIO decode when a JDK reader
+    * recognizes the bytes (TextMultimodalReshapeSpec asserts true
+    * dimensions of synthesized PNG/BMP/GIF images); deterministic
+    * byte-derived surrogate otherwise — the marked extension point for
+    * a native codec dependency (audio/video).
     */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+  private def decodeMedia(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val len = bytes.length.toLong
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    val nFrames = (len % 16 + 1).toInt
-    // fake per-frame means: mean byte value of each of nFrames slices
-    val frameMeans = Array.tabulate(nFrames) { f =>
-      val lo = (len * f / nFrames).toInt
-      val hi = (len * (f + 1) / nFrames).toInt
-      if (hi > lo) bytes.slice(lo, hi).map(b => (b & 0xff).toDouble).sum / (hi - lo)
-      else 0.0
+    decodeImage(bytes) match {
+      case Some((w, h, means)) =>
+        MediaFeatures(id, len, hex, w, h, means.length, means)
+      case None =>
+        // surrogate: pseudo-metadata derived from the raw bytes
+        val nFrames = (len % 16 + 1).toInt
+        val frameMeans = Array.tabulate(nFrames) { f =>
+          val lo = (len * f / nFrames).toInt
+          val hi = (len * (f + 1) / nFrames).toInt
+          if (hi > lo) bytes.slice(lo, hi).map(b => (b & 0xff).toDouble).sum / (hi - lo)
+          else 0.0
+        }
+        MediaFeatures(id, len, hex, (len % 640).toInt, (len % 480).toInt, nFrames, frameMeans)
     }
-    MediaFeatures(id, len, hex, (len % 640).toInt, (len % 480).toInt, nFrames, frameMeans)
+  }
+
+  /** JDK ImageIO decode: (width, height, per-frame mean luminance), or
+    * None when no installed reader claims the bytes. Multi-frame
+    * formats (GIF) yield one mean per frame.
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try {
+          val n = math.max(reader.getNumImages(true), 1)
+          val means = Array.tabulate(n) { f =>
+            val im = reader.read(f)
+            var sum = 0.0
+            var y = 0
+            while (y < im.getHeight) {
+              var x = 0
+              while (x < im.getWidth) {
+                val rgb = im.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val px = im.getWidth.toLong * im.getHeight
+            if (px > 0) sum / px else 0.0
+          }
+          Some((reader.getWidth(0), reader.getHeight(0), means))
+        } finally reader.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None // corrupt header etc. -> surrogate
+    } finally if (iis != null) iis.close()
   }
 
   /** Feature extraction over the binary column: partition-parallel
@@ -65,7 +114,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
   }
 
   /** Metadata-only projection, pure column expressions (no decode): what

@@ -90,6 +90,49 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real image decode via JDK ImageIO (true dims, means, frames)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      im
+    }
+    def encode(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode(img(7, 5, 0x808080), "png")),  // gray PNG
+      (2L, encode(img(3, 9, 0xffffff), "bmp")),  // white BMP
+      (3L, animatedGif(Seq(img(4, 4, 0x000000), img(4, 4, 0xffffff)))), // 2-frame GIF
+      (4L, "not an image at all".getBytes("UTF-8")) // surrogate path
+    ).toDF("doc_id", "media")
+    val feats = Multimodal.extractFeatures(rows).collect().map(f => f.doc_id -> f).toMap
+
+    assert(feats(1L).width === 7 && feats(1L).height === 5 && feats(1L).n_frames === 1)
+    assert(feats(1L).frame_means.toSeq === Seq(128.0)) // 0x80 per channel, lossless
+    assert(feats(2L).width === 3 && feats(2L).height === 9)
+    assert(feats(2L).frame_means.toSeq === Seq(255.0))
+    assert(feats(3L).width === 4 && feats(3L).height === 4 && feats(3L).n_frames === 2)
+    // non-image bytes flow through the deterministic surrogate
+    val len = "not an image at all".getBytes("UTF-8").length
+    assert(feats(4L).byte_len === len && feats(4L).width === len % 640)
+  }
+
   test("multimodal: frame sampling strides over n_frames") {
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef0")).toDF("doc_id", "text") // 33 bytes -> 2 frames
     val media = Multimodal.attachBinary(docs, "text", "doc_id")
