@@ -129,8 +129,24 @@ object Similarity {
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
     val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
-    // probes: nProbe best cells per query, map-side (sort the scored-cell
-    // array descending, take nProbe, explode)
+    searchCells(assigned, queries, cents, vecCol, idCol, k, nProbe)
+  }
+
+  /** The probe+rank stage shared by the inline and at-rest IVF paths:
+    * nProbe best cells per query (map-side: sort the scored-cell array
+    * descending, take nProbe, explode), join the assigned corpus on
+    * cent_id (queries are small -> AQE broadcasts them), exact-cosine
+    * top-k per query.
+    */
+  private def searchCells(
+      assigned: DataFrame,
+      queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(
@@ -139,7 +155,6 @@ object Similarity {
         explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
       )
       .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
-    // search only probed cells (queries are small -> AQE broadcasts them)
     val wTop = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid"))
     probes
       .join(assigned, "cent_id")
@@ -147,5 +162,63 @@ object Similarity {
       .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
+  }
+
+  /** Build the IVF index AT REST: train centroids, assign every corpus
+    * vector to its cell (map-side, zero shuffles), and write the
+    * assigned corpus as a table bucketed by `cent_id`
+    * ([[graft.sinks.Sinks.writeBucketed]]). Returns the centroids — the
+    * driver-held metadata a query needs ([[ivfTopKIndexed]]).
+    *
+    * This is the 100 TB layout: the one-time bucketed write replaces the
+    * per-query inline assignment, and every query afterwards reads only
+    * its probed cells (bucket pruning) instead of scanning the corpus.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      nCells: Int = 16,
+      lloydIters: Int = 3
+  ): Seq[(Long, Seq[Double])] = {
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
+    val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+    graft.sinks.Sinks.writeBucketed(assigned, table, Seq("cent_id"), numBuckets = nCells)
+    cents
+  }
+
+  /** IVF ANN over the at-rest index written by [[writeIvfIndex]]. The
+    * union of probed cell ids across all queries is bounded by nCells —
+    * driver-safe to collect no matter how many queries — and becomes an
+    * `IN` filter on the bucket column, so the scan reads ONLY the probed
+    * buckets (`SelectedBucketsCount` in the plan; DedupSimilaritySpec
+    * proves ≤ nProbe of nCells buckets read and zero corpus-side
+    * Exchange) and results are identical to the inline [[ivfTopK]] for
+    * the same centroids.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      cents: Seq[(Long, Seq[Double])],
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val probedCells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(
+        explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
+      )
+      .select((-col("cell").getField("negid")).as("cent_id"))
+      .distinct()
+      .as[Long]
+      .collect()
+      .sorted
+    val assigned = spark.table(table).filter(col("cent_id").isin(probedCells: _*))
+    searchCells(assigned, queries, cents, vecCol, idCol, k, nProbe)
   }
 }

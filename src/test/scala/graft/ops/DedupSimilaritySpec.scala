@@ -140,6 +140,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept === Set(1L, 7L))
   }
 
+  test("IVF index at rest: probes read only probed buckets, results match inline") {
+    val cents = Similarity.writeIvfIndex(emb, "embedding", "vec_id", "ivf_idx", nCells = 16)
+
+    // single query, nProbe=4: the probe scan may read AT MOST 4 of the
+    // 16 buckets (bucket pruning from the IN filter on cent_id)
+    val oneQ = emb.filter($"vec_id" === 0)
+    val one = Similarity.ivfTopKIndexed(spark, "ivf_idx", cents, oneQ, "embedding", "vec_id", 5, nProbe = 4)
+    one.collect() // execute so AQE finalizes the plan
+    val plan = one.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt <= 4 && sel.get.group(2).toInt === 16,
+      s"expected <=4 of 16 buckets, got ${sel.get.matched}")
+    // corpus side never shuffles: the tiny probe side broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+
+    // and the indexed path returns exactly the inline ivfTopK answer
+    // (identical deterministic centroids -> identical cells and ranks)
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity
+      .ivfTopKIndexed(spark, "ivf_idx", cents, qs, "embedding", "vec_id", 5, nProbe = 4)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity
+      .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 4)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(indexed === inline)
+  }
+
   test("embedding LSH near-dup pairs are cosine-verified (no false positives)") {
     val pairs = Dedup
       .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
