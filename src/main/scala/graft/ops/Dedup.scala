@@ -332,15 +332,17 @@ object Dedup {
     * seed so runs are reproducible.
     *
     * Same per-bucket posting-list shape as [[lshCandidates]] /
-    * [[simHashPairs]]: the 16 hyperplane dot products per row run in ONE
-    * projection (the most expensive map stage), candidates come from one
-    * shuffle on the band key — a bucket self-join would scan and
-    * recompute that projection for BOTH join sides — and only candidate
-    * pairs join the raw vectors back for the exact-cosine verify. The
-    * plane fold is the sequential `aggregate(zip_with(...))` double sum
-    * on purpose: the DuckDB oracle replays the same seeded planes with a
-    * left-to-right `list_reduce`, so bucket keys are bit-identical
-    * across engines (q21's hash-exact check depends on it).
+    * [[simHashPairs]]: all band keys per row come from ONE native
+    * single-pass expression ([[graft.plans.HyperplaneBands]] — the
+    * composed 16-chain `aggregate(zip_with(...))` projection was this
+    * operator's dominant map stage), candidates come from one shuffle on
+    * the band key — a bucket self-join would scan and recompute that
+    * projection for BOTH join sides — and only candidate pairs join the
+    * raw vectors back for the exact-cosine verify. Each plane dot
+    * accumulates left-to-right over doubles, matching both the composed
+    * fold ([[composedBandKeys]], pinned bit-identical in
+    * HashExpressionsSpec) and the DuckDB oracle's `list_reduce` replay
+    * (q21's hash-exact check depends on it).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -353,24 +355,14 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Option[Int] = None
   ): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
-    def dotPlane(p: Seq[Double]): Column =
-      aggregate(
-        zip_with(col(vecCol), typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-    val bandCols = (0 until bands).map { b =>
-      val key = (0 until bitsPerBand).foldLeft(lit(0L)) { (acc, k) =>
-        acc * 2 + when(dotPlane(planes(b * bitsPerBand + k)) > 0, 1L).otherwise(0L)
-      }
-      struct(lit(b).as("band"), key.as("bhash"))
-    }
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val exploded = df
-      .select(col(idCol).as("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(
+          graft.plans.HyperplaneBands.hyperplaneBands(col(vecCol), planes, bitsPerBand)
+        ).as(Seq("band", "bhash"))
+      )
     val postings = exploded
       .groupBy(col("band"), col("bhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -389,5 +381,39 @@ object Dedup {
       // candidate-verify pass is the hot loop of this operator
       .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The seeded hyperplane family shared by the native expression, the
+    * composed-form parity pin, and the DuckDB oracle replay
+    * (SparkEntry.embeddingLshSql regenerates the same RNG sequence).
+    */
+  private[graft] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** The pre-native composed formulation of the band keys (one boxed
+    * `aggregate(zip_with(...))` fold per plane), kept ONLY as the parity
+    * reference for [[graft.plans.HyperplaneBands]] in
+    * HashExpressionsSpec. Returns one `(band, bhash)` struct per band.
+    */
+  private[graft] def composedBandKeys(
+      vec: Column,
+      planes: Seq[Seq[Double]],
+      bitsPerBand: Int
+  ): Column = {
+    def dotPlane(p: Seq[Double]): Column =
+      aggregate(
+        zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    val bandCols = (0 until planes.size / bitsPerBand).map { b =>
+      val key = (0 until bitsPerBand).foldLeft(lit(0L)) { (acc, k) =>
+        acc * 2 + when(dotPlane(planes(b * bitsPerBand + k)) > 0, 1L).otherwise(0L)
+      }
+      struct(lit(b).as("band"), key.as("bhash"))
+    }
+    array(bandCols: _*)
   }
 }

@@ -89,6 +89,43 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("HyperplaneBands == composed per-plane aggregate(zip_with) fold") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = graft.ops.Dedup.hyperplanes(dim = 64, n = 16, seed = 42L)
+    val composedKeys = transform(
+      graft.ops.Dedup.composedBandKeys(col("embedding"), planes, 4),
+      s => s.getField("bhash")
+    )
+    val mismatches = emb
+      .select(
+        HyperplaneBands.hyperplaneBands(col("embedding"), planes, 4).as("native"),
+        composedKeys.as("composed")
+      )
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches === 0)
+    // edge cases: null vector null-propagates; a null ELEMENT poisons
+    // every dot (null > 0 is false in the composed when) -> all-zero keys
+    val tiny = Seq(Seq(1.0, -2.0), Seq(3.0, 4.0))
+    val edge = Seq(
+      (1L, Some(Seq[Option[Double]](Some(1.0), None))),
+      (2L, None)
+    ).toDF("id", "v")
+    val got = edge
+      .select(col("id"), HyperplaneBands.hyperplaneBands(col("v"), tiny, 1).as("k"))
+      .as[(Long, Option[Seq[Long]])]
+      .collect()
+      .toMap
+    assert(got(1L) === Some(Seq(0L, 0L)))
+    assert(got(2L) === None)
+    // dimension mismatch raises rather than silently truncating
+    val err = intercept[Exception] {
+      Seq(Seq(1.0)).toDF("v")
+        .select(HyperplaneBands.hyperplaneBands(col("v"), tiny, 1)).collect()
+    }
+    assert(err.getMessage.contains("length"))
+  }
+
   test("SQL function registration: cosine_sim / minhash_signature / simhash64 callable from SQL") {
     GraftExtensions.register(spark)
     Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(11L, 22L)))
