@@ -403,6 +403,37 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("seq_id"))
     }),
 
+    // Benchmark decontamination: training docs sharing any word 3-gram
+    // with the eval split (doc_id % 97 == 0 plays the benchmark)
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text",
+          "doc_id",
+          n = 3
+        )
+    }),
+
+    // Incremental exact dedup: a new batch (half replayed corpus text,
+    // half genuinely-new suffixed text) deduped against the full corpus
+    // via bloom prefilter + exact anti-join confirm
+    "q56_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newBatch = docs
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"))
+        )
+      Dedup.incrementalExact(newBatch, docs, "text", "doc_id", expectedHistoryItems = 100000L)
+    }),
+
     // Deterministic train/val/test split: md5-hex bucket in [0,4096)
     // carved by cumulative fractions — stable under reprocessing/
     // appends/repartitioning, entirely map-side (no global window)
@@ -995,6 +1026,28 @@ object SparkEntry {
            |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
            |     ROWS UNBOUNDED PRECEDING) - n_tokens) / 4000.0) AS BIGINT) AS seq_id
            |FROM d""".stripMargin,
+      "q55_decontaminate" ->
+        s"""WITH t AS ($wordsSql),
+           |s AS (SELECT DISTINCT doc_id,
+           |   unnest(list_transform(range(1, len(words)-1),
+           |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+           | FROM t WHERE len(words) >= 3),
+           |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+           |m AS (SELECT s.doc_id, count(*) AS n_shared FROM s JOIN ev USING (sh)
+           |      WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+           |SELECT d.doc_id, CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+           |       coalesce(m.n_shared, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+           |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+      "q56_incremental_dedup" ->
+        """WITH n AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' v2' FROM documents WHERE doc_id % 7 = 1)
+          |SELECT doc_id, md5(text) AS fingerprint FROM n
+          |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""".stripMargin,
+
       "q53_split_assignment" ->
         """SELECT doc_id,
           |  CASE WHEN b IS NULL THEN NULL

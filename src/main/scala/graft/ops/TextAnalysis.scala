@@ -183,4 +183,47 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"), fp.as("fingerprint"))
       .withColumn("n_same", count(lit(1)).over(w))
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with an evaluation set (the standard n-gram-overlap test-set
+    * contamination check, e.g. GPT-3 appendix C / PaLM §8 style, at
+    * configurable n). Returns one row per training doc:
+    * `(doc_id, n_shared, contaminated)` where `n_shared` counts DISTINCT
+    * shared n-grams.
+    *
+    * Scale shape: the eval side is a benchmark — tiny relative to the
+    * corpus — so its distinct-shingle vocabulary is broadcast and the
+    * corpus side never shuffles for the match (map-side broadcast
+    * semi-join of exploded shingles). Only MATCHED shingle rows (rare)
+    * reach the per-doc count shuffle, and the final flag join sees one
+    * row per contaminated doc — AQE broadcasts it back onto the corpus.
+    * Shingling itself is the native one-pass tokenize/shingle pair
+    * ([[graft.plans.TextExpressions]]).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val evalShingles = Dedup
+      .shingleSets(evalSet, textCol, idCol, n)
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+    val matched = Dedup
+      .shingleSets(docs, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated")
+      )
+  }
 }

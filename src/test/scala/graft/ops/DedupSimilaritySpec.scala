@@ -168,6 +168,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("incremental exact dedup == plain anti-join; bloom rejects skip the join") {
+    // history = the corpus; new batch = half replayed dupes (must drop),
+    // half suffixed texts (genuinely new, must survive)
+    val newBatch = docs
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text")
+      .unionByName(
+        docs.filter($"doc_id" % 7 === 1).select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" v2")).as("text"))
+      )
+    val got = Dedup
+      .incrementalExact(newBatch, docs, "text", "doc_id", expectedHistoryItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = newBatch
+      .select($"doc_id", md5($"text").as("fp"))
+      .join(docs.select(md5($"text").as("fp")), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty && got.forall(_ >= 1000000L), "dupes must drop, suffixed must survive")
+    // degenerate fpp=1-ish sizing still exact (everything bloom-positive
+    // -> everything confirmed by the anti-join)
+    val tiny = Dedup
+      .incrementalExact(newBatch, docs, "text", "doc_id", expectedHistoryItems = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny === want)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    val evalSet = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val got = TextAnalysis.decontaminate(train, evalSet, "text", "doc_id", n = 3)
+    // reference: per-doc distinct 3-gram sets intersected with the eval vocab
+    val sh = Dedup.shingleSets(train, "text", "doc_id", 3)
+    val evalVocab = Dedup.shingleSets(evalSet, "text", "doc_id", 3)
+      .select(explode($"shingles").as("sh")).distinct().as[String].collect().toSet
+    val want = sh.select($"doc_id", $"shingles").as[(Long, Seq[String])].collect()
+      .map { case (id, ss) => id -> ss.count(evalVocab) }.filter(_._2 > 0).toMap
+    val gotMap = got.filter($"contaminated")
+      .select($"doc_id", $"n_shared").as[(Long, Long)].collect().toMap
+    assert(gotMap === want.map { case (k, v) => k -> v.toLong })
+    assert(want.nonEmpty, "synthetic corpus must produce some contamination at n=3")
+    // every train doc gets a row, uncontaminated ones with n_shared=0
+    assert(got.count() === train.count())
+  }
+
   test("embedding LSH near-dup pairs are cosine-verified (no false positives)") {
     val pairs = Dedup
       .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
