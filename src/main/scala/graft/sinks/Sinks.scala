@@ -57,6 +57,66 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered layout at rest: sort the data along an interleaved-bit
+    * (Morton) curve over `cols` so parquet min/max stats stay TIGHT on
+    * every curve dimension at once — multi-dimensional data skipping
+    * where a plain sort only skips on its leading column. A point/range
+    * predicate on ANY of the z-columns then prunes most files/row-groups
+    * at scan time (Spark evaluates pushed filters against footer stats).
+    * This is the standard lakehouse layout lever for 100 TB fact tables
+    * queried along several independent dimensions (user, time, value).
+    *
+    * Mechanics: each column is min/max-scaled to 16 bits (one tiny agg
+    * pass for the bounds — at scale, pass cached bounds in), bits are
+    * interleaved into one long z-value with codegen'd shift/or
+    * arithmetic, and the frame is range-partitioned + sorted by it.
+    * ZOrderSpec proves a 2-D range query overlaps strictly fewer files
+    * than a single-column sorted layout of the same data.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      nFiles: Int = 64,
+      bounds: Map[String, (Double, Double)] = Map.empty
+  ): Unit = {
+    require(cols.nonEmpty && cols.size <= 4, "z-order over 1-4 columns")
+    val have = bounds.keySet
+    val need = cols.filterNot(have)
+    val computed: Map[String, (Double, Double)] =
+      if (need.isEmpty) Map.empty
+      else {
+        val aggs = need.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c"))
+        )
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        need.map(c => c -> (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))).toMap
+      }
+    val all = bounds ++ computed
+    val bits = 16
+    val scaled = cols.map { c =>
+      val (mn, mx) = all(c)
+      val range = if (mx > mn) mx - mn else 1.0
+      least(
+        lit((1 << bits) - 1),
+        greatest(lit(0), floor((col(c).cast("double") - mn) / range * ((1 << bits) - 1)))
+      ).cast("long")
+    }
+    // interleave: output bit (b * ndims + d) = bit b of dimension d
+    val z = (0 until bits)
+      .flatMap(b => scaled.zipWithIndex.map { case (s, d) => (b, d, s) })
+      .foldLeft(lit(0L)) { case (acc, (b, d, s)) =>
+        acc.bitwiseOR(shiftleft(shiftright(s, b).bitwiseAND(1L), b * cols.size + d))
+      }
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Compact the event log's accumulated micro-batch files: rewrite each
     * (company_id, table_name, event_date) partition into
     * ceil(rows / rowsPerFile) files. Streaming appends produce one file
