@@ -131,6 +131,57 @@ object Multimodal {
       (octet_length(col("media")) % 16 + 1).cast("long").as("n_frames")
     )
 
+  /** Resize the binary image column to fit inside `maxW` x `maxH`
+    * (aspect-preserving downscale, bilinear, re-encoded as PNG) —
+    * the normalize-before-training step of an image pipeline. Real for
+    * every ImageIO-readable format; bytes no reader claims pass through
+    * unchanged with `resized=false` (the same codec extension point as
+    * [[extractFeatures]]). Never upscales.
+    *
+    * Same scale shape as the decoder: partition-streaming iterator
+    * transform, one image in memory at a time, blobs never on the
+    * driver.
+    */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = try {
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (im == null) None
+          else {
+            val scale = math.min(
+              1.0,
+              math.min(maxW.toDouble / im.getWidth, maxH.toDouble / im.getHeight)
+            )
+            val (w, h) =
+              (math.max(1, (im.getWidth * scale).round.toInt),
+                math.max(1, (im.getHeight * scale).round.toInt))
+            val scaled =
+              new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+            )
+            g.drawImage(im, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            Some((bos.toByteArray, w, h))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        out match {
+          case Some((b, w, h)) => (id, b, w, h, true)
+          case None => (id, bytes, -1, -1, false)
+        }
+      })
+      .toDF("doc_id", "media", "width", "height", "resized")
+  }
+
   /** Frame sampling: keep every `stride`-th frame index per media row —
     * the plumbing for video frame extraction (explode of a generated
     * index sequence; the decode of each sampled frame is the stub above).

@@ -131,6 +131,23 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     // non-image bytes flow through the deterministic surrogate
     val len = "not an image at all".getBytes("UTF-8").length
     assert(feats(4L).byte_len === len && feats(4L).width === len % 640)
+
+    // resize: aspect-preserving downscale to fit 4x4, PNG re-encode;
+    // decoding the output proves the new true dimensions
+    val resized = Multimodal.resizeImages(rows, 4, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(resized(1L).getAs[Boolean]("resized"))
+    assert(resized(1L).getAs[Int]("width") === 4 && resized(1L).getAs[Int]("height") === 3) // 7x5 -> fit
+    val back = ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).getAs[Array[Byte]]("media")))
+    assert(back.getWidth === 4 && back.getHeight === 3)
+    assert(resized(2L).getAs[Int]("width") === 1 && resized(2L).getAs[Int]("height") === 4) // 3x9 tall
+    // already-small images never upscale
+    assert(resized(3L).getAs[Int]("width") === 4 && resized(3L).getAs[Int]("height") === 4)
+    // non-image bytes pass through untouched
+    assert(!resized(4L).getAs[Boolean]("resized"))
+    assert(resized(4L).getAs[Array[Byte]]("media").toSeq ===
+      "not an image at all".getBytes("UTF-8").toSeq)
   }
 
   test("multimodal: frame sampling strides over n_frames") {
