@@ -184,6 +184,70 @@ object TextAnalysis {
       .withColumn("n_same", count(lit(1)).over(w))
   }
 
+  /** Approximate top-k tokens (heavy hitters) in ONE pass with ZERO
+    * shuffles — the scale path beside the exact [[topTokens]] (whose
+    * explode + groupBy shuffles every distinct token per partition).
+    * Each partition counts its tokens locally and emits (a) its local
+    * top-`candidatesPerPartition` tokens and (b) a Count-Min sketch of
+    * ALL its token occurrences; the driver merges the sketches (an
+    * O(partitions) reduce of KB-sized arrays — bounded by sketch sizing,
+    * not data) and ranks the candidate union by sketch estimate.
+    *
+    * Guarantees: CMS never underestimates, and overestimates by at most
+    * eps*N with probability `confidence` — so a reported count is within
+    * [true, true + eps*N]. Candidate recall is heuristic (a global heavy
+    * hitter could in principle hide below every local top-m) but exact
+    * on Zipfian text for m >> k; the spec pins approx top-k == exact
+    * top-k on the real corpus.
+    */
+  def approxTopTokens(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      candidatesPerPartition: Int = 200
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perPartition = df
+      .select(Fns.tokens(col(textCol)).as("toks"))
+      .as[Seq[String]]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        val cms = org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, 42)
+        it.foreach(_.foreach { t =>
+          counts.update(t, counts.getOrElse(t, 0L) + 1L)
+          cms.addString(t)
+        })
+        if (counts.isEmpty) Iterator.empty
+        else {
+          val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+            .take(candidatesPerPartition).map(_._1)
+          val bos = new java.io.ByteArrayOutputStream()
+          cms.writeTo(bos)
+          Iterator.single((top, bos.toByteArray))
+        }
+      }
+      .collect() // one row per non-empty partition, KBs each
+    if (perPartition.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit("").as("token"), lit(0L).as("est_count")).limit(0)
+    }
+    val merged = perPartition
+      .map { case (_, bytes) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+      }
+      .reduce((a, b) => { a.mergeInPlace(b); a })
+    val ranked = perPartition
+      .iterator.flatMap(_._1).toSeq.distinct
+      .map(t => (t, merged.estimateCount(t)))
+      .sortBy { case (t, c) => (-c, t) }
+      .take(k)
+    ranked.toDF("token", "est_count")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with an evaluation set (the standard n-gram-overlap test-set
     * contamination check, e.g. GPT-3 appendix C / PaLM §8 style, at

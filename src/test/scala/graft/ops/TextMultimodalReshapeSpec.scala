@@ -76,6 +76,24 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(fp(1L)._2 === 2L && fp(3L)._2 === 1L)
   }
 
+  test("approxTopTokens: CMS heavy hitters match exact top-k, estimates bounded") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextAnalysis.topTokens(docs, "text", 20)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+    val approx = TextAnalysis.approxTopTokens(docs, "text", 20)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(approx.keySet === exact.keySet, "approx top-20 set must equal exact on this corpus")
+    val totalTokens = docs
+      .agg(sum(size(graft.functions.Fns.tokens(col("text"))))).head.getLong(0)
+    approx.foreach { case (t, est) =>
+      assert(est >= exact(t), s"CMS must never underestimate ($t)")
+      assert(est <= exact(t) + (1e-4 * totalTokens).ceil.toLong, s"overestimate beyond eps*N ($t)")
+    }
+    // empty input yields an empty, well-typed frame
+    val empty = TextAnalysis.approxTopTokens(docs.filter(lit(false)), "text", 5)
+    assert(empty.count() === 0)
+  }
+
   test("multimodal: metadata projection agrees with the decode stub") {
     val docs = Seq((1L, "some media payload bytes"), (2L, "x")).toDF("doc_id", "text")
     val media = Multimodal.attachBinary(docs, "text", "doc_id").cache()
