@@ -65,8 +65,10 @@ object Dedup {
     )
 
   /** Sorted pair combinations of a (small) posting list: all (ids[k],
-    * ids[m]) with k < m, as an array of structs — pair generation
-    * without a self-join.
+    * ids[m]) with ids[k] < ids[m] (strict, BY VALUE — a duplicated id in
+    * the list must not yield a self-pair, matching the `a.id < b.id`
+    * condition of the self-join this replaces), as an array of structs —
+    * pair generation without a self-join.
     */
   private def pairCombos(ids: Column): Column =
     flatten(
@@ -74,7 +76,7 @@ object Dedup {
         sequence(lit(1), size(ids) - 1),
         k =>
           transform(
-            slice(ids, k + 1, size(ids)),
+            filter(slice(ids, k + 1, size(ids)), j => j > element_at(ids, k)),
             j => struct(element_at(ids, k).as("i"), j.as("j"))
           )
       )
@@ -398,13 +400,17 @@ object Dedup {
     * which is why the driver oracle (q56) can pin it hash-exact against
     * a plain NOT IN.
     *
-    * Scale notes (100 TB): the filter is bounded by its bit sizing, not
-    * the data (1% fpp ~ 1.2 GiB per 10^9 history docs — size
-    * `expectedHistoryItems` for the real corpus, or dedup against a
-    * partitioned history with one filter per partition). The anti-join's
-    * left side is only the bloom-positive sliver, so the shuffle is
-    * O(dupes), not O(batch); the history side prunes to matching
-    * fingerprint partitions under AQE.
+    * Scale notes (100 TB): the filter is bounded by its bit sizing
+    * (`optimalNumOfBits(expectedHistoryItems, fpp)`), not the data —
+    * and clamped to Spark's runtime-bloom-filter conf ceilings
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`,
+    * defaults 4M items / 8 MiB: raise them for a billion-doc corpus, or
+    * dedup against a partitioned history with one filter per
+    * partition; an undersized filter degrades GRACEFULLY to more
+    * false positives, never to wrong output). The anti-join's left side
+    * is only the bloom-positive sliver, so the shuffle is O(dupes), not
+    * O(batch); the history side prunes to matching fingerprint
+    * partitions under AQE.
     */
   def incrementalExact(
       newBatch: DataFrame,
@@ -416,26 +422,21 @@ object Dedup {
   ): DataFrame = {
     val fp = md5(col(textCol))
     val histFp = history.select(fp.as("fingerprint"))
-    // bloom_filter_agg / might_contain are unregistered internal
-    // expressions (Spark uses them for runtime row-level filtering);
-    // built directly via the bridge
-    val bloomAgg = GraftColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64(col(textCol))),
-        expectedHistoryItems
-      ).toAggregateExpression()
-    )
-    val bloomBytes = history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val probe = GraftColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bloomBytes,
-          org.apache.spark.sql.types.BinaryType
-        ),
-        GraftColumnBridge.expression(xxhash64(col(textCol)))
+    val bloomBytes = history
+      .agg(bloomAgg(xxhash64(col(textCol)), expectedHistoryItems, fpp).as("bf"))
+      .head()
+      .getAs[Array[Byte]](0)
+    if (bloomBytes == null) {
+      // empty history aggregates to a null filter: everything is new
+      return newBatch.select(col(idCol).as("doc_id"), fp.as("fingerprint"))
+    }
+    val tagged = newBatch
+      .select(
+        col(idCol).as("doc_id"),
+        fp.as("fingerprint"),
+        bloomProbe(bloomBytes, xxhash64(col(textCol))).as("maybe")
       )
-    )
-    val tagged = newBatch.select(col(idCol).as("doc_id"), fp.as("fingerprint"), probe.as("maybe"))
+      .localCheckpoint(true) // feeds both branches: scan + hashes once
     val definiteNew = tagged.filter(!col("maybe")).select(col("doc_id"), col("fingerprint"))
     val confirmedNew = tagged
       .filter(col("maybe"))
@@ -444,6 +445,46 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"))
     definiteNew.unionByName(confirmedNew)
   }
+
+  /** Shared builders for Spark's UNREGISTERED internal bloom expressions
+    * (it uses them for runtime row-level join filtering): one aggregate
+    * sized from (expectedItems, fpp) — clamped to the runtime-bloom
+    * conf ceilings the 3-arg constructor `require`s — and one map-side
+    * membership probe. Both [[incrementalExact]] and
+    * [[graft.streaming.CorpusIngest]] build from HERE so sizing stays
+    * identical and serialized filters remain merge-compatible.
+    */
+  private[graft] def bloomAgg(value: Column, expectedItems: Long, fpp: Double): Column = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems =
+      sqlConf.getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits =
+      sqlConf.getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(expectedItems, maxItems)
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      maxBits
+    )
+    GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumnBridge.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits)
+      ).toAggregateExpression()
+    )
+  }
+
+  /** Map-side membership probe against a serialized bloom filter. */
+  private[graft] def bloomProbe(bloomBytes: Array[Byte], value: Column): Column =
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes,
+          org.apache.spark.sql.types.BinaryType
+        ),
+        GraftColumnBridge.expression(value)
+      )
+    )
 
   /** The seeded hyperplane family shared by the native expression, the
     * composed-form parity pin, and the DuckDB oracle replay

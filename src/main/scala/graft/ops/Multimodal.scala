@@ -183,11 +183,14 @@ object Multimodal {
   }
 
   /** Frame sampling: keep every `stride`-th frame index per media row —
-    * the plumbing for video frame extraction (explode of a generated
-    * index sequence; the decode of each sampled frame is the stub above).
+    * the plumbing for video frame extraction. Frame counts come from the
+    * REAL decode ([[extractFeatures]]) so every emitted index is
+    * decodable — the metadata() surrogate would invent indexes for
+    * frames that don't exist on actual images (and hide frames on
+    * multi-frame ones).
     */
   def sampleFrameIndexes(media: DataFrame, stride: Int): DataFrame =
-    metadata(media)
+    extractFeatures(media)
       .select(
         col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx")

@@ -129,25 +129,21 @@ object Similarity {
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
     val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
-    searchCells(assigned, queries, cents, vecCol, idCol, k, nProbe)
+    searchCells(assigned, probeCells(queries, cents, vecCol, idCol, nProbe), k)
   }
 
-  /** The probe+rank stage shared by the inline and at-rest IVF paths:
-    * nProbe best cells per query (map-side: sort the scored-cell array
-    * descending, take nProbe, explode), join the assigned corpus on
-    * cent_id (queries are small -> AQE broadcasts them), exact-cosine
-    * top-k per query.
+  /** nProbe best cells per query, map-side: sort the scored-cell array
+    * descending, take nProbe, explode — one (qid, qv, cent_id) row per
+    * probe. Shared by the inline and at-rest IVF paths.
     */
-  private def searchCells(
-      assigned: DataFrame,
+  private def probeCells(
       queries: DataFrame,
       cents: Seq[(Long, Seq[Double])],
       vecCol: String,
       idCol: String,
-      k: Int,
       nProbe: Int
-  ): DataFrame = {
-    val probes = queries
+  ): DataFrame =
+    queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(
         col("qid"),
@@ -155,6 +151,12 @@ object Similarity {
         explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
       )
       .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
+
+  /** The rank stage shared by the inline and at-rest IVF paths: join the
+    * probes onto the assigned corpus by cent_id (probes are small -> AQE
+    * broadcasts them), exact-cosine top-k per query.
+    */
+  private def searchCells(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val wTop = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid"))
     probes
       .join(assigned, "cent_id")
@@ -208,17 +210,11 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     import spark.implicits._
-    val probedCells = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .select(
-        explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
-      )
-      .select((-col("cell").getField("negid")).as("cent_id"))
-      .distinct()
-      .as[Long]
-      .collect()
-      .sorted
+    // computed ONCE (the cell scoring is the query-side hot projection),
+    // reused for both the distinct-cell collect and the bucket join
+    val probes = probeCells(queries, cents, vecCol, idCol, nProbe).localCheckpoint(true)
+    val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val assigned = spark.table(table).filter(col("cent_id").isin(probedCells: _*))
-    searchCells(assigned, queries, cents, vecCol, idCol, k, nProbe)
+    searchCells(assigned, probes, k)
   }
 }

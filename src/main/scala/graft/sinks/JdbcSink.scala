@@ -79,8 +79,12 @@ object JdbcSink {
   def read(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
 
-  /** The per-row retry path of [[appendDedup]]: its own statement per
-    * row so a unique violation poisons nothing, commit once at the end.
+  /** The per-row retry path of [[appendDedup]]: one statement per row,
+    * each guarded by a SAVEPOINT. On PostgreSQL any error aborts the
+    * whole transaction (every later statement fails with 25P02), so
+    * swallowing 23505 alone is not enough — the savepoint rollback
+    * restores the transaction after each duplicate, which also works on
+    * Derby/H2. Commit once at the end.
     */
   private def insertRowByRow(
       conn: Connection,
@@ -90,11 +94,14 @@ object JdbcSink {
   ): Unit = {
     val ps = conn.prepareStatement(insert)
     rows.foreach { r =>
+      val sp = conn.setSavepoint()
       try {
         bind(ps, r, schema)
         ps.executeUpdate()
+        conn.releaseSavepoint(sp)
       } catch {
-        case e: SQLException if isUniqueViolation(e) => () // ON CONFLICT DO NOTHING
+        case e: SQLException if isUniqueViolation(e) =>
+          conn.rollback(sp) // ON CONFLICT DO NOTHING
       }
     }
     conn.commit()

@@ -190,9 +190,16 @@ object CdcStream {
     deleteRecursively(new java.io.File(tmp))
   }
 
-  /** Read back the SCD2 state table (drops the physical bucket column). */
-  def readState(spark: SparkSession, statePath: String): DataFrame =
+  /** Read back the SCD2 state table (drops the physical bucket column).
+    * Runs crash recovery FIRST: a crash inside [[swapDir]] can leave a
+    * `bucket=N.old` next to (or instead of) the live dir, and partition
+    * discovery would otherwise union both versions — duplicate keys
+    * with conflicting is_current rows.
+    */
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    recoverState(Paths.get(statePath))
     spark.read.parquet(statePath).drop("bucket")
+  }
 
   /** Two-move swap of one bucket dir: live -> .old, fresh -> live, drop
     * .old. Not atomic; every crash window is covered by [[recoverState]].

@@ -3,7 +3,7 @@ package graft.streaming
 import java.io.ByteArrayInputStream
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.util.sketch.BloomFilter
@@ -83,16 +83,7 @@ object CorpusIngest {
       case Some(_) if !corpusExists =>
         withFp // bloom swapped but append crashed before creating the corpus
       case Some(bytes) =>
-        val probe = GraftColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              bytes,
-              org.apache.spark.sql.types.BinaryType
-            ),
-            GraftColumnBridge.expression(xxhash64(col("text")))
-          )
-        )
-        val tagged = withFp.withColumn("maybe", probe)
+        val tagged = withFp.withColumn("maybe", Dedup.bloomProbe(bytes, xxhash64(col("text"))))
         val definite = tagged.filter(!col("maybe")).drop("maybe")
         val confirmed = tagged
           .filter(col("maybe"))
@@ -106,13 +97,10 @@ object CorpusIngest {
     }
     // survivors feed two jobs (bloom delta + append); pin the plan result
     val survivors = candidates.localCheckpoint(true)
-    val bloomAgg = GraftColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64(col("text"))),
-        expectedItems
-      ).toAggregateExpression()
-    )
-    val delta = survivors.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val delta = survivors
+      .agg(Dedup.bloomAgg(xxhash64(col("text")), expectedItems, fpp = 0.01).as("bf"))
+      .head()
+      .getAs[Array[Byte]](0)
     if (delta != null) {
       val merged = stored match {
         case None => delta

@@ -195,6 +195,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tiny === want)
   }
 
+  test("incremental dedup: empty history keeps the whole batch (null-bloom guard)") {
+    val newBatch = Seq((1L, "first"), (2L, "second")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(newBatch, empty, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("duplicated ids in the input never produce self-pairs") {
+    // same vector under the same id twice: posting lists see [7,7] and
+    // must not emit (7,7) — the self-join this replaced had a strict <
+    val dup = emb.filter($"vec_id" < 50)
+      .unionByName(emb.filter($"vec_id" < 50))
+    val pairs = Dedup
+      .embeddingNearDupPairs(dup, "embedding", "vec_id", dim = 64, threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(pairs.forall { case (i, j) => i < j }, "strict i<j must hold")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
     val evalSet = docs.filter($"doc_id" % 97 === 0)
     val train = docs.filter($"doc_id" % 97 =!= 0)

@@ -168,11 +168,38 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
       "not an image at all".getBytes("UTF-8").toSeq)
   }
 
-  test("multimodal: frame sampling strides over n_frames") {
+  test("multimodal: frame sampling strides over REAL n_frames") {
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef0")).toDF("doc_id", "text") // 33 bytes -> 2 frames
     val media = Multimodal.attachBinary(docs, "text", "doc_id")
     val idx = Multimodal.sampleFrameIndexes(media, stride = 1).select("frame_idx").as[Long].collect().toSeq
     assert(idx === Seq(0L, 1L))
+
+    // a real 2-frame GIF must sample exactly frames 0 and 1 regardless
+    // of what its byte length mod 16 happens to be (the old surrogate
+    // count would invent/hide frames on real images)
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def frame(rgb: Int): BufferedImage = {
+      val im = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, rgb)
+      im
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(frame(0x000000), frame(0xffffff)).foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val gifBytes = bos.toByteArray
+    assume(gifBytes.length % 16 != 1, "pick a gif whose surrogate count differs from 2")
+    val gifIdx = Multimodal
+      .sampleFrameIndexes(Seq((9L, gifBytes)).toDF("doc_id", "media"), stride = 1)
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(gifIdx === Seq(0L, 1L))
   }
 
   test("multimodal features feed ANN end-to-end (frame-mean vectors -> top-k)") {
