@@ -403,6 +403,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("seq_id"))
     }),
 
+    // Domain-mix report: per-source doc/token counts and token share —
+    // the input to mixture-weight decisions (which sources to up/down
+    // sample). One groupBy + a broadcast total; truncation mirrors the
+    // oracle's floor convention.
+    "q57_source_mix" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(Fns.tokens(col("text")))).cast("long").as("n_tokens")
+        )
+      val total = stats.agg(sum(col("n_tokens")).as("total"))
+      stats
+        .crossJoin(broadcast(total))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_tokens"),
+          (floor(col("n_tokens") * 10000.0 / col("total")) / 10000.0).as("token_share")
+        )
+    }),
+
     // Benchmark decontamination: training docs sharing any word 3-gram
     // with the eval split (doc_id % 97 == 0 plays the benchmark)
     "q55_decontaminate" -> ((s, dir) => {
@@ -1026,6 +1048,16 @@ object SparkEntry {
            |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
            |     ROWS UNBOUNDED PRECEDING) - n_tokens) / 4000.0) AS BIGINT) AS seq_id
            |FROM d""".stripMargin,
+      "q57_source_mix" ->
+        s"""WITH t AS ($wordsSql),
+           |d AS (SELECT t.doc_id, doc.source, CAST(len(words) AS BIGINT) AS n
+           |      FROM t JOIN documents doc ON doc.doc_id = t.doc_id),
+           |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+           |      FROM d GROUP BY source)
+           |SELECT source, n_docs, n_tokens,
+           |       floor(n_tokens * 10000.0 / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM s)) / 10000.0 AS token_share
+           |FROM s""".stripMargin,
+
       "q55_decontaminate" ->
         s"""WITH t AS ($wordsSql),
            |s AS (SELECT DISTINCT doc_id,
