@@ -16,6 +16,42 @@ class OperatorPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(7)
 
+  test("incrementalExact matches the naive set difference on random corpora") {
+    for (round <- 1 to 6) {
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+      def doc(): String = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val history = (1 to 20).map(i => (i.toLong, doc()))
+      val batch = (100 to 130).map(i => (i.toLong, doc()))
+      // empty-history every third round exercises the null-bloom guard
+      val hist = if (round % 3 == 0) Seq.empty[(Long, String)] else history
+      val got = Dedup
+        .incrementalExact(batch.toDF("doc_id", "text"), hist.toDF("doc_id", "text"),
+          "text", "doc_id", expectedHistoryItems = 100L)
+        .select("doc_id").as[Long].collect().toSet
+      val histTexts = hist.map(_._2).toSet
+      val want = batch.filter { case (_, t) => !histTexts(t) }.map(_._1).toSet
+      assert(got === want, s"round $round")
+    }
+  }
+
+  test("decontaminate matches the naive shared-shingle count on random corpora") {
+    for (round <- 1 to 4) {
+      val vocab = Seq("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+      def doc(): String = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1 to 25).map(i => (i.toLong, doc()))
+      val evalS = (100 to 104).map(i => (i.toLong, doc()))
+      val got = TextAnalysis
+        .decontaminate(train.toDF("doc_id", "text"), evalS.toDF("doc_id", "text"),
+          "text", "doc_id", n = 2)
+        .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+      def grams(t: String): Set[String] =
+        t.split(" ").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      val evalVocab = evalS.flatMap(d => grams(d._2)).toSet
+      val want = train.map { case (id, t) => id -> grams(t).count(evalVocab).toLong }.toMap
+      assert(got === want, s"round $round")
+    }
+  }
+
   test("asOf matches the naive per-row max(rightTs <= leftTs) lookup") {
     for (_ <- 1 to 8) {
       val keys = Seq("a", "b", "c")
