@@ -94,21 +94,28 @@ object Dedup {
     * blowup would dominate the job; dropping them loses only pairs that
     * other, selective bands still produce (any band match suffices).
     */
+  /** One (band, bhash) struct per band of the signature — the SHARED
+    * band-key derivation: in-corpus banding ([[lshCandidates]]) and the
+    * at-rest index ([[writeMinHashIndex]]/[[incrementalNearDups]]) must
+    * hash bands identically or cross-batch candidates would be missed.
+    */
+  private def bandKeyCols(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bhash")
+      )
+    }: _*)
+
   def lshCandidates(
       signed: DataFrame,
       bands: Int,
       rowsPerBand: Int,
       maxBucket: Option[Int] = None
   ): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-          .as("bhash")
-      )
-    }
     val exploded = signed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), explode(bandKeyCols(bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
     val postings = exploded
       .groupBy(col("band"), col("bhash"))
@@ -472,6 +479,105 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(bits)
       ).toAggregateExpression()
     )
+  }
+
+  /** Write the at-rest MinHash LSH index for cross-batch NEAR-dup
+    * dedup: one row per (doc, band) holding the band's bucket hash and
+    * the doc's FULL signature, bucketed by `bkey = pmod(xxhash64(band,
+    * bhash), nBuckets)`. Carrying the signature in the index row (a few
+    * hundred bytes, x bands) is what lets a later probe verify
+    * candidates ENTIRELY inside the pruned buckets — no second scan
+    * over a doc-keyed table, which at 100 TB would reintroduce the
+    * O(history)-per-batch trap.
+    */
+  def writeMinHashIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 64
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val signed = minHashSignatures(shingleSets(corpus, textCol, idCol, shingleSize), numHashes)
+    val rows = signed
+      .select(col("doc_id"), col("sig"), explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"),
+        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
+    graft.sinks.Sinks.writeBucketed(rows, table, Seq("bkey"), nBuckets)
+  }
+
+  /** Near-dup candidates of a NEW batch against the at-rest index
+    * ([[writeMinHashIndex]]) — "dedup today's crawl against the whole
+    * corpus" without touching most of it. The batch's band keys map to
+    * at most nBuckets distinct `bkey`s (driver-safe to collect, bounded
+    * by the bucket count, not the batch), which prune the index scan to
+    * matching buckets only; the batch side broadcasts into the bucket
+    * join, so the history never shuffles. Similarity is the standard
+    * MinHash ESTIMATE (fraction of agreeing signature slots — the
+    * in-index verification the carried signatures buy; run
+    * [[verifyJaccard]] against stored shingle sets when exactness is
+    * worth a second table). Returns (i = history doc, j = batch doc,
+    * est_jaccard >= threshold).
+    *
+    * Identical band hashing to [[lshCandidates]] (shared
+    * `bandKeyCols`), so probing the index finds exactly the cross pairs
+    * in-corpus banding would — pinned in DedupSimilaritySpec.
+    */
+  def incrementalNearDups(
+      spark: org.apache.spark.sql.SparkSession,
+      newBatch: DataFrame,
+      table: String,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      nBuckets: Int = 64
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import spark.implicits._
+    val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
+    val batchBands = signed
+      .select(col("doc_id").as("j"), col("sig").as("sig_j"),
+        explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
+      .select(
+        col("j"),
+        col("sig_j"),
+        col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"),
+        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
+      .localCheckpoint(true) // probed twice: bkey collect + bucket join
+    val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
+    if (bkeys.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0.0).as("est_jaccard"))
+        .limit(0)
+    }
+    val pruned = spark.table(table).filter(col("bkey").isin(bkeys: _*))
+    pruned
+      .join(broadcast(batchBands.drop("bkey")), Seq("band", "bhash"))
+      .select(col("doc_id").as("i"), col("j"), col("sig"), col("sig_j"))
+      .distinct() // a pair can match in several bands
+      .select(
+        col("i"),
+        col("j"),
+        (aggregate(
+          zip_with(col("sig"), col("sig_j"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L),
+          (acc, v) => acc + v
+        ).cast("double") / numHashes).as("est_jaccard")
+      )
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Map-side membership probe against a serialized bloom filter. */

@@ -214,6 +214,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (i, j) => i < j }, "strict i<j must hold")
   }
 
+  test("minhash index at rest: probe prunes buckets, finds exactly the in-corpus cross pairs") {
+    // history = the real corpus; batch = light edits of some docs (must
+    // match) + disjoint-vocab docs (must not)
+    val hist = docs.select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 500000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+      .unionByName(Seq((900001L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("doc_id", "text"))
+    Dedup.writeMinHashIndex(hist, "text", "doc_id", "mh_idx", nBuckets = 64)
+
+    val got = Dedup.incrementalNearDups(
+      spark, batch, "mh_idx", "text", "doc_id", threshold = 0.0)
+    got.collect() // finalize AQE so the executed plan is inspectable
+    val plan = got.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning:\n$plan")
+    assert(sel.get.group(1).toInt < 64 && sel.get.group(2).toInt === 64)
+    assert(plan.contains("BroadcastHashJoin"), "batch side must broadcast")
+
+    // candidate equivalence: same banding in-corpus over hist ∪ batch,
+    // restricted to (hist, batch) cross pairs
+    val unionSigned = Dedup.minHashSignatures(
+      Dedup.shingleSets(hist.unionByName(batch), "text", "doc_id", 3), 32)
+    val crossWant = Dedup.lshCandidates(unionSigned, 8, 4)
+      .filter($"i" < 500000L && $"j" >= 500000L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val gotPairs = got.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(gotPairs === crossWant)
+    assert(gotPairs.nonEmpty, "planted near-dups must be found")
+    assert(!gotPairs.exists(_._2 == 900001L), "disjoint-vocab doc must not match")
+
+    // estimator sanity: an EXACT replayed text estimates jaccard 1.0
+    val replay = docs.filter($"doc_id" === 7L)
+      .select(($"doc_id" + 700000L).as("doc_id"), $"text")
+    val est = Dedup.incrementalNearDups(
+      spark, replay, "mh_idx", "text", "doc_id", threshold = 0.5)
+      .filter($"i" === 7L && $"j" === 700007L)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
     val evalSet = docs.filter($"doc_id" % 97 === 0)
     val train = docs.filter($"doc_id" % 97 =!= 0)
