@@ -499,10 +499,47 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       nBuckets: Int = 64
-  ): Unit = {
+  ): Unit =
+    graft.sinks.Sinks.writeBucketed(
+      minHashIndexRows(corpus, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
+      table,
+      Seq("bkey"),
+      nBuckets
+    )
+
+  /** Append a new batch's band rows to an existing index — the
+    * steady-state ingest path: indexing the day's crawl is O(batch),
+    * never a corpus rewrite. The bucket spec must match the original
+    * write (Spark validates); probes see appended docs immediately.
+    */
+  def appendToMinHashIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 64
+  ): Unit =
+    graft.sinks.Sinks.appendBucketed(
+      minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
+      table,
+      Seq("bkey"),
+      nBuckets
+    )
+
+  private def minHashIndexRows(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      nBuckets: Int
+  ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val signed = minHashSignatures(shingleSets(corpus, textCol, idCol, shingleSize), numHashes)
-    val rows = signed
+    minHashSignatures(shingleSets(corpus, textCol, idCol, shingleSize), numHashes)
       .select(col("doc_id"), col("sig"), explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
       .select(
         col("doc_id"),
@@ -511,7 +548,6 @@ object Dedup {
         col("bk.bhash").as("bhash"),
         pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
       )
-    graft.sinks.Sinks.writeBucketed(rows, table, Seq("bkey"), nBuckets)
   }
 
   /** Near-dup candidates of a NEW batch against the at-rest index
@@ -527,6 +563,11 @@ object Dedup {
     * worth a second table). Returns (i = history doc, j = batch doc,
     * est_jaccard >= threshold).
     *
+    * The broadcast is size-guarded (same pattern as `Scd2.merge`): a
+    * backfill-sized batch past `broadcastRowLimit` band rows falls back
+    * to a shuffle join — still over the PRUNED buckets only, so the
+    * shuffled history side stays O(matched buckets), not O(index).
+    *
     * Identical band hashing to [[lshCandidates]] (shared
     * `bandKeyCols`), so probing the index finds exactly the cross pairs
     * in-corpus banding would — pinned in DedupSimilaritySpec.
@@ -541,7 +582,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      broadcastRowLimit: Long = 4000000L
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
@@ -564,8 +606,12 @@ object Dedup {
         .limit(0)
     }
     val pruned = spark.table(table).filter(col("bkey").isin(bkeys: _*))
+    val probe = math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt
+    val fits = batchBands.limit(probe).count() <= broadcastRowLimit
+    val batchHinted =
+      if (fits) broadcast(batchBands.drop("bkey")) else batchBands.drop("bkey")
     pruned
-      .join(broadcast(batchBands.drop("bkey")), Seq("band", "bhash"))
+      .join(batchHinted, Seq("band", "bhash"))
       .select(col("doc_id").as("i"), col("j"), col("sig"), col("sig_j"))
       .distinct() // a pair can match in several bands
       .select(

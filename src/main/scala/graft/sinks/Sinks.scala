@@ -57,6 +57,25 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append into an existing bucketed table with the SAME bucket spec
+    * (Spark validates the spec against the catalog): each append writes
+    * its own per-bucket files, so reads still co-locate/prune by the
+    * bucket column and the append is O(batch). Periodic compaction of
+    * accumulated per-append files is [[compactEventLog]]'s job shape.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int = 64
+  ): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Z-ordered layout at rest: sort the data along an interleaved-bit
     * (Morton) curve over `cols` so parquet min/max stats stay TIGHT on
     * every curve dimension at once — multi-dimensional data skipping

@@ -252,6 +252,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter($"i" === 7L && $"j" === 700007L)
       .select("est_jaccard").as[Double].head()
     assert(est === 1.0)
+
+    // steady-state ingest: APPEND a batch to the index (O(batch), no
+    // rewrite), then a later probe must find near-dups of appended docs
+    Dedup.appendToMinHashIndex(
+      Seq((800001L, "unique appended doc about mountain weather patterns"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "mh_idx", nBuckets = 64)
+    val probe2 = Dedup.incrementalNearDups(
+      spark,
+      Seq((800002L, "unique appended doc about mountain weather patterns today"))
+        .toDF("doc_id", "text"),
+      "mh_idx", "text", "doc_id", threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(probe2.contains((800001L, 800002L)))
+
+    // shuffle fallback (broadcastRowLimit 0) returns the identical pairs
+    val fallback = Dedup.incrementalNearDups(
+      spark, batch, "mh_idx", "text", "doc_id", threshold = 0.0, broadcastRowLimit = 0L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(fallback === crossWant)
   }
 
   test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
