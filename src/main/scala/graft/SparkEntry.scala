@@ -405,23 +405,22 @@ object SparkEntry {
 
     // Domain-mix report: per-source doc/token counts and token share —
     // the input to mixture-weight decisions (which sources to up/down
-    // sample). One groupBy + a broadcast total; truncation mirrors the
-    // oracle's floor convention.
+    // sample). ONE scan+groupBy; the grand total is a window over the
+    // already-aggregated handful of source rows (not a second scan).
     "q57_source_mix" -> ((s, dir) => {
-      val stats = t(s, dir, "documents")
+      val wAll = Window.partitionBy()
+      t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(size(Fns.tokens(col("text")))).cast("long").as("n_tokens")
         )
-      val total = stats.agg(sum(col("n_tokens")).as("total"))
-      stats
-        .crossJoin(broadcast(total))
         .select(
           col("source"),
           col("n_docs"),
           col("n_tokens"),
-          (floor(col("n_tokens") * 10000.0 / col("total")) / 10000.0).as("token_share")
+          (floor(col("n_tokens") * 10000.0 / sum(col("n_tokens")).over(wAll)) / 10000.0)
+            .as("token_share")
         )
     }),
 

@@ -132,8 +132,12 @@ object Dedup {
     * set back in and compare with set-semantics array ops.
     */
   def verifyJaccard(candidates: DataFrame, shingled: DataFrame): DataFrame = {
+    // id-dedupe the lookup sides: duplicated input ids would otherwise
+    // multiply candidate rows through the joins
     val si = shingled.select(col("doc_id").as("i"), col("shingles").as("sh_i"))
+      .dropDuplicates("i")
     val sj = shingled.select(col("doc_id").as("j"), col("shingles").as("sh_j"))
+      .dropDuplicates("j")
     candidates
       .join(si, "i")
       .join(sj, "j")
@@ -199,14 +203,19 @@ object Dedup {
     // (inverted index + per-doc counts)
     val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
+    // duplicated input ids must not double-count intersections or
+    // duplicate output rows: posting lists are SETS (same shuffle as the
+    // list form) and the per-doc count projection is id-deduped (tiny)
+    val counts = shingled
+      .select(col("doc_id"), size(col("shingles")).as("n"))
+      .dropDuplicates("doc_id")
     // one shuffle on shingle: collect each shingle's (small) posting list
     // and emit its pair combinations, instead of a self-join that would
     // recompute the whole upstream for both sides. Posting lists are
     // sorted so emitted pairs have i < j.
     val postings = inv
       .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
     val bounded = maxDocFreq.fold(postings)(m => postings.filter(size(col("ids")) <= m))
     val inter = bounded
@@ -381,8 +390,8 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
-    val vi = df.select(col(idCol).as("i"), col(vecCol).as("v_i"))
-    val vj = df.select(col(idCol).as("j"), col(vecCol).as("v_j"))
+    val vi = df.select(col(idCol).as("i"), col(vecCol).as("v_i")).dropDuplicates("i")
+    val vj = df.select(col(idCol).as("j"), col(vecCol).as("v_j")).dropDuplicates("j")
     cand
       .join(vi, "i")
       .join(vj, "j")
@@ -462,6 +471,18 @@ object Dedup {
     * identical and serialized filters remain merge-compatible.
     */
   private[graft] def bloomAgg(value: Column, expectedItems: Long, fpp: Double): Column = {
+    val (items, bits) = bloomSizing(expectedItems, fpp)
+    bloomAggWithBits(value, items, bits)
+  }
+
+  /** The (items, bits) a filter will actually be built with: fpp-optimal,
+    * clamped to Spark's runtime-bloom conf ceilings (the 3-arg aggregate
+    * constructor `require`s both). Exposed so persistent-state callers
+    * (CorpusIngest) can RECORD the sizing next to the serialized filter
+    * and rebuild merge-compatible deltas forever — `mergeInPlace` throws
+    * unless bitSize and the (items, bits)-derived hash count both match.
+    */
+  private[graft] def bloomSizing(expectedItems: Long, fpp: Double): (Long, Long) = {
     val sqlConf = org.apache.spark.sql.internal.SQLConf.get
     val maxItems =
       sqlConf.getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
@@ -472,6 +493,13 @@ object Dedup {
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       maxBits
     )
+    (items, bits)
+  }
+
+  /** Aggregate with EXPLICIT sizing — the merge-compatibility contract:
+    * two filters built with the same (items, bits) always merge.
+    */
+  private[graft] def bloomAggWithBits(value: Column, items: Long, bits: Long): Column =
     GraftColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         GraftColumnBridge.expression(value),
@@ -479,7 +507,6 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(bits)
       ).toAggregateExpression()
     )
-  }
 
   /** Write the at-rest MinHash LSH index for cross-batch NEAR-dup
     * dedup: one row per (doc, band) holding the band's bucket hash and
@@ -582,11 +609,18 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      nBuckets: Int = 64,
       broadcastRowLimit: Long = 4000000L
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
+    // bucket count comes from the CATALOG, never the caller: probing
+    // with a different modulus than the index was written with would
+    // prune to the wrong buckets and silently miss near-dups
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
     val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
     val batchBands = signed
       .select(col("doc_id").as("j"), col("sig").as("sig_j"),
@@ -612,6 +646,9 @@ object Dedup {
       if (fits) broadcast(batchBands.drop("bkey")) else batchBands.drop("bkey")
     pruned
       .join(batchHinted, Seq("band", "bhash"))
+      // a replayed batch probing an index it was already appended to
+      // must not match itself
+      .filter(col("doc_id") =!= col("j"))
       .select(col("doc_id").as("i"), col("j"), col("sig"), col("sig_j"))
       .distinct() // a pair can match in several bands
       .select(

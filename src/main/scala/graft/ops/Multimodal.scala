@@ -182,17 +182,46 @@ object Multimodal {
       .toDF("doc_id", "media", "width", "height", "resized")
   }
 
+  /** Header-only frame count: asks the ImageIO reader for the image
+    * count WITHOUT decoding pixel data — the cheap path when only the
+    * count is needed ([[sampleFrameIndexes]] would otherwise pay the
+    * full per-pixel luminance decode of every frame). Non-image bytes
+    * fall back to the same deterministic surrogate as [[decodeMedia]].
+    */
+  private def countFrames(bytes: Array[Byte]): Int = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) (bytes.length % 16 + 1)
+      else {
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try math.max(reader.getNumImages(true), 1)
+        finally reader.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => (bytes.length % 16 + 1)
+    } finally if (iis != null) iis.close()
+  }
+
   /** Frame sampling: keep every `stride`-th frame index per media row —
     * the plumbing for video frame extraction. Frame counts come from the
-    * REAL decode ([[extractFeatures]]) so every emitted index is
-    * decodable — the metadata() surrogate would invent indexes for
-    * frames that don't exist on actual images (and hide frames on
+    * REAL header ([[countFrames]] — no pixel decode) so every emitted
+    * index is decodable; the metadata() surrogate would invent indexes
+    * for frames that don't exist on actual images (and hide frames on
     * multi-frame ones).
     */
-  def sampleFrameIndexes(media: DataFrame, stride: Int): DataFrame =
-    extractFeatures(media)
+  def sampleFrameIndexes(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, countFrames(bytes)) })
+      .toDF("doc_id", "n_frames")
       .select(
         col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx")
       )
+  }
 }

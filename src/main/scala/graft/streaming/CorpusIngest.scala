@@ -76,13 +76,13 @@ object CorpusIngest {
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val stored = readBloomBytes(bloomPath)
+    val stored = readBloom(bloomPath)
     val corpusExists = Files.exists(Paths.get(corpusPath))
     val candidates = stored match {
       case None => withFp // first batch: no history at all
       case Some(_) if !corpusExists =>
         withFp // bloom swapped but append crashed before creating the corpus
-      case Some(bytes) =>
+      case Some(StoredBloom(_, _, bytes)) =>
         val tagged = withFp.withColumn("maybe", Dedup.bloomProbe(bytes, xxhash64(col("text"))))
         val definite = tagged.filter(!col("maybe")).drop("maybe")
         val confirmed = tagged
@@ -97,14 +97,23 @@ object CorpusIngest {
     }
     // survivors feed two jobs (bloom delta + append); pin the plan result
     val survivors = candidates.localCheckpoint(true)
+    // the delta MUST match the stored filter's sizing or mergeInPlace
+    // throws (IncompatibleMergeException): the bloom file records its
+    // own (items, bits) header, so deltas are always built to the
+    // sizing the state was CREATED with — even across builds whose
+    // default sizing formula changed
+    val (items, bits) = stored match {
+      case Some(StoredBloom(i, b, _)) => (i, b)
+      case None => Dedup.bloomSizing(expectedItems, fpp = 0.01)
+    }
     val delta = survivors
-      .agg(Dedup.bloomAgg(xxhash64(col("text")), expectedItems, fpp = 0.01).as("bf"))
+      .agg(Dedup.bloomAggWithBits(xxhash64(col("text")), items, bits).as("bf"))
       .head()
       .getAs[Array[Byte]](0)
     if (delta != null) {
       val merged = stored match {
         case None => delta
-        case Some(cur) =>
+        case Some(StoredBloom(_, _, cur)) =>
           val f = BloomFilter.readFrom(new ByteArrayInputStream(cur))
           f.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(delta)))
           val out = new java.io.ByteArrayOutputStream()
@@ -112,17 +121,43 @@ object CorpusIngest {
           out.toByteArray
       }
       // bloom BEFORE corpus append (see scaladoc), atomically
-      val tmp = Paths.get(bloomPath + ".tmp")
-      Files.createDirectories(tmp.getParent)
-      Files.write(tmp, merged)
-      Files.move(tmp, Paths.get(bloomPath), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      writeBloom(bloomPath, items, bits, merged)
       survivors.write.mode(SaveMode.Append).parquet(corpusPath)
     }
   }
 
-  private def readBloomBytes(path: String): Option[Array[Byte]] = {
+  private val BloomMagic = 0x47424631 // "GBF1": graft bloom file v1
+
+  private final case class StoredBloom(items: Long, bits: Long, filter: Array[Byte])
+
+  /** Self-describing bloom file: [magic, items, bits, serialized filter].
+    * Recording the sizing is what keeps every future delta
+    * merge-compatible with the state (see ingestBatch).
+    */
+  private def writeBloom(path: String, items: Long, bits: Long, filter: Array[Byte]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(BloomMagic)
+    out.writeLong(items)
+    out.writeLong(bits)
+    out.write(filter)
+    out.flush()
+    val tmp = Paths.get(path + ".tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, bos.toByteArray)
+    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readBloom(path: String): Option[StoredBloom] = {
     val p = Paths.get(path)
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+    if (!Files.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(Files.readAllBytes(p)))
+      require(in.readInt() == BloomMagic, s"$path is not a graft bloom file (bad magic)")
+      val items = in.readLong()
+      val bits = in.readLong()
+      Some(StoredBloom(items, bits, in.readAllBytes()))
+    }
   }
 }
