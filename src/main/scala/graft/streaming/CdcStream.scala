@@ -190,15 +190,26 @@ object CdcStream {
     deleteRecursively(new java.io.File(tmp))
   }
 
-  /** Read back the SCD2 state table (drops the physical bucket column).
-    * Runs crash recovery FIRST: a crash inside [[swapDir]] can leave a
-    * `bucket=N.old` next to (or instead of) the live dir, and partition
-    * discovery would otherwise union both versions — duplicate keys
-    * with conflicting is_current rows.
+  /** Read back the SCD2 state table. A PURE snapshot read — safe to run
+    * concurrently with an in-flight [[applyBatchToState]] (mutating the
+    * directory here could move a stale `.old` back over a swap in
+    * progress): per bucket it reads the live dir, falling back to
+    * `bucket=N.old` only when the live dir is mid-swap absent (a
+    * consistent pre-swap view). Plain partition discovery would instead
+    * UNION both versions — duplicate keys with conflicting is_current
+    * rows. Recovery itself stays where the writer runs
+    * ([[applyBatchToState]] calls [[recoverState]] before each batch).
     */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
-    recoverState(Paths.get(statePath))
-    spark.read.parquet(statePath).drop("bucket")
+    val dirs = Option(new java.io.File(statePath).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val live = dirs.filter(!_.getName.endsWith(".old")).map(_.getName).toSet
+    val readable = dirs.collect {
+      case d if !d.getName.endsWith(".old") => d.getPath
+      case d if !live.contains(d.getName.stripSuffix(".old")) => d.getPath
+    }
+    if (readable.isEmpty) spark.read.parquet(statePath).drop("bucket")
+    else spark.read.parquet(readable.toIndexedSeq: _*).drop("bucket")
   }
 
   /** Two-move swap of one bucket dir: live -> .old, fresh -> live, drop

@@ -98,6 +98,41 @@ class CdcStreamSpec extends AnyFunSuite {
     )
   }
 
+  test("readState mid-swap: pure snapshot read, sees .old fallback, mutates nothing") {
+    val tmp = Files.createTempDirectory("midswap").toString
+    val statePath = s"$tmp/state"
+    val batch = mkEvents((1 to 12).map { i =>
+      (s"e$i", "insert", "c1", "t1", s"k$i", ts(f"2024-01-01 00:${i}%02d:00"))
+    }: _*)
+    CdcStream.applyBatchToState(batch, statePath, numBuckets = 4)
+    val full = CdcStream.readState(spark, statePath)
+      .select("key_value", "event_id").as[(String, String)].collect().toSet
+    assert(full.size === 12)
+
+    // simulate a crash between swapDir's two moves: one bucket exists
+    // only as .old
+    val root = new java.io.File(statePath)
+    val victim = root.listFiles.filter(_.getName.startsWith("bucket=")).head
+    val oldPath = java.nio.file.Paths.get(victim.getPath + ".old")
+    java.nio.file.Files.move(victim.toPath, oldPath)
+
+    // the read falls back to the .old version (consistent pre-swap view)
+    // and MUST NOT touch the directory — a concurrent writer owns it
+    val before = root.listFiles.map(_.getName).toSet
+    val got = CdcStream.readState(spark, statePath)
+      .select("key_value", "event_id").as[(String, String)].collect().toSet
+    assert(got === full)
+    assert(root.listFiles.map(_.getName).toSet === before, "readState must not mutate")
+
+    // the WRITER recovers the swap on its next batch
+    CdcStream.applyBatchToState(
+      mkEvents(("e99", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00"))),
+      statePath, numBuckets = 4)
+    assert(!java.nio.file.Files.exists(oldPath), "writer-side recovery clears .old")
+    assert(CdcStream.readState(spark, statePath)
+      .filter(col("event_id") === "e99").count() === 1)
+  }
+
   test("a micro-batch touching one bucket rewrites exactly one partition directory") {
     val tmp = Files.createTempDirectory("incr").toString
     val srcDir = s"$tmp/events"
