@@ -48,6 +48,21 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
   }
 
+  test("bloom sizing is read from the state header, not the caller's params") {
+    // batch 2 arrives with a wildly different expectedItems (e.g. a
+    // config change between deploys): the delta must still merge with
+    // the stored filter because sizing comes from the file header
+    val tmp = Files.createTempDirectory("corpus3").toString
+    val corpus = s"$tmp/corpus"
+    val bloom = s"$tmp/bloom.bin"
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one text")).toDF("doc_id", "text"), corpus, bloom, expectedItems = 100L)
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one text"), (2L, "two text")).toDF("doc_id", "text"),
+      corpus, bloom, expectedItems = 3999999L) // would size differently if honored
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("crash between bloom swap and corpus append replays losslessly") {
     val tmp = Files.createTempDirectory("corpus2").toString
     val corpus = s"$tmp/corpus"
