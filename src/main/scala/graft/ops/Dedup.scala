@@ -621,6 +621,15 @@ object Dedup {
       .bucketSpec
       .map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
+    // signature length mismatch vs the index would silently corrupt the
+    // estimator (and band hashing); check one stored row — head() on a
+    // bucketed table touches a single file
+    spark.table(table).select(size(col("sig")).as("k")).head(1).foreach { r =>
+      require(
+        r.getInt(0) == numHashes,
+        s"index $table holds ${r.getInt(0)}-hash signatures; probe asked for $numHashes"
+      )
+    }
     val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
     val batchBands = signed
       .select(col("doc_id").as("j"), col("sig").as("sig_j"),
