@@ -265,7 +265,10 @@ object SparkEntry {
     // Dedup: brute-force word-3-gram Jaccard via shingle inverted index
     "q17_ngram_jaccard" -> ((s, dir) => {
       Dedup
-        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", shingleSize = 3, threshold = 0.5)
+        // maxDocFreq = None: EXACT mode (the default caps posting lists
+        // and would make the result approximate — not hash-pinnable)
+        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", shingleSize = 3,
+          threshold = 0.5, maxDocFreq = None)
         .select(col("i"), col("j"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     }),
 
@@ -275,14 +278,17 @@ object SparkEntry {
     // exact-Jaccard SQL is a valid hash oracle for the LSH output.
     "q18_minhash_lsh" -> ((s, dir) => {
       Dedup
-        .minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        // maxBucket = None: exact mode for the hash oracle
+        .minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5,
+          maxBucket = None)
         .select(col("i"), col("j"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     }),
 
     // Dedup: 64-bit SimHash, banded candidates, hamming <= 16
     "q19_simhash_pairs" -> ((s, dir) => {
       Dedup
-        .simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16,
+          maxBucket = None)
         .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
     }),
 
@@ -322,7 +328,8 @@ object SparkEntry {
     // Similarity: random-hyperplane LSH candidate pairs above cosine 0.3
     "q21_embedding_lsh" -> ((s, dir) => {
       Dedup
-        .embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64, threshold = 0.3)
+        .embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64,
+          threshold = 0.3, maxBucket = None)
         .select(col("i"), col("j"), round(col("cosine"), 4).as("cs4"))
     }),
 
@@ -547,7 +554,8 @@ object SparkEntry {
     // transitive-closure CTE.
     "q34_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.5,
+        maxBucket = None)
       Dedup.dedupCorpus(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,40 @@ import graft.functions.Fns
   * residual hot buckets.
   */
 object Dedup {
+
+  /** Default posting-list cap for every pair-generating operator in this
+    * family ([[lshCandidates]], [[ngramJaccardPairs]], [[simHashPairs]],
+    * [[embeddingNearDupPairs]]): pair emission is QUADRATIC in posting
+    * list size, and an open-web corpus always has degenerate buckets
+    * (boilerplate banners bucket 10⁵ docs together → 5×10⁹ pairs from
+    * one bucket). The SAFE behavior — cap and count what was dropped —
+    * is the default; exact/no-cap mode is the explicit opt-in
+    * (`maxBucket = None`) used by the hash-pinned oracle entries.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Apply a posting-list cap with drop accounting: when a cap is set
+    * and the caller passed an [[Observation]], the count of dropped
+    * (over-cap) posting lists is recorded under `metricName` — readable
+    * with `obs.get` after the first action. `observe` is a plan-level
+    * metric collector (computed inside the same job, zero extra passes).
+    */
+  private def boundedPostings(
+      postings: DataFrame,
+      cap: Option[Int],
+      dropMetrics: Option[Observation],
+      metricName: String
+  ): DataFrame = cap match {
+    case None => postings
+    case Some(m) =>
+      val observed = dropMetrics.fold(postings)(obs =>
+        postings.observe(
+          obs,
+          sum(when(size(col("ids")) > m, 1L).otherwise(0L)).as(metricName)
+        )
+      )
+      observed.filter(size(col("ids")) <= m)
+  }
 
   /** Exact dedup: group identical normalized text, keep the smallest id
     * (hash-groupBy — one shuffle on the fingerprint).
@@ -112,7 +146,8 @@ object Dedup {
       signed: DataFrame,
       bands: Int,
       rowsPerBand: Int,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
     val exploded = signed
       .select(col("doc_id"), explode(bandKeyCols(bands, rowsPerBand)).as("bk"))
@@ -121,7 +156,7 @@ object Dedup {
       .groupBy(col("band"), col("bhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val bounded = maxBucket.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    val bounded = boundedPostings(postings, maxBucket, dropMetrics, "dropped_buckets")
     bounded
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
@@ -161,7 +196,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // materialize the shingle sets once: the plan reads them three times
@@ -176,7 +212,7 @@ object Dedup {
     // signatures to a table instead.)
     val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
     val signed = minHashSignatures(shingled, numHashes)
-    val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket)
+    val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket, dropMetrics)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
   }
 
@@ -189,7 +225,10 @@ object Dedup {
     * dominates the job. Dropping them UNDERCOUNTS intersections for
     * pairs that share them, so capped results are a (slightly
     * conservative) approximation — exact for every pair whose shared
-    * shingles are all under the cap; leave None for the exact oracle.
+    * shingles are all under the cap. The cap is ON by default
+    * ([[DefaultMaxBucket]]) with the dropped-shingle count surfaced via
+    * `dropMetrics` (`dropped_shingles`); pass `None` EXPLICITLY for the
+    * exact mode the oracle entry (q17) pins.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -197,7 +236,8 @@ object Dedup {
       idCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.3,
-      maxDocFreq: Option[Int] = None
+      maxDocFreq: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
     // materialized once (lazily — see minHashLshPairs), read twice
     // (inverted index + per-doc counts)
@@ -217,7 +257,7 @@ object Dedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val bounded = maxDocFreq.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    val bounded = boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles")
     val inter = bounded
       .select(explode(pairCombos(col("ids"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
@@ -310,7 +350,9 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
     val signed = simHashes(df, textCol, idCol)
     val bandCols = (0 until 4).map { b =>
@@ -328,7 +370,7 @@ object Dedup {
       .groupBy(col("band"), col("bhash"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    postings
+    boundedPostings(postings, maxBucket, dropMetrics, "dropped_buckets")
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(
         col("p.i.doc_id").as("i"),
@@ -371,7 +413,8 @@ object Dedup {
       bitsPerBand: Int = 4,
       threshold: Double = 0.9,
       seed: Long = 42L,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val exploded = df
@@ -385,7 +428,7 @@ object Dedup {
       .groupBy(col("band"), col("bhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val bounded = maxBucket.fold(postings)(m => postings.filter(size(col("ids")) <= m))
+    val bounded = boundedPostings(postings, maxBucket, dropMetrics, "dropped_buckets")
     val cand = bounded
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))

@@ -334,6 +334,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  test("default caps survive a 10k-doc boilerplate bucket, drops accounted, normal pairs kept") {
+    import org.apache.spark.sql.Observation
+    // The degenerate open-web shape: 10k docs sharing one boilerplate
+    // text put all 10k ids into ONE posting list per band — uncapped
+    // pair emission would be C(10k,2) × 8 bands ≈ 4×10⁸ pairs. The
+    // DEFAULT cap must drop those buckets (with the count surfaced),
+    // keep the well-behaved pair, and complete in seconds.
+    val boiler = spark.range(10000).select($"id".as("doc_id"),
+      lit("subscribe to our newsletter for the latest updates and offers").as("text"))
+    val pairDocs = Seq(
+      (20001L, "a genuinely unique document about alpine glacier retreat measurements"),
+      (20002L, "a genuinely unique document about alpine glacier retreat measurements")
+    ).toDF("doc_id", "text")
+    val corpus = boiler.unionByName(pairDocs)
+
+    // MinHash LSH, default maxBucket: identical boilerplate -> identical
+    // signatures -> exactly one over-cap bucket in each of the 8 bands
+    val lshObs = Observation("lsh_drops")
+    val lsh = Dedup.minHashLshPairs(corpus, "text", "doc_id", threshold = 0.5,
+        dropMetrics = Some(lshObs))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh === Set((20001L, 20002L)))
+    assert(lshObs.get("dropped_buckets").asInstanceOf[Long] === 8L)
+
+    // exact n-gram Jaccard, default maxDocFreq: the boilerplate's 8
+    // distinct 3-shingles each sit in 10k docs -> all 8 dropped; the
+    // pair's shingles are cold, so its jaccard stays exact (1.0)
+    val jacObs = Observation("jac_drops")
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", shingleSize = 3,
+        threshold = 0.5, dropMetrics = Some(jacObs))
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(jac === Set((20001L, 20002L, 1.0)))
+    assert(jacObs.get("dropped_shingles").asInstanceOf[Long] === 8L)
+  }
+
   test("embedding LSH bucket cap: generous cap == uncapped") {
     val uncapped = Dedup
       .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3)
