@@ -569,13 +569,69 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       nBuckets: Int = 64
-  ): Unit =
+  ): Unit = {
     graft.sinks.Sinks.writeBucketed(
       minHashIndexRows(corpus, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
       table,
       Seq("bkey"),
       nBuckets
     )
+    setIndexProps(corpus.sparkSession, table, numHashes, bands)
+  }
+
+  /** The hashing parameters an index was WRITTEN with, recorded as table
+    * properties so every later append/probe can be validated against the
+    * whole table's contract — not one sampled row, which a mixed-length
+    * index (bad earlier append) would slip past. `bands` matters as much
+    * as `numHashes`: probing with a different banding than the index was
+    * built with computes different (band, bhash) keys and silently
+    * misses near-dups.
+    */
+  private val NumHashesProp = "graft.minhash.numHashes"
+  private val BandsProp = "graft.minhash.bands"
+
+  private def setIndexProps(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int
+  ): Unit =
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('$NumHashesProp'='$numHashes', '$BandsProp'='$bands')"
+    )
+
+  /** Fail fast when the caller's (numHashes, bands) disagree with what
+    * the index records. Legacy indices without the properties fall back
+    * to sampling one stored row's signature length (weaker: bands
+    * unverifiable) — every index written/appended by THIS build records
+    * the properties.
+    */
+  private def validateIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int
+  ): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties
+    (props.get(NumHashesProp), props.get(BandsProp)) match {
+      case (Some(nh), Some(b)) =>
+        require(
+          nh.toInt == numHashes && b.toInt == bands,
+          s"index $table was written with (numHashes=$nh, bands=$b); " +
+            s"caller asked for ($numHashes, $bands)"
+        )
+      case _ =>
+        spark.table(table).select(size(col("sig")).as("k")).head(1).foreach { r =>
+          require(
+            r.getInt(0) == numHashes,
+            s"index $table holds ${r.getInt(0)}-hash signatures; probe asked for $numHashes"
+          )
+        }
+    }
+  }
 
   /** Append a new batch's band rows to an existing index — the
     * steady-state ingest path: indexing the day's crawl is O(batch),
@@ -591,13 +647,19 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       nBuckets: Int = 64
-  ): Unit =
+  ): Unit = {
+    val spark = batch.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) validateIndexParams(spark, table, numHashes, bands)
     graft.sinks.Sinks.appendBucketed(
       minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
       table,
       Seq("bkey"),
       nBuckets
     )
+    // first append CREATES the table: record its contract like write does
+    if (!existed) setIndexProps(spark, table, numHashes, bands)
+  }
 
   private def minHashIndexRows(
       corpus: DataFrame,
@@ -652,7 +714,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      broadcastRowLimit: Long = 4000000L
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
@@ -664,15 +727,10 @@ object Dedup {
       .bucketSpec
       .map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
-    // signature length mismatch vs the index would silently corrupt the
-    // estimator (and band hashing); check one stored row — head() on a
-    // bucketed table touches a single file
-    spark.table(table).select(size(col("sig")).as("k")).head(1).foreach { r =>
-      require(
-        r.getInt(0) == numHashes,
-        s"index $table holds ${r.getInt(0)}-hash signatures; probe asked for $numHashes"
-      )
-    }
+    // a (numHashes, bands) mismatch vs the index would silently corrupt
+    // band hashing and the estimator denominator; the index records its
+    // contract as table properties (validateIndexParams)
+    validateIndexParams(spark, table, numHashes, bands)
     val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
     val batchBands = signed
       .select(col("doc_id").as("j"), col("sig").as("sig_j"),
@@ -696,11 +754,13 @@ object Dedup {
     val fits = batchBands.limit(probe).count() <= broadcastRowLimit
     val batchHinted =
       if (fits) broadcast(batchBands.drop("bkey")) else batchBands.drop("bkey")
-    pruned
-      .join(batchHinted, Seq("band", "bhash"))
-      // a replayed batch probing an index it was already appended to
-      // must not match itself
-      .filter(col("doc_id") =!= col("j"))
+    val joined = pruned.join(batchHinted, Seq("band", "bhash"))
+    // a replayed batch probing an index it was already appended to must
+    // not match itself — unless the caller WANTS the same-id hits
+    // (CorpusIngest uses dropSameId = false to detect replays: an (i==j)
+    // match means this doc_id is already indexed)
+    val selfFiltered = if (dropSameId) joined.filter(col("doc_id") =!= col("j")) else joined
+    selfFiltered
       .select(col("doc_id").as("i"), col("j"), col("sig"), col("sig_j"))
       .distinct() // a pair can match in several bands
       .select(

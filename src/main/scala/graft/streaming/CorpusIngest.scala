@@ -41,6 +41,13 @@ object CorpusIngest {
 
   /** Start the deduped-ingest sink. Corpus rows: (doc_id, fingerprint,
     * text), fingerprint-unique across the whole stream history.
+    *
+    * `corpusPath` may live on any Hadoop filesystem (existence is
+    * resolved through the path's own scheme). `bloomPath` is DRIVER-LOCAL
+    * state (a few MB, read/written with java.nio + atomic rename every
+    * batch); on a cluster, point it at driver-attached storage — or port
+    * [[writeBloom]]/[[readBloom]] to the checkpoint filesystem with a
+    * rename-based writer if the driver is stateless.
     */
   def dedupedIngest(
       docs: DataFrame,
@@ -77,7 +84,7 @@ object CorpusIngest {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val stored = readBloom(bloomPath)
-    val corpusExists = Files.exists(Paths.get(corpusPath))
+    val corpusExists = pathExists(spark, corpusPath)
     val candidates = stored match {
       case None => withFp // first batch: no history at all
       case Some(_) if !corpusExists =>
@@ -124,6 +131,146 @@ object CorpusIngest {
       writeBloom(bloomPath, items, bits, merged)
       survivors.write.mode(SaveMode.Append).parquet(corpusPath)
     }
+  }
+
+  /** Per-batch accounting returned by [[ingestNearDupBatch]]: docs that
+    * survived (`kept`), docs dropped as duplicates — exact in-batch,
+    * near in-batch, or near-dup vs the corpus (`nearDups`) — and replays
+    * whose doc_id was already indexed (`replays`).
+    */
+  final case class NearDupIngestStats(kept: Long, nearDups: Long, replays: Long)
+
+  /** Streaming NEAR-dup ingest — "dedup today's crawl against the whole
+    * corpus" at streaming cadence: each micro-batch is (1) exact+near
+    * deduped within itself, (2) probed against the at-rest MinHash index
+    * ([[Dedup.incrementalNearDups]] — reads only the band buckets the
+    * batch hashes into, never the whole index), and (3) the survivors are
+    * appended to BOTH the index ([[Dedup.appendToMinHashIndex]], O(batch))
+    * and the text corpus. The corpus only ever accretes docs that are not
+    * near-duplicates of anything kept before them.
+    *
+    * Replay safety (at-least-once delivery → exactly-once corpus): the
+    * INDEX is appended before the corpus, so the index over-claims
+    * membership exactly like the exact-ingest bloom. A replayed doc finds
+    * its own indexed copy as a same-id probe hit (`dropSameId = false`)
+    * and is CONFIRMED against the corpus: present → dropped entirely;
+    * absent (the crash window — index appended, corpus append lost) → the
+    * doc is appended to the corpus only, never re-indexed. The reverse
+    * order would re-index replayed docs (duplicate index rows) or lose
+    * crash-window docs silently.
+    */
+  def nearDupIngest(
+      docs: DataFrame,
+      corpusPath: String,
+      indexTable: String,
+      checkpoint: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      nBuckets: Int = 64
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestNearDupBatch(
+          batch, corpusPath, indexTable, shingleSize, numHashes, bands, threshold, nBuckets)
+        ()
+      }
+      .start()
+
+  /** One near-dup-ingest micro-batch (see [[nearDupIngest]]). Exposed for
+    * batch-mode reuse and the spec's streamed==batch comparison.
+    */
+  def ingestNearDupBatch(
+      batch: DataFrame,
+      corpusPath: String,
+      indexTable: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      nBuckets: Int = 64
+  ): NearDupIngestStats = {
+    val spark = batch.sparkSession
+    // (1a) in-batch exact dedup, deterministic keeper (smallest doc_id)
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val exactKept = batch
+      .select(col("doc_id"), col("text"))
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // (1b) in-batch near-dup: greedy min-id keeper — a doc pairing with
+    // ANY smaller-id doc is dropped (deterministic; over-drops only on
+    // chains a~b~c with a≁c, the standard conservative LSH-dedup rule).
+    // Default posting-list caps apply: a boilerplate-heavy batch stays
+    // bounded.
+    val inBatchPairs =
+      Dedup.minHashLshPairs(exactKept, "text", "doc_id", shingleSize, numHashes, bands, threshold)
+    val inBatchDrops = inBatchPairs.select(col("j").as("doc_id")).distinct()
+    val batchKept = exactKept
+      .join(inBatchDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // feeds probe + two appends: compute once
+    // (2) probe the at-rest index; same-id hits are replays, not near-dups
+    val (nearDupIds, replayIds) =
+      if (spark.catalog.tableExists(indexTable)) {
+        val hits = Dedup
+          .incrementalNearDups(
+            spark, batchKept, indexTable, "text", "doc_id",
+            shingleSize, numHashes, bands, threshold, dropSameId = false)
+          .localCheckpoint(true)
+        (
+          hits.filter(col("i") =!= col("j")).select(col("j").as("doc_id")).distinct(),
+          hits.filter(col("i") === col("j")).select(col("j").as("doc_id")).distinct()
+        )
+      } else {
+        val none = batchKept.select(col("doc_id")).limit(0)
+        (none, none)
+      }
+    val fresh = batchKept
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .join(replayIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val freshCnt = fresh.count()
+    // (3) index append FIRST (the over-claiming membership structure —
+    // see the replay-safety scaladoc), then corpus
+    if (freshCnt > 0)
+      Dedup.appendToMinHashIndex(
+        fresh, "text", "doc_id", indexTable, shingleSize, numHashes, bands, nBuckets)
+    // (4) corpus append: fresh docs + crash-window orphans (indexed under
+    // their own id but missing from the corpus)
+    val orphans = {
+      val replayed = batchKept.join(replayIds, Seq("doc_id"), "left_semi")
+      if (pathExists(spark, corpusPath))
+        replayed.join(
+          spark.read.parquet(corpusPath).select(col("doc_id")),
+          Seq("doc_id"),
+          "left_anti"
+        )
+      else replayed
+    }.localCheckpoint(true)
+    val toCorpus = fresh.unionByName(orphans)
+    if (freshCnt + orphans.count() > 0)
+      toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
+    val replayCnt = replayIds.count()
+    NearDupIngestStats(
+      kept = freshCnt,
+      nearDups = batch.count() - freshCnt - replayCnt,
+      replays = replayCnt
+    )
+  }
+
+  /** Existence through Hadoop's FileSystem API — resolves against
+    * whatever filesystem the path's scheme names (HDFS/S3A/local), the
+    * same way Spark's own readers do. A driver-local `java.nio`
+    * existence check is always false for `hdfs://`/`s3a://` paths, which
+    * here would silently skip the dedup branch every batch.
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private val BloomMagic = 0x47424631 // "GBF1": graft bloom file v1

@@ -63,6 +63,128 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  // near-dup ingest fixtures: v1/v2/v3 share a long shingle base (MinHash
+  // est well above 0.5); "unique" docs share no shingles with anything
+  private val ndBase =
+    "the quick brown fox jumps over the lazy dog while rain falls gently on the wide open plain"
+  private val ndBatch1 = Seq(
+    (1L, "completely unrelated first document about deep sea volcanic vents and tube worms"),
+    (2L, s"$ndBase version one"),
+    (3L, s"$ndBase version two")
+  )
+  private val ndBatch2 = Seq(
+    (4L, s"$ndBase version three"),
+    (5L, "another standalone document describing medieval trade routes across the alps"),
+    (6L, "completely unrelated first document about deep sea volcanic vents and tube worms")
+  )
+  // survivors: 1, 2 (3 = in-batch near-dup of 2; 4 = near-dup of indexed 2;
+  // 6 = exact text of indexed 1 -> est 1.0 near-dup), 5
+
+  test("near-dup ingest: streamed == batch survivors across a restart; replay appends nothing") {
+    val tmp = Files.createTempDirectory("ndcorpus").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val corpus = s"$tmp/corpus"
+    val idx = "graft_ndup_stream_idx"
+
+    ndBatch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CorpusIngest.nearDupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    // restart: a NEW query on the SAME checkpoint picks up batch 2 only
+    ndBatch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = CorpusIngest.nearDupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(streamed === Set(1L, 2L, 5L))
+    assert(spark.table(idx).select("doc_id").distinct().as[Long].collect().toSet
+      === Set(1L, 2L, 5L))
+
+    // batch mode: same batches through ingestNearDupBatch directly
+    val corpusB = s"$tmp/corpusB"
+    val idxB = "graft_ndup_batch_idx"
+    val s1 = CorpusIngest.ingestNearDupBatch(ndBatch1.toDF("doc_id", "text"), corpusB, idxB)
+    assert(s1 === CorpusIngest.NearDupIngestStats(kept = 2, nearDups = 1, replays = 0))
+    val s2 = CorpusIngest.ingestNearDupBatch(ndBatch2.toDF("doc_id", "text"), corpusB, idxB)
+    assert(s2 === CorpusIngest.NearDupIngestStats(kept = 1, nearDups = 2, replays = 0))
+    val batched = spark.read.parquet(corpusB).select("doc_id").as[Long].collect().toSet
+    assert(batched === streamed)
+
+    // at-least-once: a fresh checkpoint redelivers EVERY file; the
+    // replayed survivors hit their own index entries (same-id probe) and
+    // the corpus confirms them present -> nothing appends anywhere
+    val idxRows = spark.table(idx).count()
+    val corpusRows = spark.read.parquet(corpus).count()
+    val q3 = CorpusIngest.nearDupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt2")
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(corpus).count() === corpusRows)
+    assert(spark.table(idx).count() === idxRows)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 5L))
+  }
+
+  test("near-dup ingest: crash between index append and corpus append heals on replay") {
+    val tmp = Files.createTempDirectory("ndcrash").toString
+    val corpus = s"$tmp/corpus"
+    val idx = "graft_ndup_crash_idx"
+    val batch = ndBatch1.toDF("doc_id", "text")
+
+    CorpusIngest.ingestNearDupBatch(batch, corpus, idx)
+    // simulate the crash window: index appended, corpus append lost
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(corpus))
+    val idxRows = spark.table(idx).count()
+
+    // replay: survivors are same-id index hits the corpus cannot confirm
+    // -> they append to the CORPUS only; the index is not double-appended
+    val s = CorpusIngest.ingestNearDupBatch(batch, corpus, idx)
+    assert(s.replays === 2 && s.kept === 0)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(spark.table(idx).count() === idxRows)
+
+    // third delivery with everything intact: drops all of it
+    CorpusIngest.ingestNearDupBatch(batch, corpus, idx)
+    assert(spark.read.parquet(corpus).count() === 2)
+    assert(spark.table(idx).count() === idxRows)
+  }
+
+  test("minhash index records its params; mismatched append or probe fails fast") {
+    import graft.ops.Dedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(docs, "text", "doc_id", "graft_props_idx",
+      numHashes = 32, bands = 8)
+    val probeBatch = Seq((2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, probeBatch, "graft_props_idx", "text", "doc_id",
+        numHashes = 16, bands = 8)
+    }
+    assert(e1.getMessage.contains("numHashes=32"))
+    // same signature LENGTH but different banding: the one-row sample
+    // check could never catch this; the recorded properties do
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, probeBatch, "graft_props_idx", "text", "doc_id",
+        numHashes = 32, bands = 4)
+    }
+    assert(e2.getMessage.contains("bands=8"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(probeBatch, "text", "doc_id", "graft_props_idx",
+        numHashes = 64, bands = 8)
+    }
+    assert(e3.getMessage.contains("numHashes=32"))
+    // matching params still append + probe fine
+    Dedup.appendToMinHashIndex(probeBatch, "text", "doc_id", "graft_props_idx")
+    assert(spark.table("graft_props_idx").select("doc_id").distinct().count() === 2)
+  }
+
   test("crash between bloom swap and corpus append replays losslessly") {
     val tmp = Files.createTempDirectory("corpus2").toString
     val corpus = s"$tmp/corpus"
