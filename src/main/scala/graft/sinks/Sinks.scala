@@ -176,6 +176,69 @@ object Sinks {
     rmTree(oldP.toFile)
   }
 
+  /** Compact a bucketed table's accumulated per-append file-sets into
+    * ONE file per bucket. [[appendBucketed]] is O(batch) per append but
+    * each append lays down its own per-bucket files — after N daily
+    * batches an index table (MinHash/IVF) is an N-files-per-bucket
+    * small-file swamp: every probe opens N footers per selected bucket
+    * and the object-store LIST grows linearly. The rewrite reads the
+    * table once, clusters rows by their BUCKET ID — `pmod(hash(keys), n)`,
+    * where `functions.hash` is the same seed-42 murmur3 the bucketed
+    * writer derives bucket ids from, so every bucket's rows land in
+    * exactly one task and each bucket comes out as exactly one file —
+    * and re-writes THROUGH the bucketed writer so file names keep
+    * carrying the bucket ids readers prune by. (Clustering by the raw
+    * key columns instead would NOT work: distinct key values that share
+    * a bucket can hash to different shuffle partitions, splitting one
+    * bucket across several writers.)
+    *
+    * The swap preserves the table's catalog entry (bucket spec AND table
+    * properties — e.g. the MinHash index contract — never move): only
+    * the data directory under the existing location is exchanged,
+    * staging-dir + rename, with the same `.old` crash protocol as
+    * [[compactEventLog]]. On an object store / external metastore,
+    * replace the directory moves with `ALTER TABLE ... SET LOCATION`
+    * (metastore-atomic) — called out here because rename is not atomic
+    * on S3.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not a bucketed table"))
+    val loc = Paths.get(new java.net.URI(meta.location.toString).getPath)
+    val oldP = Paths.get(loc.toString + ".old")
+    // crash recovery (same protocol as compactEventLog): live dir gone
+    // but .old present = crash between the two moves -> restore; .old
+    // NEXT TO a live dir = post-swap crash -> clear it
+    if (!Files.exists(loc) && Files.exists(oldP)) Files.move(oldP, loc)
+    if (Files.exists(oldP)) rmTree(oldP.toFile)
+    val staging = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    val keys = spec.bucketColumnNames
+    val sorts = spec.sortColumnNames
+    val writer = spark
+      .table(table)
+      .repartition(spec.numBuckets, pmod(hash(keys.map(col): _*), lit(spec.numBuckets)))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+    val sorted = if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer
+    sorted.format("parquet").saveAsTable(staging)
+    val stagingLoc = Paths.get(
+      new java.net.URI(cat.getTableMetadata(TableIdentifier(staging)).location.toString).getPath)
+    Files.move(loc, oldP)
+    Files.move(stagingLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+    // the staging entry now points at a moved-away dir; give DROP an
+    // empty one so its managed-location cleanup succeeds
+    Files.createDirectories(stagingLoc)
+    spark.sql(s"DROP TABLE `$staging`")
+    rmTree(oldP.toFile)
+    spark.sql(s"REFRESH TABLE `$table`")
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete(); ()

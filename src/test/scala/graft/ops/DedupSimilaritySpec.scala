@@ -168,6 +168,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  private def parquetFiles(table: String): Int = {
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString).getPath)
+    val stream = java.nio.file.Files.walk(loc)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally stream.close()
+  }
+
+  test("compactBucketed: files per bucket drop to 1; probe results, pruning, and index contract unchanged") {
+    val hist = docs.select($"doc_id", $"text")
+    Dedup.writeMinHashIndex(hist, "text", "doc_id", "mh_cpt_idx", nBuckets = 16)
+    // steady-state appends accrete one file-set per append
+    (1 to 3).foreach { k =>
+      Dedup.appendToMinHashIndex(
+        Seq((90000L + k, s"fresh appended document number $k about topic $k and nothing else"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", "mh_cpt_idx", nBuckets = 16)
+    }
+    val probeB = docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 300000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val before = Dedup
+      .incrementalNearDups(spark, probeB, "mh_cpt_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(before.nonEmpty)
+    val filesBefore = parquetFiles("mh_cpt_idx")
+
+    graft.sinks.Sinks.compactBucketed(spark, "mh_cpt_idx")
+
+    assert(parquetFiles("mh_cpt_idx") <= 16, "compaction must leave at most one file per bucket")
+    assert(parquetFiles("mh_cpt_idx") < filesBefore)
+    val afterDf = Dedup
+      .incrementalNearDups(spark, probeB, "mh_cpt_idx", "text", "doc_id", threshold = 0.3)
+    val after = afterDf.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    // bucket pruning still proven in the executed plan
+    val plan = afterDf.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan).isDefined,
+      s"bucket pruning lost after compaction:\n$plan")
+    // the (numHashes, bands) contract survived the swap: a mismatched
+    // append still fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(
+        Seq((99999L, "whatever text")).toDF("doc_id", "text"),
+        "text", "doc_id", "mh_cpt_idx", numHashes = 64, bands = 8, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("numHashes=32"))
+
+    // same invariants for the IVF index shape: simulate daily appends
+    // (already-assigned rows re-keyed) accreting per-append file-sets
+    val cents = Similarity.writeIvfIndex(emb, "embedding", "vec_id", "ivf_cpt_idx", nCells = 8)
+    (1 to 3).foreach { k =>
+      val extra = spark.table("ivf_cpt_idx").limit(10)
+        .withColumn("cid", col("cid") + k * 100000L)
+      graft.sinks.Sinks.appendBucketed(extra, "ivf_cpt_idx", Seq("cent_id"), numBuckets = 8)
+    }
+    val qs = emb.filter($"vec_id" < 5)
+    val ivfBefore = Similarity
+      .ivfTopKIndexed(spark, "ivf_cpt_idx", cents, qs, "embedding", "vec_id", 5, nProbe = 3)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val ivfFilesBefore = parquetFiles("ivf_cpt_idx")
+    graft.sinks.Sinks.compactBucketed(spark, "ivf_cpt_idx")
+    assert(parquetFiles("ivf_cpt_idx") <= 8 && parquetFiles("ivf_cpt_idx") < ivfFilesBefore)
+    val ivfAfter = Similarity
+      .ivfTopKIndexed(spark, "ivf_cpt_idx", cents, qs, "embedding", "vec_id", 5, nProbe = 3)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfAfter === ivfBefore)
+  }
+
   test("incremental exact dedup == plain anti-join; bloom rejects skip the join") {
     // history = the corpus; new batch = half replayed dupes (must drop),
     // half suffixed texts (genuinely new, must survive)
