@@ -158,6 +158,7 @@ object CdcStream {
   ): Unit = {
     val spark = batch.sparkSession
     val root = Paths.get(statePath)
+    recoverRootSwap(statePath) // BEFORE mkdir: an empty shell root must not mask a mid-rebucket .old
     Files.createDirectories(root)
     recoverState(root)
     val deduped = batch.dropDuplicates("event_id")
@@ -199,18 +200,100 @@ object CdcStream {
     * UNION both versions — duplicate keys with conflicting is_current
     * rows. Recovery itself stays where the writer runs
     * ([[applyBatchToState]] calls [[recoverState]] before each batch).
+    *
+    * Consistency window: the dir listing here is eager but Spark scans
+    * the files lazily, so a swap that COMPLETES between planning and
+    * execution can delete files the plan selected — the query fails with
+    * a missing-file error. That failure is transient and honest: retry
+    * the read. Do NOT "fix" it with `spark.sql.files.ignoreMissingFiles`
+    * — that turns the same race into a silently EMPTY bucket (missing
+    * rows, no error). Readers needing stronger isolation under a live
+    * writer belong on a snapshot-isolated table format (Delta/Iceberg),
+    * where this whole swap protocol is a transactional `replaceWhere`.
     */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
-    val dirs = Option(new java.io.File(statePath).listFiles).getOrElse(Array.empty)
+    // root-level .old fallback (mid-[[rebucketState]] crash): pure, like
+    // the per-bucket fallback below — recovery stays with the writer
+    val rootDir =
+      if (!hasBucketDirs(Paths.get(statePath)) && hasBucketDirs(Paths.get(statePath + ".old")))
+        statePath + ".old"
+      else statePath
+    val dirs = Option(new java.io.File(rootDir).listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     val live = dirs.filter(!_.getName.endsWith(".old")).map(_.getName).toSet
     val readable = dirs.collect {
       case d if !d.getName.endsWith(".old") => d.getPath
       case d if !live.contains(d.getName.stripSuffix(".old")) => d.getPath
     }
-    if (readable.isEmpty) spark.read.parquet(statePath).drop("bucket")
+    if (readable.isEmpty) spark.read.parquet(rootDir).drop("bucket")
     else spark.read.parquet(readable.toIndexedSeq: _*).drop("bucket")
   }
+
+  /** Re-bucket a state table to a new modulus — grow a 16-bucket table
+    * to 256 as key cardinality grows (the per-key bucket id
+    * [[stateBucket]] is frozen at table creation; changing `numBuckets`
+    * in place would scatter keys across buckets and corrupt every
+    * subsequent merge). The SCD2 state table itself already holds every
+    * row (all versions + validity intervals), so re-bucketing is a
+    * LAYOUT-ONLY rewrite of current state: read it, re-partition by the
+    * new modulus, swap the whole root. No event-log replay is needed —
+    * though the log remains the disaster-recovery source of truth
+    * (CdcStreamSpec proves `Scd2.apply(readEventLog(...))` rebuilds the
+    * identical state, which also covers a lost/corrupt state table).
+    *
+    * Single-writer: stop the [[scd2Sink]] stream before re-bucketing and
+    * restart it with the new `numBuckets` after. Crash safety: staging
+    * dir + two root moves with `.old`; every window is healed by
+    * [[recoverRootSwap]], which both [[applyBatchToState]] and
+    * [[readState]] consult. At cluster scale the same dataflow is a
+    * rewrite to a new table path + catalog/location flip.
+    */
+  def rebucketState(
+      spark: SparkSession,
+      statePath: String,
+      newNumBuckets: Int,
+      keys: Seq[String] = Seq("company_id", "table_name", "key_value")
+  ): Unit = {
+    val root = Paths.get(statePath)
+    recoverRootSwap(statePath)
+    recoverState(root)
+    if (!hasBucketDirs(root)) return // empty state: nothing to lay out
+    val staging = Paths.get(statePath + ".rebucket")
+    if (Files.exists(staging)) deleteRecursively(staging.toFile)
+    readState(spark, statePath)
+      .withColumn("bucket", stateBucket(keys, newNumBuckets))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(staging.toString)
+    val old = Paths.get(statePath + ".old")
+    Files.move(root, old)
+    Files.move(staging, root)
+    deleteRecursively(old.toFile)
+  }
+
+  /** Heal a crash inside [[rebucketState]]'s root swap. A `<state>.old`
+    * root with no live bucket dirs next to it is a crash between the two
+    * moves (the live root is absent, or an empty shell a concurrent
+    * `createDirectories` manufactured) — the `.old` root IS the table;
+    * restore it. A `.old` root NEXT TO a live bucketed root is a
+    * post-swap crash — drop it.
+    */
+  private[streaming] def recoverRootSwap(statePath: String): Unit = {
+    val root = Paths.get(statePath)
+    val old = Paths.get(statePath + ".old")
+    if (!Files.exists(old)) return
+    if (!hasBucketDirs(root)) {
+      if (Files.exists(root)) deleteRecursively(root.toFile)
+      Files.move(old, root)
+      ()
+    } else deleteRecursively(old.toFile)
+  }
+
+  private def hasBucketDirs(root: java.nio.file.Path): Boolean =
+    Files.exists(root) && Option(root.toFile.listFiles)
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket=") && !f.getName.endsWith(".old"))
 
   /** Two-move swap of one bucket dir: live -> .old, fresh -> live, drop
     * .old. Not atomic; every crash window is covered by [[recoverState]].

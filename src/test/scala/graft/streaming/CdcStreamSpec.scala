@@ -179,6 +179,102 @@ class CdcStreamSpec extends AnyFunSuite {
     )
   }
 
+  test("rebucketState grows the modulus without changing content; streamed==batch holds after; single-key batch rewrites one NEW-modulus bucket") {
+    val tmp = Files.createTempDirectory("rebucket").toString
+    val srcDir = s"$tmp/events"
+    val statePath = s"$tmp/state"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val keys = Seq("company_id", "table_name", "key_value")
+    val proj = Seq("key_value", "event_id", "is_current")
+
+    // build a 4-bucket table over 20 keys
+    val batch1 = mkEvents((1 to 20).map { i =>
+      (s"e$i", "insert", "c1", "t1", s"k$i", ts(f"2024-01-01 00:${i}%02d:00"))
+    }: _*)
+    CdcStream.applyBatchToState(batch1, statePath, numBuckets = 4)
+    def bucketIds(): Set[Int] = new java.io.File(statePath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+    assert(bucketIds().forall(_ < 4))
+    val before = CdcStream.readState(spark, statePath)
+      .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+
+    CdcStream.rebucketState(spark, statePath, newNumBuckets = 16)
+
+    // content identical, layout now on the 16-modulus, no residue
+    assert(CdcStream.readState(spark, statePath)
+      .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet === before)
+    assert(bucketIds().exists(_ >= 4), s"expected new-modulus buckets, got ${bucketIds()}")
+    assert(!Files.exists(java.nio.file.Paths.get(statePath + ".old")))
+    assert(!Files.exists(java.nio.file.Paths.get(statePath + ".rebucket")))
+
+    // streamed == batch still holds, streaming with the NEW modulus
+    val batch2 = mkEvents(
+      ("e21", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00")),
+      ("e22", "insert", "c1", "t1", "k21", ts("2024-01-01 00:21:00"))
+    )
+    batch2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CdcStream.scd2Sink(
+      CdcStream.fileEventStream(spark, srcDir), statePath, s"$tmp/ckpt", numBuckets = 16)
+    q.processAllAvailable()
+
+    assert(
+      CdcStream.readState(spark, statePath)
+        .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet ===
+        Scd2.apply(batch1.unionByName(batch2), keys)
+          .select(proj.map(col): _*).as[(String, String, Boolean)].collect().toSet
+    )
+
+    // a single-key micro-batch rewrites exactly one NEW-modulus bucket dir
+    def listing(): Map[String, Set[String]] = {
+      val root = new java.io.File(statePath)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles.map(f => s"${f.getName}@${f.lastModified}").toSet
+      }.toMap
+    }
+    val preTouch = listing()
+    mkEvents(("e99", "update", "c1", "t1", "k5", ts("2024-01-03 00:00:00")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val postTouch = listing()
+    assert(postTouch.keySet === preTouch.keySet)
+    val changed = preTouch.keys.filter(d => preTouch(d) != postTouch(d))
+    assert(changed.size === 1, s"exactly one new-modulus bucket may be rewritten, got $changed")
+  }
+
+  test("rebucketState root-swap crash heals: reader falls back purely, writer recovers") {
+    val tmp = Files.createTempDirectory("rebucketcrash").toString
+    val statePath = s"$tmp/state"
+    val batch = mkEvents((1 to 8).map { i =>
+      (s"e$i", "insert", "c1", "t1", s"k$i", ts(f"2024-01-01 00:${i}%02d:00"))
+    }: _*)
+    CdcStream.applyBatchToState(batch, statePath, numBuckets = 4)
+    val want = CdcStream.readState(spark, statePath)
+      .select("key_value", "event_id").as[(String, String)].collect().toSet
+
+    // simulate the crash between rebucketState's two root moves: the
+    // live root is gone, the whole table sits at <state>.old
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(statePath), java.nio.file.Paths.get(statePath + ".old"))
+
+    // pure reader: sees the pre-swap table, mutates nothing
+    assert(CdcStream.readState(spark, statePath)
+      .select("key_value", "event_id").as[(String, String)].collect().toSet === want)
+    assert(Files.exists(java.nio.file.Paths.get(statePath + ".old")))
+
+    // writer: next micro-batch restores the root and applies on top —
+    // even though createDirectories would otherwise manufacture an
+    // empty shell root that masks the .old
+    CdcStream.applyBatchToState(
+      mkEvents(("e9", "update", "c1", "t1", "k1", ts("2024-01-02 00:00:00"))),
+      statePath, numBuckets = 4)
+    assert(!Files.exists(java.nio.file.Paths.get(statePath + ".old")))
+    val got = CdcStream.readState(spark, statePath)
+    assert(got.filter(col("event_id") === "e9").count() === 1)
+    assert(got.select("key_value").distinct().count() === 8)
+  }
+
   test("SCD2 state rebuilds exactly from the append-only event log (source of truth)") {
     // disaster-recovery property: the partitioned event log alone is
     // sufficient to reconstruct the state table the streaming sink
