@@ -35,6 +35,20 @@ object Chatbot {
     Analytics.eventHistogram(eventLog.filter(col("ts") >= cutoff))
   }
 
+  /** [[historical]] with a DETERMINISTIC as-of: the last-N-days window
+    * anchors at the newest event in the log (one-row agg broadcast into
+    * the filter — no driver round trip, no wall clock), so the query is
+    * replayable and hash-pinnable (driver oracle q58). The reference's
+    * wall-clock variant stays above for live use.
+    */
+  def historicalAsOf(eventLog: DataFrame, days: Int = 7): DataFrame = {
+    val anchor = eventLog.agg(max(to_date(col("ts"))).as("anchor"))
+    val recent = eventLog
+      .crossJoin(broadcast(anchor))
+      .filter(to_date(col("ts")) >= date_sub(col("anchor"), days))
+    Analytics.eventHistogram(recent)
+  }
+
   /** Route a question to its query. Anomaly/prediction return the
     * reference's canned-stub shape (`chatbot.py:168-191`) as one-row
     * frames; historical runs the real aggregation.

@@ -431,6 +431,11 @@ object SparkEntry {
         )
     }),
 
+    // A1-via-chatbot: the reference chatbot's one real query shape
+    // (chatbot.py:150-163) — last-7-days filter + per-type counts +
+    // rollup grand total, anchored at the newest event for determinism
+    "q58_chatbot_rollup" -> ((s, dir) => Chatbot.historicalAsOf(t(s, dir, "events"), days = 7)),
+
     // Benchmark decontamination: training docs sharing any word 3-gram
     // with the eval split (doc_id % 97 == 0 plays the benchmark)
     "q55_decontaminate" -> ((s, dir) => {
@@ -1064,6 +1069,13 @@ object SparkEntry {
            |SELECT source, n_docs, n_tokens,
            |       floor(n_tokens * 10000.0 / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM s)) / 10000.0 AS token_share
            |FROM s""".stripMargin,
+
+      "q58_chatbot_rollup" ->
+        """SELECT coalesce(event_type, 'TOTAL') AS event_type, count(*) AS n
+          |FROM events
+          |WHERE CAST(ts AS DATE) >=
+          |  (SELECT max(CAST(ts AS DATE)) - INTERVAL 7 DAY FROM events)
+          |GROUP BY ROLLUP(event_type)""".stripMargin,
 
       "q55_decontaminate" ->
         s"""WITH t AS ($wordsSql),

@@ -242,6 +242,24 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(flat.select("new_b").as[String].head() === "y")
   }
 
+  test("flattenMap inference is bounded: under maxKeys infers sorted keys, over fails fast") {
+    val df = Seq(
+      (1L, Map("b" -> "y", "a" -> "x")),
+      (2L, Map("c" -> "z"))
+    ).toDF("id", "payload")
+    // dynamic mode: keys inferred from data, sorted, bound not hit
+    val flat = Reshape.flattenMap(df, "payload", maxKeys = 3)
+    assert(flat.columns.toSeq === Seq("id", "a", "b", "c"))
+    assert(flat.filter($"id" === 2L).select("c").as[String].head() === "z")
+    // a map column wider than the bound must fail fast, not plan a
+    // pathologically wide schema
+    val wide = Seq((1L, (1 to 10).map(i => s"k$i" -> s"v$i").toMap)).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Reshape.flattenMap(wide, "payload", maxKeys = 4)
+    }
+    assert(e.getMessage.contains("more than 4 distinct keys"))
+  }
+
   test("pivotCounts with explicit values, missing combos filled 0") {
     val df = Seq(("u1", "x"), ("u1", "x"), ("u2", "y")).toDF("user", "t")
     val p = Reshape.pivotCounts(df, "user", "t", Seq("x", "y"))
