@@ -64,6 +64,11 @@ object JdbcSink {
             } catch {
               case e: SQLException if isUniqueViolation(e) =>
                 conn.rollback()
+                // JDBC leaves post-failure batch contents driver-defined:
+                // some drivers keep the unexecuted commands queued, and
+                // the NEXT group's addBatch would re-execute them. Clear
+                // explicitly before reusing the statement.
+                ps.clearBatch()
                 insertRowByRow(conn, insert, schema, group)
             }
           }

@@ -109,6 +109,18 @@ object Sinks {
           Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c"))
         )
         val row = df.agg(aggs.head, aggs.tail: _*).head()
+        // empty input (or an all-null z-column) aggregates to null bounds;
+        // unboxing those would NPE deep in the scaling expression
+        val nullBound = need.find(c => row.isNullAt(row.fieldIndex(s"mn_$c")))
+        nullBound.foreach { c =>
+          if (df.isEmpty) {
+            df.write.mode(SaveMode.Overwrite).parquet(path) // empty table, valid schema
+            return
+          }
+          throw new IllegalArgumentException(
+            s"writeZOrdered: column $c has no non-null values to derive bounds from; " +
+              "pass explicit bounds or drop it from the z-order columns")
+        }
         need.map(c => c -> (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))).toMap
       }
     val all = bounds ++ computed

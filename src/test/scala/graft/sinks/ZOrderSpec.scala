@@ -75,6 +75,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zOnValue < nFiles, s"z layout did not prune on value ($zOnValue of $nFiles)")
   }
 
+  test("empty input writes an empty-but-readable table; all-null z-column fails with a clear error") {
+    val base = Files.createTempDirectory("zorder3").toString
+    val empty = Seq.empty[(Long, Double)].toDF("a", "b")
+    Sinks.writeZOrdered(empty, s"$base/empty", Seq("a", "b"), nFiles = 2)
+    assert(spark.read.parquet(s"$base/empty").count() === 0)
+    assert(spark.read.parquet(s"$base/empty").columns.toSeq === Seq("a", "b"))
+
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeZOrdered(allNull, s"$base/allnull", Seq("a", "b"), nFiles = 2)
+    }
+    assert(e.getMessage.contains("column b has no non-null values"))
+  }
+
   test("explicit bounds skip the sampling agg and clamp out-of-range values") {
     val df = Seq((0L, 0.0), (100L, 1.0), (500L, 5.0)).toDF("a", "b")
     val path = Files.createTempDirectory("zorder2").toString + "/t"
