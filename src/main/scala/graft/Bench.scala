@@ -66,7 +66,18 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map(_ => runOnce(name, fn))
+      val runs = (1 to iters).map { _ =>
+        val t = runOnce(name, fn)
+        // several operators localCheckpoint intermediates; those RDDs
+        // stay pinned in storage memory for the life of the context, so
+        // without this each query would run under ever-growing memory
+        // pressure from every EARLIER query/iteration — the iterations
+        // would not be comparable (observed as q19 medians inflating 2x
+        // late in the bench). Dropping them between iterations makes
+        // run i and run i+1 see the same heap.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        t
+      }
       (name, median(runs), runs)
     }
     val qs = results
