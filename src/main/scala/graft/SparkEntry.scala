@@ -431,6 +431,23 @@ object SparkEntry {
         )
     }),
 
+    // Containment dedup: docs wholly contained (word-aligned) in a
+    // longer doc. Non-vacuous by construction: every doc_id % 31 == 0
+    // contributes a 12-token middle slice as a synthetic "excerpt" doc
+    // guaranteed to be contained in its parent. Exact mode for the hash
+    // oracle (maxDocFreq = None).
+    "q59_containment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val slices = docs
+        .filter(col("doc_id") % 31 === 0)
+        .select(
+          (col("doc_id") + 600000L).as("doc_id"),
+          concat_ws(" ", slice(Fns.tokens(col("text")), 3, 12)).as("text")
+        )
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(slices)
+      Dedup.containmentPairs(corpus, "text", "doc_id", shingleSize = 8, maxDocFreq = None)
+    }),
+
     // A1-via-chatbot: the reference chatbot's one real query shape
     // (chatbot.py:150-163) — last-7-days filter + per-type counts +
     // rollup grand total, anchored at the newest event for determinism
@@ -1069,6 +1086,17 @@ object SparkEntry {
            |SELECT source, n_docs, n_tokens,
            |       floor(n_tokens * 10000.0 / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM s)) / 10000.0 AS token_share
            |FROM s""".stripMargin,
+
+      "q59_containment_dedup" ->
+        s"""WITH t AS ($wordsSql),
+           |sl AS (SELECT doc_id + 600000 AS doc_id, words[3:14] AS words
+           |       FROM t WHERE doc_id % 31 = 0),
+           |ad AS (SELECT doc_id, words FROM t UNION ALL SELECT doc_id, words FROM sl),
+           |d AS (SELECT doc_id, array_to_string(words, ' ') AS s
+           |      FROM ad WHERE len(words) >= 8)
+           |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+           |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+           |WHERE position(' ' || a.s || ' ' IN ' ' || b.s || ' ') > 0""".stripMargin,
 
       "q58_chatbot_rollup" ->
         """SELECT coalesce(event_type, 'TOTAL') AS event_type, count(*) AS n

@@ -274,6 +274,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Word-aligned exact-substring containment pairs: (inner_id,
+    * outer_id) where the inner doc's full token sequence appears as a
+    * contiguous run inside the outer doc's — the "drop documents wholly
+    * contained in a longer document" dedup a crawl corpus needs (quoted
+    * articles, syndicated excerpts, page fragments re-crawled inside
+    * their parent page).
+    *
+    * NOT an all-pairs scan: if inner ⊆ outer then EVERY word
+    * `shingleSize`-gram of the inner doc — in particular its globally
+    * RAREST one — is also a gram of the outer doc. So each doc probes
+    * with ONE shingle (its minimum-(doc-frequency, shingle) gram, a
+    * deterministic argmin), candidates are that shingle's posting list,
+    * and only candidates pay the exact `contains` verification on the
+    * space-joined token strings (word-aligned by construction: both
+    * sides are wrapped in sentinel spaces). One shuffle builds the
+    * postings, one joins the probes, the verify joins touch candidates
+    * only.
+    *
+    * Scope: docs with fewer than `shingleSize` tokens pass through
+    * unexamined (they have no grams — pick `shingleSize` below the
+    * shortest doc you care about). `maxDocFreq` caps posting lists like
+    * the rest of the family (default [[DefaultMaxBucket]], drops counted
+    * under `dropped_shingles`): a doc whose every gram is boilerplate-hot
+    * loses its probe and yields no pairs — the conservative trade; pass
+    * `None` for the exact mode the oracle entry (q59) pins. Exact dups
+    * (equal token strings) are contained in BOTH directions and emit
+    * both ordered pairs.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 8,
+      maxDocFreq: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame = {
+    // read three times (grams, probe argmin, verify joins) — materialize
+    // lazily once, same pattern as minHashLshPairs
+    val toks = df
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+      .filter(size(col("words")) >= shingleSize)
+      .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words"))
+      .localCheckpoint(false)
+    val sh = toks.select(
+      col("doc_id"),
+      explode(graft.plans.TextExpressions.distinctShingles(col("words"), shingleSize)).as("sh")
+    )
+    val postings = sh
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val bounded =
+      boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles")
+        .localCheckpoint(false) // probed twice: dfreq argmin + candidate join
+    // each doc's probe = its rarest surviving gram (ties by gram text)
+    val probe = sh
+      .join(bounded.select(col("sh"), size(col("ids")).as("dfq")), "sh")
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("dfq"), col("sh"))).as("m"))
+      .select(col("doc_id").as("inner_id"), col("m.sh").as("sh"))
+    val cand = probe
+      .join(bounded, "sh")
+      .select(col("inner_id"), explode(col("ids")).as("outer_id"))
+      .filter(col("inner_id") =!= col("outer_id"))
+    cand
+      .join(toks.select(col("doc_id").as("inner_id"), col("tstr").as("t_in")), "inner_id")
+      .join(toks.select(col("doc_id").as("outer_id"), col("tstr").as("t_out")), "outer_id")
+      .filter(
+        contains(concat(lit(" "), col("t_out"), lit(" ")), concat(lit(" "), col("t_in"), lit(" ")))
+      )
+      .select(col("inner_id"), col("outer_id"))
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: each node adopts the smallest label among itself and
     * its neighbors until fixpoint (bounded by `maxIter`; converges in
