@@ -6,22 +6,30 @@ package graft
   *
   * Each query is materialized with a noop-format write — unlike
   * `count()`, that executes the full projection (a count would let
-  * Catalyst prune every computed column). A warmup job amortizes JVM/
-  * codegen/session startup out of the per-query numbers.
+  * Catalyst prune every computed column).
   *
-  * Variance control: every query runs `SPARK_GRAFT_BENCH_ITERS` times
-  * (default 3) and the reported per-query number is the MEDIAN; the
-  * raw per-iteration numbers ship in a sibling `"runs"` object so a
-  * regression can be told apart from single-run machine noise (a
-  * single-iteration bench cannot falsify either hypothesis). The
-  * driver-facing contract is unchanged: `"queries"` maps name → one
-  * number and `"value"` is their sum.
+  * Variance control: per query, `SPARK_GRAFT_BENCH_WARMUPS` (default 1)
+  * runs are EXCLUDED (first-touch JIT/codegen/page-cache — observed to
+  * be the slowest run for nearly every query), then
+  * `SPARK_GRAFT_BENCH_ITERS` (default 5) runs are measured; the
+  * reported per-query number is the MEDIAN. The per-run numbers plus
+  * the MIN land in `bench_detail.json` so a regression can be told
+  * apart from machine noise (the r4 bench proved the need: three
+  * queries "regressed" 2–4.6× under host load and reverted to baseline
+  * on identical code — see BENCH_NOTES.md).
+  *
+  * The stdout line stays MINIMAL (metric/value/unit/queries/sf) on
+  * purpose: the driver parses it from a bounded tail window of the
+  * captured output (~2000 chars — the r4 line with embedded per-run
+  * arrays overflowed it and the driver recorded `parsed: null`).
+  * Per-run detail therefore ships in the sibling file, never inline.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt)
+    val warmups = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // The bench artifact must END at the JSON line, but DAGScheduler
@@ -30,17 +38,40 @@ object Bench {
     // (limit/convergence-check `limit(1).count()` patterns) deliver
     // accumulator updates after the job's accumulators were
     // unregistered — a benign, well-known task-completion race that
-    // says nothing about results. Silence that one logger to FATAL in
-    // this bench JVM only; correctness runs (Verify) keep it at ERROR.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL
-    )
+    // says nothing about results. Drop EXACTLY that message with a
+    // RegexFilter on the DAGScheduler logger (a dedicated LoggerConfig,
+    // additive, no appenders of its own) so real scheduler errors —
+    // lost executors, fetch failures, job aborts — still reach the log.
+    // If the filter API ever changes shape, fall back to silencing the
+    // logger outright: a clean machine-parsed tail outranks scheduler
+    // diagnostics in this one JVM.
+    try {
+      import org.apache.logging.log4j.core.Filter.Result
+      val filter = org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", null, java.lang.Boolean.FALSE,
+        Result.DENY, Result.NEUTRAL)
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = new org.apache.logging.log4j.core.config.LoggerConfig(
+        name, org.apache.logging.log4j.Level.ERROR, true)
+      lc.addFilter(filter)
+      cfg.addLogger(name, lc)
+      ctx.updateLoggers()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          "org.apache.spark.scheduler.DAGScheduler",
+          org.apache.logging.log4j.Level.FATAL
+        )
+    }
 
-    // warmup: touch every table at the target SF (page cache + reader
-    // init), then run every query once at the smallest SF — this
+    // session warmup: touch every table at the target SF (page cache +
+    // reader init), then run every query once at the smallest SF — this
     // compiles each query's whole-stage codegen and JITs the hot loops
-    // so the timed pass measures execution, not first-touch compilation
+    // so even the per-query warmup run measures execution, not
+    // first-touch compilation
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach { t =>
         try graft.sources.Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
@@ -66,7 +97,7 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
+      val all = (1 to (warmups + iters)).map { _ =>
         val t = runOnce(name, fn)
         // several operators localCheckpoint intermediates; those RDDs
         // stay pinned in storage memory for the life of the context, so
@@ -78,19 +109,25 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         t
       }
-      (name, median(runs), runs)
+      val measured = all.drop(warmups)
+      (name, median(measured), measured.min, all)
     }
     val qs = results
-      .map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
-      .mkString("{", ",", "}")
-    val runsJson = results
-      .map { case (k, _, runs) =>
-        "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
-      }
+      .map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"iterations":$iters,"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results
+      .map { case (k, med, mn, all) =>
+        val runsJson = all.map(r => f"$r%.3f").mkString("[", ",", "]")
+        f""""$k":{"median":$med%.3f,"min":$mn%.3f,"all_runs_incl_warmup":$runsJson}"""
+      }
+      .mkString(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"sf":"$sfDir","queries":{""",
+        ",",
+        "}}"
+      )
     // Stop Spark BEFORE printing the JSON so the artifact's tail begins
     // at the JSON line: shutdown-time logging (cancelled-stage /
     // event-loop teardown stacks land on stderr, and the driver captures
@@ -102,13 +139,20 @@ object Bench {
       spark.stop()
     } catch { case _: Throwable => () }
     System.err.flush()
+    // detail first (tail-truncatable), contract line LAST and closest to
+    // the end of the captured output
+    println(detail)
     println(line)
     System.out.flush()
-    // Belt-and-braces for log-noise-proof parsing: also drop the same
-    // line in a file next to the build.
+    // Belt-and-braces for log-noise-proof parsing: the contract line and
+    // the full per-run detail also land in files next to the build.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
   }
 }

@@ -134,11 +134,34 @@ object TextAnalysis {
     val nLines = size(col("_lines"))
     val nDupLines = nLines - size(array_distinct(col("_lines")))
     // character mass of lines occurring more than once (each occurrence
-    // counts): per line, scan the (materialized) array for its multiplicity
+    // counts). O(n log n) per row: sort the line array and fold over
+    // adjacent runs — a run of k>1 copies of a length-L line contributes
+    // k*L (the first copy is credited retroactively when the second one
+    // is seen). The naive per-line multiplicity scan is O(n²) and makes
+    // a single 50k-line crawled document a multi-minute straggler task.
+    // `prev` starts as NULL (never equal to a real line — blank lines
+    // were filtered out above, and `===` is null-safe false here).
     val dupChars = aggregate(
-      filter(col("_lines"), l => size(filter(col("_lines"), x => x === l)) > 1),
-      lit(0L),
-      (acc, l) => acc + length(l)
+      array_sort(col("_lines")),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0).as("run"),
+        lit(0L).as("tot")
+      ),
+      (acc, l) =>
+        struct(
+          l.as("prev"),
+          when(l === acc("prev"), acc("run") + 1).otherwise(lit(1)).as("run"),
+          (acc("tot") + coalesce(
+            when(
+              l === acc("prev"),
+              when(acc("run") === 1, length(l).cast("long") * 2L)
+                .otherwise(length(l).cast("long"))
+            ),
+            lit(0L)
+          )).as("tot")
+        ),
+      acc => acc("tot")
     )
     val totalChars = aggregate(col("_lines"), lit(0L), (acc, l) => acc + length(l))
     val nWords = size(col("_toks"))

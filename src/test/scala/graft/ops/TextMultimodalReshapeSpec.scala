@@ -55,6 +55,34 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("frac_alpha_words") === 1.0)
   }
 
+  test("gopherQuality: 20k-line document is linear-ish, not quadratic") {
+    // 20k lines, half duplicated: the old per-line multiplicity scan is
+    // O(n²) = 4e8 comparisons in ONE row (a straggler at corpus scale);
+    // the sorted-runs fold is O(n log n). Assert exact dup-mass math on
+    // the big doc AND that it completes in the same ballpark as a tiny
+    // one rather than minutes.
+    val nUnique = 10000
+    val unique = (0 until nUnique).map(i => s"unique line number $i")
+    val dups = (0 until nUnique).map(i => s"duplicated payload ${i % 100}")
+    val bigText = scala.util.Random.shuffle(unique ++ dups).mkString("\n")
+    val df = Seq((1L, bigText), (2L, "small\ndoc")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.gopherQuality(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val big = got(1L)
+    assert(big.getAs[Long]("n_lines") === 20000L)
+    // 100 distinct duplicated lines, 100 copies each -> 10000 - 100 net dups
+    assert(big.getAs[Long]("n_dup_lines") === (10000L - 100L))
+    val dupMass = dups.map(_.length.toLong).sum
+    val totalMass = (unique ++ dups).map(_.length.toLong).sum
+    assert(
+      big.getAs[Double]("frac_chars_dup_lines") ===
+        math.floor(dupMass.toDouble / totalMass * 10000) / 10000
+    )
+    assert(secs < 15.0, s"20k-line gopherQuality took $secs s — smells quadratic")
+  }
+
   test("redactPii replaces emails/urls with tags and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
@@ -137,7 +165,8 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
       (1L, encode(img(7, 5, 0x808080), "png")),  // gray PNG
       (2L, encode(img(3, 9, 0xffffff), "bmp")),  // white BMP
       (3L, animatedGif(Seq(img(4, 4, 0x000000), img(4, 4, 0xffffff)))), // 2-frame GIF
-      (4L, "not an image at all".getBytes("UTF-8")) // surrogate path
+      (4L, "not an image at all".getBytes("UTF-8")), // surrogate path
+      (5L, encode(img(11, 6, 0x404040), "jpeg")) // JPEG (JDK-native reader)
     ).toDF("doc_id", "media")
     val feats = Multimodal.extractFeatures(rows).collect().map(f => f.doc_id -> f).toMap
 
@@ -146,6 +175,10 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(feats(2L).width === 3 && feats(2L).height === 9)
     assert(feats(2L).frame_means.toSeq === Seq(255.0))
     assert(feats(3L).width === 4 && feats(3L).height === 4 && feats(3L).n_frames === 2)
+    // JPEG decodes for real: true dimensions, one frame, and a mean
+    // near the encoded gray (lossy codec -> tolerance, not equality)
+    assert(feats(5L).width === 11 && feats(5L).height === 6 && feats(5L).n_frames === 1)
+    assert(math.abs(feats(5L).frame_means.head - 64.0) < 8.0)
     // non-image bytes flow through the deterministic surrogate
     val len = "not an image at all".getBytes("UTF-8").length
     assert(feats(4L).byte_len === len && feats(4L).width === len % 640)
@@ -166,6 +199,12 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(!resized(4L).getAs[Boolean]("resized"))
     assert(resized(4L).getAs[Array[Byte]]("media").toSeq ===
       "not an image at all".getBytes("UTF-8").toSeq)
+    // JPEG input resizes through the same path (11x6 -> fit 4x4 => 4x2)
+    assert(resized(5L).getAs[Boolean]("resized"))
+    assert(resized(5L).getAs[Int]("width") === 4 && resized(5L).getAs[Int]("height") === 2)
+    val backJpeg = ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(5L).getAs[Array[Byte]]("media")))
+    assert(backJpeg.getWidth === 4 && backJpeg.getHeight === 2)
   }
 
   test("multimodal: frame sampling strides over REAL n_frames") {
