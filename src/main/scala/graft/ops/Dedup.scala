@@ -668,16 +668,21 @@ object Dedup {
       numHashes: Int,
       bands: Int
   ): Unit =
+    // parse qualified names (`db.idx`) like the SQL layer would — one
+    // pair of backticks around the whole name breaks on the dot
     spark.sql(
-      s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-        s"('$NumHashesProp'='$numHashes', '$BandsProp'='$bands')"
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$NumHashesProp'='$numHashes', '$BandsProp'='$bands')"
     )
 
   /** Fail fast when the caller's (numHashes, bands) disagree with what
-    * the index records. Legacy indices without the properties fall back
-    * to sampling one stored row's signature length (weaker: bands
-    * unverifiable) — every index written/appended by THIS build records
-    * the properties.
+    * the index records. An index without the properties (created by a
+    * legacy build, or by an [[appendToMinHashIndex]] first append that
+    * crashed between table creation and the ALTER TABLE) is validated
+    * against the DATA instead — signature length pins numHashes and
+    * `max(band)+1` pins bands, since every indexed doc emits one row per
+    * band — and the properties are then BACKFILLED so the weaker path
+    * never runs again for this table.
     */
   private def validateIndexParams(
       spark: org.apache.spark.sql.SparkSession,
@@ -686,7 +691,7 @@ object Dedup {
       bands: Int
   ): Unit = {
     val props = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties
     (props.get(NumHashesProp), props.get(BandsProp)) match {
       case (Some(nh), Some(b)) =>
@@ -696,12 +701,26 @@ object Dedup {
             s"caller asked for ($numHashes, $bands)"
         )
       case _ =>
-        spark.table(table).select(size(col("sig")).as("k")).head(1).foreach { r =>
+        val r = spark
+          .table(table)
+          .agg(
+            min(size(col("sig"))).as("mn"),
+            max(size(col("sig"))).as("mx"),
+            max(col("band")).as("mb")
+          )
+          .head()
+        if (!r.isNullAt(0)) { // empty index contradicts nothing; adopt the caller's contract
           require(
-            r.getInt(0) == numHashes,
-            s"index $table holds ${r.getInt(0)}-hash signatures; probe asked for $numHashes"
+            r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+            s"index $table holds ${r.getInt(0)}..${r.getInt(1)}-hash signatures; " +
+              s"caller asked for $numHashes"
+          )
+          require(
+            r.getInt(2) == bands - 1,
+            s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
           )
         }
+        setIndexProps(spark, table, numHashes, bands)
     }
   }
 
@@ -791,11 +810,14 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
+    // a compaction crash must not leave the probe reading a missing (or
+    // freshly-recreated empty) data dir — heal restore-only before the scan
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // bucket count comes from the CATALOG, never the caller: probing
     // with a different modulus than the index was written with would
     // prune to the wrong buckets and silently miss near-dups
     val nBuckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .bucketSpec
       .map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))

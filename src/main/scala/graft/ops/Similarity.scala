@@ -210,6 +210,9 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     import spark.implicits._
+    // a compaction crash must not leave the probe reading a missing data
+    // dir — heal restore-only before the scan (see Sinks.recoverBucketedSwap)
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // computed ONCE (the cell scoring is the query-side hot projection),
     // reused for both the distinct-cell collect and the bucket join
     val probes = probeCells(queries, cents, vecCol, idCol, nProbe).localCheckpoint(true)

@@ -68,13 +68,64 @@ object Sinks {
       table: String,
       keys: Seq[String],
       numBuckets: Int = 64
-  ): Unit =
+  ): Unit = {
+    // a table left dir-less by a compaction crash must heal BEFORE the
+    // append, or the bucketed writer would lay a fresh empty dir over
+    // the swap window and orphan the whole pre-crash index in `.old`
+    recoverBucketedSwap(df.sparkSession, table, clearStaleOld = true)
     df.write
       .mode(SaveMode.Append)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Parse a possibly-qualified table name (`db.idx`) the same way the
+    * SQL layer does — building `TableIdentifier(table)` from the raw
+    * string would treat the whole name as one identifier, and
+    * single-backtick interpolation into SQL text breaks on the dot.
+    */
+  private[graft] def parseIdent(
+      spark: SparkSession,
+      table: String
+  ): org.apache.spark.sql.catalyst.TableIdentifier =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
+  /** Heal a [[compactBucketed]] root swap left mid-crash. A crash between
+    * compaction's two directory moves leaves the table's data directory
+    * missing (the data is intact at `<loc>.old`); without this hook the
+    * table stays unreadable until someone happens to re-run compaction.
+    * Every entry point that consumes a bucketed index table calls it:
+    * [[appendBucketed]] and [[compactBucketed]] on the write side,
+    * `Dedup.incrementalNearDups` / `Similarity.ivfTopKIndexed` on the
+    * read side.
+    *
+    * Write-side callers pass `clearStaleOld = true` and also drop a
+    * post-swap leftover `.old`. Read-side callers heal restore-only: a
+    * stale `.old` NEXT TO a live dir never blocks a read, and deleting it
+    * from a reader would mutate state the maintenance path owns. Same
+    * single-writer discipline as the SCD2 state swaps: compaction is a
+    * maintenance window, not a concurrent writer.
+    */
+  def recoverBucketedSwap(
+      spark: SparkSession,
+      table: String,
+      clearStaleOld: Boolean = false
+  ): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (!spark.catalog.tableExists(table)) return
+    val ident = parseIdent(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val loc = Paths.get(new java.net.URI(meta.location.toString).getPath)
+    val oldP = Paths.get(loc.toString + ".old")
+    if (!Files.exists(loc) && Files.exists(oldP)) {
+      Files.move(oldP, loc)
+      // drop any cached file listing planned against the missing dir
+      spark.sql(s"REFRESH TABLE ${ident.quotedString}")
+      ()
+    } else if (clearStaleOld && Files.exists(oldP)) rmTree(oldP.toFile)
+  }
 
   /** Z-ordered layout at rest: sort the data along an interleaved-bit
     * (Morton) curve over `cols` so parquet min/max stats stay TIGHT on
@@ -217,18 +268,17 @@ object Sinks {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.catalyst.TableIdentifier
     val cat = spark.sessionState.catalog
-    val meta = cat.getTableMetadata(TableIdentifier(table))
+    val ident = parseIdent(spark, table)
+    val meta = cat.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not a bucketed table"))
+    // crash recovery (same protocol as compactEventLog), shared with the
+    // read/append entry points via recoverBucketedSwap
+    recoverBucketedSwap(spark, table, clearStaleOld = true)
     val loc = Paths.get(new java.net.URI(meta.location.toString).getPath)
     val oldP = Paths.get(loc.toString + ".old")
-    // crash recovery (same protocol as compactEventLog): live dir gone
-    // but .old present = crash between the two moves -> restore; .old
-    // NEXT TO a live dir = post-swap crash -> clear it
-    if (!Files.exists(loc) && Files.exists(oldP)) Files.move(oldP, loc)
-    if (Files.exists(oldP)) rmTree(oldP.toFile)
-    val staging = table + "__compact"
-    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    val stagingIdent = TableIdentifier(ident.table + "__compact", ident.database)
+    spark.sql(s"DROP TABLE IF EXISTS ${stagingIdent.quotedString}")
     val keys = spec.bucketColumnNames
     val sorts = spec.sortColumnNames
     val writer = spark
@@ -238,17 +288,17 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
     val sorted = if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer
-    sorted.format("parquet").saveAsTable(staging)
+    sorted.format("parquet").saveAsTable(stagingIdent.quotedString)
     val stagingLoc = Paths.get(
-      new java.net.URI(cat.getTableMetadata(TableIdentifier(staging)).location.toString).getPath)
+      new java.net.URI(cat.getTableMetadata(stagingIdent).location.toString).getPath)
     Files.move(loc, oldP)
     Files.move(stagingLoc, loc, StandardCopyOption.ATOMIC_MOVE)
     // the staging entry now points at a moved-away dir; give DROP an
     // empty one so its managed-location cleanup succeeds
     Files.createDirectories(stagingLoc)
-    spark.sql(s"DROP TABLE `$staging`")
+    spark.sql(s"DROP TABLE ${stagingIdent.quotedString}")
     rmTree(oldP.toFile)
-    spark.sql(s"REFRESH TABLE `$table`")
+    spark.sql(s"REFRESH TABLE ${ident.quotedString}")
   }
 
   private def rmTree(f: java.io.File): Unit = {

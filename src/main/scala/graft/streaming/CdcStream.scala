@@ -161,6 +161,7 @@ object CdcStream {
     recoverRootSwap(statePath) // BEFORE mkdir: an empty shell root must not mask a mid-rebucket .old
     Files.createDirectories(root)
     recoverState(root)
+    checkBucketMarker(root, numBuckets)
     val deduped = batch.dropDuplicates("event_id")
     val touched = deduped
       .select(stateBucket(keys, numBuckets).as("b"))
@@ -242,7 +243,11 @@ object CdcStream {
     * identical state, which also covers a lost/corrupt state table).
     *
     * Single-writer: stop the [[scd2Sink]] stream before re-bucketing and
-    * restart it with the new `numBuckets` after. Crash safety: staging
+    * restart it with the new `numBuckets` after — ENFORCED, not advisory:
+    * the root's `_graft_buckets` marker records the live modulus and
+    * [[applyBatchToState]] require()s a match before every batch, so a
+    * sink restarted with the stale value fails fast instead of merging
+    * against wrong buckets. Crash safety: staging
     * dir + two root moves with `.old`; every window is healed by
     * [[recoverRootSwap]], which both [[applyBatchToState]] and
     * [[readState]] consult. At cluster scale the same dataflow is a
@@ -257,7 +262,13 @@ object CdcStream {
     val root = Paths.get(statePath)
     recoverRootSwap(statePath)
     recoverState(root)
-    if (!hasBucketDirs(root)) return // empty state: nothing to lay out
+    if (!hasBucketDirs(root)) {
+      // empty state: any modulus is layout-compatible, but the caller's
+      // INTENT to switch must stick — record it so a sink restarted with
+      // the pre-rebucket value fails fast instead of re-freezing it
+      if (Files.exists(root)) writeBucketMarker(root, newNumBuckets)
+      return
+    }
     val staging = Paths.get(statePath + ".rebucket")
     if (Files.exists(staging)) deleteRecursively(staging.toFile)
     readState(spark, statePath)
@@ -266,6 +277,9 @@ object CdcStream {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(staging.toString)
+    // marker travels INSIDE the staging root so the swap below carries
+    // data + contract atomically (and `.old` keeps the old pair)
+    writeBucketMarker(staging, newNumBuckets)
     val old = Paths.get(statePath + ".old")
     Files.move(root, old)
     Files.move(staging, root)
@@ -288,6 +302,40 @@ object CdcStream {
       Files.move(old, root)
       ()
     } else deleteRecursively(old.toFile)
+  }
+
+  /** The state table's frozen bucket modulus, recorded at the root as
+    * `_graft_buckets` (the `_` prefix keeps it invisible to Spark's file
+    * listings). [[stateBucket]] is a pure function of (keys, numBuckets):
+    * a sink restarted with a DIFFERENT numBuckets than the table was laid
+    * out with computes bucket ids against the wrong dirs and silently
+    * merges against the wrong existing rows (missed versions, duplicate
+    * is_current). The marker turns that silent corruption into a fail-fast
+    * require at the top of every batch; [[rebucketState]] is the one
+    * sanctioned way to change it.
+    */
+  private val BucketMarkerFile = "_graft_buckets"
+
+  private def writeBucketMarker(root: java.nio.file.Path, numBuckets: Int): Unit = {
+    Files.write(
+      root.resolve(BucketMarkerFile),
+      numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    ()
+  }
+
+  private def checkBucketMarker(root: java.nio.file.Path, numBuckets: Int): Unit = {
+    val m = root.resolve(BucketMarkerFile)
+    if (Files.exists(m)) {
+      val recorded =
+        new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(
+        recorded == numBuckets,
+        s"state table at $root is laid out with numBuckets=$recorded but the sink was " +
+          s"started with numBuckets=$numBuckets; restart with $recorded or run " +
+          "rebucketState to change the modulus"
+      )
+    } else writeBucketMarker(root, numBuckets) // adopt: pre-marker tables freeze on first batch
   }
 
   private def hasBucketDirs(root: java.nio.file.Path): Boolean =

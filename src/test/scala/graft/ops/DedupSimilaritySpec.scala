@@ -456,4 +456,124 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(tight.subsetOf(uncapped))
   }
+
+  private def tableLoc(table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location.toString).getPath)
+
+  test("compaction crash heals from the read and append entry points, not just the next compaction") {
+    import java.nio.file.Files
+    val hist = docs.select($"doc_id", $"text")
+    Dedup.writeMinHashIndex(hist, "text", "doc_id", "mh_heal_idx", nBuckets = 16)
+    val probeB = docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 300000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val want = Dedup
+      .incrementalNearDups(spark, probeB, "mh_heal_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+
+    val loc = tableLoc("mh_heal_idx")
+    val old = java.nio.file.Paths.get(loc.toString + ".old")
+
+    // simulate compactBucketed dying between its two moves: the table's
+    // data dir is gone, the whole index sits at .old
+    Files.move(loc, old)
+    val healedRead = Dedup
+      .incrementalNearDups(spark, probeB, "mh_heal_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(healedRead === want, "read entry point must heal the swap and see the full index")
+    assert(Files.exists(loc) && !Files.exists(old))
+
+    // same crash healed by the APPEND side — without the heal the bucketed
+    // writer would lay a fresh empty dir and orphan the index in .old
+    Files.move(loc, old)
+    Dedup.appendToMinHashIndex(
+      Seq((91000L, "a fresh appended document about nothing in particular"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "mh_heal_idx", nBuckets = 16)
+    assert(Files.exists(loc) && !Files.exists(old))
+    val afterAppend = Dedup
+      .incrementalNearDups(spark, probeB, "mh_heal_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(afterAppend === want, "pre-crash index rows must survive the healed append")
+
+    // the IVF read path heals the same window
+    val cents = Similarity.writeIvfIndex(emb, "embedding", "vec_id", "ivf_heal_idx", nCells = 8)
+    val qs = emb.filter($"vec_id" < 5)
+    val ivfWant = Similarity
+      .ivfTopKIndexed(spark, "ivf_heal_idx", cents, qs, "embedding", "vec_id", 5, nProbe = 3)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val ivfLoc = tableLoc("ivf_heal_idx")
+    Files.move(ivfLoc, java.nio.file.Paths.get(ivfLoc.toString + ".old"))
+    val ivfHealed = Similarity
+      .ivfTopKIndexed(spark, "ivf_heal_idx", cents, qs, "embedding", "vec_id", 5, nProbe = 3)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfHealed === ivfWant)
+  }
+
+  test("index props backfill: an index whose first-append ALTER was lost validates against data, then re-records") {
+    val batch = docs.limit(50).select($"doc_id", $"text")
+    Dedup.appendToMinHashIndex(batch, "text", "doc_id", "mh_bf_idx",
+      numHashes = 32, bands = 8, nBuckets = 16)
+    // simulate the crash window between table creation and the ALTER TABLE
+    spark.sql("ALTER TABLE mh_bf_idx UNSET TBLPROPERTIES " +
+      "('graft.minhash.numHashes', 'graft.minhash.bands')")
+    val probeB = docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 300000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+
+    // a WRONG banding is caught against the data itself (max(band)+1 == 8),
+    // which the old one-sampled-row fallback could not see
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, probeB, "mh_bf_idx", "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.3).collect()
+    }
+    assert(e.getMessage.contains("bands"))
+
+    // the true contract validates against the data and is backfilled...
+    Dedup.incrementalNearDups(spark, probeB, "mh_bf_idx", "text", "doc_id",
+      threshold = 0.3).collect()
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("mh_bf_idx"))
+      .properties
+    assert(props.get("graft.minhash.numHashes") === Some("32"))
+    assert(props.get("graft.minhash.bands") === Some("8"))
+
+    // ...so the strong property check guards every later append again
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(
+        Seq((99998L, "whatever text")).toDF("doc_id", "text"),
+        "text", "doc_id", "mh_bf_idx", numHashes = 64, bands = 8, nBuckets = 16)
+    }
+    assert(e2.getMessage.contains("numHashes=32"))
+  }
+
+  test("qualified index names (db.idx) work across write, probe, props, and compaction") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    val hist = docs.limit(200).select($"doc_id", $"text")
+    Dedup.writeMinHashIndex(hist, "text", "doc_id", "graftdb.mh_q_idx", nBuckets = 8)
+    val probeB = docs.filter($"doc_id" % 13 === 0).limit(20)
+      .select(($"doc_id" + 300000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val got = Dedup
+      .incrementalNearDups(spark, probeB, "graftdb.mh_q_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // props round-trip through the qualified ALTER/lookup
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("mh_q_idx", Some("graftdb")))
+      .properties
+    assert(props.get("graft.minhash.numHashes") === Some("32"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, probeB, "graftdb.mh_q_idx", "text", "doc_id",
+        numHashes = 16, bands = 8, threshold = 0.3).collect()
+    }
+    assert(e.getMessage.contains("numHashes=32"))
+    // compaction resolves the same qualified name (staging table lands in graftdb)
+    graft.sinks.Sinks.compactBucketed(spark, "graftdb.mh_q_idx")
+    val after = Dedup
+      .incrementalNearDups(spark, probeB, "graftdb.mh_q_idx", "text", "doc_id", threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(after === got)
+    assert(!spark.catalog.tableExists("graftdb.mh_q_idx__compact"))
+  }
 }
