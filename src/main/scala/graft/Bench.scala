@@ -60,7 +60,11 @@ object Bench {
       cfg.addLogger(name, lc)
       ctx.updateLoggers()
     } catch {
-      case scala.util.control.NonFatal(_) =>
+      // Throwable, not NonFatal: the advertised failure mode (log4j's
+      // filter API changing shape) surfaces as NoSuchMethodError — a
+      // LinkageError NonFatal lets through — and this startup block must
+      // degrade to silencing the logger, never kill the bench JVM.
+      case _: Throwable =>
         org.apache.logging.log4j.core.config.Configurator.setLevel(
           "org.apache.spark.scheduler.DAGScheduler",
           org.apache.logging.log4j.Level.FATAL

@@ -284,11 +284,14 @@ object SparkEntry {
         .select(col("i"), col("j"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
     }),
 
-    // Dedup: 64-bit SimHash, banded candidates, hamming <= 16
+    // Dedup: 64-bit SimHash, banded candidates, hamming <= 16. Token
+    // hash is the md5-derived 60-bit variant so DuckDB can replay the
+    // whole pipeline hash-exactly (see Dedup.md5TokenHash; the xxhash64
+    // default is pinned bit-parity in PlansSpec instead).
     "q19_simhash_pairs" -> ((s, dir) => {
       Dedup
         .simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16,
-          maxBucket = None)
+          maxBucket = None, tokenHash = Dedup.md5TokenHash)
         .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
     }),
 
@@ -318,11 +321,19 @@ object SparkEntry {
       val approx = Similarity
         .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8)
         .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      // q40 is the one remaining rows-only driver check (no SQL oracle
+      // can score an approximate index), so the recall gate lives IN the
+      // query: rows only survive when the corpus-level recall@5 bound
+      // holds, turning a recall collapse into an empty result that the
+      // driver's rows>0 check fails loudly. Per-query recall_at_5 stays
+      // a visible column; DedupSimilaritySpec asserts the row-level bound.
       exact
         .join(approx, Seq("qid", "cid"), "left")
         .groupBy(col("qid"))
         .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall"))
+        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
+        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+        .filter(col("corpus_recall") >= 0.9)
     }),
 
     // Similarity: random-hyperplane LSH candidate pairs above cosine 0.3
@@ -961,6 +972,7 @@ object SparkEntry {
            |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
            |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
            |WHERE comp.cluster IS NULL OR comp.cluster = d.doc_id""".stripMargin,
+      "q19_simhash_pairs" -> simHashPairsSql,
       "q21_embedding_lsh" -> embeddingLshSql,
       "q20_embedding_topk" -> {
         def dot(x: String, y: String) =
@@ -1352,6 +1364,48 @@ object SparkEntry {
        | JOIN embeddings ei ON ei.vec_id = cand.i
        | JOIN embeddings ej ON ej.vec_id = cand.j)
        |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
+  }
+
+  /** Oracle for q19: replays [[graft.ops.Dedup.simHashPairs]] —
+    * md5-60-bit token hashes ([[graft.ops.Dedup.md5TokenHash]]), the
+    * [[graft.plans.SimHash64]] vote fold (hash bit b lands at sim bit
+    * 63-b; ties vote 0), 4x16-bit pigeonhole bands, and
+    * `bit_count(xor)` hamming — entirely in DuckDB SQL, so the driver's
+    * check is hash-exact end-to-end. DuckDB refuses `1::BIGINT << 63`,
+    * so the top sim bit is added as the min-long literal; `>>` is
+    * arithmetic in both engines and the `& 65535` mask makes band keys
+    * agree regardless of sign.
+    */
+  private lazy val simHashPairsSql: String = {
+    val hexToLong =
+      "list_reduce(list_transform(range(1, 16), i -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b)"
+    val simTerms = (0 until 64)
+      .map { b =>
+        val target = 63 - b
+        val bitVal =
+          if (target == 63) "CAST(-9223372036854775808 AS BIGINT)"
+          else s"(CAST(1 AS BIGINT) << $target)"
+        s"CASE WHEN SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN $bitVal ELSE CAST(0 AS BIGINT) END"
+      }
+      .mkString(" + ")
+    s"""WITH w AS ($wordsSql),
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM w),
+       |hs AS (SELECT doc_id, $hexToLong AS h FROM tok),
+       |sh AS (SELECT doc_id, $simTerms AS simhash FROM hs GROUP BY doc_id),
+       |s AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+       |      FROM documents d LEFT JOIN sh USING (doc_id)),
+       |k AS (SELECT doc_id, simhash, b.band AS band,
+       |             (simhash >> (b.band * 16)) & 65535 AS bhash
+       |      FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |                a.simhash AS si, b.simhash AS sj
+       |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
+       |  AND a.doc_id < b.doc_id)
+       |SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(si, sj)) <= 16""".stripMargin
   }
 
   /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */

@@ -406,13 +406,29 @@ object Dedup {
     * of this operator at sf0.1 in BENCH_r01); output bit-identical to
     * the composed form (PlansSpec).
     */
-  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simHashes(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tokenHash: Column => Column = t => xxhash64(t)
+  ): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
       graft.plans.SimHash64
-        .simhash64(transform(Fns.tokens(col(textCol)), t => xxhash64(t)))
+        .simhash64(transform(Fns.tokens(col(textCol)), t => tokenHash(t)))
         .as("simhash")
     )
+
+  /** Oracle-replayable token hash: the first 15 hex chars of md5 as a
+    * 60-bit long. xxhash64 (the default) has no DuckDB equivalent, so a
+    * hash-exact driver check of the SimHash pipeline needs a token hash
+    * BOTH engines can compute bit-identically — md5 is the shared
+    * primitive (same q21 trade: the oracle pins the full banding /
+    * hamming / pairing dataflow; the xxhash64 default stays the
+    * production path, pinned bit-parity in PlansSpec).
+    */
+  val md5TokenHash: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit keys
     * (pigeonhole: hamming distance <= 3 guarantees one identical band),
@@ -424,9 +440,10 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(DefaultMaxBucket),
-      dropMetrics: Option[Observation] = None
+      dropMetrics: Option[Observation] = None,
+      tokenHash: Column => Column = t => xxhash64(t)
   ): DataFrame = {
-    val signed = simHashes(df, textCol, idCol)
+    val signed = simHashes(df, textCol, idCol, tokenHash)
     val bandCols = (0 until 4).map { b =>
       struct(
         lit(b).as("band"),
@@ -682,7 +699,10 @@ object Dedup {
     * against the DATA instead — signature length pins numHashes and
     * `max(band)+1` pins bands, since every indexed doc emits one row per
     * band — and the properties are then BACKFILLED so the weaker path
-    * never runs again for this table.
+    * never runs again for this table. Backfill happens ONLY when data
+    * exists to pin the parameters: an empty no-props index adopts
+    * nothing, so a read-path probe run with default parameters cannot
+    * freeze its defaults onto a table intended for different ones.
     */
   private def validateIndexParams(
       spark: org.apache.spark.sql.SparkSession,
@@ -709,7 +729,7 @@ object Dedup {
             max(col("band")).as("mb")
           )
           .head()
-        if (!r.isNullAt(0)) { // empty index contradicts nothing; adopt the caller's contract
+        if (!r.isNullAt(0)) {
           require(
             r.getInt(0) == numHashes && r.getInt(1) == numHashes,
             s"index $table holds ${r.getInt(0)}..${r.getInt(1)}-hash signatures; " +
@@ -719,8 +739,12 @@ object Dedup {
             r.getInt(2) == bands - 1,
             s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
           )
+          // backfill only parameters the DATA actually pins. An empty
+          // index contradicts nothing — but freezing the caller's values
+          // there would let a probe run with defaults poison a table
+          // intended for different parameters before its first real append.
+          setIndexProps(spark, table, numHashes, bands)
         }
-        setIndexProps(spark, table, numHashes, bands)
     }
   }
 
@@ -741,6 +765,11 @@ object Dedup {
   ): Unit = {
     val spark = batch.sparkSession
     val existed = spark.catalog.tableExists(table)
+    // heal BEFORE validating: a legacy no-props index caught in a
+    // compaction crash window would otherwise fail validateIndexParams'
+    // data scan (missing live dir) instead of healing first. Read-only
+    // heal here; appendBucketed below still does the clearStaleOld pass.
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     if (existed) validateIndexParams(spark, table, numHashes, bands)
     graft.sinks.Sinks.appendBucketed(
       minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets),

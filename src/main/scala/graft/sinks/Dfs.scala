@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Thin wrappers over the Hadoop `FileSystem` API for the swap/heal
+  * protocols (SCD2 state buckets, bucketed-index compaction, event-log
+  * compaction, ingest bloom state). Everything here resolves the
+  * filesystem FROM the path, so `file:`, `hdfs:`, `s3a:` and friends all
+  * work — the `java.nio.Files` versions these replaced were silently
+  * local-only, which made the 100 TB story an asterisk.
+  *
+  * Atomicity note, stated once for all callers: `FileSystem.rename` is
+  * atomic on `file:` and `hdfs:` but a COPY+DELETE on S3A. The swap
+  * protocols already tolerate a crash inside any window via their heal
+  * hooks (`recoverBucketedSwap`, `recoverState`, `recoverRootSwap`), so
+  * a non-atomic rename widens a recoverable window rather than adding an
+  * unrecoverable one; installations wanting a truly atomic flip on an
+  * object store should use the metastore-atomic `ALTER TABLE ... SET
+  * LOCATION` variant called out in [[Sinks.compactBucketed]]'s doc.
+  */
+object Dfs {
+
+  def conf(spark: SparkSession): Configuration = spark.sessionState.newHadoopConf()
+
+  /** FileSystem owning `path` (scheme-aware; defaults to the local FS
+    * for bare paths, matching how Spark itself resolves them).
+    */
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(conf(spark))
+
+  def exists(fs: FileSystem, p: Path): Boolean = fs.exists(p)
+
+  def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
+
+  /** Move `src` over to a NOT-YET-EXISTING `dst`. The existence guard is
+    * load-bearing: the local `FileSystem` implements POSIX rename, which
+    * would nest `src` INSIDE an existing `dst` directory instead of
+    * failing like HDFS does — every swap protocol clears the target
+    * first, and this turns a protocol violation into a loud error.
+    */
+  def move(fs: FileSystem, src: Path, dst: Path): Unit = {
+    require(!fs.exists(dst), s"move target $dst already exists")
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  def rmTree(fs: FileSystem, p: Path): Unit = {
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Write a small control file (bucket markers, bloom state) via
+    * create-temp + rename — readers never observe a half-written file
+    * on any FS whose rename replaces atomically (file:, hdfs:).
+    */
+  def writeSmall(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  def writeSmall(fs: FileSystem, p: Path, content: String): Unit =
+    writeSmall(fs, p, content.getBytes(UTF_8))
+
+  def readSmall(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  def readSmallString(fs: FileSystem, p: Path): String = new String(readSmall(fs, p), UTF_8)
+
+  /** Child directories of `root` (empty when root is absent). */
+  def listDirs(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+}

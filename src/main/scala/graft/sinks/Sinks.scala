@@ -113,18 +113,18 @@ object Sinks {
       table: String,
       clearStaleOld: Boolean = false
   ): Unit = {
-    import java.nio.file.{Files, Paths}
     if (!spark.catalog.tableExists(table)) return
     val ident = parseIdent(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val loc = Paths.get(new java.net.URI(meta.location.toString).getPath)
-    val oldP = Paths.get(loc.toString + ".old")
-    if (!Files.exists(loc) && Files.exists(oldP)) {
-      Files.move(oldP, loc)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(Dfs.conf(spark))
+    val oldP = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".old")
+    if (!fs.exists(loc) && fs.exists(oldP)) {
+      Dfs.move(fs, oldP, loc)
       // drop any cached file listing planned against the missing dir
       spark.sql(s"REFRESH TABLE ${ident.quotedString}")
       ()
-    } else if (clearStaleOld && Files.exists(oldP)) rmTree(oldP.toFile)
+    } else if (clearStaleOld && fs.exists(oldP)) Dfs.rmTree(fs, oldP)
   }
 
   /** Z-ordered layout at rest: sort the data along an interleaved-bit
@@ -214,16 +214,17 @@ object Sinks {
       path: String,
       rowsPerFile: Long = 4000000L
   ): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staging = path + ".compact"
-    val oldP = Paths.get(path + ".old")
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(Dfs.conf(spark))
+    val staging = new Path(path + ".compact")
+    val oldP = new Path(path + ".old")
     // crash recovery mirrors scd2Sink: a crash between the two moves
     // below leaves the log only at .old — restore it before reading; a
     // leftover .old NEXT TO a live log is a post-swap crash — clear it
     // so the swap can run again
-    if (!Files.exists(Paths.get(path)) && Files.exists(oldP))
-      Files.move(oldP, Paths.get(path))
-    if (Files.exists(oldP)) rmTree(oldP.toFile)
+    if (!fs.exists(live) && fs.exists(oldP)) Dfs.move(fs, oldP, live)
+    if (fs.exists(oldP)) Dfs.rmTree(fs, oldP)
     spark.read.parquet(path)
       // one shuffle co-locating each partition's rows so the writer emits
       // ceil(rows/rowsPerFile) files per partition instead of one per
@@ -233,10 +234,10 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", rowsPerFile)
       .partitionBy("company_id", "table_name", "event_date")
-      .parquet(staging)
-    Files.move(Paths.get(path), oldP)
-    Files.move(Paths.get(staging), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    rmTree(oldP.toFile)
+      .parquet(staging.toString)
+    Dfs.move(fs, live, oldP)
+    Dfs.move(fs, staging, live)
+    Dfs.rmTree(fs, oldP)
   }
 
   /** Compact a bucketed table's accumulated per-append file-sets into
@@ -265,7 +266,7 @@ object Sinks {
     * on S3.
     */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.TableIdentifier
     val cat = spark.sessionState.catalog
     val ident = parseIdent(spark, table)
@@ -275,8 +276,9 @@ object Sinks {
     // crash recovery (same protocol as compactEventLog), shared with the
     // read/append entry points via recoverBucketedSwap
     recoverBucketedSwap(spark, table, clearStaleOld = true)
-    val loc = Paths.get(new java.net.URI(meta.location.toString).getPath)
-    val oldP = Paths.get(loc.toString + ".old")
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(Dfs.conf(spark))
+    val oldP = new Path(loc.getParent, loc.getName + ".old")
     val stagingIdent = TableIdentifier(ident.table + "__compact", ident.database)
     spark.sql(s"DROP TABLE IF EXISTS ${stagingIdent.quotedString}")
     val keys = spec.bucketColumnNames
@@ -289,21 +291,34 @@ object Sinks {
       .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
     val sorted = if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer
     sorted.format("parquet").saveAsTable(stagingIdent.quotedString)
-    val stagingLoc = Paths.get(
-      new java.net.URI(cat.getTableMetadata(stagingIdent).location.toString).getPath)
-    Files.move(loc, oldP)
-    Files.move(stagingLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+    val stagingLoc = new Path(cat.getTableMetadata(stagingIdent).location)
+    Dfs.move(fs, loc, oldP)
+    Dfs.move(fs, stagingLoc, loc)
     // the staging entry now points at a moved-away dir; give DROP an
     // empty one so its managed-location cleanup succeeds
-    Files.createDirectories(stagingLoc)
+    Dfs.mkdirs(fs, stagingLoc)
     spark.sql(s"DROP TABLE ${stagingIdent.quotedString}")
-    rmTree(oldP.toFile)
+    Dfs.rmTree(fs, oldP)
     spark.sql(s"REFRESH TABLE ${ident.quotedString}")
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
-    f.delete(); ()
+  /** Data files per bucket of a bucketed table — ONE flat LIST of the
+    * table location (bucketed managed tables lay files flat), the same
+    * cheap signal a compaction daemon would poll. Drives the ingest
+    * loop's auto-compaction cadence: appends are O(batch) but each lays
+    * down one file-set, so fanout grows linearly until someone compacts.
+    */
+  def bucketFileFanout(spark: SparkSession, table: String): Double = {
+    val meta = spark.sessionState.catalog.getTableMetadata(parseIdent(spark, table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(Dfs.conf(spark))
+    if (!fs.exists(loc)) return 0.0
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1).toDouble
+    val dataFiles = fs
+      .listStatus(loc)
+      .count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    dataFiles / nBuckets
   }
 
   /** Readback with partition pruning (P7 path-predicate equivalent). */

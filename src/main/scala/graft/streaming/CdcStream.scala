@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import graft.sinks.Dfs
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -157,11 +159,12 @@ object CdcStream {
       numBuckets: Int = 16
   ): Unit = {
     val spark = batch.sparkSession
-    val root = Paths.get(statePath)
-    recoverRootSwap(statePath) // BEFORE mkdir: an empty shell root must not mask a mid-rebucket .old
-    Files.createDirectories(root)
-    recoverState(root)
-    checkBucketMarker(root, numBuckets)
+    val root = new HPath(statePath)
+    val fs = root.getFileSystem(Dfs.conf(spark))
+    recoverRootSwap(fs, statePath) // BEFORE mkdir: an empty shell root must not mask a mid-rebucket .old
+    Dfs.mkdirs(fs, root)
+    recoverState(fs, root)
+    checkBucketMarker(fs, root, numBuckets)
     val deduped = batch.dropDuplicates("event_id")
     val touched = deduped
       .select(stateBucket(keys, numBuckets).as("b"))
@@ -171,8 +174,8 @@ object CdcStream {
       .sorted
     if (touched.isEmpty) return
     val existingDirs = touched
-      .map(b => root.resolve(s"bucket=$b"))
-      .filter(Files.exists(_))
+      .map(b => new HPath(root, s"bucket=$b"))
+      .filter(fs.exists(_))
       .map(_.toString)
     val existing =
       if (existingDirs.nonEmpty) spark.read.parquet(existingDirs.toIndexedSeq: _*)
@@ -186,10 +189,10 @@ object CdcStream {
       .partitionBy("bucket")
       .parquet(tmp)
     touched.foreach { b =>
-      val fresh = Paths.get(s"$tmp/bucket=$b")
-      if (Files.exists(fresh)) swapDir(root.resolve(s"bucket=$b"), fresh)
+      val fresh = new HPath(s"$tmp/bucket=$b")
+      if (fs.exists(fresh)) swapDir(fs, new HPath(root, s"bucket=$b"), fresh)
     }
-    deleteRecursively(new java.io.File(tmp))
+    Dfs.rmTree(fs, new HPath(tmp))
   }
 
   /** Read back the SCD2 state table. A PURE snapshot read — safe to run
@@ -215,16 +218,16 @@ object CdcStream {
   def readState(spark: SparkSession, statePath: String): DataFrame = {
     // root-level .old fallback (mid-[[rebucketState]] crash): pure, like
     // the per-bucket fallback below — recovery stays with the writer
+    val fs = Dfs.fs(spark, statePath)
     val rootDir =
-      if (!hasBucketDirs(Paths.get(statePath)) && hasBucketDirs(Paths.get(statePath + ".old")))
+      if (!hasBucketDirs(fs, new HPath(statePath)) && hasBucketDirs(fs, new HPath(statePath + ".old")))
         statePath + ".old"
       else statePath
-    val dirs = Option(new java.io.File(rootDir).listFiles).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val dirs = Dfs.listDirs(fs, new HPath(rootDir)).filter(_.getName.startsWith("bucket="))
     val live = dirs.filter(!_.getName.endsWith(".old")).map(_.getName).toSet
     val readable = dirs.collect {
-      case d if !d.getName.endsWith(".old") => d.getPath
-      case d if !live.contains(d.getName.stripSuffix(".old")) => d.getPath
+      case d if !d.getName.endsWith(".old") => d.toString
+      case d if !live.contains(d.getName.stripSuffix(".old")) => d.toString
     }
     if (readable.isEmpty) spark.read.parquet(rootDir).drop("bucket")
     else spark.read.parquet(readable.toIndexedSeq: _*).drop("bucket")
@@ -259,18 +262,22 @@ object CdcStream {
       newNumBuckets: Int,
       keys: Seq[String] = Seq("company_id", "table_name", "key_value")
   ): Unit = {
-    val root = Paths.get(statePath)
-    recoverRootSwap(statePath)
-    recoverState(root)
-    if (!hasBucketDirs(root)) {
+    val root = new HPath(statePath)
+    val fs = root.getFileSystem(Dfs.conf(spark))
+    recoverRootSwap(fs, statePath)
+    recoverState(fs, root)
+    if (!hasBucketDirs(fs, root)) {
       // empty state: any modulus is layout-compatible, but the caller's
       // INTENT to switch must stick — record it so a sink restarted with
-      // the pre-rebucket value fails fast instead of re-freezing it
-      if (Files.exists(root)) writeBucketMarker(root, newNumBuckets)
+      // the pre-rebucket value fails fast instead of re-freezing it.
+      // Create the root if it never existed: dropping the marker because
+      // no directory was there yet would silently discard the intent.
+      Dfs.mkdirs(fs, root)
+      writeBucketMarker(fs, root, newNumBuckets)
       return
     }
-    val staging = Paths.get(statePath + ".rebucket")
-    if (Files.exists(staging)) deleteRecursively(staging.toFile)
+    val staging = new HPath(statePath + ".rebucket")
+    if (fs.exists(staging)) Dfs.rmTree(fs, staging)
     readState(spark, statePath)
       .withColumn("bucket", stateBucket(keys, newNumBuckets))
       .write
@@ -279,11 +286,11 @@ object CdcStream {
       .parquet(staging.toString)
     // marker travels INSIDE the staging root so the swap below carries
     // data + contract atomically (and `.old` keeps the old pair)
-    writeBucketMarker(staging, newNumBuckets)
-    val old = Paths.get(statePath + ".old")
-    Files.move(root, old)
-    Files.move(staging, root)
-    deleteRecursively(old.toFile)
+    writeBucketMarker(fs, staging, newNumBuckets)
+    val old = new HPath(statePath + ".old")
+    Dfs.move(fs, root, old)
+    Dfs.move(fs, staging, root)
+    Dfs.rmTree(fs, old)
   }
 
   /** Heal a crash inside [[rebucketState]]'s root swap. A `<state>.old`
@@ -293,15 +300,14 @@ object CdcStream {
     * restore it. A `.old` root NEXT TO a live bucketed root is a
     * post-swap crash — drop it.
     */
-  private[streaming] def recoverRootSwap(statePath: String): Unit = {
-    val root = Paths.get(statePath)
-    val old = Paths.get(statePath + ".old")
-    if (!Files.exists(old)) return
-    if (!hasBucketDirs(root)) {
-      if (Files.exists(root)) deleteRecursively(root.toFile)
-      Files.move(old, root)
-      ()
-    } else deleteRecursively(old.toFile)
+  private[streaming] def recoverRootSwap(fs: FileSystem, statePath: String): Unit = {
+    val root = new HPath(statePath)
+    val old = new HPath(statePath + ".old")
+    if (!fs.exists(old)) return
+    if (!hasBucketDirs(fs, root)) {
+      if (fs.exists(root)) Dfs.rmTree(fs, root)
+      Dfs.move(fs, old, root)
+    } else Dfs.rmTree(fs, old)
   }
 
   /** The state table's frozen bucket modulus, recorded at the root as
@@ -316,44 +322,38 @@ object CdcStream {
     */
   private val BucketMarkerFile = "_graft_buckets"
 
-  private def writeBucketMarker(root: java.nio.file.Path, numBuckets: Int): Unit = {
-    Files.write(
-      root.resolve(BucketMarkerFile),
-      numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    )
-    ()
-  }
+  private def writeBucketMarker(fs: FileSystem, root: HPath, numBuckets: Int): Unit =
+    Dfs.writeSmall(fs, new HPath(root, BucketMarkerFile), numBuckets.toString)
 
-  private def checkBucketMarker(root: java.nio.file.Path, numBuckets: Int): Unit = {
-    val m = root.resolve(BucketMarkerFile)
-    if (Files.exists(m)) {
-      val recorded =
-        new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  private def checkBucketMarker(fs: FileSystem, root: HPath, numBuckets: Int): Unit = {
+    val m = new HPath(root, BucketMarkerFile)
+    if (fs.exists(m)) {
+      val recorded = Dfs.readSmallString(fs, m).trim.toInt
       require(
         recorded == numBuckets,
         s"state table at $root is laid out with numBuckets=$recorded but the sink was " +
           s"started with numBuckets=$numBuckets; restart with $recorded or run " +
           "rebucketState to change the modulus"
       )
-    } else writeBucketMarker(root, numBuckets) // adopt: pre-marker tables freeze on first batch
+    } else writeBucketMarker(fs, root, numBuckets) // adopt: pre-marker tables freeze on first batch
   }
 
-  private def hasBucketDirs(root: java.nio.file.Path): Boolean =
-    Files.exists(root) && Option(root.toFile.listFiles)
-      .getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("bucket=") && !f.getName.endsWith(".old"))
+  private def hasBucketDirs(fs: FileSystem, root: HPath): Boolean =
+    Dfs
+      .listDirs(fs, root)
+      .exists(p => p.getName.startsWith("bucket=") && !p.getName.endsWith(".old"))
 
   /** Two-move swap of one bucket dir: live -> .old, fresh -> live, drop
     * .old. Not atomic; every crash window is covered by [[recoverState]].
     */
-  private def swapDir(live: java.nio.file.Path, fresh: java.nio.file.Path): Unit = {
-    val old = Paths.get(live.toString + ".old")
-    if (Files.exists(live)) {
-      if (Files.exists(old)) deleteRecursively(old.toFile) // stale post-swap crash
-      Files.move(live, old)
-      Files.move(fresh, live)
-      deleteRecursively(old.toFile)
-    } else { Files.move(fresh, live); () }
+  private def swapDir(fs: FileSystem, live: HPath, fresh: HPath): Unit = {
+    val old = new HPath(live.getParent, live.getName + ".old")
+    if (fs.exists(live)) {
+      if (fs.exists(old)) Dfs.rmTree(fs, old) // stale post-swap crash
+      Dfs.move(fs, live, old)
+      Dfs.move(fs, fresh, live)
+      Dfs.rmTree(fs, old)
+    } else Dfs.move(fs, fresh, live)
   }
 
   /** Restore any bucket left mid-swap by a crash: a `bucket=N.old` with
@@ -361,20 +361,12 @@ object CdcStream {
     * a `.old` NEXT TO a live dir is a crash after the second move — drop
     * it.
     */
-  private def recoverState(root: java.nio.file.Path): Unit = {
-    if (!Files.exists(root)) return
-    val children = Option(root.toFile.listFiles).getOrElse(Array.empty)
-    children.filter(f => f.isDirectory && f.getName.endsWith(".old")).foreach { oldF =>
-      val live = Paths.get(oldF.getPath.stripSuffix(".old"))
-      if (!Files.exists(live)) { Files.move(oldF.toPath, live); () }
-      else deleteRecursively(oldF)
+  private def recoverState(fs: FileSystem, root: HPath): Unit =
+    Dfs.listDirs(fs, root).filter(_.getName.endsWith(".old")).foreach { oldP =>
+      val live = new HPath(oldP.getParent, oldP.getName.stripSuffix(".old"))
+      if (!fs.exists(live)) Dfs.move(fs, oldP, live)
+      else Dfs.rmTree(fs, oldP)
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
 
   final case class KeyedEvent(company_id: String, table_name: String, event_id: String)
   final case class TriggerFire(company_id: String, table_name: String, count: Long)

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import java.io.ByteArrayInputStream
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -42,12 +42,12 @@ object CorpusIngest {
   /** Start the deduped-ingest sink. Corpus rows: (doc_id, fingerprint,
     * text), fingerprint-unique across the whole stream history.
     *
-    * `corpusPath` may live on any Hadoop filesystem (existence is
-    * resolved through the path's own scheme). `bloomPath` is DRIVER-LOCAL
-    * state (a few MB, read/written with java.nio + atomic rename every
-    * batch); on a cluster, point it at driver-attached storage — or port
-    * [[writeBloom]]/[[readBloom]] to the checkpoint filesystem with a
-    * rename-based writer if the driver is stateless.
+    * Both `corpusPath` and `bloomPath` may live on any Hadoop filesystem
+    * (each is resolved through its own scheme). Point `bloomPath` at the
+    * checkpoint filesystem on a cluster: the bloom is a few MB read and
+    * re-written once per batch through a `.new`/`.old` rename protocol
+    * ([[writeBloom]]), so a stateless driver restarting elsewhere picks
+    * the state up exactly where the last completed batch left it.
     */
   def dedupedIngest(
       docs: DataFrame,
@@ -83,7 +83,8 @@ object CorpusIngest {
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val stored = readBloom(bloomPath)
+    val bloomFs = graft.sinks.Dfs.fs(spark, bloomPath)
+    val stored = readBloom(bloomFs, bloomPath)
     val corpusExists = pathExists(spark, corpusPath)
     val candidates = stored match {
       case None => withFp // first batch: no history at all
@@ -127,8 +128,8 @@ object CorpusIngest {
           f.writeTo(out)
           out.toByteArray
       }
-      // bloom BEFORE corpus append (see scaladoc), atomically
-      writeBloom(bloomPath, items, bits, merged)
+      // bloom BEFORE corpus append (see scaladoc), crash-safe swap
+      writeBloom(bloomFs, bloomPath, items, bits, merged)
       survivors.write.mode(SaveMode.Append).parquet(corpusPath)
     }
   }
@@ -168,19 +169,33 @@ object CorpusIngest {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      compactFanout: Int = 16
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestNearDupBatch(
-          batch, corpusPath, indexTable, shingleSize, numHashes, bands, threshold, nBuckets)
+          batch, corpusPath, indexTable, shingleSize, numHashes, bands, threshold, nBuckets,
+          compactFanout)
         ()
       }
       .start()
 
   /** One near-dup-ingest micro-batch (see [[nearDupIngest]]). Exposed for
     * batch-mode reuse and the spec's streamed==batch comparison.
+    *
+    * `compactFanout` is the auto-compaction cadence: when the index
+    * table's files-per-bucket ([[graft.sinks.Sinks.bucketFileFanout]] —
+    * one flat LIST, no data read) exceeds it after this batch's append,
+    * the batch ends with a [[graft.sinks.Sinks.compactBucketed]] pass.
+    * Without it the steady-state ingest appends one file-set per batch
+    * forever — probe latency and LIST cost grow linearly until the index
+    * is an N-files-per-bucket small-file swamp. Safe inline: the
+    * foreachBatch loop IS the index's single writer, so between-batch
+    * compaction is exactly the maintenance window the swap protocol
+    * assumes (crash mid-compact heals on the next entry). `<= 0`
+    * disables.
     */
   def ingestNearDupBatch(
       batch: DataFrame,
@@ -190,7 +205,8 @@ object CorpusIngest {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      compactFanout: Int = 16
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
     // (1a) in-batch exact dedup, deterministic keeper (smallest doc_id)
@@ -254,6 +270,11 @@ object CorpusIngest {
     val toCorpus = fresh.unionByName(orphans)
     if (freshCnt + orphans.count() > 0)
       toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
+    // (5) cadence-guarded maintenance: compact the index when append
+    // fanout crosses the threshold (see scaladoc)
+    if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
+      graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
+      graft.sinks.Sinks.compactBucketed(spark, indexTable)
     val replayCnt = replayIds.count()
     NearDupIngestStats(
       kept = freshCnt,
@@ -280,8 +301,24 @@ object CorpusIngest {
   /** Self-describing bloom file: [magic, items, bits, serialized filter].
     * Recording the sizing is what keeps every future delta
     * merge-compatible with the state (see ingestBatch).
+    *
+    * Written through the path's own Hadoop filesystem with a
+    * `.new`/`.old` rename protocol rather than an atomic-overwrite move
+    * (which the `FileSystem` API does not offer): the fully-written
+    * closed `.new` is promoted only after the live file is renamed away
+    * to `.old`, so the live path always names a COMPLETE version, and
+    * every crash window leaves either the previous version at `.old` or
+    * the next one at `.new` for [[readBloom]] to heal. Single-writer,
+    * like every swap protocol here: the one foreachBatch loop owns the
+    * state.
     */
-  private def writeBloom(path: String, items: Long, bits: Long, filter: Array[Byte]): Unit = {
+  private def writeBloom(
+      fs: FileSystem,
+      path: String,
+      items: Long,
+      bits: Long,
+      filter: Array[Byte]
+  ): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(BloomMagic)
@@ -289,22 +326,63 @@ object CorpusIngest {
     out.writeLong(bits)
     out.write(filter)
     out.flush()
-    val tmp = Paths.get(path + ".tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, bos.toByteArray)
-    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val p = new HPath(path)
+    val fresh = new HPath(path + ".new")
+    val old = new HPath(path + ".old")
+    if (p.getParent != null) fs.mkdirs(p.getParent)
+    val os = fs.create(fresh, true)
+    try os.write(bos.toByteArray)
+    finally os.close()
+    if (fs.exists(p)) {
+      if (fs.exists(old)) fs.delete(old, false)
+      require(fs.rename(p, old), s"rename $p -> $old failed")
+    }
+    require(fs.rename(fresh, p), s"rename $fresh -> $p failed")
+    if (fs.exists(old)) fs.delete(old, false)
+    ()
   }
 
-  private def readBloom(path: String): Option[StoredBloom] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) None
+  /** Read the bloom state, healing any [[writeBloom]] crash window first.
+    * A missing live file with a `.new` beside it is a crash between the
+    * two renames — promote `.new` (it is complete by protocol order, and
+    * even though its batch's corpus append never ran, an over-claiming
+    * bloom is always safe: positives are confirmed against the corpus).
+    * The one case where `.new` completeness is NOT guaranteed is a crash
+    * during the very first write (no live file, no `.old` — nothing was
+    * ever renamed away), so a parse failure after THAT heal degrades to
+    * "no state yet"; a parse failure of a live file stays loud.
+    */
+  private def readBloom(fs: FileSystem, path: String): Option[StoredBloom] = {
+    val p = new HPath(path)
+    val fresh = new HPath(path + ".new")
+    val old = new HPath(path + ".old")
+    var healedFirstWrite = false
+    if (!fs.exists(p)) {
+      if (fs.exists(fresh)) {
+        healedFirstWrite = !fs.exists(old)
+        if (fs.exists(old)) fs.delete(old, false)
+        require(fs.rename(fresh, p), s"rename $fresh -> $p failed")
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, p), s"rename $old -> $p failed")
+      }
+    }
+    if (!fs.exists(p)) None
     else {
-      val in = new java.io.DataInputStream(new ByteArrayInputStream(Files.readAllBytes(p)))
-      require(in.readInt() == BloomMagic, s"$path is not a graft bloom file (bad magic)")
-      val items = in.readLong()
-      val bits = in.readLong()
-      Some(StoredBloom(items, bits, in.readAllBytes()))
+      val bytes = graft.sinks.Dfs.readSmall(fs, p)
+      val parsed = scala.util.Try {
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+        require(in.readInt() == BloomMagic, s"$path is not a graft bloom file (bad magic)")
+        val items = in.readLong()
+        val bits = in.readLong()
+        StoredBloom(items, bits, in.readAllBytes())
+      }
+      parsed match {
+        case scala.util.Success(s) => Some(s)
+        case scala.util.Failure(_) if healedFirstWrite =>
+          fs.delete(p, false) // torn first write: no completed state ever existed
+          None
+        case scala.util.Failure(e) => throw e
+      }
     }
   }
 }

@@ -118,6 +118,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall over ${exact.size} exact neighbors")
   }
 
+  test("q40 gates its rows on the corpus recall bound; per-query recall_at_5 stays bounded") {
+    // the driver's q40 check is rows-only, so the collapse guard lives in
+    // the query itself — this spec pins both levels: rows survive (the
+    // corpus-level avg >= 0.9 filter held) and no single query collapses
+    val got = graft.SparkEntry.queries("q40_ivf_recall")(spark, "/root/testdata/sf0.001")
+    val rows = got.collect()
+    assert(rows.length === 20, s"corpus recall gate dropped rows: ${rows.length}/20")
+    val perQuery = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(perQuery.forall(_ >= 0.4), s"per-query recall floor broken: ${perQuery.min}")
+    assert(rows.head.getAs[Double]("corpus_recall") >= 0.9)
+  }
+
   test("kmeans centroids move toward cluster means and keep cell count") {
     val cents0 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 0)
     val cents3 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 3)

@@ -208,4 +208,66 @@ class CorpusIngestSpec extends AnyFunSuite {
     CorpusIngest.ingestBatch(batch, corpus, bloom, expectedItems = 1000L)
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
   }
+
+  test("ingest auto-compacts the index when files-per-bucket crosses the cadence threshold") {
+    val tmp = Files.createTempDirectory("cadence").toString
+    val corpus = s"$tmp/corpus"
+    val idx = "graft_cadence_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    // token-disjoint docs: nothing near-dups anything, every batch appends
+    def docs(ids: Range) =
+      ids.map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+        .toDF("doc_id", "text")
+    (0 until 3).foreach { b =>
+      CorpusIngest.ingestNearDupBatch(
+        docs(b * 3 until b * 3 + 3), corpus, idx, nBuckets = 4, compactFanout = 1)
+    }
+    // three appends would leave ~3 file-sets; the cadence guard must have
+    // compacted back to at most one file per bucket
+    val fan = graft.sinks.Sinks.bucketFileFanout(spark, idx)
+    assert(fan > 0.0 && fan <= 1.0, s"expected compacted fanout <= 1, got $fan")
+    // probe results unchanged by compaction: a full replay of batch 0 is
+    // all same-id hits, nothing new lands in the corpus
+    val s = CorpusIngest.ingestNearDupBatch(
+      docs(0 until 3), corpus, idx, nBuckets = 4, compactFanout = 0)
+    assert(s === CorpusIngest.NearDupIngestStats(kept = 0, nearDups = 0, replays = 3))
+    assert(spark.read.parquet(corpus).count() === 9)
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+  }
+
+  test("bloom swap crash windows heal: mid-rename .new, mid-rename .old, torn first write") {
+    val tmp = Files.createTempDirectory("corpus4").toString
+    val corpus = s"$tmp/corpus"
+    val bloom = s"$tmp/bloom.bin"
+    val batch = Seq((1L, "zeta text"), (2L, "eta text")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(batch, corpus, bloom, expectedItems = 1000L)
+
+    // crash between writeBloom's two renames: live file renamed away,
+    // .new not yet promoted -> the complete .new must be adopted and the
+    // replayed delivery must add nothing
+    Files.move(Paths.get(bloom), Paths.get(bloom + ".new"))
+    CorpusIngest.ingestBatch(batch, corpus, bloom, expectedItems = 1000L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(Files.exists(Paths.get(bloom)) && !Files.exists(Paths.get(bloom + ".new")))
+
+    // variant: only the previous version at .old survives (post-rename
+    // crash plus a lost .new) -> restored, replay still adds nothing
+    Files.move(Paths.get(bloom), Paths.get(bloom + ".old"))
+    CorpusIngest.ingestBatch(batch, corpus, bloom, expectedItems = 1000L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+
+    // torn FIRST write: a garbage .new with no live file and no .old is
+    // the one window where .new may be incomplete -> degrade to "no
+    // state yet" instead of failing the stream forever
+    val tmp2 = Files.createTempDirectory("corpus5").toString
+    val bloom2 = s"$tmp2/bloom.bin"
+    Files.write(Paths.get(bloom2 + ".new"), Array[Byte](1, 2, 3))
+    CorpusIngest.ingestBatch(batch, s"$tmp2/corpus", bloom2, expectedItems = 1000L)
+    assert(
+      spark.read.parquet(s"$tmp2/corpus").select("doc_id").as[Long].collect().toSet
+        === Set(1L, 2L))
+    // and the state is live again for the next batch
+    CorpusIngest.ingestBatch(batch, s"$tmp2/corpus", bloom2, expectedItems = 1000L)
+    assert(spark.read.parquet(s"$tmp2/corpus").count() === 2)
+  }
 }
