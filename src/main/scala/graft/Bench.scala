@@ -101,6 +101,17 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Between query blocks: force a full GC so the ContextCleaner
+      // reclaims the previous block's now-unreferenced broadcasts and
+      // shuffle state NOW rather than whenever the 8 GiB driver heap
+      // next fills on its own. Without this, dozens of queries' dead
+      // blocks stay pinned in the unified memory region and the
+      // VICTIM query late in the suite pays for them with spills and
+      // GC pauses inside its timed runs — observed as r5's
+      // q31 0.285->1.29 s monotonic "drift" and an r6 repro where q34
+      // spiked to 68 s mid-suite while being stable solo (BENCH_NOTES).
+      // Outside the per-run timer, so it costs wall clock, not medians.
+      System.gc()
       val all = (1 to (warmups + iters)).map { _ =>
         val t = runOnce(name, fn)
         // several operators localCheckpoint intermediates; those RDDs
