@@ -15,7 +15,16 @@ import org.apache.spark.sql.SparkSession
   *    local runs pass the core count — Spark's 200 default is wrong in
   *    both directions);
   *  - 128 MiB scan splits (`files.maxPartitionBytes`) so a scan task's
-  *    working set fits executor memory alongside shuffle buffers.
+  *    working set fits executor memory alongside shuffle buffers;
+  *  - a 5-minute periodic-GC floor for the ContextCleaner: cleanup of
+  *    dead shuffle files / broadcasts is reference-triggered, so on a
+  *    large, mostly-idle driver heap it can lag by hours while dead
+  *    state pins memory and disk — a long-running session (streaming
+  *    ingest, a bench loop, a multi-query job) then pays for earlier
+  *    queries' garbage with spills inside later ones (measured in
+  *    BENCH_NOTES.md round 6: a mid-suite 68 s spike on a 2.7 s query).
+  *    Spark's default interval is 30 min; 5 min bounds the lag at a
+  *    full-GC cost that is negligible against any real query.
   *
   * Everything is overridable by chaining further `.config` calls.
   */
@@ -30,4 +39,5 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.cleaner.periodicGC.interval", "5min")
 }

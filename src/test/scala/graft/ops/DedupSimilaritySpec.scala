@@ -561,6 +561,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("numHashes=32"))
   }
 
+  test("an empty no-props index never freezes a probe's default params") {
+    spark.sql("DROP TABLE IF EXISTS mh_empty_idx")
+    // a legacy-shaped index: table exists, zero rows, no contract props
+    Dedup.writeMinHashIndex(docs.limit(0), "text", "doc_id", "mh_empty_idx",
+      numHashes = 16, bands = 4, nBuckets = 8)
+    spark.sql("ALTER TABLE mh_empty_idx UNSET TBLPROPERTIES " +
+      "('graft.minhash.numHashes', 'graft.minhash.bands')")
+    // a probe with the DEFAULT (32, 8) params runs fine (an empty index
+    // contradicts nothing)...
+    Dedup.incrementalNearDups(spark, docs.limit(5), "mh_empty_idx", "text", "doc_id",
+      threshold = 0.3).collect()
+    // ...but must NOT have frozen those defaults onto the table
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("mh_empty_idx"))
+      .properties
+    assert(!props.contains("graft.minhash.numHashes"),
+      "probe backfilled its defaults onto an empty index")
+    // so the intended (16, 4) contract can still be established by the
+    // first real append — with the old freeze this append failed fast
+    Dedup.appendToMinHashIndex(docs.limit(10), "text", "doc_id", "mh_empty_idx",
+      numHashes = 16, bands = 4, nBuckets = 8)
+    // and from then on the DATA pins the contract: default-param probes fail
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, docs.limit(5), "mh_empty_idx", "text", "doc_id",
+        threshold = 0.3).collect()
+    }
+    assert(e.getMessage.contains("16"))
+    spark.sql("DROP TABLE IF EXISTS mh_empty_idx")
+  }
+
+  test("append to a no-props index heals a compaction crash before validating") {
+    spark.sql("DROP TABLE IF EXISTS mh_heal_idx")
+    val hist = docs.limit(60).select($"doc_id", $"text")
+    Dedup.appendToMinHashIndex(hist, "text", "doc_id", "mh_heal_idx", nBuckets = 8)
+    // legacy index (no props) caught in a compaction crash window: the
+    // live dir was renamed away to .old and the process died
+    spark.sql("ALTER TABLE mh_heal_idx UNSET TBLPROPERTIES " +
+      "('graft.minhash.numHashes', 'graft.minhash.bands')")
+    val loc = new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("mh_heal_idx"))
+      .location.toString).getPath
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(loc), java.nio.file.Paths.get(loc + ".old"))
+    // the no-props validation scans the DATA — without heal-first
+    // ordering it dies on the missing live dir instead of recovering
+    val more = docs.filter($"doc_id" % 7 === 0).limit(20)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    Dedup.appendToMinHashIndex(more, "text", "doc_id", "mh_heal_idx", nBuckets = 8)
+    assert(spark.table("mh_heal_idx").select("doc_id").distinct().count() === 80)
+    spark.sql("DROP TABLE IF EXISTS mh_heal_idx")
+  }
+
   test("qualified index names (db.idx) work across write, probe, props, and compaction") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
     val hist = docs.limit(200).select($"doc_id", $"text")

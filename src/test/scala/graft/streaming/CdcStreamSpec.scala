@@ -243,6 +243,23 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(changed.size === 1, s"exactly one new-modulus bucket may be rewritten, got $changed")
   }
 
+  test("rebucketState records intent even when the state root never existed") {
+    val tmp = Files.createTempDirectory("rebucket-intent").toString
+    val statePath = s"$tmp/state"
+    // rebucket BEFORE any batch ever created the root: the caller's
+    // intent must stick, not silently vanish with the missing directory
+    CdcStream.rebucketState(spark, statePath, newNumBuckets = 8)
+    val batch = mkEvents(("e1", "insert", "c1", "t1", "k1", ts("2024-01-01 00:00:00")))
+    // a sink restarted with the pre-rebucket modulus fails fast...
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.applyBatchToState(batch, statePath, numBuckets = 4)
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // ...and the recorded modulus proceeds normally
+    CdcStream.applyBatchToState(batch, statePath, numBuckets = 8)
+    assert(CdcStream.readState(spark, statePath).count() === 1)
+  }
+
   test("rebucketState root-swap crash heals: reader falls back purely, writer recovers") {
     val tmp = Files.createTempDirectory("rebucketcrash").toString
     val statePath = s"$tmp/state"
