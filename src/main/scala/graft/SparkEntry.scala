@@ -459,6 +459,22 @@ object SparkEntry {
       Dedup.containmentPairs(corpus, "text", "doc_id", shingleSize = 8, maxDocFreq = None)
     }),
 
+    // Data-mix drift: per-source TV / chi-square divergence vs the
+    // corpus token distribution over the top-200 tokens. Hash-exact by
+    // construction: IEEE-only per-cell terms, DECIMAL(30,12) sums (see
+    // TextAnalysis.sourceDivergence's determinism contract).
+    "q60_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(t(s, dir, "documents"), "text", "source", topK = 200)),
+
+    // Mixture flattening: alpha=0.5 temperature sampling over sources
+    // (small sources up-weighted vs their natural share; sqrt-only so
+    // the draw replays bit-identically in the oracle — see
+    // Sampling.temperatureSample).
+    "q61_temperature_mix" -> ((s, dir) =>
+      Sampling
+        .temperatureSample(t(s, dir, "documents"), "source", "doc_id", targetRows = 2000L)
+        .select(col("doc_id"), col("source"))),
+
     // A1-via-chatbot: the reference chatbot's one real query shape
     // (chatbot.py:150-163) — last-7-days filter + per-type counts +
     // rollup grand total, anchored at the newest event for determinism
@@ -1109,6 +1125,57 @@ object SparkEntry {
            |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
            |FROM d a JOIN d b ON a.doc_id <> b.doc_id
            |WHERE position(' ' || a.s || ' ' IN ' ' || b.s || ' ') > 0""".stripMargin,
+
+      // Replays sourceDivergence's determinism contract: IEEE-only
+      // per-cell terms, DECIMAL(30,12) sums (order-independent), top-K
+      // ties broken on (count desc, token asc) in both engines.
+      "q60_source_divergence" ->
+        s"""WITH w AS ($wordsSql),
+           |tok AS (SELECT d.source, t.w
+           |  FROM (SELECT doc_id, unnest(words) AS w FROM w) t
+           |  JOIN documents d USING (doc_id)),
+           |cq AS (SELECT w, count(*) AS cq FROM tok GROUP BY w),
+           |top AS (SELECT w, cq FROM cq ORDER BY cq DESC, w LIMIT 200),
+           |tq AS (SELECT sum(cq) AS tq FROM top),
+           |sc AS (SELECT source, tok.w, count(*) AS cs
+           |  FROM tok JOIN top USING (w) GROUP BY source, tok.w),
+           |grid AS (SELECT s.source, t.w, t.cq, coalesce(sc.cs, 0) AS cs
+           |  FROM (SELECT DISTINCT source FROM documents) s
+           |  CROSS JOIN top t
+           |  LEFT JOIN sc ON sc.source = s.source AND sc.w = t.w),
+           |ts AS (SELECT source, sum(cs) AS ts FROM grid GROUP BY source),
+           |terms AS (SELECT g.source, g.cs,
+           |    CAST(abs(CAST(g.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE)
+           |             - CAST(g.cq AS DOUBLE) / CAST(tq.tq AS DOUBLE)) / 2.0
+           |         AS DECIMAL(30,12)) AS tv_term,
+           |    CAST((CAST(g.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE)
+           |          - CAST(g.cq AS DOUBLE) / CAST(tq.tq AS DOUBLE))
+           |         * (CAST(g.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE)
+           |            - CAST(g.cq AS DOUBLE) / CAST(tq.tq AS DOUBLE))
+           |         / (CAST(g.cq AS DOUBLE) / CAST(tq.tq AS DOUBLE))
+           |         AS DECIMAL(30,12)) AS chi2_term
+           |  FROM grid g JOIN ts USING (source) CROSS JOIN tq
+           |  WHERE ts.ts > 0)
+           |SELECT source, CAST(sum(tv_term) AS DOUBLE) AS tv_div,
+           |  CAST(sum(chi2_term) AS DOUBLE) AS chi2_div,
+           |  CAST(sum(cs) AS BIGINT) AS top_tokens
+           |FROM terms GROUP BY source""".stripMargin,
+
+      // Replays temperatureSample: sqrt is IEEE-correctly-rounded in
+      // both engines, the normalizer sum is DECIMAL-exact, quotas fill
+      // in md5(id) order — the draw is bit-identical.
+      "q61_temperature_mix" ->
+        """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          |z AS (SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS z
+          |      FROM c),
+          |q AS (SELECT source,
+          |        least(n, CAST(floor(2000.0 * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT)) AS k
+          |      FROM c CROSS JOIN z),
+          |r AS (SELECT doc_id, source,
+          |        row_number() OVER (PARTITION BY source
+          |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |      FROM documents)
+          |SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k""".stripMargin,
 
       "q58_chatbot_rollup" ->
         """SELECT coalesce(event_type, 'TOTAL') AS event_type, count(*) AS n

@@ -115,4 +115,47 @@ object Sampling {
       .filter(col("_cum") - col(weightCol) < budget)
       .drop("_cum")
   }
+
+  /** Temperature-flattened mixture sampling — the multilingual "alpha
+    * sampling" scheme (XLM-R / mT5): draw ~`targetRows` rows whose
+    * per-source share is proportional to n_s^0.5 instead of n_s, so
+    * small sources are up-weighted relative to their natural share and
+    * no single giant source dominates the mix.
+    *
+    * Fixed at alpha = 0.5 because `sqrt` is IEEE-correctly-rounded —
+    * identical in every engine — which keeps the draw bit-reproducible
+    * cross-engine (the q60 determinism contract); a generic alpha would
+    * ride on `pow`, whose last-ulp behavior is libm-specific. The one
+    * float SUM (the sqrt normalizer) goes through DECIMAL(30,12) so it
+    * is exact and order-independent; quotas are then
+    * `min(n_s, floor(targetRows * sqrt(n_s) / z))`, filled in md5(id)
+    * order. Scale: one count aggregation, one broadcast quota join, one
+    * per-source window — the [[perGroupSample]] shape.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      targetRows: Long
+  ): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val z = counts
+      .agg(sum(sqrt(col("_n").cast("double")).cast("decimal(30,12)")).cast("double").as("_z"))
+    val quotas = counts
+      .crossJoin(broadcast(z))
+      .select(
+        col(sourceCol),
+        least(
+          col("_n"),
+          floor(lit(targetRows.toDouble) * sqrt(col("_n").cast("double")) / col("_z"))
+        ).as("_k")
+      )
+    val w = Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashOrder(idCol), col(idCol))
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_k"))
+      .drop("_rn", "_k")
+  }
 }

@@ -93,6 +93,67 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Data-mix drift monitoring: how far each source's token
+    * distribution sits from the whole corpus's, over the corpus's
+    * top-`topK` tokens — total-variation distance (0.5 * L1) and
+    * chi-square, the two standard mixture-drift alarms for a training
+    * pipeline ("did the crawler's source composition shift?").
+    *
+    * Determinism contract (what makes the driver check hash-exact):
+    * every per-cell term uses only IEEE-exact double ops (integer-count
+    * divisions, subtract, multiply, abs — NO libm like ln/pow, whose
+    * last-ulp behavior differs across engines), and terms are cast to
+    * DECIMAL(30,12) BEFORE the per-source sum, so the aggregation is
+    * exact and order-independent — a plain double sum would hash
+    * differently run to run with partition order. Top-K ties break on
+    * (count desc, token asc).
+    *
+    * Scale: ONE wordcount-shaped shuffle over the corpus — the
+    * (source, token) counts — from which corpus totals, the top-K, and
+    * the per-source restriction are all tiny re-aggregations (a naive
+    * formulation explodes and scans the text twice); the
+    * (sources x topK) grid materializes absent cells so tokens a
+    * source never emits still contribute |0 - q|.
+    */
+  def sourceDivergence(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      topK: Int = 200
+  ): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"), explode(Fns.tokens(col(textCol))).as("w"))
+    val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val top = sw
+      .groupBy("w")
+      .agg(sum(col("cs")).as("cq"))
+      .orderBy(col("cq").desc, col("w").asc)
+      .limit(topK)
+    val totQ = top.agg(sum(col("cq")).as("tq"))
+    val srcCnt = sw.join(broadcast(top.select("w")), Seq("w"))
+    val grid = sw
+      .select("source")
+      .distinct()
+      .crossJoin(broadcast(top))
+      .join(srcCnt.select("source", "w", "cs"), Seq("source", "w"), "left")
+      .na
+      .fill(0L, Seq("cs"))
+    val totS = grid.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val p = col("cs").cast("double") / col("ts").cast("double")
+    val q = col("cq").cast("double") / col("tq").cast("double")
+    grid
+      .join(totS, "source")
+      .filter(col("ts") > 0)
+      .crossJoin(broadcast(totQ))
+      .withColumn("tv_term", (abs(p - q) / lit(2.0)).cast("decimal(30,12)"))
+      .withColumn("chi2_term", ((p - q) * (p - q) / q).cast("decimal(30,12)"))
+      .groupBy("source")
+      .agg(
+        sum(col("tv_term")).cast("double").as("tv_div"),
+        sum(col("chi2_term")).cast("double").as("chi2_div"),
+        sum(col("cs")).as("top_tokens")
+      )
+  }
+
   /** TF-IDF per (doc, token): tf = in-doc occurrences, idf =
     * ln((N+1)/(df+1)) with N = corpus size. Two aggregations + one
     * broadcast-joined scalar; weights truncated to 4 decimals (ln is

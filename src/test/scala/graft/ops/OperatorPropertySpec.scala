@@ -183,6 +183,57 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(orphans === Seq(3L))
   }
 
+  test("sourceDivergence matches a naive in-memory reference on random corpora") {
+    for (round <- 1 to 4) {
+      val vocab = Seq("tok1", "tok2", "tok3", "tok4", "tok5")
+      def doc(): String = Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val rows = (1 to 40).map(i => (i.toLong, doc(), s"s${i % 3}"))
+      val topK = 4
+      val got = TextAnalysis
+        .sourceDivergence(rows.toDF("doc_id", "text", "source"), "text", "source", topK)
+        .collect()
+        .map(r => r.getAs[String]("source") -> (r.getAs[Double]("tv_div"), r.getAs[Double]("chi2_div")))
+        .toMap
+      // naive reference with the same determinism contract (BigDecimal
+      // sums of IEEE terms at scale 12, half-up)
+      val toks = rows.flatMap { case (_, t, s) => t.split(" ").map(s -> _) }
+      val cq = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val top = cq.toSeq.sortBy { case (w, c) => (-c, w) }.take(topK)
+      val tq = top.map(_._2).sum
+      val want = rows.map(_._3).distinct.map { s =>
+        val cs = top.map { case (w, _) => w -> toks.count(p => p._1 == s && p._2 == w).toLong }
+        val ts = cs.map(_._2).sum
+        def dec(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        val terms = top.zip(cs).map { case ((w, cqw), (_, csw)) =>
+          val p = csw.toDouble / ts.toDouble
+          val q = cqw.toDouble / tq.toDouble
+          (dec(math.abs(p - q) / 2.0), dec((p - q) * (p - q) / q))
+        }
+        s -> (terms.map(_._1).sum.toDouble, terms.map(_._2).sum.toDouble)
+      }.toMap
+      assert(got === want, s"round $round")
+    }
+  }
+
+  test("temperatureSample: sqrt-flattened quotas, capped at group size, deterministic") {
+    // n = (900, 100): sqrt shares (30, 10)/40 -> quotas (75, 25) of 100.
+    // The small source's share rises 10% -> 25% — the whole point of
+    // temperature flattening.
+    val df = ((1 to 900).map(i => (i.toLong, "a")) ++ (1001 to 1100).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val got = Sampling.temperatureSample(df, "source", "doc_id", 100L)
+    val bySrc = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc === Map("a" -> 75L, "b" -> 25L))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(7), "source", "doc_id", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === again)
+    // a source smaller than its quota is taken whole, never padded
+    val small = Seq((1L, "x"), (2L, "x"), (10L, "y")).toDF("doc_id", "source")
+    assert(Sampling.temperatureSample(small, "source", "doc_id", 100L).count() === 3L)
+  }
+
   test("sampling is deterministic across partitionings; budget cap is a soft cap") {
     val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
       .toDF("id", "g", "w")

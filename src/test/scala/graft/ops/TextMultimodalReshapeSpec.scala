@@ -83,6 +83,20 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(secs < 15.0, s"20k-line gopherQuality took $secs s — smells quadratic")
   }
 
+  test("sourceDivergence: identical sources diverge zero, disjoint vocab hits the TV bound") {
+    // both sources emit the same distribution -> TV and chi2 exactly 0
+    val same = Seq((1L, "a b c", "s1"), (2L, "a b c", "s2")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(same, "text", "source", topK = 10).collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.getAs[Double]("tv_div") === 0.0 && r.getAs[Double]("chi2_div") === 0.0))
+    // disjoint vocab: each source holds half the corpus mass ->
+    // TV = 0.5*(|1-0.5| + |0-0.5|) = 0.5 per source, exactly
+    val disjoint = Seq((1L, "a", "s1"), (2L, "b", "s2")).toDF("doc_id", "text", "source")
+    val tv = TextAnalysis.sourceDivergence(disjoint, "text", "source", topK = 10)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("tv_div")).toMap
+    assert(tv === Map("s1" -> 0.5, "s2" -> 0.5))
+  }
+
   test("redactPii replaces emails/urls with tags and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
