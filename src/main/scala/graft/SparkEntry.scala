@@ -475,6 +475,12 @@ object SparkEntry {
         .temperatureSample(t(s, dir, "documents"), "source", "doc_id", targetRows = 2000L)
         .select(col("doc_id"), col("source"))),
 
+    // Gopher repetition, n-gram half: top-2/3-gram char fraction +
+    // duplicated-5-gram mass, per doc, entirely map-side (the oracle
+    // replays the same math relationally — independent formulation).
+    "q62_ngram_repetition" -> ((s, dir) =>
+      TextAnalysis.ngramRepetition(t(s, dir, "documents"), "text", "doc_id")),
+
     // A1-via-chatbot: the reference chatbot's one real query shape
     // (chatbot.py:150-163) — last-7-days filter + per-type counts +
     // rollup grand total, anchored at the newest event for determinism
@@ -1176,6 +1182,41 @@ object SparkEntry {
           |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           |      FROM documents)
           |SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k""".stripMargin,
+
+      // Replays ngramRepetition relationally: per (doc, gram) counts,
+      // best = max(count x gram chars), dup = mass of count>1 grams;
+      // integer masses, IEEE division, least(1.0,.), floor-trunc4 —
+      // deterministic in both engines.
+      "q62_ngram_repetition" -> {
+        def gram(n: Int) = (0 until n).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+        def stats(n: Int, name: String, mass: String) =
+          s"""$name AS (SELECT doc_id, $mass AS m FROM (
+             |  SELECT doc_id, g, count(*) AS c, length(g) - ${n - 1} AS l FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(words) - ${n - 1} + 1),
+             |                          i -> ${gram(n)})) AS g
+             |    FROM w WHERE len(words) >= $n) GROUP BY doc_id, g)
+             |  GROUP BY doc_id)""".stripMargin
+        s"""WITH w AS ($wordsSql),
+           |base AS (SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(words, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS tc
+           |  FROM w),
+           |${stats(2, "s2", "max(c * l)")},
+           |${stats(3, "s3", "max(c * l)")},
+           |${stats(5, "s5", "sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)")}
+           |SELECT b.doc_id,
+           |  CASE WHEN tc > 0 THEN floor(least(1.0,
+           |    CAST(coalesce(s2.m, 0) AS DOUBLE) / CAST(tc AS DOUBLE)) * 10000) / 10000
+           |    ELSE 0.0 END AS top2_frac,
+           |  CASE WHEN tc > 0 THEN floor(least(1.0,
+           |    CAST(coalesce(s3.m, 0) AS DOUBLE) / CAST(tc AS DOUBLE)) * 10000) / 10000
+           |    ELSE 0.0 END AS top3_frac,
+           |  CASE WHEN tc > 0 THEN floor(least(1.0,
+           |    CAST(coalesce(s5.m, 0) AS DOUBLE) / CAST(tc AS DOUBLE)) * 10000) / 10000
+           |    ELSE 0.0 END AS dup5_frac
+           |FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+           |LEFT JOIN s5 USING (doc_id)""".stripMargin
+      },
 
       "q58_chatbot_rollup" ->
         """SELECT coalesce(event_type, 'TOTAL') AS event_type, count(*) AS n

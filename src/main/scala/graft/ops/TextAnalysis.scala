@@ -239,6 +239,84 @@ object TextAnalysis {
     )
   }
 
+  /** Per-gram repetition mass inside ONE document: fold the sorted
+    * n-gram array tracking adjacent runs — `best` is the char mass of
+    * the most frequent n-gram (count x gram chars), `dup` the total
+    * mass of n-grams occurring more than once (every occurrence
+    * counts, the standard Gopher approximation; overlaps are not
+    * de-overlapped). Same O(g log g) sort+fold shape as
+    * [[gopherQuality]]'s dup-line scan. Gram char length is
+    * `length(gram) - (n-1)` — the single-space joins subtracted.
+    */
+  private def gramMassStats(toks: Column, n: Int): Column = {
+    val grams = when(
+      size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+    aggregate(
+      array_sort(grams),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0).as("run"),
+        lit(0L).as("best"),
+        lit(0L).as("dup")
+      ),
+      (acc, g) => {
+        val len = (length(g) - lit(n - 1)).cast("long")
+        val newRun = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(
+          g.as("prev"),
+          newRun.as("run"),
+          greatest(acc("best"), newRun.cast("long") * len).as("best"),
+          (acc("dup") + coalesce(
+            when(g === acc("prev"), when(acc("run") === 1, len * 2L).otherwise(len)),
+            lit(0L)
+          )).as("dup")
+        )
+      },
+      acc => struct(acc("best").as("best"), acc("dup").as("dup"))
+    )
+  }
+
+  /** The n-gram half of the Gopher repetition suite (the line half
+    * lives in [[gopherQuality]]): per doc, the char fraction held by
+    * the single most frequent 2-/3-gram (boilerplate phrasing) and the
+    * char mass fraction of duplicated 5-grams (long-span repetition).
+    * Fractions are capped at 1.0 (occurrence mass over-counts
+    * overlapping spans) and truncated to 4 decimals, denominated in
+    * token chars.
+    *
+    * Scale: entirely map-side — each doc folds its own sorted n-gram
+    * arrays ([[gramMassStats]]); NO explode, NO shuffle at any corpus
+    * size. The oracle replays the same math relationally
+    * (unnest + GROUP BY + max/sum), so the driver check also guards
+    * the fold against an independent formulation.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    val base = df.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
+    val charSum = aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+    def frac(mass: Column): Column =
+      when(
+        col("_tc") > 0,
+        trunc4(least(lit(1.0), mass.cast("double") / col("_tc").cast("double")))
+      ).otherwise(lit(0.0))
+    base
+      .select(
+        col("doc_id"),
+        charSum.as("_tc"),
+        gramMassStats(col("_toks"), 2).as("_g2"),
+        gramMassStats(col("_toks"), 3).as("_g3"),
+        gramMassStats(col("_toks"), 5).as("_g5")
+      )
+      .select(
+        col("doc_id"),
+        frac(col("_g2.best")).as("top2_frac"),
+        frac(col("_g3.best")).as("top3_frac"),
+        frac(col("_g5.dup")).as("dup5_frac")
+      )
+  }
+
   /** PII redaction: replace emails and URLs with placeholder tags and
     * count the replacements — the standard scrub pass before training.
     * Regexes stay in the RE2-compatible subset so the same pattern text

@@ -97,6 +97,25 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(tv === Map("s1" -> 0.5, "s2" -> 0.5))
   }
 
+  test("ngramRepetition: hand-computed fractions, overlap mass capped at 1.0") {
+    // doc 1 "a b a b c": tc=5; top 2-gram "a b" x2, mass 2x2=4 -> 0.8;
+    // 3-grams all unique, best mass 3 -> 0.6; no 5-gram dups.
+    // doc 2 "x x x x": tc=4; top 2-gram "x x" x3 has mass 6 > tc and
+    // top 3-gram "x x x" x2 mass 6 > tc -> both capped at 1.0 (overlap
+    // over-count is expected; the cap is the Gopher convention).
+    // doc 4 "x x x a b c d e": tc=8; "x x" x2 mass 4 -> 0.5 (uncapped).
+    val df = Seq((1L, "a b a b c"), (2L, "x x x x"), (3L, ""), (4L, "x x x a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("top2_frac"), r.getAs[Double]("top3_frac"), r.getAs[Double]("dup5_frac"))))
+      .toMap
+    assert(got(1L) === ((0.8, 0.6, 0.0)))
+    assert(got(2L) === ((1.0, 1.0, 0.0)))
+    assert(got(3L) === ((0.0, 0.0, 0.0)))
+    assert(got(4L) === ((0.5, 0.375, 0.0)))
+  }
+
   test("redactPii replaces emails/urls with tags and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
