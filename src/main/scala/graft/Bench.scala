@@ -120,8 +120,12 @@ object Bench {
         // pressure from every EARLIER query/iteration — the iterations
         // would not be comparable (observed as q19 medians inflating 2x
         // late in the bench). Dropping them between iterations makes
-        // run i and run i+1 see the same heap.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // run i and run i+1 see the same heap. BLOCKING: with async
+        // removal the next run starts while the previous run's blocks
+        // are still being freed, and the checkpoint-heavy queries (q34's
+        // ~10 per-round localCheckpoints) then measure that overlap as
+        // within-block growth.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         t
       }
       val measured = all.drop(warmups)
