@@ -481,6 +481,13 @@ object SparkEntry {
     "q62_ngram_repetition" -> ((s, dir) =>
       TextAnalysis.ngramRepetition(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Context-window chunking: 64-token chunks with 8 tokens of left
+    // overlap — the document -> training-sequence prep step; map-side
+    // posexplode, no shuffle.
+    "q63_chunk_documents" -> ((s, dir) =>
+      TextAnalysis
+        .chunkDocuments(t(s, dir, "documents"), "text", "doc_id", chunkTokens = 64, overlap = 8)),
+
     // A1-via-chatbot: the reference chatbot's one real query shape
     // (chatbot.py:150-163) — last-7-days filter + per-type counts +
     // rollup grand total, anchored at the newest event for determinism
@@ -1216,6 +1223,21 @@ object SparkEntry {
            |    ELSE 0.0 END AS dup5_frac
            |FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
            |LEFT JOIN s5 USING (doc_id)""".stripMargin
+      },
+
+      // Replays chunkDocuments: inclusive 1-based list slices, floor
+      // division + greatest(0,.) for the chunk count (identical to the
+      // Spark formulation; see the operator's scaladoc on div vs //).
+      "q63_chunk_documents" -> {
+        val (chunk, overlap) = (64, 8)
+        val stride = chunk - overlap
+        s"""WITH w AS ($wordsSql)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           |  array_to_string(words[i * $stride + 1 : i * $stride + $chunk], ' ') AS chunk_text,
+           |  CAST(len(words[i * $stride + 1 : i * $stride + $chunk]) AS BIGINT) AS n_tokens
+           |FROM w, unnest(range(0, greatest(0,
+           |  CAST(floor(CAST(len(words) - ${overlap + 1} AS DOUBLE) / $stride) AS BIGINT)) + 1)) AS u(i)
+           |WHERE len(words) > 0""".stripMargin
       },
 
       "q58_chatbot_rollup" ->

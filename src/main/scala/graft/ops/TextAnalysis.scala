@@ -317,6 +317,55 @@ object TextAnalysis {
       )
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * chunks with `overlap` tokens of left context — the standard prep
+    * step that turns variable-length documents into training sequences
+    * (chunk i covers tokens [i*stride, i*stride + chunkTokens), stride
+    * = chunkTokens - overlap). A trailing window that would contain no
+    * NEW tokens is not emitted; any non-empty doc yields at least its
+    * one (possibly short) chunk. Output: (doc_id, chunk_id, chunk_text,
+    * n_tokens).
+    *
+    * Scale: map-side only — one `posexplode` per doc over locally
+    * computed slices, no shuffle; output row count is
+    * ~corpus_tokens/stride regardless of document skew. The chunk-count
+    * formula uses floor division on a possibly-negative numerator, so
+    * it is written as floor(/) + greatest(0, .) — identical semantics
+    * in Spark and DuckDB (plain integer `div` truncates toward zero in
+    * Spark but floors in DuckDB; the clamp makes the difference moot).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val base = df
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val maxIdx = greatest(
+      lit(0),
+      floor((size(col("_toks")) - lit(overlap + 1)).cast("double") / lit(stride))
+    ).cast("int")
+    base
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), maxIdx), i => slice(col("_toks"), i * stride + 1, lit(chunkTokens)))
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens")
+      )
+  }
+
   /** PII redaction: replace emails and URLs with placeholder tags and
     * count the replacements — the standard scrub pass before training.
     * Regexes stay in the RE2-compatible subset so the same pattern text

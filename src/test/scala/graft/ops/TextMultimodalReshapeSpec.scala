@@ -116,6 +116,25 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(got(4L) === ((0.5, 0.375, 0.0)))
   }
 
+  test("chunkDocuments: stride windows with overlap; tail emitted only when it adds tokens") {
+    // 10 tokens, chunk=4, overlap=1 (stride 3): windows at 0/3/6; a 4th
+    // window at 9 would hold only already-covered tokens -> not emitted.
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), // shorter than one chunk: kept whole as chunk 0
+      (3L, "")     // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq === Seq(4L, 4L, 4L))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("redactPii replaces emails/urls with tags and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org or see https://ex.org/a?b=1 now"),
