@@ -44,7 +44,9 @@ object Q31Probe {
       }
       used / 1024 / 1024
     }
+    val sleepMs = sys.env.getOrElse("Q31_SLEEP_MS", "0").toLong
     (1 to iters).foreach { i =>
+      if (sleepMs > 0) Thread.sleep(sleepMs)
       val (gc0, gt0) = gcStats()
       val jit0 = comp.getTotalCompilationTime
       val t0 = System.nanoTime()
