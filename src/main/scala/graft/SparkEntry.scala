@@ -488,6 +488,11 @@ object SparkEntry {
       TextAnalysis
         .chunkDocuments(t(s, dir, "documents"), "text", "doc_id", chunkTokens = 64, overlap = 8)),
 
+    // DQ: key-skew profile of the event stream's user_id — the
+    // hot-key measurement that justifies salting / AQE skew handling.
+    "q64_skew_profile" -> ((s, dir) =>
+      Checks.skewProfile(t(s, dir, "events"), "user_id", topK = 20)),
+
     // A1-via-chatbot: the reference chatbot's one real query shape
     // (chatbot.py:150-163) — last-7-days filter + per-type counts +
     // rollup grand total, anchored at the newest event for determinism
@@ -1224,6 +1229,18 @@ object SparkEntry {
            |FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
            |LEFT JOIN s5 USING (doc_id)""".stripMargin
       },
+
+      // Replays skewProfile: integer counts, left-associated double
+      // math, floor-trunc4, ties on the key's string form.
+      "q64_skew_profile" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n
+          |           FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+          |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+          |SELECT key_value, n,
+          |  floor(n * 10000.0 / total_rows) / 10000.0 AS share,
+          |  floor(n * n_keys * 10000.0 / total_rows) / 10000.0 AS x_mean
+          |FROM c CROSS JOIN t ORDER BY n DESC, key_value LIMIT 20""".stripMargin,
 
       // Replays chunkDocuments: inclusive 1-based list slices, floor
       // division + greatest(0,.) for the chunk count (identical to the

@@ -37,6 +37,38 @@ object Checks {
       .select(col("x.col_name"), col("x.n_nulls"))
   }
 
+  /** Key-skew profile: the top-`topK` hottest key values with their
+    * row share and the hot/mean ratio — the measurement that decides
+    * whether a join/agg key needs salting ([[Skew]]) or AQE skew-join
+    * handling BEFORE the job falls over at scale, and the evidence a
+    * post-mortem cites after. One hash shuffle (the per-key count);
+    * the share/ratio math re-aggregates the counted frame. Deterministic
+    * output: ties break on the key's string form, shares truncate to 4
+    * decimals, the ratio uses integer counts over an exact row total.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("total_rows"),
+      count(lit(1)).as("n_keys")
+    )
+    counts
+      .orderBy(col("n").desc, col("key_value").asc)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("key_value"),
+        col("n"),
+        (floor(col("n") * 10000.0 / col("total_rows")) / 10000.0).as("share"),
+        // hot-key multiple of the mean per-key count: > ~8-10 on a join
+        // key is where a 1000-executor shuffle develops stragglers
+        (floor(col("n") * col("n_keys") * 10000.0 / col("total_rows")) / 10000.0)
+          .as("x_mean")
+      )
+  }
+
   /** Referential-integrity violations: child rows whose key has no match
     * in `parent` (left anti join — AQE broadcasts a small parent).
     * SQL FK semantics: rows with a NULL key part are NOT violations

@@ -183,6 +183,16 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(orphans === Seq(3L))
   }
 
+  test("skewProfile: hand-computed shares and hot/mean ratios, deterministic ties") {
+    // a x6, b x3, c x1 -> total 10, 3 keys; mean per key = 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Checks.skewProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getAs[String]("key_value"), r.getAs[Long]("n"),
+        r.getAs[Double]("share"), r.getAs[Double]("x_mean")))
+    assert(got.toSeq === Seq(("a", 6L, 0.6, 1.8), ("b", 3L, 0.3, 0.9)))
+  }
+
   test("sourceDivergence matches a naive in-memory reference on random corpora") {
     for (round <- 1 to 4) {
       val vocab = Seq("tok1", "tok2", "tok3", "tok4", "tok5")
