@@ -1231,9 +1231,13 @@ object SparkEntry {
       },
 
       // Replays skewProfile: integer counts, left-associated double
-      // math, floor-trunc4, ties on the key's string form.
+      // math, floor-trunc4, ties on the key's string form; NULL keys
+      // fold into the '<null>' sentinel exactly like the operator (the
+      // sentinel also sidesteps Spark-vs-DuckDB NULL-ordering skew on
+      // a tied top-K boundary).
       "q64_skew_profile" ->
-        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n
+        """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') AS key_value,
+          |                  count(*) AS n
           |           FROM events GROUP BY 1),
           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
           |             CAST(count(*) AS BIGINT) AS n_keys FROM c)

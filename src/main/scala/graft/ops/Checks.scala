@@ -45,10 +45,17 @@ object Checks {
     * the share/ratio math re-aggregates the counted frame. Deterministic
     * output: ties break on the key's string form, shares truncate to 4
     * decimals, the ratio uses integer counts over an exact row total.
+    *
+    * NULL keys are counted under the sentinel `"<null>"` rather than
+    * dropped or left as SQL NULL: a NULL-heavy column is one of the
+    * most common real skew culprits (every NULL lands in one shuffle
+    * partition), and a literal NULL key would also make the tie-break
+    * engine-dependent (Spark orders NULLS FIRST ascending, DuckDB
+    * NULLS LAST) — the sentinel keeps the ordering total and portable.
     */
   def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     val counts = df
-      .groupBy(col(keyCol).cast("string").as("key_value"))
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("<null>")).as("key_value"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.agg(
       sum(col("n")).as("total_rows"),

@@ -207,10 +207,11 @@ object Dedup {
     // GC-cleaned — unlike cache() they don't pin memory indefinitely.
     // LAZY (eager=false): building the DataFrame stays side-effect free
     // (plan audits don't run jobs); the first action materializes and
-    // every later read hits the blocks. (Caveat: localCheckpoint is lost
-    // on executor failure; a cluster deployment at 100 TB writes
-    // signatures to a table instead.)
-    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
+    // every later read hits the blocks. localCheckpoint is lost on
+    // executor failure; set [[Materialize.CheckpointDirConf]] to route
+    // this (and every other engine intermediate) through reliable
+    // checkpoints on preemptible clusters.
+    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize), eager = false)
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket, dropMetrics)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
@@ -241,7 +242,7 @@ object Dedup {
   ): DataFrame = {
     // materialized once (lazily — see minHashLshPairs), read twice
     // (inverted index + per-doc counts)
-    val shingled = shingleSets(df, textCol, idCol, shingleSize).localCheckpoint(false)
+    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize), eager = false)
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // duplicated input ids must not double-count intersections or
     // duplicate output rows: posting lists are SETS (same shuffle as the
@@ -312,11 +313,13 @@ object Dedup {
   ): DataFrame = {
     // read three times (grams, probe argmin, verify joins) — materialize
     // lazily once, same pattern as minHashLshPairs
-    val toks = df
-      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
-      .filter(size(col("words")) >= shingleSize)
-      .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words"))
-      .localCheckpoint(false)
+    val toks = Materialize(
+      df
+        .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+        .filter(size(col("words")) >= shingleSize)
+        .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words")),
+      eager = false
+    )
     val sh = toks.select(
       col("doc_id"),
       explode(graft.plans.TextExpressions.distinctShingles(col("words"), shingleSize)).as("sh")
@@ -324,9 +327,10 @@ object Dedup {
     val postings = sh
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    val bounded =
-      boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles")
-        .localCheckpoint(false) // probed twice: dfreq argmin + candidate join
+    val bounded = Materialize(
+      boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles"),
+      eager = false
+    ) // probed twice: dfreq argmin + candidate join
     // each doc's probe = its rarest surviving gram (ties by gram text)
     val probe = sh
       .join(bounded.select(col("sh"), size(col("ids")).as("dfq")), "sh")
@@ -352,18 +356,45 @@ object Dedup {
     * graph-diameter rounds — near-dup clusters are tiny, so a handful of
     * joins). Returns (doc_id, cluster) where cluster = min doc_id of the
     * component. Driver-free: every step is a join + groupBy.
+    *
+    * Write-pressure design (round 7 — the r6 checkpoint-per-round
+    * version was the bench suite's heaviest sustained disk-write load
+    * and its stall magnet):
+    *  - each round's labels are `persist(MEMORY_AND_DISK)`ed, NOT
+    *    checkpointed — the label frame is rows of (long, long, bool),
+    *    so rounds live in storage memory and write ~zero bytes to disk
+    *    (vs a full frame write per round before);
+    *  - round i−1's blocks are dropped as soon as round i is
+    *    materialized, so at most two rounds are ever held;
+    *  - the convergence check is FOLDED INTO the materializing job via
+    *    `observe` (a row changed iff its neighborhood min undercut its
+    *    label — computable in the round's own projection), replacing
+    *    the r6 version's second per-round action (a join + limit/count
+    *    that also raced task cleanup, the bench's accumulator noise);
+    *  - lineage grows across rounds (persist doesn't cut it), bounded
+    *    by maxIter; execution reads the previous round's cache, and a
+    *    lost block recomputes from lineage instead of killing the job
+    *    the way a lost localCheckpoint block would. With
+    *    [[Materialize.CheckpointDirConf]] set, rounds are reliably
+    *    checkpointed instead (bounded lineage AND durable blocks) —
+    *    the preemptible-cluster mode.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val reliableMode = Materialize.reliable(pairs)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableMode) Materialize(df, eager = false)
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the edge list once: without this every iteration's
-    // join re-executes the (possibly expensive) pair-producing plan
-    val edges = pairs
-      .select(col("i").as("id"), col("j").as("nb"))
-      .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
-      .distinct()
-      // lazy: materializes during round 1's first action, reused after;
-      // constructing the clusters() plan itself stays job-free
-      .localCheckpoint(false)
+    // join re-executes the (possibly expensive) pair-producing plan.
+    // Lazy in both modes: materializes during round 1's first action.
+    val edges = pin(
+      pairs
+        .select(col("i").as("id"), col("j").as("nb"))
+        .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
+        .distinct()
+    )
     var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+    var prevRound: Option[DataFrame] = None
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -371,21 +402,31 @@ object Dedup {
         .join(labels.select(col("id").as("nb"), col("cluster").as("nb_cluster")), "nb")
         .groupBy("id")
         .agg(min(col("nb_cluster")).as("min_nb"))
-      val next = labels
-        .join(nbLabels, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
-        // checkpoint BEFORE the convergence check: the check then joins
-        // two already-materialized frames instead of re-executing the
-        // round's join+agg plan a second time (halves the per-round work)
-        .localCheckpoint(true) // also cuts the growing lineage per round
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old"))
-        .limit(1)
-        .count() > 0
-      labels = next
+      // `chg` rides along in the round's own projection: NULL min_nb
+      // (no neighbors improved nothing) compares to NULL -> not counted
+      val next = pin(
+        labels
+          .join(nbLabels, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"),
+            (col("min_nb") < col("cluster")).as("chg")
+          )
+      )
+      // ONE job per round: materializes the round's blocks AND collects
+      // the changed-label count as an observed metric of that same scan
+      val obs = Observation()
+      next.observe(obs, count_if(col("chg")).as("n_changed")).count()
+      changed = obs.get.get("n_changed").collect { case n: Long => n }.getOrElse(0L) > 0L
+      prevRound.foreach(_.unpersist(false)) // round i-1 is dead once round i exists
+      prevRound = Some(next)
+      labels = next.drop("chg")
       iter += 1
     }
+    // the final round stays pinned for the caller's downstream reads
+    // (GC/ContextCleaner reclaims it once the result is unreferenced);
+    // the edge list is only needed for lineage-recompute after this
+    if (!reliableMode) edges.unpersist(false)
     labels
   }
 
@@ -426,6 +467,18 @@ object Dedup {
     * primitive (same q21 trade: the oracle pins the full banding /
     * hamming / pairing dataflow; the xxhash64 default stays the
     * production path, pinned bit-parity in PlansSpec).
+    *
+    * Known entropy quirk (accepted): 15 hex chars give 60 bits, so
+    * token-hash bits 60–63 are constant 0 and the vote fold pins
+    * simhash bits 0–3 to 0 as well — band 0's 16-bit bucket key
+    * carries only 12 bits of entropy, i.e. ~16× more spurious band-0
+    * candidates than the xxhash64 path (they are discarded by the
+    * exact hamming verify, so results stay correct; only candidate
+    * volume is unrepresentative of production). 16 hex chars would fix
+    * it but can exceed Long.MaxValue, and signed-overflow semantics of
+    * `conv(...)::long` are exactly the kind of cross-engine edge the
+    * oracle hash must not depend on — 60 honest bits beat 64 risky
+    * ones for a correctness gate.
     */
   val md5TokenHash: Column => Column =
     t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
@@ -578,13 +631,14 @@ object Dedup {
       // empty history aggregates to a null filter: everything is new
       return newBatch.select(col(idCol).as("doc_id"), fp.as("fingerprint"))
     }
-    val tagged = newBatch
-      .select(
+    val tagged = Materialize(
+      newBatch.select(
         col(idCol).as("doc_id"),
         fp.as("fingerprint"),
         bloomProbe(bloomBytes, xxhash64(col(textCol))).as("maybe")
-      )
-      .localCheckpoint(true) // feeds both branches: scan + hashes once
+      ),
+      eager = true
+    ) // feeds both branches: scan + hashes once
     val definiteNew = tagged.filter(!col("maybe")).select(col("doc_id"), col("fingerprint"))
     val confirmedNew = tagged
       .filter(col("maybe"))
@@ -855,17 +909,19 @@ object Dedup {
     // contract as table properties (validateIndexParams)
     validateIndexParams(spark, table, numHashes, bands)
     val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
-    val batchBands = signed
-      .select(col("doc_id").as("j"), col("sig").as("sig_j"),
-        explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
-      .select(
-        col("j"),
-        col("sig_j"),
-        col("bk.band").as("band"),
-        col("bk.bhash").as("bhash"),
-        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
-      )
-      .localCheckpoint(true) // probed twice: bkey collect + bucket join
+    val batchBands = Materialize(
+      signed
+        .select(col("doc_id").as("j"), col("sig").as("sig_j"),
+          explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
+        .select(
+          col("j"),
+          col("sig_j"),
+          col("bk.band").as("band"),
+          col("bk.bhash").as("bhash"),
+          pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+        ),
+      eager = true
+    ) // probed twice: bkey collect + bucket join
     val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
     if (bkeys.isEmpty) {
       return spark.emptyDataFrame

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** One knob for how the engine pins iterative / multiply-read
+  * intermediates (LSH shingle sets, index builds, ANN probe cells,
+  * connected-components rounds).
+  *
+  * Default: `localCheckpoint` — executor-local blocks, no lineage, no
+  * distributed-FS writes. Fast, but the blocks die with their executor,
+  * so on a preemptible 1000-executor cluster a lost node restarts the
+  * whole iterative job (the 100 TB asterisk flagged in round 6).
+  *
+  * Opt-in: set `spark.graft.checkpointDir` to a Hadoop-FS directory
+  * (`hdfs:`, `s3a:`, `file:`) and the SAME call sites route through
+  * reliable `Dataset.checkpoint` — checkpoint files survive executor
+  * loss, at the cost of a distributed write per materialization. Local
+  * runs and the bench leave it unset; a long iterative job on
+  * preemptible capacity sets it once on the session.
+  */
+object Materialize {
+
+  /** Session conf key: when set (non-empty), intermediates are reliably
+    * checkpointed under this directory instead of localCheckpoint'ed.
+    */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  // SparkContext.setCheckpointDir mints a fresh UUID subdir per call, so
+  // re-applying the same conf value on every materialization would
+  // scatter files; remember what was last applied per application.
+  private val applied = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** True when the session routes through reliable checkpoints. */
+  def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(CheckpointDirConf).exists(_.trim.nonEmpty)
+
+  /** Materialize `df` per the session's durability conf. `eager=false`
+    * keeps plan CONSTRUCTION side-effect free in both modes (the first
+    * action materializes; later reads hit the blocks/files).
+    */
+  def apply(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val key = spark.sparkContext.applicationId
+        if (applied.put(key, dir) != dir) spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+}

@@ -215,7 +215,7 @@ object Similarity {
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // computed ONCE (the cell scoring is the query-side hot projection),
     // reused for both the distinct-cell collect and the bucket join
-    val probes = probeCells(queries, cents, vecCol, idCol, nProbe).localCheckpoint(true)
+    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val assigned = spark.table(table).filter(col("cent_id").isin(probedCells: _*))
     searchCells(assigned, probes, k)

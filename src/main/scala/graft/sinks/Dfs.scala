@@ -52,23 +52,55 @@ object Dfs {
     ()
   }
 
-  /** Write a small control file (bucket markers, bloom state) via
-    * create-temp + rename — readers never observe a half-written file
-    * on any FS whose rename replaces atomically (file:, hdfs:).
+  /** Write a small control file (bucket markers) crash-safely: write to
+    * a `.tmp` sibling, retire the live file to `.old`, promote the
+    * `.tmp`, then drop the `.old`. A crash in ANY window leaves a
+    * recoverable state — either the live file is intact, or `.old`
+    * holds the previous acknowledged value and [[heal]] restores it on
+    * the next read. The earlier delete-then-rename version had a window
+    * with NO file at all, which for CdcStream's bucket marker meant a
+    * restarted sink could silently re-adopt a different bucket modulus.
     */
   def writeSmall(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val old = new Path(p.getParent, p.getName + ".old")
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
+    if (fs.exists(p)) {
+      if (fs.exists(old)) fs.delete(old, false)
+      require(fs.rename(p, old), s"rename $p -> $old failed")
+    }
     require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    if (fs.exists(old)) fs.delete(old, false) // best-effort; healed lazily otherwise
   }
 
   def writeSmall(fs: FileSystem, p: Path, content: String): Unit =
     writeSmall(fs, p, content.getBytes(UTF_8))
 
+  /** Recover a [[writeSmall]] target from a crash mid-swap: when the
+    * live file is absent but its `.old` sibling exists, the crash hit
+    * between retire and promote — restore the previous acknowledged
+    * value. (A stray `.tmp` is never promoted: its write was never
+    * acknowledged to the caller.) No-op when the live file exists.
+    */
+  def heal(fs: FileSystem, p: Path): Unit = {
+    val old = new Path(p.getParent, p.getName + ".old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"heal rename $old -> $p failed")
+    }
+  }
+
+  /** Existence check for a [[writeSmall]] target that heals first — use
+    * this (not bare `exists`) to gate reads of swap-protocol files.
+    */
+  def existsSmall(fs: FileSystem, p: Path): Boolean = {
+    heal(fs, p)
+    fs.exists(p)
+  }
+
   def readSmall(fs: FileSystem, p: Path): Array[Byte] = {
+    heal(fs, p)
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()

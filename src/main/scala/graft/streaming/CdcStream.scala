@@ -327,7 +327,7 @@ object CdcStream {
 
   private def checkBucketMarker(fs: FileSystem, root: HPath, numBuckets: Int): Unit = {
     val m = new HPath(root, BucketMarkerFile)
-    if (fs.exists(m)) {
+    if (Dfs.existsSmall(fs, m)) { // heals a crash mid marker-rewrite first
       val recorded = Dfs.readSmallString(fs, m).trim.toInt
       require(
         recorded == numBuckets,

@@ -145,6 +145,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: identical result and on-disk checkpoints with spark.graft.checkpointDir set") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val expected = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Materialize.CheckpointDirConf, dir)
+    try {
+      val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      // the rounds must actually have landed on the reliable store: the
+      // dir gains rdd-* checkpoint directories with part files
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Seq.empty
+        else f.listFiles.toSeq.flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      assert(rddDirs(new java.io.File(dir)).nonEmpty, s"no reliable checkpoints under $dir")
+    } finally spark.conf.unset(Materialize.CheckpointDirConf)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
