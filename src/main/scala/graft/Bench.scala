@@ -18,6 +18,19 @@ package graft
   * queries "regressed" 2–4.6× under host load and reverted to baseline
   * on identical code — see BENCH_NOTES.md).
   *
+  * Stall guard (round 7 — BENCH_r06 proved median-of-5 does NOT
+  * survive a sustained host IO stall: a multi-minute episode put 2–3
+  * polluted runs into q17/q34/q59's blocks and the recorded medians
+  * landed at 10–12× the same code's clean repro): a measured run
+  * exceeding `max(10 s, 5 × block-min-so-far)` is treated as a stall
+  * artifact, DISCARDED, and re-run, up to
+  * `SPARK_GRAFT_BENCH_MAX_RERUNS` (default 3) re-runs per query — a
+  * genuinely slow query is protected by the 5× min-relative bound (its
+  * min rises with it), and a stall outlasting the re-run budget still
+  * lands in the medians rather than hiding. Nothing is silently
+  * dropped: discarded runs ship in `bench_detail.json` under
+  * `"discarded"`.
+  *
   * The stdout line stays MINIMAL (metric/value/unit/queries/sf) on
   * purpose: the driver parses it from a bounded tail window of the
   * captured output (~2000 chars — the r4 line with embedded per-run
@@ -100,6 +113,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    val maxReruns = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Between query blocks: force a full GC so the ContextCleaner
       // reclaims the previous block's now-unreferenced broadcasts and
@@ -112,38 +126,54 @@ object Bench {
       // spiked to 68 s mid-suite while being stable solo (BENCH_NOTES).
       // Outside the per-run timer, so it costs wall clock, not medians.
       System.gc()
-      val all = (1 to (warmups + iters)).map { _ =>
+      def timed(): Double = {
         val t = runOnce(name, fn)
-        // several operators localCheckpoint intermediates; those RDDs
-        // stay pinned in storage memory for the life of the context, so
-        // without this each query would run under ever-growing memory
-        // pressure from every EARLIER query/iteration — the iterations
-        // would not be comparable (observed as q19 medians inflating 2x
-        // late in the bench). Dropping them between iterations makes
-        // run i and run i+1 see the same heap. BLOCKING: with async
-        // removal the next run starts while the previous run's blocks
-        // are still being freed, and the checkpoint-heavy queries (q34's
-        // ~10 per-round localCheckpoints) then measure that overlap as
-        // within-block growth.
+        // several operators pin intermediates (localCheckpoint blocks);
+        // whatever survives the operator's own cleanup stays in
+        // storage memory for the life of the context, so without this
+        // each query would run under
+        // ever-growing memory pressure from every EARLIER query/
+        // iteration — the iterations would not be comparable (observed
+        // as q19 medians inflating 2x late in the bench). Dropping them
+        // between iterations makes run i and run i+1 see the same heap.
+        // BLOCKING: with async removal the next run starts while the
+        // previous run's blocks are still being freed and measures that
+        // overlap as within-block growth.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         t
       }
-      val measured = all.drop(warmups)
-      (name, median(measured), measured.min, all)
+      val warm = (1 to warmups).map(_ => timed())
+      val measured = scala.collection.mutable.ArrayBuffer[Double]()
+      val discarded = scala.collection.mutable.ArrayBuffer[Double]()
+      // stall guard (see scaladoc): min-so-far spans warmups + every
+      // measured AND discarded run of this block, so a stalled FIRST
+      // run is caught as soon as any later run reveals the true floor
+      var minSoFar = if (warm.nonEmpty) warm.min else Double.MaxValue
+      var reruns = 0
+      while (measured.size < iters) {
+        val t = timed()
+        minSoFar = math.min(minSoFar, t)
+        if (t > math.max(10.0, 5.0 * minSoFar) && reruns < maxReruns) {
+          discarded += t
+          reruns += 1
+        } else measured += t
+      }
+      (name, median(measured.toSeq), measured.min, warm ++ measured, discarded.toSeq)
     }
     val qs = results
-      .map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val detail = results
-      .map { case (k, med, mn, all) =>
+      .map { case (k, med, mn, all, disc) =>
         val runsJson = all.map(r => f"$r%.3f").mkString("[", ",", "]")
-        f""""$k":{"median":$med%.3f,"min":$mn%.3f,"all_runs_incl_warmup":$runsJson}"""
+        val discJson = disc.map(r => f"$r%.3f").mkString("[", ",", "]")
+        f""""$k":{"median":$med%.3f,"min":$mn%.3f,"all_runs_incl_warmup":$runsJson,"discarded":$discJson}"""
       }
       .mkString(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"sf":"$sfDir","queries":{""",
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"max_reruns":$maxReruns,"sf":"$sfDir","queries":{""",
         ",",
         "}}"
       )

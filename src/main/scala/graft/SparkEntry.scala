@@ -459,6 +459,14 @@ object SparkEntry {
       Dedup.containmentPairs(corpus, "text", "doc_id", shingleSize = 8, maxDocFreq = None)
     }),
 
+    // Substring-level exact dedup (Lee et al. 2022): maximal token runs
+    // occurring >= 2 times corpus-wide, as [start, end) token offsets.
+    // Catches shared boilerplate inside otherwise-unique documents —
+    // the level below q16's whole-document fingerprints. Grams+postings
+    // +run-merge; no pairing stage, so no quadratic blowup to cap.
+    "q65_duplicate_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id", gramTokens = 8, minCount = 2)),
+
     // Data-mix drift: per-source TV / chi-square divergence vs the
     // corpus token distribution over the top-200 tokens. Hash-exact by
     // construction: IEEE-only per-cell terms, DECIMAL(30,12) sums (see
@@ -1143,6 +1151,34 @@ object SparkEntry {
            |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
            |FROM d a JOIN d b ON a.doc_id <> b.doc_id
            |WHERE position(' ' || a.s || ' ' IN ' ' || b.s || ' ') > 0""".stripMargin,
+
+      // Replays duplicateSpans: stride-1 8-token grams (0-based
+      // positions), corpus-wide count >= 2, gaps-and-islands run merge
+      // (a position within 8 of its predecessor extends the span; the
+      // NULL lag falls to the ELSE branch in both engines). Both sides
+      // integer-only end to end — hash-exact by construction.
+      "q65_duplicate_spans" -> {
+        val k = 8
+        s"""WITH w AS ($wordsSql),
+           |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |             array_to_string(words[i + 1 : i + $k], ' ') AS gram
+           |      FROM w, unnest(range(len(words) - ${k - 1})) AS u(i)
+           |      WHERE len(words) >= $k),
+           |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+           |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+           |m AS (SELECT doc_id, pos,
+           |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+           |             THEN 0 ELSE 1 END AS brk
+           |      FROM p),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |                         ROWS UNBOUNDED PRECEDING) AS island
+           |        FROM m)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |       CAST(max(pos) + $k AS BIGINT) AS span_end,
+           |       CAST(max(pos) + $k - min(pos) AS BIGINT) AS span_tokens
+           |FROM isl GROUP BY doc_id, island""".stripMargin
+      },
 
       // Replays sourceDivergence's determinism contract: IEEE-only
       // per-cell terms, DECIMAL(30,12) sums (order-independent), top-K

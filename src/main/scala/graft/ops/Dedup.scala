@@ -357,44 +357,36 @@ object Dedup {
     * joins). Returns (doc_id, cluster) where cluster = min doc_id of the
     * component. Driver-free: every step is a join + groupBy.
     *
-    * Write-pressure design (round 7 — the r6 checkpoint-per-round
-    * version was the bench suite's heaviest sustained disk-write load
-    * and its stall magnet):
-    *  - each round's labels are `persist(MEMORY_AND_DISK)`ed, NOT
-    *    checkpointed — the label frame is rows of (long, long, bool),
-    *    so rounds live in storage memory and write ~zero bytes to disk
-    *    (vs a full frame write per round before);
-    *  - round i−1's blocks are dropped as soon as round i is
-    *    materialized, so at most two rounds are ever held;
-    *  - the convergence check is FOLDED INTO the materializing job via
-    *    `observe` (a row changed iff its neighborhood min undercut its
-    *    label — computable in the round's own projection), replacing
-    *    the r6 version's second per-round action (a join + limit/count
-    *    that also raced task cleanup, the bench's accumulator noise);
-    *  - lineage grows across rounds (persist doesn't cut it), bounded
-    *    by maxIter; execution reads the previous round's cache, and a
-    *    lost block recomputes from lineage instead of killing the job
-    *    the way a lost localCheckpoint block would. With
-    *    [[Materialize.CheckpointDirConf]] set, rounds are reliably
-    *    checkpointed instead (bounded lineage AND durable blocks) —
-    *    the preemptible-cluster mode.
+    * Per-round cost design (round 7): each round runs exactly ONE job.
+    * The round's projection carries a `chg` flag (a row changed iff its
+    * neighborhood min undercut its label — knowable before applying
+    * it), an `observe` node counts the flags as a metric of the
+    * materializing scan itself, and the eager checkpoint that pins the
+    * round doubles as the action that delivers the metric. This
+    * replaces the r6 version's SECOND per-round action (a join +
+    * limit/count against the previous round — it re-shuffled both
+    * frames and its early-cancelled tasks raced accumulator cleanup,
+    * the bench's log-noise source). The checkpoint-per-round stays: a
+    * persist-based variant was measured (BENCH_NOTES r7) and lost ~30%
+    * — per-round disk writes were never the cost at bench scale (~4 MB
+    * of shuffle writes total), while the growing lineage persist can't
+    * cut makes every round's Catalyst pass more expensive. With
+    * [[Materialize.CheckpointDirConf]] set, rounds land on the
+    * reliable store instead and survive executor loss — the
+    * preemptible-cluster mode.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val reliableMode = Materialize.reliable(pairs)
-    def pin(df: DataFrame): DataFrame =
-      if (reliableMode) Materialize(df, eager = false)
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the edge list once: without this every iteration's
     // join re-executes the (possibly expensive) pair-producing plan.
-    // Lazy in both modes: materializes during round 1's first action.
-    val edges = pin(
+    // Lazy: materializes during round 1's action.
+    val edges = Materialize(
       pairs
         .select(col("i").as("id"), col("j").as("nb"))
         .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
-        .distinct()
+        .distinct(),
+      eager = false
     )
     var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
-    var prevRound: Option[DataFrame] = None
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -402,9 +394,9 @@ object Dedup {
         .join(labels.select(col("id").as("nb"), col("cluster").as("nb_cluster")), "nb")
         .groupBy("id")
         .agg(min(col("nb_cluster")).as("min_nb"))
-      // `chg` rides along in the round's own projection: NULL min_nb
-      // (no neighbors improved nothing) compares to NULL -> not counted
-      val next = pin(
+      // NULL min_nb (nothing improved) compares to NULL -> not counted
+      val obs = Observation()
+      val next = Materialize(
         labels
           .join(nbLabels, Seq("id"), "left")
           .select(
@@ -412,21 +404,13 @@ object Dedup {
             least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"),
             (col("min_nb") < col("cluster")).as("chg")
           )
+          .observe(obs, count_if(col("chg")).as("n_changed")),
+        eager = true // the round's ONE job: pins blocks + delivers the metric
       )
-      // ONE job per round: materializes the round's blocks AND collects
-      // the changed-label count as an observed metric of that same scan
-      val obs = Observation()
-      next.observe(obs, count_if(col("chg")).as("n_changed")).count()
       changed = obs.get.get("n_changed").collect { case n: Long => n }.getOrElse(0L) > 0L
-      prevRound.foreach(_.unpersist(false)) // round i-1 is dead once round i exists
-      prevRound = Some(next)
       labels = next.drop("chg")
       iter += 1
     }
-    // the final round stays pinned for the caller's downstream reads
-    // (GC/ContextCleaner reclaims it once the result is unreferenced);
-    // the edge list is only needed for lineage-recompute after this
-    if (!reliableMode) edges.unpersist(false)
     labels
   }
 
@@ -998,5 +982,132 @@ object Dedup {
       struct(lit(b).as("band"), key.as("bhash"))
     }
     array(bandCols: _*)
+  }
+
+  /** Substring-level exact duplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family;
+    * reference has no analog — document-level only): find the maximal
+    * token runs of each document that occur ≥ `minCount` times ANYWHERE
+    * in the corpus (other documents or elsewhere in the same one).
+    * MinHash/SimHash/containment catch whole near-dup documents; this
+    * catches the boilerplate paragraph pasted into a million otherwise
+    * unique pages, which document-level dedup structurally cannot see.
+    *
+    * Bounded design — never a global suffix array (which needs the
+    * corpus ordered in one place; Lee et al.'s own suffix automaton is
+    * a single-machine program):
+    *  1. slide a `gramTokens`-token window (stride 1) over each doc →
+    *     (doc, pos, gram); linear in corpus token count, map-side;
+    *  2. count gram occurrences corpus-wide (one hash shuffle,
+    *     map-side partial aggregation) and keep positions whose gram
+    *     reaches `minCount` via a semi join (AQE skew-split handles a
+    *     mega-hot boilerplate gram; nothing is ever paired, so there is
+    *     no quadratic candidate stage to cap);
+    *  3. per doc, merge surviving positions into maximal spans
+    *     (gaps-and-islands over a per-doc window: a gram starting
+    *     within `gramTokens` of its predecessor overlaps or abuts it);
+    *     [span_start, span_end) are token offsets, end exclusive.
+    *
+    * Every duplicated run of length >= gramTokens is covered exactly;
+    * shorter duplicates are invisible (the Lee et al. threshold knob —
+    * they use 50 BPE tokens). Output: (doc_id, span_start, span_end,
+    * span_tokens), one row per maximal span.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      gramTokens: Int = 8,
+      minCount: Int = 2
+  ): DataFrame = {
+    require(gramTokens >= 1 && minCount >= 2, "need gramTokens >= 1, minCount >= 2")
+    val k = gramTokens
+    // (doc_id, pos, gram) — one row per window position; materialized
+    // once (read by the count agg AND the semi join probe side)
+    val grams = Materialize(
+      df.select(col(idCol).cast("long").as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+        .filter(size(col("words")) >= k)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), size(col("words")) - k),
+              i => concat_ws(" ", slice(col("words"), i + 1, lit(k)))
+            )
+          ).as(Seq("pos", "gram"))
+        ),
+      eager = false
+    )
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+    // gaps-and-islands: per doc, a surviving position extends the open
+    // span iff it starts within k of its predecessor (overlap or abut)
+    val order = Window.partitionBy("doc_id").orderBy("pos")
+    val acc = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn(
+        "brk",
+        when(col("pos") - lag("pos", 1).over(order) <= k, 0L).otherwise(1L)
+      )
+      .withColumn("island", sum(col("brk")).over(acc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens")
+      )
+  }
+
+  /** Apply [[duplicateSpans]]: rebuild each document's text with the
+    * duplicated token runs removed (the actual Lee et al. treatment —
+    * they cut the duplicated substring, not the document). Documents
+    * with no spans pass through verbatim; a fully-covered document
+    * comes back with empty text (callers typically follow with a
+    * min-length quality filter). Token-space surgery: the text is
+    * re-tokenized, positions covered by any span are dropped, and the
+    * survivors re-join with single spaces (the tokenizer's canonical
+    * form — byte-exact reconstruction is not a goal of the family).
+    * One broadcast-friendly aggregation of spans per doc + one join.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      spans: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val covered = (pos: Column, sp: Column) =>
+      exists(sp, s => pos >= s.getField("span_start") && pos < s.getField("span_end"))
+    df.join(perDoc, df(idCol).cast("long") === perDoc("doc_id"), "left")
+      .withColumn(
+        textCol,
+        when(col("spans").isNull, col(textCol)).otherwise(
+          concat_ws(
+            " ",
+            filter(
+              Fns.tokens(col(textCol)),
+              (_, i) => !covered(i.cast("long"), col("spans"))
+            )
+          )
+        )
+      )
+      // drop by REFERENCE: dropping "doc_id" by name would also take the
+      // caller's own id column out when idCol == "doc_id"
+      .drop(perDoc("doc_id"))
+      .drop(col("spans"))
   }
 }
