@@ -464,8 +464,19 @@ object SparkEntry {
     // Catches shared boilerplate inside otherwise-unique documents —
     // the level below q16's whole-document fingerprints. Grams+postings
     // +run-merge; no pairing stage, so no quadratic blowup to cap.
+    // Raw-string grams here so DuckDB replays the equality classes
+    // (hashGrams=true, the xxhash64 production default, is spec-pinned
+    // equal on a collision-free corpus).
     "q65_duplicate_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id", gramTokens = 8, minCount = 2)),
+      Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+        gramTokens = 8, minCount = 2, hashGrams = false)),
+
+    // The doc-level signal over q65's spans: duplicated-token fraction
+    // per document (what a curation pipeline thresholds to drop mostly-
+    // boilerplate docs). Integer counts + floor-trunc4 fraction.
+    "q66_dup_span_fraction" -> ((s, dir) =>
+      Dedup.duplicateSpanFraction(t(s, dir, "documents"), "text", "doc_id",
+        gramTokens = 8, minCount = 2, hashGrams = false)),
 
     // Data-mix drift: per-source TV / chi-square divergence vs the
     // corpus token distribution over the top-200 tokens. Hash-exact by
@@ -1178,6 +1189,38 @@ object SparkEntry {
            |       CAST(max(pos) + $k AS BIGINT) AS span_end,
            |       CAST(max(pos) + $k - min(pos) AS BIGINT) AS span_tokens
            |FROM isl GROUP BY doc_id, island""".stripMargin
+      },
+
+      // Replays duplicateSpanFraction: q65's span CTE aggregated to
+      // per-doc covered-token counts, LEFT-joined back to every doc
+      // (unspanned docs 0), fraction = floor-trunc4 from integer counts
+      // with the same left-associated double math as the operator.
+      "q66_dup_span_fraction" -> {
+        val k = 8
+        s"""WITH w AS ($wordsSql),
+           |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |             array_to_string(words[i + 1 : i + $k], ' ') AS gram
+           |      FROM w, unnest(range(len(words) - ${k - 1})) AS u(i)
+           |      WHERE len(words) >= $k),
+           |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+           |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+           |m AS (SELECT doc_id, pos,
+           |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+           |             THEN 0 ELSE 1 END AS brk
+           |      FROM p),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |                         ROWS UNBOUNDED PRECEDING) AS island
+           |        FROM m),
+           |sp AS (SELECT doc_id, max(pos) + $k - min(pos) AS span_tokens
+           |       FROM isl GROUP BY doc_id, island),
+           |dt AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM sp GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+           |       CAST(coalesce(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |       CASE WHEN len(w.words) > 0
+           |            THEN floor(coalesce(dt.dup_tokens, 0) * 10000.0 / len(w.words)) / 10000.0
+           |            ELSE 0.0 END AS dup_frac
+           |FROM w LEFT JOIN dt USING (doc_id)""".stripMargin
       },
 
       // Replays sourceDivergence's determinism contract: IEEE-only

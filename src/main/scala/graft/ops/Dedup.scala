@@ -1012,16 +1012,33 @@ object Dedup {
     * shorter duplicates are invisible (the Lee et al. threshold knob —
     * they use 50 BPE tokens). Output: (doc_id, span_start, span_end,
     * span_tokens), one row per maximal span.
+    *
+    * `hashGrams` (default ON — the at-scale configuration): carry each
+    * gram as its xxhash64 instead of its ~8-token string, shrinking
+    * the materialized position frame and the count/semi-join shuffle
+    * by roughly the gram width (the gram VALUE never appears in the
+    * output, only its equality classes). A 64-bit collision marks a
+    * unique position as duplicated — expected ~(positions²/2⁶⁵) false
+    * positives corpus-wide, i.e. a handful at 100 TB — and errs toward
+    * over-removal, the conservative direction for training data (same
+    * trade Lee et al. make with their hash-based bucketing). The q65
+    * oracle entry opts OUT (`hashGrams = false`) so both engines
+    * compare raw strings — the same exact-mode-for-the-oracle pattern
+    * as q17's `maxDocFreq = None`; equality of the two modes on a
+    * collision-free corpus is spec-pinned.
     */
   def duplicateSpans(
       df: DataFrame,
       textCol: String,
       idCol: String,
       gramTokens: Int = 8,
-      minCount: Int = 2
+      minCount: Int = 2,
+      hashGrams: Boolean = true
   ): DataFrame = {
     require(gramTokens >= 1 && minCount >= 2, "need gramTokens >= 1, minCount >= 2")
     val k = gramTokens
+    val gramOf: Column => Column =
+      if (hashGrams) g => xxhash64(g) else identity
     // (doc_id, pos, gram) — one row per window position; materialized
     // once (read by the count agg AND the semi join probe side)
     val grams = Materialize(
@@ -1032,7 +1049,7 @@ object Dedup {
           posexplode(
             transform(
               sequence(lit(0), size(col("words")) - k),
-              i => concat_ws(" ", slice(col("words"), i + 1, lit(k)))
+              i => gramOf(concat_ws(" ", slice(col("words"), i + 1, lit(k))))
             )
           ).as(Seq("pos", "gram"))
         ),
@@ -1067,6 +1084,44 @@ object Dedup {
         col("span_start"),
         col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens")
+      )
+  }
+
+  /** Per-document duplicated-token fraction — the filter SIGNAL layered
+    * on [[duplicateSpans]] (curation pipelines threshold on it: "drop
+    * documents more than X% duplicated" — the doc-level decision, where
+    * [[removeDuplicateSpans]] is the span-level treatment). Every input
+    * document appears exactly once: (doc_id, n_tokens, dup_tokens,
+    * dup_frac), dup_tokens = total tokens covered by duplicate spans
+    * (spans are disjoint by construction — islands are separated by
+    * more than one gram length — so the sum never exceeds n_tokens),
+    * dup_frac floor-truncated to 4 decimals from integer counts (the
+    * engine's portable-fraction idiom; see `skewProfile`).
+    */
+  def duplicateSpanFraction(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      gramTokens: Int = 8,
+      minCount: Int = 2,
+      hashGrams: Boolean = true
+  ): DataFrame = {
+    val perDoc = duplicateSpans(df, textCol, idCol, gramTokens, minCount, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        size(Fns.tokens(col(textCol))).cast("long").as("n_tokens")
+      )
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(
+          col("n_tokens") > 0,
+          floor(coalesce(col("dup_tokens"), lit(0L)) * 10000.0 / col("n_tokens")) / 10000.0
+        ).otherwise(0.0).as("dup_frac")
       )
   }
 

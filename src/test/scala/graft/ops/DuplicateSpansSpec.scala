@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -130,6 +131,48 @@ class DuplicateSpansSpec extends AnyFunSuite {
       .collect()
       .toSet
     assert(got3 === referenceSpans(docs, K, 5))
+  }
+
+  test("duplicateSpanFraction: every doc reported, disjoint-span coverage, trunc4 fraction") {
+    val docs = Seq(
+      1L -> "alpha beta gamma delta keep1 keep2", // 6 tokens, span [0,4) -> 4 dup
+      2L -> "pre alpha beta gamma delta post", // 6 tokens, span [1,5) -> 4 dup
+      3L -> "untouched words stay put here" // no spans
+    )
+    val got = Dedup
+      .duplicateSpanFraction(docs.toDF("doc_id", "text"), "text", "doc_id", gramTokens = K)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((1L, 6L, 4L, 0.6666)))
+    assert(got(2L) === ((2L, 6L, 4L, 0.6666)))
+    assert(got(3L) === ((3L, 5L, 0L, 0.0)))
+    // on the real corpus: one row per doc, fractions in [0,1], sum of
+    // span tokens never exceeds the doc's tokens (spans are disjoint)
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val frac = Dedup.duplicateSpanFraction(df, "text", "doc_id", gramTokens = 8)
+    assert(frac.count() === df.count())
+    import org.apache.spark.sql.functions.{col, max, min}
+    val Row(lo: Double, hi: Double, worst: Long) = frac
+      .agg(min("dup_frac"), max("dup_frac"),
+        max(col("dup_tokens") - col("n_tokens")).as("worst"))
+      .head()
+    assert(lo >= 0.0 && hi <= 1.0 && worst <= 0L)
+  }
+
+  test("hashGrams=true (production) == hashGrams=false (oracle mode) on the real corpus") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(h: Boolean) = Dedup
+      .duplicateSpans(df, "text", "doc_id", gramTokens = 8, hashGrams = h)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val hashed = run(true)
+    assert(hashed === run(false) && hashed.nonEmpty)
   }
 
   test("linearity: no pairing stage — the plan joins positions to grams, never docs to docs") {
