@@ -77,7 +77,7 @@ object Scd2 {
     * so the hint is size-guarded: past `broadcastKeyLimit` distinct keys
     * the joins fall back to shuffle semi/anti joins (AQE may still
     * upgrade them at runtime if the actual build side turns out small).
-    * The touched-key set is materialized once (localCheckpoint) so the
+    * The touched-key set is materialized once ([[Materialize]]) so the
     * guard's count and both joins reuse it instead of re-running the
     * batch's distinct three times per micro-batch.
     */
@@ -89,7 +89,7 @@ object Scd2 {
       payloadCol: String = "new_values",
       broadcastKeyLimit: Long = 4000000L
   ): DataFrame = {
-    val touched = batch.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val touched = Materialize(batch.select(keys.map(col): _*).distinct(), eager = true)
     // limit() takes an Int — clamp so an over-Int limit can neither make
     // it negative (AnalysisException) nor wrap and falsely pass the guard
     val probe = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt

@@ -104,7 +104,7 @@ object CorpusIngest {
         definite.unionByName(confirmed).select(col("doc_id"), col("fingerprint"), col("text"))
     }
     // survivors feed two jobs (bloom delta + append); pin the plan result
-    val survivors = candidates.localCheckpoint(true)
+    val survivors = graft.ops.Materialize(candidates, eager = true)
     // the delta MUST match the stored filter's sizing or mergeInPlace
     // throws (IncompatibleMergeException): the bloom file records its
     // own (items, bits) header, so deltas are always built to the
@@ -226,17 +226,19 @@ object CorpusIngest {
     val inBatchPairs =
       Dedup.minHashLshPairs(exactKept, "text", "doc_id", shingleSize, numHashes, bands, threshold)
     val inBatchDrops = inBatchPairs.select(col("j").as("doc_id")).distinct()
-    val batchKept = exactKept
-      .join(inBatchDrops, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // feeds probe + two appends: compute once
+    val batchKept = graft.ops.Materialize(
+      exactKept.join(inBatchDrops, Seq("doc_id"), "left_anti"),
+      eager = true
+    ) // feeds probe + two appends: compute once
     // (2) probe the at-rest index; same-id hits are replays, not near-dups
     val (nearDupIds, replayIds) =
       if (spark.catalog.tableExists(indexTable)) {
-        val hits = Dedup
-          .incrementalNearDups(
+        val hits = graft.ops.Materialize(
+          Dedup.incrementalNearDups(
             spark, batchKept, indexTable, "text", "doc_id",
-            shingleSize, numHashes, bands, threshold, dropSameId = false)
-          .localCheckpoint(true)
+            shingleSize, numHashes, bands, threshold, dropSameId = false),
+          eager = true
+        )
         (
           hits.filter(col("i") =!= col("j")).select(col("j").as("doc_id")).distinct(),
           hits.filter(col("i") === col("j")).select(col("j").as("doc_id")).distinct()
@@ -245,10 +247,12 @@ object CorpusIngest {
         val none = batchKept.select(col("doc_id")).limit(0)
         (none, none)
       }
-    val fresh = batchKept
-      .join(nearDupIds, Seq("doc_id"), "left_anti")
-      .join(replayIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val fresh = graft.ops.Materialize(
+      batchKept
+        .join(nearDupIds, Seq("doc_id"), "left_anti")
+        .join(replayIds, Seq("doc_id"), "left_anti"),
+      eager = true
+    )
     val freshCnt = fresh.count()
     // (3) index append FIRST (the over-claiming membership structure —
     // see the replay-safety scaladoc), then corpus
@@ -257,16 +261,19 @@ object CorpusIngest {
         fresh, "text", "doc_id", indexTable, shingleSize, numHashes, bands, nBuckets)
     // (4) corpus append: fresh docs + crash-window orphans (indexed under
     // their own id but missing from the corpus)
-    val orphans = {
-      val replayed = batchKept.join(replayIds, Seq("doc_id"), "left_semi")
-      if (pathExists(spark, corpusPath))
-        replayed.join(
-          spark.read.parquet(corpusPath).select(col("doc_id")),
-          Seq("doc_id"),
-          "left_anti"
-        )
-      else replayed
-    }.localCheckpoint(true)
+    val orphans = graft.ops.Materialize(
+      {
+        val replayed = batchKept.join(replayIds, Seq("doc_id"), "left_semi")
+        if (pathExists(spark, corpusPath))
+          replayed.join(
+            spark.read.parquet(corpusPath).select(col("doc_id")),
+            Seq("doc_id"),
+            "left_anti"
+          )
+        else replayed
+      },
+      eager = true
+    )
     val toCorpus = fresh.unionByName(orphans)
     if (freshCnt + orphans.count() > 0)
       toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
