@@ -1037,32 +1037,46 @@ object Dedup {
   ): DataFrame = {
     require(gramTokens >= 1 && minCount >= 2, "need gramTokens >= 1, minCount >= 2")
     val k = gramTokens
-    val gramOf: Column => Column =
-      if (hashGrams) g => xxhash64(g) else identity
     // (doc_id, pos, gram) — one row per window position; materialized
     // once (read by the count agg AND the semi join probe side)
-    val grams = Materialize(
-      df.select(col(idCol).cast("long").as("doc_id"), Fns.tokens(col(textCol)).as("words"))
-        .filter(size(col("words")) >= k)
-        .select(
-          col("doc_id"),
-          posexplode(
-            transform(
-              sequence(lit(0), size(col("words")) - k),
-              i => gramOf(concat_ws(" ", slice(col("words"), i + 1, lit(k))))
-            )
-          ).as(Seq("pos", "gram"))
-        ),
-      eager = false
-    )
+    val grams = Materialize(gramPositions(df, textCol, idCol, k, hashGrams), eager = false)
     val dupGrams = grams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("gram"))
-    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
-    // gaps-and-islands: per doc, a surviving position extends the open
-    // span iff it starts within k of its predecessor (overlap or abut)
+    mergeIslands(grams.join(dupGrams, Seq("gram"), "left_semi"), k)
+  }
+
+  /** The sliding-window gram stage of [[duplicateSpans]]: one
+    * (doc_id, pos, gram) row per window position, map-side.
+    */
+  private[graft] def gramPositions(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      hashGrams: Boolean
+  ): DataFrame = {
+    val gramOf: Column => Column = if (hashGrams) g => xxhash64(g) else identity
+    df.select(col(idCol).cast("long").as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+      .filter(size(col("words")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("words")) - k),
+            i => gramOf(concat_ws(" ", slice(col("words"), i + 1, lit(k))))
+          )
+        ).as(Seq("pos", "gram"))
+      )
+  }
+
+  /** The run-merge stage of [[duplicateSpans]]: gaps-and-islands over
+    * each doc's surviving positions — a position extends the open span
+    * iff it starts within k of its predecessor (overlap or abut).
+    */
+  private def mergeIslands(dupPos: DataFrame, k: Int): DataFrame = {
     val order = Window.partitionBy("doc_id").orderBy("pos")
     val acc = Window
       .partitionBy("doc_id")
@@ -1123,6 +1137,147 @@ object Dedup {
           floor(coalesce(col("dup_tokens"), lit(0L)) * 10000.0 / col("n_tokens")) / 10000.0
         ).otherwise(0.0).as("dup_frac")
       )
+  }
+
+  /** Table property recording the gram length an at-rest gram index was
+    * built with — probing or appending with a different k computes
+    * different windows and silently corrupts counts, so every entry
+    * point validates against it (same contract style as the MinHash
+    * index's (numHashes, bands)).
+    */
+  private val GramTokensProp = "graft.gramindex.gramTokens"
+
+  /** (gram, cnt) partial counts for one corpus/batch — the at-rest gram
+    * index's row shape. Grams are ALWAYS hashed here (the gram string
+    * never needs to be recovered from the index; 8 bytes/row vs ~50).
+    */
+  private def gramIndexRows(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    gramPositions(df, textCol, idCol, k, hashGrams = true)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def setGramIndexProps(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      k: Int
+  ): Unit =
+    spark.sql(
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$GramTokensProp'='$k')"
+    )
+
+  private def gramIndexTokens(spark: org.apache.spark.sql.SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+      .get(GramTokensProp)
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$table does not record $GramTokensProp — not a graft gram index"
+        )
+      )
+
+  /** At-rest gram-count index over a corpus: (gram_hash, cnt) bucketed
+    * by gram, the structure that makes substring dedup INCREMENTAL — a
+    * new batch probes corpus-wide occurrence counts in O(batch) shuffle
+    * without recounting the corpus ([[incrementalDuplicateSpans]]).
+    * Counts are sum-on-read: [[appendToGramIndex]] appends per-batch
+    * partial counts as their own rows (O(batch) per append, no rewrite)
+    * and every probe aggregates — the same append-then-compact shape as
+    * the MinHash index ([[graft.sinks.Sinks.compactBucketed]] merges
+    * accumulated per-append files on the usual cadence).
+    */
+  def writeGramIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      gramTokens: Int = 8,
+      nBuckets: Int = 64
+  ): Unit = {
+    require(gramTokens >= 1, "need gramTokens >= 1")
+    graft.sinks.Sinks.writeBucketed(
+      gramIndexRows(corpus, textCol, idCol, gramTokens),
+      table,
+      Seq("gram"),
+      nBuckets
+    )
+    setGramIndexProps(corpus.sparkSession, table, gramTokens)
+  }
+
+  /** Append a batch's partial gram counts (O(batch); creates the index
+    * when absent, validates the recorded gram length when present).
+    * ORDER CONTRACT: probe the batch FIRST ([[incrementalDuplicateSpans]]),
+    * then append it — appending first would make the batch's own grams
+    * count as history and mark every position duplicated. Replay
+    * protection is the ingest layer's job (exact-dedup the batch
+    * against the corpus before this, as [[incrementalExact]] /
+    * `CorpusIngest` already do) — the index stores counts, not ids, so
+    * it cannot recognize a redelivered batch by itself.
+    */
+  def appendToGramIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      gramTokens: Int = 8,
+      nBuckets: Int = 64
+  ): Unit = {
+    val spark = batch.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val k = if (existed) gramIndexTokens(spark, table) else gramTokens
+    require(
+      !existed || k == gramTokens,
+      s"$table is a k=$k gram index; appending k=$gramTokens grams would corrupt counts"
+    )
+    graft.sinks.Sinks.appendBucketed(
+      gramIndexRows(batch, textCol, idCol, k),
+      table,
+      Seq("gram"),
+      nBuckets
+    )
+    if (!existed) setGramIndexProps(spark, table, gramTokens)
+  }
+
+  /** [[duplicateSpans]] for a NEW batch against an indexed corpus: a
+    * batch position is duplicated iff its gram's corpus-total count
+    * (index history + in-batch occurrences) reaches `minCount` — by
+    * construction EXACTLY the spans the offline operator would emit for
+    * these docs over (indexed corpus ∪ batch), which the spec pins.
+    *
+    * Scale shape: the index side is never shuffled — its per-gram
+    * aggregation and the count join both ride the table's bucketing
+    * (plan-proof in the spec); only the batch's grams move. The index
+    * scan is columnar and sequential (8-byte keys); Spark's runtime
+    * bloom-filter join pruning applies when enabled. Probe FIRST, then
+    * [[appendToGramIndex]] the same batch — see the order contract
+    * there.
+    */
+  def incrementalDuplicateSpans(
+      spark: org.apache.spark.sql.SparkSession,
+      newBatch: DataFrame,
+      table: String,
+      textCol: String,
+      idCol: String,
+      minCount: Int = 2
+  ): DataFrame = {
+    require(minCount >= 2, "need minCount >= 2")
+    // a compaction crash must not leave the probe reading a missing
+    // data dir — heal restore-only before the scan
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val k = gramIndexTokens(spark, table)
+    val pos = Materialize(gramPositions(newBatch, textCol, idCol, k, hashGrams = true), eager = false)
+    val inBatch = pos.groupBy(col("gram")).agg(count(lit(1)).as("bcnt"))
+    // sum-on-read over per-append partial counts; bucketed agg — no
+    // exchange on the index side
+    val hist = spark.table(table).groupBy(col("gram")).agg(sum(col("cnt")).as("hcnt"))
+    val dupGrams = inBatch
+      .join(hist, Seq("gram"), "left")
+      .filter(col("bcnt") + coalesce(col("hcnt"), lit(0L)) >= minCount)
+      .select(col("gram"))
+    mergeIslands(pos.join(dupGrams, Seq("gram"), "left_semi"), k)
   }
 
   /** Apply [[duplicateSpans]]: rebuild each document's text with the

@@ -175,6 +175,46 @@ class DuplicateSpansSpec extends AnyFunSuite {
     assert(hashed === run(false) && hashed.nonEmpty)
   }
 
+  test("incremental spans against the gram index == offline spans over the union corpus") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val b1 = df.filter($"doc_id" % 3 =!= 0) // "history" corpus
+    val b2 = df.filter($"doc_id" % 3 === 0) // new batch
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    Dedup.writeGramIndex(b1, "text", "doc_id", "gram_idx", gramTokens = 8)
+    val inc = Dedup.incrementalDuplicateSpans(spark, b2, "gram_idx", "text", "doc_id")
+    val offline = Dedup.duplicateSpans(df, "text", "doc_id", gramTokens = 8)
+      .join(b2.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val got = key(inc)
+    assert(got === key(offline) && got.nonEmpty)
+
+    // probe side never shuffles the index: any Exchange in the plan
+    // must sit above the batch (gram-position) subtree, not the scan of
+    // the bucketed table — assert no exchange consumes the table scan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount") || !plan.contains("Exchange hashpartitioning(gram"))
+
+    // append the batch (the order contract: probe first, append after),
+    // then a THIRD batch must see (b1 ∪ b2) as history — equal to
+    // offline over everything, restricted to b3
+    Dedup.appendToGramIndex(b2, "text", "doc_id", "gram_idx", gramTokens = 8)
+    val b3 = df.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 700000L).as("doc_id"), $"text")
+    val inc3 = Dedup.incrementalDuplicateSpans(spark, b3, "gram_idx", "text", "doc_id")
+    val offline3 = Dedup.duplicateSpans(
+      df.select($"doc_id", $"text").unionByName(b3), "text", "doc_id", gramTokens = 8)
+      .join(b3.select($"doc_id"), Seq("doc_id"), "left_semi")
+    assert(key(inc3) === key(offline3) && key(inc3).nonEmpty)
+
+    // contract violations fail fast, not silently corrupt
+    intercept[IllegalArgumentException] {
+      Dedup.appendToGramIndex(b3, "text", "doc_id", "gram_idx", gramTokens = 5)
+    }
+    spark.sql("DROP TABLE gram_idx")
+  }
+
   test("linearity: no pairing stage — the plan joins positions to grams, never docs to docs") {
     val df = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
