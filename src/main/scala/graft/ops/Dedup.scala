@@ -1241,6 +1241,23 @@ object Dedup {
     if (!existed) setGramIndexProps(spark, table, gramTokens)
   }
 
+  /** Fold the gram index's accumulated per-append partial counts into
+    * one row per gram AND one file per bucket (the sum-on-read design
+    * trades append cost for row growth: N appends leave up to N rows
+    * per hot gram; probes stay correct — they aggregate — but scan more
+    * rows and more files than needed). Same swap protocol and catalog
+    * preservation as plain [[graft.sinks.Sinks.compactBucketed]]; run
+    * it on the same fanout cadence as the MinHash index.
+    */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    gramIndexTokens(spark, table) // fail fast on a non-gram-index table
+    graft.sinks.Sinks.compactBucketed(
+      spark,
+      table,
+      df => df.groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+    )
+  }
+
   /** [[duplicateSpans]] for a NEW batch against an indexed corpus: a
     * batch position is duplicated iff its gram's corpus-total count
     * (index history + in-batch occurrences) reaches `minCount` — by

@@ -264,8 +264,18 @@ object Sinks {
     * replace the directory moves with `ALTER TABLE ... SET LOCATION`
     * (metastore-atomic) — called out here because rename is not atomic
     * on S3.
+    *
+    * `transform` rewrites the rows on the way through (same schema out,
+    * fewer rows) — the hook sum-on-read tables use to FOLD their
+    * per-append partial rows during the same pass (e.g. the gram
+    * index's per-gram count merge, [[graft.ops.Dedup.compactGramIndex]]).
+    * Identity for plain file compaction.
     */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      transform: DataFrame => DataFrame = identity
+  ): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.TableIdentifier
     val cat = spark.sessionState.catalog
@@ -283,8 +293,7 @@ object Sinks {
     spark.sql(s"DROP TABLE IF EXISTS ${stagingIdent.quotedString}")
     val keys = spec.bucketColumnNames
     val sorts = spec.sortColumnNames
-    val writer = spark
-      .table(table)
+    val writer = transform(spark.table(table))
       .repartition(spec.numBuckets, pmod(hash(keys.map(col): _*), lit(spec.numBuckets)))
       .write
       .mode(SaveMode.Overwrite)

@@ -296,6 +296,124 @@ object CorpusIngest {
     * existence check is always false for `hdfs://`/`s3a://` paths, which
     * here would silently skip the dedup branch every batch.
     */
+  /** Per-batch accounting returned by [[ingestSpanBatch]]: docs kept,
+    * docs dropped for exceeding the duplicated-token bar, and replays
+    * (fingerprints already in the corpus).
+    */
+  final case class SpanIngestStats(kept: Long, dropped: Long, replays: Long)
+
+  /** Streaming SUBSTRING-dedup ingest — the Lee et al. family at
+    * streaming cadence: each micro-batch is (1) exact-deduped in-batch
+    * and against the corpus (fingerprint anti-join — compose with the
+    * bloom prefilter of [[ingestBatch]] if the corpus-side scan ever
+    * dominates), (2) span-scored against the at-rest gram index
+    * ([[Dedup.incrementalDuplicateSpans]]: corpus-total counts =
+    * index history + in-batch, O(batch) shuffle), and (3) docs whose
+    * duplicated-token fraction stays within `maxDupFrac` are appended
+    * to the corpus, then their grams to the index.
+    *
+    * Invariant (spec-pinned): the index always holds exactly the KEPT
+    * corpus's gram counts — `Dedup.writeGramIndex(corpus)` rebuilds it
+    * bit-identically, which is also the recovery story below.
+    *
+    * Ordering contract: probe FIRST, then corpus, then index, and the
+    * index counts KEPT docs only. Probe-before-append is semantic
+    * (appending first would self-poison the batch — every doc's own
+    * grams would read as history and mark the whole batch duplicated).
+    * Corpus-before-index makes every failure mode conservative:
+    *  - replayed delivery, no crash: kept docs are fingerprint-filtered
+    *    out; dropped docs re-probe against the SAME history (their
+    *    grams were never indexed) and drop again — idempotent, no
+    *    double counts;
+    *  - crash between corpus and index append: redelivery skips the
+    *    already-kept docs, so that batch's gram counts are missing from
+    *    the index — future spans can only be UNDER-marked (a bit more
+    *    duplicate text survives; no unique document is ever wrongly
+    *    dropped, which is what the reverse order would do), and
+    *    `writeGramIndex(corpus)` heals the undercount exactly.
+    */
+  def spanDedupIngest(
+      docs: DataFrame,
+      corpusPath: String,
+      gramIndexTable: String,
+      checkpoint: String,
+      gramTokens: Int = 8,
+      minCount: Int = 2,
+      maxDupFrac: Double = 0.5,
+      nBuckets: Int = 64
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestSpanBatch(
+          batch, corpusPath, gramIndexTable, gramTokens, minCount, maxDupFrac, nBuckets)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[spanDedupIngest]]; exposed for batch-mode
+    * reuse and the spec's streamed==batch comparison.
+    */
+  def ingestSpanBatch(
+      batch: DataFrame,
+      corpusPath: String,
+      gramIndexTable: String,
+      gramTokens: Int = 8,
+      minCount: Int = 2,
+      maxDupFrac: Double = 0.5,
+      nBuckets: Int = 64
+  ): SpanIngestStats = {
+    val spark = batch.sparkSession
+    // (1) in-batch exact dedup (deterministic keeper) + corpus replay filter
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+      .orderBy(col("doc_id"))
+    val withFp = batch
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"), col("text"))
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fresh = graft.ops.Materialize(
+      if (pathExists(spark, corpusPath))
+        withFp.join(
+          spark.read.parquet(corpusPath).select(col("fingerprint")),
+          Seq("fingerprint"),
+          "left_anti"
+        )
+      else withFp,
+      eager = true
+    )
+    val freshCnt = fresh.count()
+    val replays = withFp.count() - freshCnt
+    if (freshCnt == 0) return SpanIngestStats(0, 0, replays)
+    // (2) duplicated-token fraction vs (kept corpus ∪ this batch)
+    val spans =
+      if (spark.catalog.tableExists(gramIndexTable))
+        Dedup.incrementalDuplicateSpans(
+          spark, fresh, gramIndexTable, "text", "doc_id", minCount)
+      else // first batch: history is empty, counts are in-batch only
+        Dedup.duplicateSpans(fresh, "text", "doc_id", gramTokens, minCount)
+    val dupPerDoc = spans.groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+    val kept = graft.ops.Materialize(
+      fresh
+        .withColumn("__n", size(graft.functions.Fns.tokens(col("text"))).cast("long"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .filter(
+          col("dup_tokens").isNull || col("__n") === 0L ||
+            col("dup_tokens").cast("double") / col("__n") <= maxDupFrac
+        )
+        .select(col("doc_id"), col("fingerprint"), col("text")),
+      eager = true
+    )
+    val keptCnt = kept.count()
+    // (3) corpus, then (4) the kept docs' grams — see the ordering contract
+    if (keptCnt > 0) {
+      kept.write.mode(SaveMode.Append).parquet(corpusPath)
+      Dedup.appendToGramIndex(kept, "text", "doc_id", gramIndexTable, gramTokens, nBuckets)
+    }
+    SpanIngestStats(keptCnt, freshCnt - keptCnt, replays)
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

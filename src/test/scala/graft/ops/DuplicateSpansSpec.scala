@@ -212,6 +212,18 @@ class DuplicateSpansSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.appendToGramIndex(b3, "text", "doc_id", "gram_idx", gramTokens = 5)
     }
+
+    // aggregating compaction: folds per-append partial rows to one row
+    // per gram and shrinks file fanout, with probes unchanged
+    val rowsBefore = spark.table("gram_idx").count()
+    val distinctGrams = spark.table("gram_idx").select("gram").distinct().count()
+    assert(rowsBefore > distinctGrams, "two appends must leave partial rows to fold")
+    val fanoutBefore = graft.sinks.Sinks.bucketFileFanout(spark, "gram_idx")
+    Dedup.compactGramIndex(spark, "gram_idx")
+    assert(spark.table("gram_idx").count() === distinctGrams)
+    assert(graft.sinks.Sinks.bucketFileFanout(spark, "gram_idx") < fanoutBefore)
+    val incAfter = Dedup.incrementalDuplicateSpans(spark, b3, "gram_idx", "text", "doc_id")
+    assert(key(incAfter) === key(offline3), "compaction changed probe results")
     spark.sql("DROP TABLE gram_idx")
   }
 

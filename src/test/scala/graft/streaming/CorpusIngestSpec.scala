@@ -270,4 +270,71 @@ class CorpusIngestSpec extends AnyFunSuite {
     CorpusIngest.ingestBatch(batch, s"$tmp2/corpus", bloom2, expectedItems = 1000L)
     assert(spark.read.parquet(s"$tmp2/corpus").count() === 2)
   }
+
+  // span-ingest fixtures (k=4): docs 1/2 share a 4-token boilerplate
+  // prefix (frac 4/12 = 0.33, under the 0.5 bar); doc 4 is doc 1's
+  // first 12 tokens plus one (12/13 duplicated vs history -> dropped);
+  // doc 6 replays doc 3's exact text
+  private val spanBatch1 = Seq(
+    (1L, "b1 b2 b3 b4 u1 u2 u3 u4 u5 u6 u7 u8"),
+    (2L, "b1 b2 b3 b4 v1 v2 v3 v4 v5 v6 v7 v8"),
+    (3L, "w1 w2 w3 w4 w5")
+  )
+  private val spanBatch2 = Seq(
+    (4L, "b1 b2 b3 b4 u1 u2 u3 u4 u5 u6 u7 u8 x1"),
+    (5L, "y1 y2 y3 y4 y5 y6"),
+    (6L, "w1 w2 w3 w4 w5")
+  )
+
+  test("span ingest: streamed == batch, redelivery idempotent, index == f(kept corpus)") {
+    val tmp = Files.createTempDirectory("spancorpus").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val corpus = s"$tmp/corpus"
+    val idx = "graft_span_stream_idx"
+
+    spanBatch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CorpusIngest.spanDedupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt", gramTokens = 4)
+    q.processAllAvailable()
+    q.stop()
+    spanBatch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = CorpusIngest.spanDedupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt", gramTokens = 4)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 5L))
+
+    // full redelivery on a fresh checkpoint: replays filtered, the
+    // dropped doc re-drops against unchanged history, nothing appends
+    val before = spark.table(idx).agg(sum("cnt")).as[Long].head()
+    val q3 = CorpusIngest.spanDedupIngest(
+      CorpusIngest.fileDocStream(spark, srcDir), corpus, idx, s"$tmp/ckpt2", gramTokens = 4)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(corpus).count() === 4)
+    assert(spark.table(idx).agg(sum("cnt")).as[Long].head() === before)
+
+    // the invariant that doubles as crash recovery: rebuilding the index
+    // from the kept corpus reproduces the incrementally-built counts
+    graft.ops.Dedup.writeGramIndex(
+      spark.read.parquet(corpus), "text", "doc_id", "graft_span_rebuilt_idx", gramTokens = 4)
+    def counts(t: String) = spark.table(t).groupBy("gram").agg(sum("cnt").as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(counts(idx) === counts("graft_span_rebuilt_idx"))
+
+    // batch mode: same batches through ingestSpanBatch directly
+    val corpusB = s"$tmp/corpusB"
+    val idxB = "graft_span_batch_idx"
+    val s1 = CorpusIngest.ingestSpanBatch(
+      spanBatch1.toDF("doc_id", "text"), corpusB, idxB, gramTokens = 4)
+    assert(s1 === CorpusIngest.SpanIngestStats(kept = 3, dropped = 0, replays = 0))
+    val s2 = CorpusIngest.ingestSpanBatch(
+      spanBatch2.toDF("doc_id", "text"), corpusB, idxB, gramTokens = 4)
+    assert(s2 === CorpusIngest.SpanIngestStats(kept = 1, dropped = 1, replays = 1))
+    assert(spark.read.parquet(corpusB).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 5L))
+    Seq(idx, "graft_span_rebuilt_idx", idxB).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
