@@ -912,7 +912,7 @@ object Dedup {
         .select(lit(0L).as("i"), lit(0L).as("j"), lit(0.0).as("est_jaccard"))
         .limit(0)
     }
-    val pruned = spark.table(table).filter(col("bkey").isin(bkeys: _*))
+    val pruned = spark.table(table).filter(col("bkey").isin(bkeys.toIndexedSeq: _*))
     val probe = math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt
     val fits = batchBands.limit(probe).count() <= broadcastRowLimit
     val batchHinted =

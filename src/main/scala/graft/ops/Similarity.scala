@@ -217,7 +217,7 @@ object Similarity {
     // reused for both the distinct-cell collect and the bucket join
     val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
-    val assigned = spark.table(table).filter(col("cent_id").isin(probedCells: _*))
+    val assigned = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     searchCells(assigned, probes, k)
   }
 }

@@ -162,6 +162,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset(Materialize.CheckpointDirConf)
   }
 
+  test("spark.graft.checkpointDir sweep: LSH pairs, incremental dedup, spans all unchanged") {
+    def run() = (
+      Dedup.minHashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
+        .select("i", "j").as[(Long, Long)].collect().toSet,
+      Dedup.incrementalExact(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0), "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet,
+      Dedup.duplicateSpans(docs, "text", "doc_id", 8)
+        .select("doc_id", "span_start").as[(Long, Long)].collect().toSet
+    )
+    val expected = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sweep").toString
+    spark.conf.set(Materialize.CheckpointDirConf, dir)
+    try assert(run() === expected)
+    finally spark.conf.unset(Materialize.CheckpointDirConf)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
