@@ -38,6 +38,41 @@ package graft
   * Per-run detail therefore ships in the sibling file, never inline.
   */
 object Bench {
+
+  /** The measured-iteration loop with the stall guard (see the object
+    * scaladoc), factored out so the guard's edge cases are spec-pinned
+    * (BenchGuardSpec) instead of only runtime-evidenced: a run over
+    * `max(10 s, 5 × min-so-far)` is discarded and re-run, at most
+    * `maxReruns` times per block; min-so-far spans warmups + every
+    * measured AND discarded run. Acceptance is decided at run time and
+    * never revisited: a stalled first measured run is caught when the
+    * warmup already revealed the floor, but if the warmup stalled too
+    * it stands (median-of-iters then dilutes it) while every LATER
+    * stall is guarded by the updated floor. Returns (measured,
+    * discarded) — measured always has `iters` entries; nothing is
+    * silently dropped.
+    */
+  private[graft] def measureBlock(
+      iters: Int,
+      maxReruns: Int,
+      warm: Seq[Double],
+      runOnce: () => Double
+  ): (Vector[Double], Vector[Double]) = {
+    var measured = Vector.empty[Double]
+    var discarded = Vector.empty[Double]
+    var minSoFar = if (warm.nonEmpty) warm.min else Double.MaxValue
+    var reruns = 0
+    while (measured.size < iters) {
+      val t = runOnce()
+      minSoFar = math.min(minSoFar, t)
+      if (t > math.max(10.0, 5.0 * minSoFar) && reruns < maxReruns) {
+        discarded :+= t
+        reruns += 1
+      } else measured :+= t
+    }
+    (measured, discarded)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,22 +178,8 @@ object Bench {
         t
       }
       val warm = (1 to warmups).map(_ => timed())
-      val measured = scala.collection.mutable.ArrayBuffer[Double]()
-      val discarded = scala.collection.mutable.ArrayBuffer[Double]()
-      // stall guard (see scaladoc): min-so-far spans warmups + every
-      // measured AND discarded run of this block, so a stalled FIRST
-      // run is caught as soon as any later run reveals the true floor
-      var minSoFar = if (warm.nonEmpty) warm.min else Double.MaxValue
-      var reruns = 0
-      while (measured.size < iters) {
-        val t = timed()
-        minSoFar = math.min(minSoFar, t)
-        if (t > math.max(10.0, 5.0 * minSoFar) && reruns < maxReruns) {
-          discarded += t
-          reruns += 1
-        } else measured += t
-      }
-      (name, median(measured.toSeq), measured.min, warm ++ measured, discarded.toSeq)
+      val (measured, discarded) = measureBlock(iters, maxReruns, warm, () => timed())
+      (name, median(measured), measured.min, warm ++ measured, discarded)
     }
     val qs = results
       .map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }

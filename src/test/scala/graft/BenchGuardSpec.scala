@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case pins for the bench's stall guard ([[Bench.measureBlock]]) —
+  * the discard/re-run policy BENCH_r06's 74.7 s stall-polluted record
+  * motivated. Pure scripted sequences, no Spark.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def scripted(runs: Double*): () => Double = {
+    val it = runs.iterator
+    () => it.next()
+  }
+
+  test("a mid-block stall run is discarded, re-run, and reported") {
+    val (m, d) = Bench.measureBlock(5, 3, warm = Seq(3.0),
+      scripted(2.0, 59.6, 2.1, 2.2, 1.9, 2.0))
+    assert(m === Vector(2.0, 2.1, 2.2, 1.9, 2.0))
+    assert(d === Vector(59.6))
+  }
+
+  test("the 10 s floor protects fast queries' jitter from being discarded") {
+    // 8 s is 40x the 0.2 s floor but under 10 s: kept, not churned
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(0.3), scripted(0.2, 8.0, 0.25))
+    assert(m === Vector(0.2, 8.0, 0.25) && d.isEmpty)
+  }
+
+  test("a genuinely slow query is never discarded (5x tracks its own floor)") {
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(40.0), scripted(35.0, 38.0, 36.0))
+    assert(m === Vector(35.0, 38.0, 36.0) && d.isEmpty)
+  }
+
+  test("warmup-and-first-run both stalled: the first run stands, later stalls are caught") {
+    // acceptance is never revisited — the 80.0 was accepted under a
+    // stalled floor and stays; the 2.0 drops min-so-far, so the 85.0
+    // IS caught and re-run
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(90.0), scripted(80.0, 2.0, 85.0, 2.1))
+    assert(m === Vector(80.0, 2.0, 2.1))
+    assert(d === Vector(85.0))
+  }
+
+  test("a stalled first measured run IS caught when the warmup revealed the floor") {
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(2.0), scripted(80.0, 2.1, 2.2, 1.9))
+    assert(m === Vector(2.1, 2.2, 1.9))
+    assert(d === Vector(80.0))
+  }
+
+  test("a stall outlasting the re-run budget lands in the medians instead of looping") {
+    val (m, d) = Bench.measureBlock(4, 2, warm = Seq(1.0),
+      scripted(50.0, 51.0, 52.0, 53.0, 54.0, 55.0))
+    assert(d === Vector(50.0, 51.0)) // budget of 2 spent
+    assert(m === Vector(52.0, 53.0, 54.0, 55.0)) // rest recorded honestly
+  }
+
+  test("maxReruns = 0 disables the guard entirely") {
+    val (m, d) = Bench.measureBlock(2, 0, warm = Seq(1.0), scripted(99.0, 1.1))
+    assert(m === Vector(99.0, 1.1) && d.isEmpty)
+  }
+}
