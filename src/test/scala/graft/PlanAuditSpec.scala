@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide plan net: builds every driver query's physical plan and
+  * rejects the one shape that silently kills a 100 TB run — a
+  * non-broadcast cartesian product (every pair of partitions shipped).
+  * Broadcast nested-loop joins are NOT banned: a handful of queries
+  * intentionally cross-join a one-row aggregate or a bounded query set
+  * (q20's brute-force baseline, skewProfile's totals row), which is a
+  * broadcast of bytes, not a shuffle of everything. The audit runs at
+  * sf0.001 — planning only, but some operators legitimately run small
+  * driver jobs at build time (bloom sizing, k-means seeding).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("no driver query plans a CartesianProduct") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
