@@ -1139,6 +1139,49 @@ object Dedup {
       )
   }
 
+  /** Cross-corpus overlap estimate via mergeable HLL sketches — the
+    * reconnaissance pass before committing to an exact decontamination
+    * or cross-dedup job at scale: each corpus collapses to a
+    * 2^lgConfigK-register sketch over its text fingerprints (one
+    * map-side agg per corpus, bytes across the wire, NO join of the
+    * corpora), and the union sketch gives |A|, |B|, |A∪B| estimates →
+    * inclusion-exclusion |A∩B| and a Jaccard estimate. Standard HLL
+    * relative error ≈ 1.04/√2^lgConfigK (~0.8% at the default 14);
+    * the intersection inherits the union's absolute error, so tiny
+    * overlaps between huge corpora read as noise — this ranks corpus
+    * PAIRS for the exact pass ([[TextAnalysis.decontaminate]],
+    * [[incrementalExact]]), it does not replace it. Sketches are
+    * deterministic for a given input, so the estimate is stable
+    * run-to-run.
+    */
+  def corpusOverlapEstimate(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      lgConfigK: Int = 14
+  ): DataFrame = {
+    def sketch(df: DataFrame, as: String) =
+      df.agg(hll_sketch_agg(md5(col(textCol)), lit(lgConfigK)).as(as))
+    sketch(a, "sk_a")
+      .crossJoin(broadcast(sketch(b, "sk_b")))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("n_a"),
+        hll_sketch_estimate(col("sk_b")).as("n_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("n_union")
+      )
+      .select(
+        col("n_a"),
+        col("n_b"),
+        col("n_union"),
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        when(
+          col("n_union") > 0,
+          greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union")
+        ).otherwise(0.0).as("jaccard_est")
+      )
+  }
+
   /** Table property recording the gram length an at-rest gram index was
     * built with — probing or appending with a different k computes
     * different windows and silently corrupts counts, so every entry

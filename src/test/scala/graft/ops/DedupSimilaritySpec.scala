@@ -162,6 +162,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset(Materialize.CheckpointDirConf)
   }
 
+  test("corpus overlap estimate: within HLL error of exact, deterministic, ranks pairs") {
+    val n = docs.count()
+    val a = docs.filter($"doc_id" < n * 2 / 3)
+    val b = docs.filter($"doc_id" >= n / 3)
+    val exact = (x: org.apache.spark.sql.DataFrame) =>
+      x.select(md5($"text")).distinct().count().toDouble
+    val (ea, eb) = (exact(a), exact(b))
+    val eu = exact(a.select($"text").unionByName(b.select($"text")))
+    val row = Dedup.corpusOverlapEstimate(a, b, "text").head()
+    def within(est: Double, ex: Double, tol: Double) = math.abs(est - ex) <= tol * ex
+    assert(within(row.getAs[Long]("n_a").toDouble, ea, 0.05))
+    assert(within(row.getAs[Long]("n_b").toDouble, eb, 0.05))
+    assert(within(row.getAs[Long]("n_union").toDouble, eu, 0.05))
+    val exactInter = ea + eb - eu
+    assert(exactInter > 0, "fixture must overlap")
+    assert(math.abs(row.getAs[Long]("n_intersect") - exactInter) <= 0.05 * eu)
+    // deterministic (sketches are pure functions of the input)
+    assert(Dedup.corpusOverlapEstimate(a, b, "text").head() === row)
+    // and a disjoint pair ranks (far) below the overlapping one
+    val disjoint = Dedup
+      .corpusOverlapEstimate(
+        docs.filter($"doc_id" % 2 === 0)
+          .select(concat_ws(" ", lit("even-only"), $"text").as("text")),
+        docs.filter($"doc_id" % 2 =!= 0)
+          .select(concat_ws(" ", lit("odd-only"), $"text").as("text")),
+        "text")
+      .head()
+    assert(disjoint.getAs[Double]("jaccard_est") < row.getAs[Double]("jaccard_est"))
+  }
+
   test("spark.graft.checkpointDir sweep: LSH pairs, incremental dedup, spans all unchanged") {
     def run() = (
       Dedup.minHashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
