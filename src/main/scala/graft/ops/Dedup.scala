@@ -1058,18 +1058,20 @@ object Dedup {
       k: Int,
       hashGrams: Boolean
   ): DataFrame = {
-    val gramOf: Column => Column = if (hashGrams) g => xxhash64(g) else identity
+    // hashed mode runs the native one-pass [[graft.plans.GramHashes]]
+    // (bit-identical to the composed slice/concat_ws/xxhash64 form —
+    // HashExpressionsSpec); the raw-string mode keeps the composed form
+    // the DuckDB oracle replays
+    val grams: Column =
+      if (hashGrams) graft.plans.GramHashes.gramHashes(col("words"), k)
+      else
+        transform(
+          sequence(lit(0), size(col("words")) - k),
+          i => concat_ws(" ", slice(col("words"), i + 1, lit(k)))
+        )
     df.select(col(idCol).cast("long").as("doc_id"), Fns.tokens(col(textCol)).as("words"))
       .filter(size(col("words")) >= k)
-      .select(
-        col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), size(col("words")) - k),
-            i => gramOf(concat_ws(" ", slice(col("words"), i + 1, lit(k))))
-          )
-        ).as(Seq("pos", "gram"))
-      )
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
   }
 
   /** The run-merge stage of [[duplicateSpans]]: gaps-and-islands over

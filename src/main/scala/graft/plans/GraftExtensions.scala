@@ -58,6 +58,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
       (args: Seq[Expression]) =>
         DistinctShingles(args(0), intArg(args(1), "distinct_shingles n"))
+    ),
+    (
+      "gram_hashes",
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (args: Seq[Expression]) => GramHashes(args(0), intArg(args(1), "gram_hashes k"))
     )
   )
 

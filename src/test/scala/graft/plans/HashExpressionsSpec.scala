@@ -148,6 +148,36 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") === viaColumn)
   }
 
+  test("GramHashes == composed transform(slice/concat_ws/xxhash64) form; short/empty/null") {
+    val k = 8
+    val words = docs
+      .select(col("doc_id"), Fns.tokens(col("text")).as("words"))
+      .filter(size(col("words")) >= k)
+    val composed = words
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), size(col("words")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("words"), i + 1, lit(k))))
+        ).as("g")
+      )
+    val native = words
+      .select(col("doc_id"), graft.plans.GramHashes.gramHashes(col("words"), k).as("g"))
+    assert(
+      composed.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq ===
+        native.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    )
+    // short input -> empty array (total semantics); null -> null
+    val edge = Seq((1L, Some(Seq("a", "b"))), (2L, None))
+      .toDF("id", "w")
+      .select(col("id"), graft.plans.GramHashes.gramHashes(col("w").cast("array<string>"), k).as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(edge(1L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    assert(edge(2L).isEmpty)
+  }
+
   test("SimHash64 edge cases: empty input -> 0, null -> null") {
     val df = Seq(
       (1L, Some(Seq.empty[Long])),
