@@ -478,6 +478,16 @@ object SparkEntry {
       Dedup.duplicateSpanFraction(t(s, dir, "documents"), "text", "doc_id",
         gramTokens = 8, minCount = 2, hashGrams = false)),
 
+    // SemDeDup end-to-end (Abbas et al. 2023): q21's LSH-bucket +
+    // exact-cosine pair stage -> connected components -> keep the
+    // min-id representative per component with its component size.
+    // Same params as q21 so the candidate generation is the already-
+    // pinned one; maxBucket=None because the oracle replays unbounded
+    // buckets.
+    "q67_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64,
+        threshold = 0.3, maxBucket = None)),
+
     // Data-mix drift: per-source TV / chi-square divergence vs the
     // corpus token distribution over the top-200 tokens. Hash-exact by
     // construction: IEEE-only per-cell terms, DECIMAL(30,12) sums (see
@@ -1223,6 +1233,28 @@ object SparkEntry {
            |FROM w LEFT JOIN dt USING (doc_id)""".stripMargin
       },
 
+      // Replays semanticDedup: q21's pair CTEs (same planes, same
+      // left-associated cosine) at threshold 0.3, then q34's
+      // recursive-CTE component walk over the pair graph, survivors =
+      // min-id per component plus every unpaired embedding, each with
+      // its component size (1 when unpaired). Integer ids/counts and
+      // the already-pinned cosine comparison — hash-exact.
+      "q67_semantic_dedup" ->
+        s"""WITH RECURSIVE $embeddingPairCtes,
+           |pr AS (SELECT i, j FROM v WHERE cosine >= 0.3),
+           |edges AS (SELECT i AS id, j AS nb FROM pr UNION SELECT j AS id, i AS nb FROM pr),
+           |walk(id, lbl) AS (
+           |  SELECT DISTINCT id, id AS lbl FROM edges
+           |  UNION
+           |  SELECT e.id, w.lbl FROM edges e JOIN walk w ON w.id = e.nb),
+           |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+           |sizes AS (SELECT cluster, count(*) AS group_size FROM comp GROUP BY cluster)
+           |SELECT e.vec_id, CAST(coalesce(s.group_size, 1) AS BIGINT) AS group_size
+           |FROM embeddings e
+           |LEFT JOIN comp ON comp.id = e.vec_id
+           |LEFT JOIN sizes s ON s.cluster = comp.cluster
+           |WHERE comp.cluster IS NULL OR comp.cluster = e.vec_id""".stripMargin,
+
       // Replays sourceDivergence's determinism contract: IEEE-only
       // per-cell terms, DECIMAL(30,12) sums (order-independent), top-K
       // ties broken on (count desc, token asc) in both engines.
@@ -1564,7 +1596,12 @@ object SparkEntry {
     * and both engines fold the dot products left-to-right over doubles,
     * so bucket keys and cosines are bit-identical.
     */
-  private lazy val embeddingLshSql: String = {
+  /** The LSH-candidate + exact-cosine CTE chain shared by the q21 and
+    * q67 oracles: `k` (per-band bucket keys from the same seeded
+    * hyperplanes the operator uses), `cand` (within-bucket pairs), `v`
+    * (exact cosine per candidate, left-associated like Fns.cosine).
+    */
+  private lazy val embeddingPairCtes: String = {
     val bands = 4
     val bitsPerBand = 4
     val dim = 64
@@ -1584,7 +1621,7 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
-    s"""WITH k AS ($bandSelects),
+    s"""k AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash AND a.vec_id < b.vec_id),
        |v AS (SELECT i, j,
@@ -1592,9 +1629,12 @@ object SparkEntry {
        |     (sqrt(${dot("ei.embedding", "ei.embedding")}) * sqrt(${dot("ej.embedding", "ej.embedding")})) AS cosine
        | FROM cand
        | JOIN embeddings ei ON ei.vec_id = cand.i
-       | JOIN embeddings ej ON ej.vec_id = cand.j)
-       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
+       | JOIN embeddings ej ON ej.vec_id = cand.j)""".stripMargin
   }
+
+  private lazy val embeddingLshSql: String =
+    s"""WITH $embeddingPairCtes
+       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
 
   /** Oracle for q19: replays [[graft.ops.Dedup.simHashPairs]] —
     * md5-60-bit token hashes ([[graft.ops.Dedup.md5TokenHash]]), the

@@ -351,11 +351,23 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs by iterative min-label
-    * propagation: each node adopts the smallest label among itself and
-    * its neighbors until fixpoint (bounded by `maxIter`; converges in
-    * graph-diameter rounds — near-dup clusters are tiny, so a handful of
-    * joins). Returns (doc_id, cluster) where cluster = min doc_id of the
-    * component. Driver-free: every step is a join + groupBy.
+    * propagation WITH pointer jumping: each round a node adopts the
+    * smallest label among itself and its neighbors (propagation), then
+    * shortcuts to its new label's own label (path doubling — the
+    * Shiloach–Vishkin / Hash-to-Min idea). Jumping makes convergence
+    * O(log diameter) rounds instead of O(diameter): a 292-node straggly
+    * component (q67's 0.3-cosine graph on the test corpus) converges in
+    * 6 rounds where plain propagation needs >10 and previously returned
+    * a SILENTLY unconverged 4-way split at the default cap. Returns
+    * (doc_id, cluster) where cluster = min doc_id of the component.
+    * Driver-free: every step is joins + a groupBy.
+    *
+    * If `maxIter` rounds pass with labels still moving this now THROWS
+    * rather than returning partial components — with jumping the
+    * default 20 rounds covers diameters up to ~2^20, so hitting the cap
+    * means something is structurally wrong (e.g. a threshold so loose
+    * the graph is one giant hairball) and a wrong-but-plausible answer
+    * would poison every downstream dedup decision.
     *
     * Per-round cost design (round 7): each round runs exactly ONE job.
     * The round's projection carries a `chg` flag (a row changed iff its
@@ -375,7 +387,7 @@ object Dedup {
     * reliable store instead and survive executor loss — the
     * preemptible-cluster mode.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once: without this every iteration's
     // join re-executes the (possibly expensive) pair-producing plan.
     // Lazy: materializes during round 1's action.
@@ -395,15 +407,28 @@ object Dedup {
         .groupBy("id")
         .agg(min(col("nb_cluster")).as("min_nb"))
       // NULL min_nb (nothing improved) compares to NULL -> not counted
+      val stepped = labels
+        .select(col("id"), col("cluster").as("prev"))
+        .join(nbLabels, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("prev"),
+          least(col("prev"), coalesce(col("min_nb"), col("prev"))).as("c1")
+        )
+      // pointer jump: follow the adopted label (itself a node id) to
+      // ITS current label and take the min — halves the remaining path
+      // length every round. labels is the prior round's pinned frame,
+      // so both uses below reuse the same blocks.
       val obs = Observation()
       val next = Materialize(
-        labels
-          .join(nbLabels, Seq("id"), "left")
+        stepped
+          .join(labels.select(col("id").as("c1"), col("cluster").as("jump")), Seq("c1"), "left")
           .select(
             col("id"),
-            least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"),
-            (col("min_nb") < col("cluster")).as("chg")
+            least(col("c1"), coalesce(col("jump"), col("c1"))).as("cluster"),
+            col("prev")
           )
+          .select(col("id"), col("cluster"), (col("cluster") < col("prev")).as("chg"))
           .observe(obs, count_if(col("chg")).as("n_changed")),
         eager = true // the round's ONE job: pins blocks + delivers the metric
       )
@@ -411,6 +436,12 @@ object Dedup {
       labels = next.drop("chg")
       iter += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"clusters() still moving after $maxIter rounds (covers diameters ~2^$maxIter " +
+          "with pointer jumping) — the pair graph is pathologically connected; " +
+          "tighten the pair threshold or raise maxIter"
+      )
     labels
   }
 
@@ -568,6 +599,57 @@ object Dedup {
       // candidate-verify pass is the hot loop of this operator
       .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style end-to-end semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): bucket embeddings, verify candidate pairs with
+    * exact cosine, connect the >=threshold pairs into components, and
+    * keep ONE representative (the smallest id) per component. Output is
+    * one row per SURVIVING document: (idCol, group_size), where
+    * group_size is the size of its near-duplicate component (1 for a
+    * document with no semantic duplicate).
+    *
+    * The paper clusters with k-means purely to bound the O(n^2)
+    * within-cluster comparison; here the bounding structure is the
+    * seeded hyperplane-LSH banding already used by
+    * [[embeddingNearDupPairs]] — same complexity bound (per-bucket
+    * posting lists, never corpus-wide all-pairs), but deterministic
+    * and replayable in the DuckDB oracle (q67 pins the WHOLE pipeline
+    * hash-exact, including component formation — k-means centroids
+    * would make that impossible). Components beat the paper's
+    * per-cluster greedy keep-one: they are order-independent, and
+    * transitive chains (a~b, b~c) collapse to one survivor instead of
+    * depending on scan order.
+    *
+    * Scale: pairs are bucket-bounded ([[embeddingNearDupPairs]]),
+    * [[clusters]] is bounded-iteration label propagation with one job
+    * per round, and the survivor filter is a left join on the
+    * component labels — each stage shuffles on its natural key, no
+    * driver-side data. Near-dup components are tiny in practice
+    * (`group_size` is itself the skew diagnostic: a giant component
+    * means the threshold is too loose).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      threshold: Double = 0.9,
+      seed: Long = 42L,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)
+  ): DataFrame = {
+    val pairs =
+      embeddingNearDupPairs(df, vecCol, idCol, dim, bands, bitsPerBand, threshold, seed, maxBucket)
+    val cl = clusters(pairs) // (id, cluster) for every paired doc
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("group_size"))
+    df.select(col(idCol))
+      .join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol), coalesce(col("group_size"), lit(1L)).as("group_size"))
   }
 
   /** Incremental exact dedup: the rows of `newBatch` whose text

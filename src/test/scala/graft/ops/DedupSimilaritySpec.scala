@@ -145,6 +145,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: pointer jumping converges a 300-node path and a worst-order chain in <= default rounds") {
+    // a path graph maximizes diameter: plain min-label propagation
+    // moves the min one hop per round (300 rounds); jumping needs
+    // O(log n). Also the reversed-id chain, where the min sits at the
+    // far end of every traversal order.
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("i", "j")
+    val gotPath = Dedup.clusters(path).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPath === (0L to 299L).map(_ -> 0L).toMap)
+    val rev = (0L until 299L).map(i => (300L - i, 299L - i)).toDF("i", "j")
+    val gotRev = Dedup.clusters(rev).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRev === (1L to 300L).map(_ -> 1L).toMap)
+  }
+
+  test("clusters: throws (not partial labels) when maxIter is hit while still moving") {
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("i", "j")
+    val e = intercept[IllegalStateException](Dedup.clusters(path, maxIter = 2))
+    assert(e.getMessage.contains("still moving"))
+  }
+
   test("clusters: identical result and on-disk checkpoints with spark.graft.checkpointDir set") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
     val expected = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -515,6 +534,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
     assert(jac === Set((20001L, 20002L, 1.0)))
     assert(jacObs.get("dropped_shingles").asInstanceOf[Long] === 8L)
+  }
+
+  test("semanticDedup == union-find over the verified pair list; sizes partition the corpus") {
+    val pairs = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.3,
+        maxBucket = None)
+      .select("i", "j").as[(Long, Long)].collect()
+    val ids = emb.select(col("vec_id")).as[Long].collect()
+    // in-memory union-find reference
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val byRoot = ids.groupBy(find)
+    val expect = byRoot.map { case (_, members) => members.min -> members.length.toLong }
+    val got = Dedup
+      .semanticDedup(emb, "embedding", "vec_id", dim = 64, threshold = 0.3, maxBucket = None)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+    // survivors' group sizes partition the corpus; at least one real merge happened
+    assert(got.values.sum === ids.length.toLong)
+    assert(got.values.exists(_ > 1L), "corpus has planted near-dups; expected a merge")
   }
 
   test("embedding LSH bucket cap: generous cap == uncapped") {
