@@ -488,6 +488,21 @@ object SparkEntry {
       Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64,
         threshold = 0.3, maxBucket = None)),
 
+    // Corpus recon, exact-replayable half: pairwise source-similarity
+    // matrix from per-source MinHash slot signatures over word 3-gram
+    // shingles (the hash-exact counterpart of corpusOverlapEstimate's
+    // HLL pass). md5 token hash for the oracle replay; production
+    // default is xxhash64 (same trade as q19).
+    "q68_source_similarity" -> ((s, dir) =>
+      Dedup.sourceSimilarityMatrix(t(s, dir, "documents"), "text", "source",
+        shingleSize = 3, numSlots = 128, tokenHash = Some(Dedup.md5TokenHash))),
+
+    // Corpus-relative frequency quality score (libm-free CCNet stand-in):
+    // per doc, mean corpus df of token occurrences + rare-occurrence
+    // fraction (integer rare rule: df*1000 <= n_docs*permille).
+    "q69_corpus_freq_quality" -> ((s, dir) =>
+      TextAnalysis.corpusFrequencyScore(t(s, dir, "documents"), "text", "doc_id")),
+
     // Data-mix drift: per-source TV / chi-square divergence vs the
     // corpus token distribution over the top-200 tokens. Hash-exact by
     // construction: IEEE-only per-cell terms, DECIMAL(30,12) sums (see
@@ -1255,6 +1270,28 @@ object SparkEntry {
            |LEFT JOIN sizes s ON s.cluster = comp.cluster
            |WHERE comp.cluster IS NULL OR comp.cluster = e.vec_id""".stripMargin,
 
+      // Replays sourceSimilarityMatrix: same md5 60-bit shingle hash as
+      // q19, same seeded slot-XOR literals (Dedup.sourceSimilaritySeeds),
+      // min/xor/count are pure integer ops and 128 = 2^7 makes the
+      // estimate division IEEE-exact — hash-exact end to end.
+      "q68_source_similarity" -> sourceSimilaritySql,
+
+      // Replays corpusFrequencyScore: BIGINT-exact df sums (DuckDB's
+      // HUGEINT sum cast back), integer rare rule, one IEEE division
+      // per output double — no libm anywhere.
+      "q69_corpus_freq_quality" ->
+        s"""WITH t AS ($wordsSql),
+           |tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+           |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT tok.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df,
+           |  CAST(sum(CASE WHEN df * 1000 <= n_docs * 100 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS rare_frac
+           |FROM tok JOIN dfreq USING (token) CROSS JOIN n
+           |GROUP BY tok.doc_id""".stripMargin,
+
       // Replays sourceDivergence's determinism contract: IEEE-only
       // per-cell terms, DECIMAL(30,12) sums (order-independent), top-K
       // ties broken on (count desc, token asc) in both engines.
@@ -1646,6 +1683,47 @@ object SparkEntry {
     * arithmetic in both engines and the `& 65535` mask makes band keys
     * agree regardless of sign.
     */
+  /** Oracle for q68: replays [[graft.ops.Dedup.sourceSimilarityMatrix]]
+    * — distinct (source, word-3-gram) shingles, the q19 md5 60-bit hash
+    * per shingle, slot j = min(xor(hash, seed_j)) over the SAME seeded
+    * literals the operator draws ([[graft.ops.Dedup.sourceSimilaritySeeds]]),
+    * pair matching as an equi-join on (slot, value), zero-filled over
+    * the full source-pair grid. Integer math throughout; the final
+    * estimate divides by 128 = 2^7, which is IEEE-exact.
+    */
+  private lazy val sourceSimilaritySql: String = {
+    val numSlots = 128
+    val seedList = graft.ops.Dedup
+      .sourceSimilaritySeeds(numSlots)
+      .map(s => s"CAST($s AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val hexToLong =
+      "list_reduce(list_transform(range(1, 16), i -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b)"
+    s"""WITH t AS (SELECT source,
+       |  list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |              w -> w <> '') AS words
+       |  FROM documents),
+       |s AS (SELECT DISTINCT source,
+       |   unnest(list_transform(range(1, len(words)-1),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       | FROM t WHERE len(words) >= 3),
+       |h AS (SELECT source, $hexToLong AS h FROM s),
+       |sl AS (SELECT source, g.j, min(xor(h, ($seedList)[g.j + 1])) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $numSlots)) AS j) g
+       |  GROUP BY source, g.j),
+       |m AS (SELECT a.source AS sa, b.source AS sb, count(*) AS mt
+       |  FROM sl a JOIN sl b ON a.j = b.j AND a.v = b.v AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |src AS (SELECT DISTINCT source FROM s)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  CAST(coalesce(mt, 0) AS BIGINT) AS matching_slots,
+       |  CAST(coalesce(mt, 0) AS DOUBLE) / $numSlots AS est_jaccard
+       |FROM src x JOIN src y ON x.source < y.source
+       |LEFT JOIN m ON m.sa = x.source AND m.sb = y.source""".stripMargin
+  }
+
   private lazy val simHashPairsSql: String = {
     val hexToLong =
       "list_reduce(list_transform(range(1, 16), i -> " +

@@ -1266,6 +1266,119 @@ object Dedup {
       )
   }
 
+  /** Exact-replayable counterpart of [[corpusOverlapEstimate]]: a
+    * pairwise similarity matrix over every GROUP of one corpus (source,
+    * domain, crawl snapshot, …) from per-group MinHash slot signatures.
+    * Slot j of a group's signature is `min over its distinct shingles of
+    * (hash(shingle) XOR seed_j)` — pure integer math, so unlike the HLL
+    * recon pass the estimate replays bit-identically in the driver's
+    * DuckDB oracle (q68), and the per-pair estimator is the standard
+    * one-permutation-per-slot MinHash collision rate: E[matching/slots]
+    * = Jaccard(shingles(A), shingles(B)).
+    *
+    * Scale shape (100 TB, millions of groups): the heavy work — distinct
+    * (group, shingle) and the per-group signature agg — is one shuffle
+    * each on bounded-width rows, and slot matching is an EQUI-join on
+    * (slot_index, slot_value), i.e. collision lists per slot value,
+    * never an all-pairs comparison of signatures. Only the optional
+    * zero-fill of never-colliding pairs (`includeZeroPairs`) is
+    * quadratic in #groups — it assembles the dense matrix callers want
+    * at dashboard-sized group counts; pass false when groups number in
+    * the millions and only colliding pairs matter (the candidate-pair
+    * semantic, same contract as [[lshCandidates]]).
+    *
+    * Reference ties: complements `consumer.py`'s per-source ingest stats
+    * (file:268-301 tracks sources independently; it has no cross-source
+    * comparison) — this is the recon that decides which source pairs
+    * feed [[TextAnalysis.decontaminate]] / cross-dedup first.
+    */
+  def sourceSimilarityMatrix(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleSize: Int = 3,
+      numSlots: Int = 128,
+      seed: Long = 7268L,
+      includeZeroPairs: Boolean = true,
+      tokenHash: Option[Column => Column] = None
+  ): DataFrame = {
+    require(numSlots > 0, s"numSlots must be positive, got $numSlots")
+    val seeds = sourceSimilaritySeeds(numSlots, seed)
+    // Per-DOCUMENT signatures first (one primitive loop per row via the
+    // native XorMinSignature; never an explode of shingle occurrences),
+    // then slot-wise min across a group's documents. min is
+    // duplicate-insensitive and associative, so folding per-doc minima
+    // is identical to signing the group's distinct shingle SET (which
+    // the oracle computes) — with NO shuffle proportional to the corpus:
+    // the only exchange carries #groups x numSlots rows. The slots frame
+    // is read three times downstream (both join sides and the group
+    // list), so it is pinned via Materialize rather than re-deriving the
+    // signature pipeline per read.
+    // production default (None): native one-pass GramHashes (xxhash64
+    // gram hashes, no shingle-string array); custom hash (the oracle's
+    // md5TokenHash): hash the materialized shingle strings.
+    val hs = tokenHash match {
+      case None => graft.plans.GramHashes.gramHashes(Fns.tokens(col(textCol)), shingleSize)
+      case Some(f) => transform(Fns.shingles(Fns.tokens(col(textCol)), shingleSize), g => f(g))
+    }
+    val docSig = df.select(
+      col(groupCol).as("source"),
+      posexplode(graft.plans.XorMinSignature.xorMinSignature(hs, seeds)).as(Seq("slot", "x"))
+    )
+    val slots = Materialize(
+      docSig
+        .filter(col("x").isNotNull) // shingle-less docs contribute nothing
+        .groupBy(col("source"), col("slot"))
+        .agg(min(col("x")).as("v")),
+      eager = false
+    )
+    val matched = slots
+      .as("a")
+      .join(
+        slots.as("b"),
+        col("a.slot") === col("b.slot") && col("a.v") === col("b.v") &&
+          col("a.source") < col("b.source")
+      )
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("matching_slots"))
+    val est = (m: Column) => m.cast("double") / numSlots
+    if (!includeZeroPairs) {
+      matched.select(
+        col("source_a"),
+        col("source_b"),
+        col("matching_slots"),
+        est(col("matching_slots")).as("est_jaccard")
+      )
+    } else {
+      // dense-matrix assembly: quadratic in #groups by construction, so
+      // the group list is broadcast (tiny) and the pair frame never
+      // shuffles — the non-equi `<` join must NOT fall back to a
+      // CartesianProduct under the engine-wide plan net.
+      val srcs = slots.select(col("source")).distinct()
+      val pairs = srcs
+        .as("x")
+        .join(broadcast(srcs.as("y")), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      pairs
+        .join(matched, Seq("source_a", "source_b"), "left")
+        .select(
+          col("source_a"),
+          col("source_b"),
+          coalesce(col("matching_slots"), lit(0L)).as("matching_slots"),
+          est(coalesce(col("matching_slots"), lit(0L))).as("est_jaccard")
+        )
+    }
+  }
+
+  /** The seeded slot-XOR family [[sourceSimilarityMatrix]] uses, exposed
+    * so the q68 oracle replays the SAME literals (q21's seeded-replay
+    * trade: determinism is part of the operator's contract).
+    */
+  def sourceSimilaritySeeds(numSlots: Int, seed: Long = 7268L): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numSlots)(rnd.nextLong())
+  }
+
   /** Table property recording the gram length an at-rest gram index was
     * built with — probing or appending with a different k computes
     * different windows and silently corrupts counts, so every entry

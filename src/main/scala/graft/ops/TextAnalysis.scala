@@ -154,6 +154,58 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus-relative frequency scoring — the libm-free stand-in for a
+    * CCNet-style LM quality filter (Wenzek et al. '20 score docs by LM
+    * perplexity; the cheap first approximation is "how common are this
+    * doc's tokens in the corpus itself"): per doc, the mean corpus
+    * document-frequency of its token OCCURRENCES and the fraction of
+    * occurrences whose token is rare. Gibberish / OCR noise scores a
+    * high rare fraction and low mean df; boilerplate scores the
+    * opposite — both tails are what a curation pass cuts.
+    *
+    * Determinism contract: NO logs (libm last-ulp differs across
+    * engines — the same reason [[sourceDivergence]] uses TV distance,
+    * not KL). The rare rule is pure integer math
+    * (`df * 1000 <= n_docs * rarePermille`, no float threshold), sums
+    * are BIGINT-exact, and each output double is ONE IEEE division of
+    * two exact longs — hash-identical in any engine.
+    *
+    * Scale: a wordcount-shaped distinct + agg for document frequencies,
+    * one equi-join of occurrences with the df table on token (small
+    * vocabularies broadcast automatically; web-scale vocabularies
+    * shuffle on token, which AQE handles), one per-doc agg. The corpus
+    * row count rides along as a broadcast scalar.
+    */
+  def corpusFrequencyScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rarePermille: Int = 100
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("token"))
+    val docFreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    toks
+      .join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "rare",
+        when(col("df") * 1000 <= col("n_docs") * rarePermille, 1L).otherwise(0L)
+      )
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        sum(col("rare")).as("rare_tokens")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sum_df").cast("double") / col("n_tokens").cast("double")).as("mean_df"),
+        (col("rare_tokens").cast("double") / col("n_tokens").cast("double")).as("rare_frac")
+      )
+  }
+
   /** TF-IDF per (doc, token): tf = in-doc occurrences, idf =
     * ln((N+1)/(df+1)) with N = corpus size. Two aggregations + one
     * broadcast-joined scalar; weights truncated to 4 decimals (ln is

@@ -719,6 +719,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS mh_heal_idx")
   }
 
+  test("sourceSimilarityMatrix: identical groups 1.0, disjoint 0.0, half-overlap near truth") {
+    // word pool big enough that distinct 3-gram shingle sets are
+    // genuinely disjoint across the disjoint groups
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val wsA = (0 until 40).map(i => s"alpha$i")
+    val wsB = (0 until 40).map(i => s"beta$i")
+    // C shares its first half-word-stream with A: shingle overlap ~ 1/2
+    val wsC = wsA.take(20) ++ (0 until 20).map(i => s"gamma$i")
+    val df = Seq(
+      ("sameA", doc(wsA)), ("sameB", doc(wsA)), // identical shingle sets
+      ("disjoint", doc(wsB)),
+      ("half", doc(wsC))
+    ).toDF("source", "text")
+    val got = Dedup
+      .sourceSimilarityMatrix(df, "text", "source", numSlots = 128)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(got.size === 6, "dense matrix over C(4,2) pairs")
+    assert(got(("sameA", "sameB")) === 1.0, "identical shingle sets share every slot minimum")
+    assert(got(("disjoint", "sameA")) === 0.0 && got(("disjoint", "sameB")) === 0.0)
+    // true J(A, C): 38 shingles each, 18 shared -> 18/58 ~ 0.31
+    val trueJ = 18.0 / 58.0
+    assert(math.abs(got(("half", "sameA")) - trueJ) < 0.2,
+      s"estimator off: ${got(("half", "sameA"))} vs $trueJ")
+    // md5 oracle mode is the same estimator under a different hash family
+    val md5Est = Dedup
+      .sourceSimilarityMatrix(df, "text", "source", numSlots = 128,
+        tokenHash = Some(Dedup.md5TokenHash))
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(md5Est(("sameA", "sameB")) === 1.0 && md5Est(("disjoint", "sameA")) === 0.0)
+    assert(math.abs(md5Est(("half", "sameA")) - trueJ) < 0.2)
+  }
+
+  test("sourceSimilarityMatrix: includeZeroPairs=false == the nonzero rows of the dense matrix") {
+    val dense = Dedup
+      .sourceSimilarityMatrix(docs, "text", "source", numSlots = 64)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Long]("matching_slots"))
+      .toMap
+    val sparse = Dedup
+      .sourceSimilarityMatrix(docs, "text", "source", numSlots = 64, includeZeroPairs = false)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Long]("matching_slots"))
+      .toMap
+    assert(sparse === dense.filter(_._2 > 0))
+    assert(dense.size === 190, "C(20,2) pairs on the test corpus")
+    // a shingle-less group contributes no pairs rather than null slots
+    val withEmpty = docs.select($"source", $"text")
+      .union(Seq(("emptysrc", "xy")).toDF("source", "text")) // < 3 tokens -> no shingles
+    val denseE = Dedup.sourceSimilarityMatrix(withEmpty, "text", "source", numSlots = 64)
+    assert(denseE.filter($"source_a" === "emptysrc" || $"source_b" === "emptysrc").count() === 0)
+  }
+
   test("qualified index names (db.idx) work across write, probe, props, and compaction") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
     val hist = docs.limit(200).select($"doc_id", $"text")

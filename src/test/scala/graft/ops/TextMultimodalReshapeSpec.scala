@@ -16,6 +16,33 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe_est") === (17L + 3) / 4)
   }
 
+  test("corpusFrequencyScore: exact df arithmetic, <= rare boundary, tokenless docs absent") {
+    // dfs: a=2 (d1,d2), b=c=x=1; n_docs=4 (the empty doc counts toward
+    // the corpus size but emits no occurrence rows)
+    val df = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "x"), (4L, "")
+    ).toDF("doc_id", "text")
+    // rarePermille=500: rare iff df*1000 <= 4*500 = 2000 — df=2 sits ON
+    // the boundary and must count as rare (<=, not <)
+    val got = TextAnalysis
+      .corpusFrequencyScore(df, "text", "doc_id", rarePermille = 500)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_df"), r.getAs[Double]("rare_frac")))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "tokenless doc emits no row")
+    assert(got(1L) === ((2L, 1.5, 1.0))) // (2+1)/2; both a (boundary) and b rare
+    assert(got(2L) === ((2L, 1.5, 1.0)))
+    assert(got(3L) === ((1L, 1.0, 1.0)))
+    // tighter rule: permille=250 -> threshold 1000: df=2 no longer rare
+    val tight = TextAnalysis
+      .corpusFrequencyScore(df, "text", "doc_id", rarePermille = 250)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rare_frac"))
+      .toMap
+    assert(tight(1L) === 0.5 && tight(2L) === 0.5 && tight(3L) === 1.0)
+  }
+
   test("langId picks the marker-dominant language; CJK short-circuits") {
     val df = Seq(
       (1L, "the cat and the dog is a pet of the house"),

@@ -66,6 +66,50 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("XorMinSignature == composed array_min(transform(xor)) form") {
+    val seeds = graft.ops.Dedup.sourceSimilaritySeeds(32)
+    val based = docs
+      .select(col("doc_id"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Fns.shingles(col("toks"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    val composed = array(
+      seeds.map(sd => array_min(transform(col("hs"), h => h.bitwiseXOR(lit(sd))))): _*
+    )
+    val mismatches = based
+      .select(
+        XorMinSignature.xorMinSignature(col("hs"), seeds).as("native"),
+        composed.as("composed")
+      )
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches === 0)
+    // degenerate inputs: empty array -> k nulls; null elements skipped
+    // (array_min semantics); all-null input array -> all-null output
+    val edge = Seq(
+      (1L, Some(Seq[Option[Long]]())),
+      (2L, Some(Seq[Option[Long]](Some(7L), None))),
+      (3L, Some(Seq[Option[Long]](None)))
+    ).toDF("id", "hs")
+    val edgeSeeds = seeds.take(4)
+    val edgeComposed = array(
+      edgeSeeds.map(sd => array_min(transform(col("hs"), h => h.bitwiseXOR(lit(sd))))): _*
+    )
+    val edgeMismatch = edge
+      .select(
+        XorMinSignature.xorMinSignature(col("hs"), edgeSeeds).as("native"),
+        edgeComposed.as("composed")
+      )
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(edgeMismatch === 0)
+    // null INPUT null-propagates, matching MinHashSignature's contract
+    val nullRow = Seq(Option.empty[Seq[Long]]).toDF("hs")
+      .select(XorMinSignature.xorMinSignature(col("hs"), edgeSeeds).as("native"))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("SimHash64 == composed 64-aggregate shiftleft/or fold") {
     val hashed = docs.select(
       col("doc_id"),
