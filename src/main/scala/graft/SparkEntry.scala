@@ -503,6 +503,14 @@ object SparkEntry {
     "q69_corpus_freq_quality" -> ((s, dir) =>
       TextAnalysis.corpusFrequencyScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    // JL random projection 64 -> 16 dims, long format for the compare
+    // (one row per (vec_id, dim_idx); the operator itself returns the
+    // projected array for pipeline composition).
+    "q70_random_projection" -> ((s, dir) =>
+      Similarity
+        .randomProject(t(s, dir, "embeddings"), "embedding", "vec_id", dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim_idx", "value")))),
+
     // Data-mix drift: per-source TV / chi-square divergence vs the
     // corpus token distribution over the top-200 tokens. Hash-exact by
     // construction: IEEE-only per-cell terms, DECIMAL(30,12) sums (see
@@ -1292,6 +1300,11 @@ object SparkEntry {
            |FROM tok JOIN dfreq USING (token) CROSS JOIN n
            |GROUP BY tok.doc_id""".stripMargin,
 
+      // Replays randomProject: same seeded planes as literals, same
+      // left-associated list_reduce dot fold (the q21-proven pattern),
+      // same precomputed 1/sqrt(outDim) scale literal — bit-exact.
+      "q70_random_projection" -> randomProjectionSql,
+
       // Replays sourceDivergence's determinism contract: IEEE-only
       // per-cell terms, DECIMAL(30,12) sums (order-independent), top-K
       // ties broken on (count desc, token asc) in both engines.
@@ -1645,8 +1658,11 @@ object SparkEntry {
     val rnd = new scala.util.Random(42L)
     val planes: Seq[Seq[Double]] =
       Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
+    // dlit: bare decimals in a LIST literal unify to a common DECIMAL
+    // type and can drop low bits of mixed-scale coefficients — the e0
+    // suffix keeps every plane element an exact DOUBLE (see dlit).
     def dotPlane(p: Seq[Double]): String = {
-      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      val lit = p.map(dlit).mkString("[", ", ", "]")
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (a, b) -> a + b)"
     }
     def bandKey(b: Int): String =
@@ -1683,6 +1699,42 @@ object SparkEntry {
     * arithmetic in both engines and the `& 65535` mask makes band keys
     * agree regardless of sign.
     */
+  /** Oracle for q70: replays [[graft.ops.Similarity.randomProject]] —
+    * the same seeded Gaussian planes as double literals, the same
+    * left-associated `list_reduce` dot fold from 0.0 (the pattern q21
+    * proved bit-exact cross-engine), and the same precomputed
+    * `1/sqrt(outDim)` scale literal.
+    */
+  private lazy val randomProjectionSql: String = {
+    val dim = 64
+    val outDim = 16
+    val planes = graft.ops.Dedup.hyperplanes(dim, outDim, 4270L)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def dotPlane(p: Seq[Double]): String = {
+      val plit = p.map(dlit).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($plit)[i]), (a, b) -> a + b)"
+    }
+    (0 until outDim)
+      .map(j =>
+        s"SELECT vec_id, $j AS dim_idx, (${dotPlane(planes(j))}) * ${dlit(scale)} AS value FROM embeddings"
+      )
+      .mkString("\nUNION ALL ")
+  }
+
+  /** A double literal DuckDB is guaranteed to PARSE as DOUBLE. A bare
+    * decimal literal (`0.25`, `-0.3975857907408941`) parses as DECIMAL,
+    * and inside a LIST literal the elements are unified to one common
+    * DECIMAL type BEFORE any outer cast can intervene — which can drop
+    * low digits of mixed-scale elements (observed: 9 of 64 plane
+    * coefficients off by 1 ulp, q70 hash-mismatch). An exponent suffix
+    * forces DOUBLE at the parser, and Scala's shortest-decimal toString
+    * round-trips the exact bits.
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   /** Oracle for q68: replays [[graft.ops.Dedup.sourceSimilarityMatrix]]
     * — distinct (source, word-3-gram) shingles, the q19 md5 60-bit hash
     * per shingle, slot j = min(xor(hash, seed_j)) over the SAME seeded

@@ -21,6 +21,44 @@ import graft.functions.Fns
   */
 object Similarity {
 
+  /** Johnson–Lindenstrauss random projection: map each embedding to
+    * `outDim` coordinates `proj[j] = (v · plane_j) / sqrt(outDim)` with
+    * seeded Gaussian planes — the standard dimensionality cut before
+    * clustering / ANN / pairwise work at scale (distances are preserved
+    * within (1±ε) w.h.p.; at 100 TB an IVF build or a near-dup pass over
+    * 16 doubles instead of 1024 floats is the difference between one
+    * pass and an impossible one). Entirely map-side: the planes ride
+    * into the plan as literals, no shuffle, no driver data movement.
+    *
+    * Determinism contract (q70 is hash-exact): the planes come from the
+    * SAME seeded RNG sequence the oracle embeds as literals (q21's
+    * seeded-replay trade), each term is an IEEE-exact double multiply,
+    * the sum folds LEFT-ASSOCIATED from 0.0 exactly like DuckDB's
+    * `list_reduce`, and the final scale multiplies by ONE shared
+    * `1/sqrt(outDim)` double literal (computed once here, embedded
+    * verbatim in the oracle — doubles round-trip through their decimal
+    * form), so every output bit matches.
+    */
+  def randomProject(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      outDim: Int = 16,
+      seed: Long = 4270L
+  ): DataFrame = {
+    val planes = Dedup.hyperplanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projs = planes.map { p =>
+      aggregate(
+        zip_with(col(vecCol), array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v
+      ) * lit(scale)
+    }
+    df.select(col(idCol).as("vec_id"), array(projs: _*).as("proj"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Ranking is by (round(cosine,6) desc, id asc) so results are stable
     * and engine-independent at equal similarity.

@@ -719,6 +719,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS mh_heal_idx")
   }
 
+  test("randomProject: bit-exact vs declared fold, exactly linear, roughly distance-preserving") {
+    val dim = 64; val outDim = 16
+    val planes = Dedup.hyperplanes(dim, outDim, 4270L)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val got = Similarity
+      .randomProject(emb, "embedding", "vec_id", dim, outDim)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+      .toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1))
+      .toMap
+    // the determinism contract IS the operator's value for the q70 gate:
+    // left-fold from 0.0, one multiply per term, one final scale multiply
+    vecs.foreach { case (id, v) =>
+      val expect = planes.map { p =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i).toDouble * p(i); i += 1 }
+        acc * scale
+      }
+      assert(got(id) == expect, s"vec $id diverged from the declared fold")
+    }
+    // linearity: scaling by a power of two is IEEE-exact end to end
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val doubled = Similarity
+      .randomProject(
+        emb.select($"vec_id", transform($"embedding", x => x * 2.0f).as("embedding")),
+        "embedding", "vec_id", dim, outDim)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    ids.take(20).foreach { id =>
+      assert(doubled(id) == got(id).map(_ * 2.0), s"vec $id: projection not exactly linear in 2x")
+    }
+    // JL sanity at k=16: projected cosines track original cosines
+    val origCos = ids.take(50).sliding(2).toSeq.collect { case Seq(a, b) =>
+      (a, b, cos(vecs(a).map(_.toDouble), vecs(b).map(_.toDouble)))
+    }
+    val errs = origCos.map { case (a, b, c) => math.abs(cos(got(a), got(b)) - c) }
+    assert(errs.sum / errs.size < 0.25, s"mean |cos error| ${errs.sum / errs.size} too large for JL k=16")
+  }
+
   test("sourceSimilarityMatrix: identical groups 1.0, disjoint 0.0, half-overlap near truth") {
     // word pool big enough that distinct 3-gram shingle sets are
     // genuinely disjoint across the disjoint groups
