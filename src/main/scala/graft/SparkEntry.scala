@@ -503,6 +503,28 @@ object SparkEntry {
     "q69_corpus_freq_quality" -> ((s, dir) =>
       TextAnalysis.corpusFrequencyScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    // PQ ANN: m=8 one-byte codes per 64-dim vector (32x at-rest cut vs
+    // float32); like q40, no SQL oracle can score an approximate index,
+    // so the recall gate lives IN the query — rows only survive when
+    // the corpus-level recall@5 bound holds.
+    "q71_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity
+        .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 256, rerank = 16)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      exact
+        .join(approx, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
+        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+        .filter(col("corpus_recall") >= 0.9)
+    }),
+
     // JL random projection 64 -> 16 dims, long format for the compare
     // (one row per (vec_id, dim_idx); the operator itself returns the
     // projected array for pipeline composition).

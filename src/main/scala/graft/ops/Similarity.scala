@@ -82,6 +82,177 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al. '11): split each vector into m
+  // subspaces, Lloyd-train a small codebook per subspace, store each
+  // vector as m small codes. At 100 TB this is the at-rest/IO lever
+  // that composes with IVF: a 64-dim float corpus is 256 bytes/vector;
+  // m=8 one-byte codes are 8 — a 32x scan cut for the non-probed
+  // reranking data, with the codebooks (m x k x dim/m doubles) living
+  // as driver-held metadata exactly like the IVF centroids. Search
+  // reconstructs corpus vectors FROM the codes map-side (one decode
+  // projection, no shuffle) and ranks with the exact cosine operator,
+  // so the approximation lives entirely in the quantization, not in
+  // the ranking path.
+  // ---------------------------------------------------------------
+
+  /** Squared L2 distance to a literal centroid (left fold, map-side). */
+  private def l2sq(a: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(a, typedLit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Composed argmin over one subspace codebook — kept ONLY as the
+    * parity reference for the native [[graft.plans.PqCodes]] expression
+    * in HashExpressionsSpec (the [[kmeansCentroids]] scoredCells struct
+    * trick: max of (-dist, -code) = smallest distance, ties to the
+    * smallest code). The hot paths all use the native expression: the
+    * composed form allocates m*k boxed lambda frames per row.
+    */
+  private[graft] def pqComposedArgmin(sv: Column, cb: Seq[Seq[Double]]): Column = {
+    val scored = array(cb.zipWithIndex.map { case (cent, c) =>
+      struct((-l2sq(sv, cent)).as("negd"), lit(-c).as("negc"))
+    }: _*)
+    (-array_max(scored).getField("negc")).cast("int")
+  }
+
+  /** Lloyd-train the m per-subspace codebooks JOINTLY: one frame of
+    * (subspace, subvector) rows, one map-side argmin assignment + one
+    * (sub, code, pos) mean aggregation per round — m codebooks cost the
+    * same number of jobs as one. Seeded deterministically with the
+    * sub-slices of the first `kCodes` vectors by id (the
+    * [[kmeansCentroids]] convention); empty codes keep their previous
+    * centroid. Returns codebooks(sub)(code) = centroid of dim/m.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      lloydIters: Int = 3
+  ): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedVecs = corpus
+      .orderBy(col(idCol))
+      .limit(kCodes)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .collect()
+      .toSeq
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub)))
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    for (_ <- 0 until lloydIters) {
+      val means = vecs
+        .select(graft.plans.PqCodes.pqCodes(col("v"), cbs).as("codes"), col("v"))
+        .select(posexplode(col("codes")).as(Seq("sub", "code")), col("v"))
+        .select(
+          col("sub"),
+          col("code"),
+          posexplode(slice(col("v"), col("sub") * sub + 1, lit(sub))).as(Seq("pos", "x"))
+        )
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("code"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("mn")))),
+            s => s.getField("mn")
+          ).as("cv")
+        )
+        .as[(Int, Int, Seq[Double])]
+        .collect()
+        .map { case (s, c, v) => (s, c) -> v }
+        .toMap
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (v, c) => means.getOrElse((s, c), v) }
+      }
+    }
+    cbs
+  }
+
+  /** Encode each vector as its m per-subspace argmin codes — ONE
+    * map-side projection (no explode, no shuffle): (id, codes array<int>).
+    */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]
+  ): DataFrame =
+    df.select(
+      col(idCol).as("cid"),
+      graft.plans.PqCodes.pqCodes(col(vecCol).cast("array<double>"), codebooks).as("codes")
+    )
+
+  /** Reconstruct the quantized vector from its codes: concat of the m
+    * selected centroids (map-side; codebooks are literals, 0-based
+    * GetArrayItem indexing).
+    */
+  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      typedLit(cb).apply(codes.getItem(s))
+    }: _*)
+
+  /** PQ ANN with exact reranking — the standard two-stage shape: stage 1
+    * scores full-precision queries against the RECONSTRUCTED corpus
+    * (codes only — the compressed scan) and shortlists `k * rerank`
+    * candidates per query; stage 2 rescores ONLY the shortlist with
+    * exact cosine over the original vectors (a semi-join sized
+    * queries x k x rerank, independent of corpus size). Same output
+    * schema and tiebreak as [[bruteForceTopK]]. `rerank = 1` skips the
+    * exact pass and ranks purely on the quantized scores.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      lloydIters: Int = 3,
+      rerank: Int = 4
+  ): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    val enc = pqEncode(corpus, vecCol, idCol, cbs)
+      .select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
+    // cv is reconstructed as array<double>; cast the query side to match
+    // the native cosine expression's element type
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    )
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid").asc)
+    val shortlist = q
+      .crossJoin(enc)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rerank)
+    if (rerank == 1) shortlist.drop("qv")
+    else {
+      val exactVecs = corpus.select(
+        col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("ev")
+      )
+      shortlist
+        .select(col("qid"), col("qv"), col("cid"))
+        .join(exactVecs, "cid")
+        .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("ev")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Per-vector scored-cell array against a literal centroid set:
     * `array(struct(round(cos,6), -cent_id), ...)` — struct ordering makes
     * max = (best cosine, then SMALLEST cent_id), the deterministic

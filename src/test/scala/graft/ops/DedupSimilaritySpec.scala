@@ -719,6 +719,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS mh_heal_idx")
   }
 
+  test("PQ: codebooks learned (beat the global-mean quantizer), codes bounded, deterministic") {
+    val cbs = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64, m = 8, kCodes = 16)
+    assert(cbs.size === 8 && cbs.forall(_.size === 16) && cbs.flatten.forall(_.size === 8))
+    // determinism: training is seeded by id order + fixed iterations
+    assert(cbs === Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64, m = 8, kCodes = 16))
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cbs)
+    val codes = enc.collect().map(_.getSeq[Int](1))
+    assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // reconstruction must beat the trivial one-centroid quantizer
+    val recon = enc.select($"cid", Similarity.pqDecode($"codes", cbs).as("rv"))
+    val joined = emb.select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("v"))
+      .join(recon, "cid")
+      .select(aggregate(zip_with($"v", $"rv", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b).as("se"))
+      .agg(avg($"se")).head().getDouble(0)
+    val vecs = emb.select($"embedding".cast("array<double>")).collect().map(_.getSeq[Double](0))
+    val mean = (0 until 64).map(i => vecs.map(_(i)).sum / vecs.size)
+    val meanMse = vecs.map(v => v.zip(mean).map { case (x, y) => (x - y) * (x - y) }.sum).sum / vecs.size
+    assert(joined < meanMse * 0.8, s"PQ mse $joined vs global-mean $meanMse: codebooks not learning")
+  }
+
+  test("PQ top-k with exact rerank: recall@5 >= 0.9 vs brute force on real embeddings") {
+    val qs = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity
+      .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 256, rerank = 16)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(approx.size === exact.size, "k rows per query on both paths")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall@5 $recall below 0.9")
+    // rerank=1 (pure quantized ranking) still returns k rows per query
+    val pure = Similarity
+      .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 64, rerank = 1)
+    assert(pure.groupBy($"qid").count().collect().forall(_.getLong(1) === 5L))
+  }
+
   test("randomProject: bit-exact vs declared fold, exactly linear, roughly distance-preserving") {
     val dim = 64; val outDim = 16
     val planes = Dedup.hyperplanes(dim, outDim, 4270L)

@@ -110,6 +110,32 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("PqCodes == composed struct-argmin form, degenerate inputs null") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = 8; val sub = 8
+    val rnd = new scala.util.Random(99L)
+    val cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(_ => (0 until 16).map(_ => Seq.fill(sub)(rnd.nextGaussian())))
+    val v = col("embedding").cast("array<double>")
+    val composed = array((0 until m).map { s =>
+      graft.ops.Similarity.pqComposedArgmin(slice(v, s * sub + 1, sub), cbs(s))
+    }: _*)
+    val mismatches = emb
+      .select(PqCodes.pqCodes(v, cbs).as("native"), composed.as("composed"))
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches === 0)
+    // a vector shorter than m*sub is a caller bug surfaced as null
+    val short = Seq(Seq.fill(10)(0.5)).toDF("v")
+      .select(PqCodes.pqCodes(col("v"), cbs).as("c"))
+      .head()
+    assert(short.isNullAt(0))
+    val nul = Seq(Option.empty[Seq[Double]]).toDF("v")
+      .select(PqCodes.pqCodes(col("v"), cbs).as("c"))
+      .head()
+    assert(nul.isNullAt(0))
+  }
+
   test("SimHash64 == composed 64-aggregate shiftleft/or fold") {
     val hashed = docs.select(
       col("doc_id"),
