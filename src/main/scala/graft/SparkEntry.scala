@@ -507,6 +507,16 @@ object SparkEntry {
     // float32); like q40, no SQL oracle can score an approximate index,
     // so the recall gate lives IN the query — rows only survive when
     // the corpus-level recall@5 bound holds.
+    // Robust anomaly scoring: per-event-type median/MAD robust z over
+    // the event values (50% breakdown point vs the mean/std model).
+    // Hash-exact: exact-percentile parity is pinned by q51, everything
+    // downstream is single IEEE ops; MAD=0 groups yield null scores.
+    "q72_robust_anomaly" -> ((s, dir) =>
+      Anomaly
+        .robustScore(t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("robust_z"),
+          col("is_anomaly"))),
+
     "q71_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
@@ -1321,6 +1331,22 @@ object SparkEntry {
            |    / CAST(count(*) AS DOUBLE) AS rare_frac
            |FROM tok JOIN dfreq USING (token) CROSS JOIN n
            |GROUP BY tok.doc_id""".stripMargin,
+
+      // Replays robustScore: quantile_cont is the same interpolated
+      // order statistic as Spark's percentile (parity pinned by q51),
+      // the consistency constant and threshold are e0 double literals,
+      // and the score is one IEEE division — hash-exact, nulls agree
+      // on MAD=0 groups.
+      "q72_robust_anomaly" ->
+        s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events GROUP BY event_type),
+           |dev AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+           |  FROM events e JOIN med m USING (event_type)),
+           |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
+           |SELECT d.event_id, d.event_type, d.value,
+           |  CASE WHEN m.mad > 0 THEN d.dev / (1.4826e0 * m.mad) ELSE NULL END AS robust_z,
+           |  CASE WHEN m.mad > 0 THEN d.dev / (1.4826e0 * m.mad) > 3.5e0 ELSE NULL END AS is_anomaly
+           |FROM dev d JOIN mad m USING (event_type)""".stripMargin,
 
       // Replays randomProject: same seeded planes as literals, same
       // left-associated list_reduce dot fold (the q21-proven pattern),

@@ -20,6 +20,52 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Robust (median/MAD) outlier scoring — the outlier-resistant
+    * complement of [[score]]'s rolling mean/stddev model: location =
+    * per-group exact median, spread = median absolute deviation scaled
+    * by the normal-consistency constant 1.4826, score = |x - med| /
+    * (1.4826 * MAD). Extreme points inflate a stddev and mask each
+    * other; median/MAD has a 50% breakdown point, so a contaminated
+    * group still scores its outliers honestly — the standard DQ pass
+    * over metric streams before alerting thresholds are trusted.
+    *
+    * Determinism: the interpolated exact `percentile` is the same
+    * order statistic DuckDB's `quantile_cont` computes (parity pinned
+    * by q51); deviations and the final division are single IEEE ops;
+    * the consistency constant is one shared literal. MAD = 0 (more
+    * than half the group identical) leaves the scale undefined —
+    * score and flag are null rather than infinite.
+    *
+    * Scale: two grouped exact-percentile aggregations (one shuffle
+    * each on the group key) + broadcast-sized joins of the per-group
+    * stats back onto the rows. Exact percentile holds a per-group
+    * value buffer — for groups beyond memory, swap in
+    * `approx_percentile`, the same trade q51 documents.
+    */
+  def robustScore(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      valueCol: String = "value",
+      threshold: Double = 3.5
+  ): DataFrame = {
+    val keys = groupKeys.map(col)
+    val med = df
+      .groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = df
+      .join(med, groupKeys)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = dev
+      .groupBy(keys: _*)
+      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+    val z = col("_dev") / (lit(1.4826) * col("_mad"))
+    dev
+      .join(mad, groupKeys)
+      .withColumn("robust_z", when(col("_mad") > 0, z))
+      .withColumn("is_anomaly", when(col("_mad") > 0, z > threshold))
+      .drop("_med", "_dev", "_mad")
+  }
+
   def score(
       series: DataFrame,
       partitionKeys: Seq[String],

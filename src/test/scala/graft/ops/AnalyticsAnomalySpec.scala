@@ -112,4 +112,30 @@ class AnalyticsAnomalySpec extends AnyFunSuite {
       Anomaly.score(tiny.toDF("date", "value"), Seq.empty, lookback = 2, minPoints = 12)
     assert(score.filter($"is_anomaly").count() === 0)
   }
+
+  test("robustScore: exact median/MAD arithmetic; outliers can't mask each other; MAD=0 -> null") {
+    // group g: values 1..7 plus two huge outliers. median = 5 of
+    // {1..7,100,200} -> sorted {1,2,3,4,5,6,7,100,200}, med 5;
+    // deviations {4,3,2,1,0,1,2,95,195}, MAD = med = 2
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0, 200.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, "g", v)
+    } ++ Seq((100L, "flat", 9.0), (101L, "flat", 9.0), (102L, "flat", 9.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = Anomaly
+      .robustScore(rows, Seq("event_type"), "value")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("robust_z")), Option(r.getAs[Any]("is_anomaly"))))
+      .toMap
+    val mad = 2.0
+    // BOTH outliers flag (a classical z-score lets 200 inflate the std
+    // enough to shade 100; the 50% breakdown point does not)
+    assert(got(7L)._1.get.asInstanceOf[Double] === 95.0 / (1.4826 * mad))
+    assert(got(8L)._1.get.asInstanceOf[Double] === 195.0 / (1.4826 * mad))
+    assert(got(7L)._2.get.asInstanceOf[Boolean] && got(8L)._2.get.asInstanceOf[Boolean])
+    // the bulk of the group stays unflagged
+    assert((0L to 6L).forall(i => !got(i)._2.get.asInstanceOf[Boolean]))
+    // constant group: MAD = 0, scale undefined -> null score and flag
+    assert((100L to 102L).forall(i => got(i)._1.isEmpty && got(i)._2.isEmpty))
+  }
 }
