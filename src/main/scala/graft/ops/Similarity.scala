@@ -253,6 +253,137 @@ object Similarity {
     }
   }
 
+  /** Table properties recording a PQ index's geometry — probing with a
+    * codebook of different shape silently scores garbage, so the reader
+    * validates against them (same contract style as the MinHash / gram
+    * indices).
+    */
+  private val PqMProp = "graft.pq.m"
+  private val PqKProp = "graft.pq.kCodes"
+  private val PqDimProp = "graft.pq.dim"
+
+  private def codebookTable(table: String): String = s"${table}__codebooks"
+
+  /** At-rest PQ index: the codes table `table` (cid, codes — m small
+    * ints per vector, the 32x-compressed scan set) plus the codebooks in
+    * a sibling `table__codebooks` (sub, code, pos, weight; m x k x
+    * dim/m rows — bytes-scale), with the geometry recorded as table
+    * properties. Unlike the IVF index (centroids as a returned value),
+    * a FRESH session can probe this index without retraining: the
+    * codebooks live next to the codes.
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      dim: Int,
+      m: Int = 8,
+      kCodes: Int = 256,
+      lloydIters: Int = 3
+  ): Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    pqEncode(corpus, vecCol, idCol, cbs).write.mode("overwrite").saveAsTable(table)
+    cbs.zipWithIndex
+      .flatMap { case (cb, s) =>
+        cb.zipWithIndex.flatMap { case (cent, c) =>
+          cent.zipWithIndex.map { case (wgt, p) => (s, c, p, wgt) }
+        }
+      }
+      .toDF("sub", "code", "pos", "weight")
+      .write
+      .mode("overwrite")
+      .saveAsTable(codebookTable(table))
+    val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
+    spark.sql(
+      s"ALTER TABLE $ident SET TBLPROPERTIES " +
+        s"('$PqMProp'='$m', '$PqKProp'='$kCodes', '$PqDimProp'='$dim')"
+    )
+    cbs
+  }
+
+  /** Read back an index's codebooks, validating the recorded geometry
+    * against the codebook table's actual shape — fail fast rather than
+    * score against a half-written or mismatched codebook.
+    */
+  def readPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    def prop(name: String): Int = props
+      .get(name)
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(s"$table does not record $name — not a graft PQ index")
+      )
+    val (m, k, dim) = (prop(PqMProp), prop(PqKProp), prop(PqDimProp))
+    val sub = dim / m
+    val rows = spark
+      .table(codebookTable(table))
+      .select(col("sub"), col("code"), col("pos"), col("weight"))
+      .as[(Int, Int, Int, Double)]
+      .collect()
+    require(
+      rows.length == m * k * sub,
+      s"${codebookTable(table)} has ${rows.length} rows, geometry says ${m * k * sub}"
+    )
+    val byKey = rows.map { case (s, c, p, w) => (s, c, p) -> w }.toMap
+    (0 until m).map(s => (0 until k).map(c => (0 until sub).map(p => byKey((s, c, p)))))
+  }
+
+  /** Search an at-rest PQ index: the compressed-scan stage reads ONLY
+    * the codes table (decode is map-side from the codebook literals).
+    * `rerank > 1` needs the full-precision vectors, which the index
+    * deliberately does not store — pass the corpus (the authoritative
+    * store the index was built from) and the shortlist joins against it.
+    */
+  def pqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int = 1,
+      corpus: Option[DataFrame] = None
+  ): DataFrame = {
+    require(
+      rerank == 1 || corpus.nonEmpty,
+      "rerank > 1 rescores with full-precision vectors: pass the corpus the index was built from"
+    )
+    val cbs = readPqCodebooks(spark, table)
+    val enc = spark.table(table).select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    )
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid").asc)
+    val shortlist = q
+      .crossJoin(enc)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rerank)
+    if (rerank == 1) shortlist.drop("qv")
+    else {
+      val exactVecs = corpus.get.select(
+        col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("ev")
+      )
+      shortlist
+        .select(col("qid"), col("qv"), col("cid"))
+        .join(exactVecs, "cid")
+        .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("ev")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Per-vector scored-cell array against a literal centroid set:
     * `array(struct(round(cos,6), -cent_id), ...)` — struct ordering makes
     * max = (best cosine, then SMALLEST cent_id), the deterministic

@@ -756,6 +756,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pure.groupBy($"qid").count().collect().forall(_.getLong(1) === 5L))
   }
 
+  test("at-rest PQ index: indexed probe == inline, rerank needs the corpus, contracts enforced") {
+    val qs = emb.filter($"vec_id" < 10)
+    val cbs = Similarity.writePqIndex(emb, "embedding", "vec_id", "pq_idx", dim = 64,
+      m = 8, kCodes = 64, lloydIters = 2)
+    // codebooks round-trip through the sibling table exactly
+    assert(Similarity.readPqCodebooks(spark, "pq_idx") === cbs)
+    // pure quantized ranking: indexed == inline with the same geometry
+    val inline = Similarity
+      .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 64,
+        lloydIters = 2, rerank = 1)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val indexed = Similarity
+      .pqTopKIndexed(spark, "pq_idx", qs, "embedding", "vec_id", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(indexed === inline)
+    // reranked: indexed-with-corpus == inline-with-rerank
+    val inlineR = Similarity
+      .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 64,
+        lloydIters = 2, rerank = 8)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val indexedR = Similarity
+      .pqTopKIndexed(spark, "pq_idx", qs, "embedding", "vec_id", 5, rerank = 8,
+        corpus = Some(emb))
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(indexedR === inlineR)
+    // contract: rerank without a corpus is a fail-fast, not silent garbage
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(spark, "pq_idx", qs, "embedding", "vec_id", 5, rerank = 4)
+    }
+    assert(e.getMessage.contains("full-precision"))
+    // contract: a table without the geometry props is not a PQ index
+    emb.limit(1).select($"vec_id".as("cid")).write.mode("overwrite").saveAsTable("not_pq")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, "not_pq")
+    }
+    assert(e2.getMessage.contains("not a graft PQ index"))
+  }
+
   test("randomProject: bit-exact vs declared fold, exactly linear, roughly distance-preserving") {
     val dim = 64; val outDim = 16
     val planes = Dedup.hyperplanes(dim, outDim, 4270L)
