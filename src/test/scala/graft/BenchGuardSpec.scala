@@ -20,10 +20,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(d === Vector(59.6))
   }
 
-  test("the 10 s floor protects fast queries' jitter from being discarded") {
-    // 8 s is 40x the 0.2 s floor but under 10 s: kept, not churned
-    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(0.3), scripted(0.2, 8.0, 0.25))
-    assert(m === Vector(0.2, 8.0, 0.25) && d.isEmpty)
+  test("fast blocks use the scaled 3 s floor: a sub-10 s stall run is discarded") {
+    // BENCH_r07's escape: a 7 s run against a 1.3 s block min (5.4x) used
+    // to survive under the fixed 10 s floor; with the scaled floor
+    // (min < 2 s -> 3 s) it is discarded and re-run
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(1.4), scripted(1.3, 7.0, 1.35, 1.32))
+    assert(m === Vector(1.3, 1.35, 1.32))
+    assert(d === Vector(7.0))
+  }
+
+  test("the 3 s floor still protects sub-second queries' jitter from churn") {
+    // 2.5 s is 12x the 0.2 s min but under the 3 s fast-block floor: kept
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(0.3), scripted(0.2, 2.5, 0.25))
+    assert(m === Vector(0.2, 2.5, 0.25) && d.isEmpty)
+  }
+
+  test("slow blocks (min >= 2 s) keep the 10 s floor") {
+    // 9 s is 3.5x a 2.6 s min — within 5x, and the 10 s floor holds: kept
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(2.8), scripted(2.6, 9.0, 2.7))
+    assert(m === Vector(2.6, 9.0, 2.7) && d.isEmpty)
   }
 
   test("a genuinely slow query is never discarded (5x tracks its own floor)") {
