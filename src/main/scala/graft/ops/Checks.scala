@@ -52,6 +52,15 @@ object Checks {
     * partition), and a literal NULL key would also make the tie-break
     * engine-dependent (Spark orders NULLS FIRST ascending, DuckDB
     * NULLS LAST) — the sentinel keeps the ordering total and portable.
+    *
+    * Known collision, accepted: a key whose STRING FORM is literally
+    * `"<null>"` merges with the NULL bucket (counts and shares
+    * combine). For skew DIAGNOSIS that conflation is harmless — both
+    * populations hash to one shuffle partition only if they collide in
+    * the real key space, and a corpus using `"<null>"` as a live value
+    * has bigger problems — but it is a conflation: callers needing
+    * exact NULL accounting should pre-map NULLs to a sentinel outside
+    * their key's value space before profiling.
     */
   def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     val counts = df

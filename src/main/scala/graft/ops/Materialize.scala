@@ -44,7 +44,27 @@ object Materialize {
       case Some(dir) =>
         val key = spark.sparkContext.applicationId
         if (applied.put(key, dir) != dir) spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        if (eager) {
+          // Eager reliable checkpoint runs TWO jobs over the plan: the
+          // eager count, then the ReliableRDDCheckpointData write, which
+          // re-executes the (un-persisted) RDD. A TRANSIENT cache makes
+          // the count populate it and the checkpoint write read from it —
+          // one plan execution + one cache read instead of two
+          // executions, and `observe` metrics inside the plan fire once,
+          // preserving clusters()' one-materializing-job-per-round
+          // convergence accounting in reliable mode too. Unpersisted
+          // immediately: the returned frame reads the checkpoint FILES,
+          // never this cache.
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try df.checkpoint(eager = true)
+          finally df.unpersist(blocking = false)
+        } else {
+          // Lazy reliable mode keeps construction side-effect free, at
+          // the documented cost that whichever LATER action first
+          // materializes it pays the compute-twice trade (no safe point
+          // to drop a transient cache from here).
+          df.checkpoint(eager = false)
+        }
       case None => df.localCheckpoint(eager)
     }
   }

@@ -38,6 +38,12 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // the expression emits null for too-short vectors INDEPENDENTLY of its
+  // child's nullability — without this override a non-nullable child
+  // would let the planner elide null checks around the documented
+  // null-on-degenerate-input path
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -87,7 +87,14 @@ object Dfs {
   def heal(fs: FileSystem, p: Path): Unit = {
     val old = new Path(p.getParent, p.getName + ".old")
     if (!fs.exists(p) && fs.exists(old)) {
-      require(fs.rename(old, p), s"heal rename $old -> $p failed")
+      // Heal is invoked from READ paths, so two concurrent readers can
+      // both observe the crashed-swap state; the loser's rename fails
+      // AFTER the winner already restored the live file. A failed rename
+      // with the live file now present IS a successful heal — only fail
+      // when the target is still absent (a genuine FS error).
+      if (!fs.rename(old, p)) {
+        require(fs.exists(p), s"heal rename $old -> $p failed and $p is still absent")
+      }
     }
   }
 
