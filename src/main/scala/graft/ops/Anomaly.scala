@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,25 +39,37 @@ object Anomaly {
     * Scale: two grouped exact-percentile aggregations (one shuffle
     * each on the group key) + broadcast-sized joins of the per-group
     * stats back onto the rows. Exact percentile holds a per-group
-    * value buffer — for groups beyond memory, swap in
-    * `approx_percentile`, the same trade q51 documents.
+    * value buffer — the one aggregation in the engine whose memory
+    * grows with per-group distinct values, fine for low-cardinality
+    * event types, not for billion-row high-cardinality groups. For
+    * those, `exact = false` routes BOTH percentiles through
+    * `approx_percentile` (GK sketch, bounded memory at `accuracy`
+    * inverse-epsilon) — the medians shift within the sketch's rank
+    * error and the robust-z scores with them (spec-pinned tolerance on
+    * a skewed corpus); the flag is the same opt-in trade as the dedup
+    * family's `maxBucket`, with exact as the oracle-grade default.
     */
   def robustScore(
       df: DataFrame,
       groupKeys: Seq[String],
       valueCol: String = "value",
-      threshold: Double = 3.5
+      threshold: Double = 3.5,
+      exact: Boolean = true,
+      accuracy: Int = 10000
   ): DataFrame = {
     val keys = groupKeys.map(col)
+    def p50(c: String): Column =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
     val med = df
       .groupBy(keys: _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+      .agg(p50(valueCol).as("_med"))
     val dev = df
       .join(med, groupKeys)
       .withColumn("_dev", abs(col(valueCol) - col("_med")))
     val mad = dev
       .groupBy(keys: _*)
-      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+      .agg(p50("_dev").as("_mad"))
     val z = col("_dev") / (lit(1.4826) * col("_mad"))
     dev
       .join(mad, groupKeys)

@@ -138,4 +138,35 @@ class AnalyticsAnomalySpec extends AnyFunSuite {
     // constant group: MAD = 0, scale undefined -> null score and flag
     assert((100L to 102L).forall(i => got(i)._1.isEmpty && got(i)._2.isEmpty))
   }
+
+  test("robustScore exact=false: sketched medians track exact within tolerance on a skewed corpus") {
+    // skewed, high-distinct-count group — the shape that blows the exact
+    // percentile's per-group buffer at scale and motivates the knob: a
+    // log-ish long tail (i*i spreads distinct values) plus a hot spike
+    val rows = ((1 to 2000).map(i => (i.toLong, "tail", (i.toDouble * i) / 1000.0)) ++
+      (1 to 50).map(i => (10000L + i, "tail", 4000.0 + i)))
+      .toDF("event_id", "event_type", "value")
+    val exact = Anomaly
+      .robustScore(rows, Seq("event_type"), "value")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("robust_z")).toMap
+    val approx = Anomaly
+      .robustScore(rows, Seq("event_type"), "value", exact = false, accuracy = 10000)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("robust_z")).toMap
+    assert(approx.size === exact.size)
+    // GK at accuracy 10000 bounds rank error to ~n/10000 ranks here, so
+    // the median/MAD (and every score derived from them) stay within a
+    // tight relative band of the exact run
+    exact.foreach { case (id, z) =>
+      val za = approx(id)
+      assert(math.abs(za - z) <= math.max(0.05, 0.05 * math.abs(z)),
+        s"event $id: exact z=$z vs approx z=$za")
+    }
+    // and the flag set is identical on a clearly-separated corpus: the
+    // 50 spike rows flag, the tail does not flip under sketch error
+    val flagsE = Anomaly.robustScore(rows, Seq("event_type"), "value")
+      .filter($"is_anomaly").select("event_id").as[Long].collect().toSet
+    val flagsA = Anomaly.robustScore(rows, Seq("event_type"), "value", exact = false)
+      .filter($"is_anomaly").select("event_id").as[Long].collect().toSet
+    assert(flagsA === flagsE)
+  }
 }
