@@ -497,6 +497,19 @@ object SparkEntry {
       Dedup.sourceSimilarityMatrix(t(s, dir, "documents"), "text", "source",
         shingleSize = 3, numSlots = 128, tokenHash = Some(Dedup.md5TokenHash))),
 
+    // Corpus recon report: ranked source-pair list (the order the exact
+    // decontamination/cross-dedup pass consumes pairs in). The driver
+    // compares the hash-exact half — MinHash matrix + rank; the HLL
+    // whole-document overlap columns ride along in the operator but are
+    // sketch-implementation-specific, so the query projects them out
+    // (same split as corpusOverlapEstimate being spec-only).
+    "q74_corpus_recon" -> ((s, dir) =>
+      Dedup
+        .corpusRecon(t(s, dir, "documents"), "text", "source",
+          shingleSize = 3, numSlots = 128, tokenHash = Some(Dedup.md5TokenHash))
+        .select(col("rnk"), col("source_a"), col("source_b"),
+          col("matching_slots"), col("est_jaccard"))),
+
     // Corpus-relative frequency quality score (libm-free CCNet stand-in):
     // per doc, mean corpus df of token occurrences + rare-occurrence
     // fraction (integer rare rule: df*1000 <= n_docs*permille).
@@ -525,6 +538,31 @@ object SparkEntry {
         .select(col("qid"), col("cid"))
       val approx = Similarity
         .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 256, rerank = 16)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      exact
+        .join(approx, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
+        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+        .filter(col("corpus_recall") >= 0.9)
+    }),
+
+    // IVF-PQ composition — the real 100 TB ANN shape: IVF prunes WHICH
+    // vectors are scored (nProbe of nCells cells), PQ shrinks WHAT is
+    // scanned for them (8 one-byte codes vs 64 floats), exact rerank
+    // keeps the final ranking honest. Like q40/q71, no SQL oracle can
+    // score an approximate index, so the recall gate lives IN the query
+    // — rows only survive when corpus-level recall@5 >= 0.9 holds.
+    "q73_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity
+        .ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
+          nCells = 16, nProbe = 8, m = 8, kCodes = 256, rerank = 16)
         .select(col("qid"), col("cid"), lit(1L).as("_hit"))
       exact
         .join(approx, Seq("qid", "cid"), "left")
@@ -1315,6 +1353,14 @@ object SparkEntry {
       // min/xor/count are pure integer ops and 128 = 2^7 makes the
       // estimate division IEEE-exact — hash-exact end to end.
       "q68_source_similarity" -> sourceSimilaritySql,
+      // q74: the q68 matrix wrapped with the recon ranking (est_jaccard
+      // desc, ties by pair name) — row_number is deterministic here
+      // because the ORDER BY is total over the pair grid
+      "q74_corpus_recon" ->
+        s"""SELECT CAST(row_number() OVER (
+           |    ORDER BY est_jaccard DESC, source_a, source_b) AS BIGINT) AS rnk,
+           |  source_a, source_b, matching_slots, est_jaccard
+           |FROM ($sourceSimilaritySql)""".stripMargin,
 
       // Replays corpusFrequencyScore: BIGINT-exact df sums (DuckDB's
       // HUGEINT sum cast back), integer rare rule, one IEEE division

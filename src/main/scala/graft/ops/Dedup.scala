@@ -1379,6 +1379,84 @@ object Dedup {
     Seq.fill(numSlots)(rnd.nextLong())
   }
 
+  /** Corpus reconnaissance report — the operational loop SURVEY §7.5
+    * sketches, in one entry point: every source pair of a grouped
+    * corpus, RANKED by shingle-level MinHash similarity
+    * ([[sourceSimilarityMatrix]]'s exact-replayable estimate, the sort
+    * key the exact decontamination / cross-dedup pass
+    * ([[graft.ops.TextAnalysis.decontaminate]], [[incrementalExact]])
+    * consumes pairs in), each annotated with whole-document overlap
+    * estimates from per-source HLL sketches ([[corpusOverlapEstimate]]'s
+    * math, batched: ONE sketch agg covers ALL sources — never a
+    * per-pair pass over the corpus).
+    *
+    * The two estimators answer different questions on purpose: a pair
+    * can share heavy boilerplate (high `est_jaccard`, shingle-level)
+    * while sharing zero verbatim documents (`n_intersect` ≈ 0) — the
+    * first routes it to cross-DEDUP, the second to DECONTAMINATION.
+    * `rnk` orders by the shingle estimate (ties by pair name) because
+    * near-duplicate mass, not just verbatim overlap, is what poisons a
+    * training mix.
+    *
+    * Scale: the matrix half is the [[sourceSimilarityMatrix]] shape
+    * (corpus-proportional work is two bounded-width shuffles); the HLL
+    * half is one map-side sketch agg (#sources rows of ~2^lgConfigK
+    * bytes) self-joined broadcast. The pair grid is quadratic in
+    * #sources by construction — this is a dashboard/recon artifact over
+    * tens-to-hundreds of sources, not a millions-of-groups operator
+    * (for those, [[sourceSimilarityMatrix]] with
+    * `includeZeroPairs = false` is the candidate-pair path).
+    */
+  def corpusRecon(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleSize: Int = 3,
+      numSlots: Int = 128,
+      seed: Long = 7268L,
+      lgConfigK: Int = 14,
+      tokenHash: Option[Column => Column] = None
+  ): DataFrame = {
+    val matrix = sourceSimilarityMatrix(
+      df, textCol, groupCol, shingleSize, numSlots, seed,
+      includeZeroPairs = true, tokenHash = tokenHash)
+    val sketches = df
+      .groupBy(col(groupCol).as("source"))
+      .agg(
+        hll_sketch_agg(md5(col(textCol)), lit(lgConfigK)).as("sk"),
+        count(lit(1)).as("n_docs")
+      )
+    val hllPairs = sketches
+      .as("a")
+      .join(broadcast(sketches.as("b")), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.n_docs").as("docs_a"),
+        col("b.n_docs").as("docs_b"),
+        hll_sketch_estimate(col("a.sk")).as("n_a"),
+        hll_sketch_estimate(col("b.sk")).as("n_b"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("n_union")
+      )
+      .select(
+        col("source_a"), col("source_b"), col("docs_a"), col("docs_b"),
+        col("n_a"), col("n_b"), col("n_union"),
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")).as("n_intersect")
+      )
+    matrix
+      .join(hllPairs, Seq("source_a", "source_b"), "left")
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(
+            Window
+              .partitionBy(lit(1))
+              .orderBy(col("est_jaccard").desc, col("source_a"), col("source_b"))
+          )
+          .cast("long")
+      )
+  }
+
   /** Table property recording the gram length an at-rest gram index was
     * built with — probing or appending with a different k computes
     * different windows and silently corrupts counts, so every entry

@@ -226,31 +226,66 @@ object Similarity {
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
     val enc = pqEncode(corpus, vecCol, idCol, cbs)
       .select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
+    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, Some(corpus))
+  }
+
+  /** Full-precision (cid, ev) side for the exact rerank pass. */
+  private def exactSide(corpus: DataFrame, vecCol: String, idCol: String): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("ev"))
+
+  /** Per-query ranking window shared by every ANN path: best rounded
+    * cosine first, ties to the smallest corpus id (engine-independent).
+    */
+  private def rankWindow =
+    Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid").asc)
+
+  /** Stage 2 of the two-stage PQ shape: rescore the `k * rerank`
+    * shortlist with exact cosine over the original vectors — a semi-join
+    * sized queries x k x rerank, independent of corpus size. `rerank=1`
+    * skips it and ranks purely on the quantized scores.
+    */
+  private def rerankStage(
+      shortlist: DataFrame,
+      corpus: Option[DataFrame],
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int
+  ): DataFrame =
+    if (rerank == 1) shortlist.drop("qv")
+    else
+      shortlist
+        .select(col("qid"), col("qv"), col("cid"))
+        .join(exactSide(corpus.get, vecCol, idCol), "cid")
+        .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("ev")).as("cosine"))
+        .withColumn("rank", row_number().over(rankWindow))
+        .filter(col("rank") <= k)
+
+  /** Flat compressed scan + rerank shared by the inline and at-rest PQ
+    * paths: broadcast queries x reconstructed corpus, per-query top
+    * `k * rerank` shortlist, optional exact rescue.
+    */
+  private def pqShortlistRerank(
+      enc: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int,
+      corpus: Option[DataFrame]
+  ): DataFrame = {
     // cv is reconstructed as array<double>; cast the query side to match
     // the native cosine expression's element type
     val q = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     )
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid").asc)
     val shortlist = q
       .crossJoin(enc)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("qv"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)
-    if (rerank == 1) shortlist.drop("qv")
-    else {
-      val exactVecs = corpus.select(
-        col(idCol).as("cid"),
-        col(vecCol).cast("array<double>").as("ev")
-      )
-      shortlist
-        .select(col("qid"), col("qv"), col("cid"))
-        .join(exactVecs, "cid")
-        .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("ev")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
+    rerankStage(shortlist, corpus, vecCol, idCol, k, rerank)
   }
 
   /** Table properties recording a PQ index's geometry — probing with a
@@ -283,9 +318,25 @@ object Similarity {
       lloydIters: Int = 3
   ): Seq[Seq[Seq[Double]]] = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
     pqEncode(corpus, vecCol, idCol, cbs).write.mode("overwrite").saveAsTable(table)
+    writeCodebooks(spark, table, cbs)
+    cbs
+  }
+
+  /** Persist the codebooks sibling + geometry props. The recorded
+    * geometry is derived from the TRAINED codebooks, not the requested
+    * knobs: [[pqTrain]] seeds from the first `kCodes` vectors, so a
+    * corpus with fewer rows trains a smaller (but fully valid) codebook
+    * — recording the request instead would make [[readPqCodebooks]]'s
+    * shape check fail forever against an index that wrote successfully.
+    */
+  private def writeCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      cbs: Seq[Seq[Seq[Double]]]
+  ): Unit = {
+    import spark.implicits._
     cbs.zipWithIndex
       .flatMap { case (cb, s) =>
         cb.zipWithIndex.flatMap { case (cent, c) =>
@@ -296,12 +347,12 @@ object Similarity {
       .write
       .mode("overwrite")
       .saveAsTable(codebookTable(table))
+    val (m, k, sub) = (cbs.size, cbs.head.size, cbs.head.head.size)
     val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
     spark.sql(
       s"ALTER TABLE $ident SET TBLPROPERTIES " +
-        s"('$PqMProp'='$m', '$PqKProp'='$kCodes', '$PqDimProp'='$dim')"
+        s"('$PqMProp'='$m', '$PqKProp'='$k', '$PqDimProp'='${m * sub}')"
     )
-    cbs
   }
 
   /** Read back an index's codebooks, validating the recorded geometry
@@ -359,29 +410,49 @@ object Similarity {
     )
     val cbs = readPqCodebooks(spark, table)
     val enc = spark.table(table).select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
-    val q = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, corpus)
+  }
+
+  /** Append a batch to an at-rest PQ index built by [[writePqIndex]]:
+    * encode the new vectors with the index's FROZEN codebooks (read and
+    * geometry-validated from the sibling table) and append the codes —
+    * O(batch) work, no retrain, no rewrite of existing codes, exactly
+    * the gram/MinHash indices' append contract. A fresh-session probe
+    * after the append equals a probe of an index whose codes were
+    * encoded over the union corpus with the SAME codebooks (spec-pinned).
+    *
+    * Codebook-drift limit, stated honestly: frozen codebooks stay
+    * near-optimal only while the appended batches come from the same
+    * distribution the index was trained on. Quantization error (and so
+    * recall) degrades gradually as the corpus drifts — the codes stay
+    * VALID (search still works, the recall gate still measures it), they
+    * just compress the drifted region worse than a retrain would. The
+    * maintenance story at scale: monitor the recall gate, rebuild
+    * ([[writePqIndex]]) when it sags; there is no incremental retrain,
+    * because re-training codebooks re-encodes every existing code by
+    * definition.
+    *
+    * Geometry gate: a batch whose vectors are not exactly the index's
+    * dim is rejected up front (one bounded probe job) — [[PqCodes]]
+    * would null short vectors and silently truncate long ones, either of
+    * which poisons the index.
+    */
+  def appendToPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    val cbs = readPqCodebooks(spark, table)
+    val dim = cbs.size * cbs.head.head.size
+    val bad = batch.filter(size(col(vecCol)) =!= dim).limit(1).count()
+    require(
+      bad == 0L,
+      s"appendToPqIndex: batch contains vectors whose dim != $dim (index geometry) — " +
+        "rebuild the index for a new embedding width instead of appending"
     )
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("cid").asc)
-    val shortlist = q
-      .crossJoin(enc)
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k * rerank)
-    if (rerank == 1) shortlist.drop("qv")
-    else {
-      val exactVecs = corpus.get.select(
-        col(idCol).as("cid"),
-        col(vecCol).cast("array<double>").as("ev")
-      )
-      shortlist
-        .select(col("qid"), col("qv"), col("cid"))
-        .join(exactVecs, "cid")
-        .select(col("qid"), col("cid"), Fns.cosine(col("qv"), col("ev")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
+    pqEncode(batch, vecCol, idCol, cbs).write.mode("append").saveAsTable(table)
   }
 
   /** Per-vector scored-cell array against a literal centroid set:
@@ -559,5 +630,214 @@ object Similarity {
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val assigned = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     searchCells(assigned, probes, k)
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ: the standard composition (Jégou et al. '11 §IV) and the
+  // real 100 TB ANN answer — IVF prunes WHICH vectors are scored
+  // (nProbe/nCells of the corpus), PQ shrinks WHAT is scanned for them
+  // (m one-byte codes vs dim floats), and the exact rerank keeps the
+  // final ranking honest. Neither half alone survives 100 TB: flat PQ
+  // still touches every code; full-precision IVF still reads dim
+  // floats per candidate. Composed, a probe reads
+  // nProbe/nCells x (m / 4*dim) of the at-rest bytes.
+  // ---------------------------------------------------------------
+
+  /** Coarse-assign + PQ-encode in ONE map-side projection: (cid,
+    * cent_id, codes). Residual-free variant (codes quantize the raw
+    * vector, not the residual): keeps encode independent of the cell
+    * assignment so appends and cell re-balancing stay O(batch).
+    */
+  private def assignAndEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      cbs: Seq[Seq[Seq[Double]]]
+  ): DataFrame =
+    assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+      .select(
+        col("cid"),
+        col("cent_id"),
+        graft.plans.PqCodes.pqCodes(col("cv").cast("array<double>"), cbs).as("codes")
+      )
+
+  /** The IVF-PQ rank pipeline shared by the inline and at-rest paths:
+    * join the probes onto the (cell-pruned) codes by cent_id, decode
+    * map-side from the codebook literals, shortlist `k * rerank` per
+    * query on the quantized cosine, exact-rerank the shortlist.
+    */
+  private def searchCellsCompressed(
+      codes: DataFrame,
+      probes: DataFrame,
+      cbs: Seq[Seq[Seq[Double]]],
+      corpus: Option[DataFrame],
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rerank: Int
+  ): DataFrame = {
+    val shortlist = probes
+      .join(codes, "cent_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(
+        col("qid"),
+        col("qv").cast("array<double>").as("qv"),
+        col("cid"),
+        Fns.cosine(col("qv").cast("array<double>"), pqDecode(col("codes"), cbs)).as("cosine")
+      )
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k * rerank)
+    rerankStage(shortlist, corpus, vecCol, idCol, k, rerank)
+  }
+
+  /** Inline IVF-PQ ANN: train both quantizers, probe `nProbe` cells per
+    * query, compressed-score ONLY those cells' codes, exact-rerank the
+    * shortlist. Same output schema and tiebreak as [[bruteForceTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      dim: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kCodes: Int = 16,
+      lloydIters: Int = 3,
+      rerank: Int = 4
+  ): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
+    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    searchCellsCompressed(
+      assignAndEncode(corpus, vecCol, idCol, cents, cbs),
+      probeCells(queries, cents, vecCol, idCol, nProbe),
+      cbs,
+      Some(corpus),
+      vecCol,
+      idCol,
+      k,
+      rerank
+    )
+  }
+
+  private val IvfCellsProp = "graft.ivf.nCells"
+
+  private def centroidTable(table: String): String = s"${table}__centroids"
+
+  /** At-rest IVF-PQ index: the codes table `table` (cid, cent_id, codes)
+    * BUCKETED by cent_id — so a probe reads only its cells' buckets —
+    * plus the codebooks AND coarse centroids in sibling tables, with the
+    * full geometry as table properties. Unlike [[writeIvfIndex]] (which
+    * returns the centroids as driver-held metadata), a FRESH session can
+    * probe this index with nothing but the table name.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      dim: Int,
+      nCells: Int = 16,
+      m: Int = 8,
+      kCodes: Int = 256,
+      lloydIters: Int = 3
+  ): (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
+    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    graft.sinks.Sinks.writeBucketed(
+      assignAndEncode(corpus, vecCol, idCol, cents, cbs),
+      table,
+      Seq("cent_id"),
+      numBuckets = nCells
+    )
+    writeCodebooks(spark, table, cbs)
+    cents
+      .flatMap { case (id, v) => v.zipWithIndex.map { case (wgt, p) => (id, p, wgt) } }
+      .toDF("cent_id", "pos", "weight")
+      .write
+      .mode("overwrite")
+      .saveAsTable(centroidTable(table))
+    // derived from the TRAINED centroid set (a corpus smaller than
+    // nCells seeds fewer cells), same honesty rule as writeCodebooks
+    spark.sql(
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$IvfCellsProp'='${cents.size}')"
+    )
+    (cents, cbs)
+  }
+
+  /** Read back an IVF-PQ index's coarse centroids, validating the
+    * recorded geometry against the centroid table's actual shape.
+    */
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    def prop(name: String): Int = props
+      .get(name)
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$table does not record $name — not a graft IVF-PQ index"
+        )
+      )
+    val (nCells, dim) = (prop(IvfCellsProp), prop(PqDimProp))
+    val rows = spark
+      .table(centroidTable(table))
+      .select(col("cent_id"), col("pos"), col("weight"))
+      .as[(Long, Int, Double)]
+      .collect()
+    require(
+      rows.length == nCells * dim,
+      s"${centroidTable(table)} has ${rows.length} rows, geometry says ${nCells * dim}"
+    )
+    rows
+      .groupBy(_._1)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (id, rs) => (id, rs.sortBy(_._2).map(_._3).toSeq) }
+  }
+
+  /** Search an at-rest IVF-PQ index from table metadata alone. The union
+    * of probed cell ids is bounded by nCells (driver-safe collect) and
+    * becomes an `IN` filter on the bucket column, so the codes scan
+    * reads ONLY the probed buckets (`SelectedBucketsCount` in the plan)
+    * — and each of those rows is m bytes of codes, not dim floats.
+    * `rerank > 1` joins the shortlist against the full-precision corpus
+    * (the authoritative store, deliberately not duplicated in the index).
+    */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 1,
+      corpus: Option[DataFrame] = None
+  ): DataFrame = {
+    import spark.implicits._
+    require(
+      rerank == 1 || corpus.nonEmpty,
+      "rerank > 1 rescores with full-precision vectors: pass the corpus the index was built from"
+    )
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val cbs = readPqCodebooks(spark, table)
+    val cents = readIvfCentroids(spark, table)
+    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
+    val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
+    val codes = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+    searchCellsCompressed(codes, probes, cbs, corpus, vecCol, idCol, k, rerank)
   }
 }

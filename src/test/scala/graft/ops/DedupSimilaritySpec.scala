@@ -922,4 +922,131 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(after === got)
     assert(!spark.catalog.tableExists("graftdb.mh_q_idx__compact"))
   }
+
+  test("IVF-PQ composition reaches corpus recall@5 >= 0.9; q73 gates its rows on it") {
+    val got = graft.SparkEntry.queries("q73_ivfpq_recall")(spark, "/root/testdata/sf0.001")
+    val rows = got.collect()
+    assert(rows.length === 20, s"corpus recall gate dropped rows: ${rows.length}/20")
+    assert(rows.head.getAs[Double]("corpus_recall") >= 0.9)
+    // per-query floor: no single query may collapse behind the corpus avg
+    val perQuery = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(perQuery.forall(_ >= 0.4), s"per-query recall floor broken: ${perQuery.min}")
+  }
+
+  test("at-rest IVF-PQ: fresh-session probe from table metadata alone, pruned scan, == inline") {
+    val (cents, cbs) = Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", "ivfpq_idx",
+      dim = 64, nCells = 16, m = 8, kCodes = 64, lloydIters = 2)
+    // fresh-session contract: both quantizers round-trip through the
+    // sibling tables — a probe needs nothing but the table name
+    assert(Similarity.readPqCodebooks(spark, "ivfpq_idx") === cbs)
+    assert(Similarity.readIvfCentroids(spark, "ivfpq_idx") === cents)
+
+    // the codes scan reads AT MOST nProbe of the nCells buckets
+    val oneQ = emb.filter($"vec_id" === 0)
+    val one = Similarity.ivfPqTopKIndexed(spark, "ivfpq_idx", oneQ, "embedding", "vec_id", 5,
+      nProbe = 4)
+    one.collect() // execute so AQE finalizes the plan
+    val plan = one.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt <= 4 && sel.get.group(2).toInt === 16,
+      s"expected <=4 of 16 buckets, got ${sel.get.matched}")
+
+    // indexed == inline for the same geometry (training is deterministic),
+    // through the exact-rerank path
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity
+      .ivfPqTopKIndexed(spark, "ivfpq_idx", qs, "embedding", "vec_id", 5, nProbe = 4,
+        rerank = 4, corpus = Some(emb))
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity
+      .ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, nCells = 16, nProbe = 4,
+        m = 8, kCodes = 64, lloydIters = 2, rerank = 4)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(indexed === inline)
+    // rerank without the corpus is a fail-fast, same contract as flat PQ
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, "ivfpq_idx", qs, "embedding", "vec_id", 5, rerank = 4)
+    }
+    assert(e.getMessage.contains("full-precision"))
+  }
+
+  test("appendToPqIndex: frozen-codebook append == encode-over-union; wrong geometry rejected") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val cbs = Similarity.writePqIndex(a, "embedding", "vec_id", "pq_app_idx", dim = 64,
+      m = 8, kCodes = 32, lloydIters = 2)
+    Similarity.appendToPqIndex(spark, "pq_app_idx", b, "embedding", "vec_id")
+    // codebooks are FROZEN: untouched by the append
+    assert(Similarity.readPqCodebooks(spark, "pq_app_idx") === cbs)
+    // the appended index holds exactly the union corpus encoded with the
+    // frozen codebooks — and since a probe is a pure function of
+    // (codes, codebooks), a fresh-session probe therefore equals one
+    // against an index whose codes were written over the union directly
+    val got = spark.table("pq_app_idx")
+      .select($"cid", $"codes").as[(Long, Seq[Int])].collect().toSet
+    val want = Similarity.pqEncode(emb, "embedding", "vec_id", cbs)
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(got === want)
+    // appended vectors are probe-visible immediately
+    val probe = Similarity
+      .pqTopKIndexed(spark, "pq_app_idx", emb.filter($"vec_id" < 5), "embedding", "vec_id", 5)
+    assert(probe.groupBy($"qid").count().select("count").as[Long].collect().forall(_ === 5L))
+    // geometry gate: a batch with the wrong embedding width is rejected
+    // up front, never encoded
+    val short32 = emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(spark, "pq_app_idx", short32, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("PQ index on a corpus smaller than kCodes records the TRAINED geometry, stays usable") {
+    val tiny = emb.filter($"vec_id" < 10)
+    val cbs = Similarity.writePqIndex(tiny, "embedding", "vec_id", "pq_tiny_idx", dim = 64,
+      m = 8, kCodes = 64, lloydIters = 1)
+    // 10 corpus rows seed k=10 codes, not the requested 64 — the index
+    // must record what was TRAINED or every later read fails its shape check
+    assert(cbs.head.size === 10)
+    assert(Similarity.readPqCodebooks(spark, "pq_tiny_idx") === cbs)
+    val probe = Similarity
+      .pqTopKIndexed(spark, "pq_tiny_idx", tiny.filter($"vec_id" < 2), "embedding", "vec_id", 3)
+    assert(probe.groupBy($"qid").count().select("count").as[Long].collect().forall(_ === 3L))
+  }
+
+  test("corpusRecon: ranked pairs == matrix + rank; HLL annotations are sane; q74 matches") {
+    val recon = Dedup
+      .corpusRecon(docs, "text", "source", shingleSize = 3, numSlots = 128,
+        tokenHash = Some(Dedup.md5TokenHash))
+      .collect()
+    // the hash-exact half is exactly sourceSimilarityMatrix, reranked
+    val matrix = Dedup
+      .sourceSimilarityMatrix(docs, "text", "source", shingleSize = 3, numSlots = 128,
+        tokenHash = Some(Dedup.md5TokenHash))
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("matching_slots"), r.getAs[Double]("est_jaccard")))
+      .toMap
+    assert(recon.length === matrix.size, "recon must cover the full pair grid")
+    recon.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(matrix(key) === ((r.getAs[Long]("matching_slots"), r.getAs[Double]("est_jaccard"))))
+    }
+    // rnk is the total order (est_jaccard desc, pair name)
+    val byRank = recon.sortBy(_.getAs[Long]("rnk"))
+    assert(byRank.map(_.getAs[Long]("rnk")).toSeq === (1L to recon.length).toSeq)
+    val ordered = byRank.map(r =>
+      (-r.getAs[Double]("est_jaccard"), r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(ordered.toSeq === ordered.sortBy(identity).toSeq)
+    // HLL annotations: estimates present and consistent on every pair
+    byRank.foreach { r =>
+      val (na, nb, nu, ni) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_union"), r.getAs[Long]("n_intersect"))
+      assert(nu >= math.max(na, nb) && ni >= 0L && ni <= math.min(na, nb))
+      assert(r.getAs[Long]("docs_a") > 0L && r.getAs[Long]("docs_b") > 0L)
+    }
+    // and the driver query is the deterministic projection of the same frame
+    val q74 = graft.SparkEntry.queries("q74_corpus_recon")(spark, "/root/testdata/sf0.001")
+    assert(q74.count() === recon.length.toLong)
+  }
 }
