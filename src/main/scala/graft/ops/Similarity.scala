@@ -648,7 +648,7 @@ object Similarity {
     * vector, not the residual): keeps encode independent of the cell
     * assignment so appends and cell re-balancing stay O(batch).
     */
-  private def assignAndEncode(
+  private[graft] def assignAndEncode(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
@@ -750,11 +750,15 @@ object Similarity {
     import spark.implicits._
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    // cents.size, not the requested nCells: a corpus smaller than nCells
+    // trains fewer cells, and the bucket count must equal the recorded
+    // IvfCellsProp so appendToIvfPqIndex's bucket spec always matches
+    // the catalog's
     graft.sinks.Sinks.writeBucketed(
       assignAndEncode(corpus, vecCol, idCol, cents, cbs),
       table,
       Seq("cent_id"),
-      numBuckets = nCells
+      numBuckets = cents.size
     )
     writeCodebooks(spark, table, cbs)
     cents
@@ -816,6 +820,41 @@ object Similarity {
     * `rerank > 1` joins the shortlist against the full-precision corpus
     * (the authoritative store, deliberately not duplicated in the index).
     */
+  /** Append a batch to an at-rest IVF-PQ index: coarse-assign + encode
+    * with the index's FROZEN quantizers (both read and geometry-
+    * validated from the sibling tables) and bucket-append the codes —
+    * O(batch), lands in the right cent_id buckets so probe pruning
+    * keeps working, per-append files merge on the usual
+    * [[graft.sinks.Sinks.compactBucketed]] cadence. Same codebook-drift
+    * limits as [[appendToPqIndex]], plus the coarse half: drifted
+    * batches still assign to their NEAREST frozen cell (assignment
+    * stays total), the cells just partition the drifted region less
+    * evenly — the recall gate is the monitor, rebuild is the fix.
+    */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    val cbs = readPqCodebooks(spark, table)
+    val cents = readIvfCentroids(spark, table)
+    val dim = cbs.size * cbs.head.head.size
+    val bad = batch.filter(size(col(vecCol)) =!= dim).limit(1).count()
+    require(
+      bad == 0L,
+      s"appendToIvfPqIndex: batch contains vectors whose dim != $dim (index geometry) — " +
+        "rebuild the index for a new embedding width instead of appending"
+    )
+    graft.sinks.Sinks.appendBucketed(
+      assignAndEncode(batch, vecCol, idCol, cents, cbs),
+      table,
+      Seq("cent_id"),
+      numBuckets = cents.size
+    )
+  }
+
   def ivfPqTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       table: String,

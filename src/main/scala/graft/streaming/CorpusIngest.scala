@@ -332,6 +332,93 @@ object CorpusIngest {
     *    dropped, which is what the reverse order would do), and
     *    `writeGramIndex(corpus)` heals the undercount exactly.
     */
+  /** File-based embedding stream (locally testable source: parquet
+    * files of (vec_id, embedding) dropped into a directory) — the
+    * [[pqIndexIngest]] source.
+    */
+  def fileVecStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>").parquet(dir)
+
+  /** Per-batch accounting from [[ingestPqBatch]]: vectors appended to
+    * the index and replays (in-batch duplicate ids + ids the index
+    * already holds).
+    */
+  final case class PqIngestStats(appended: Long, replays: Long)
+
+  /** Streaming ANN-index ingest: each micro-batch of embeddings is
+    * encoded with the at-rest PQ index's FROZEN codebooks
+    * ([[graft.ops.Similarity.appendToPqIndex]]) and appended — a
+    * continuously-growing searchable index where every append is
+    * O(batch) and a fresh session can probe the up-to-the-last-batch
+    * state from the table name alone.
+    *
+    * Bootstrap contract: the index must already exist
+    * ([[graft.ops.Similarity.writePqIndex]] on a representative seed
+    * corpus — the codebooks are trained ONCE, there; see that method's
+    * codebook-drift scaladoc for the retrain story).
+    *
+    * Invariant (spec-pinned): after any prefix of batches, the codes
+    * table equals `pqEncode(seed ∪ streamed-so-far, frozen codebooks)`
+    * — i.e. the streamed index is bit-identical to a batch rebuild
+    * over the same vectors with the same codebooks.
+    *
+    * Crash safety: `foreachBatch` redelivers a completed batch when a
+    * crash lands between the append and the checkpoint commit, and a
+    * codes append is not idempotent — so every batch anti-joins out
+    * ids the index already holds (the same replay guard as
+    * [[ingestNearDupBatch]]'s indexed-id check). The anti-join is one
+    * probe of the index's id column per batch: O(index) scan bytes but
+    * id-column-only, and O(batch) shuffle.
+    */
+  def pqIndexIngest(
+      vecs: DataFrame,
+      table: String,
+      checkpoint: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestPqBatch(batch, table, vecCol, idCol)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[pqIndexIngest]]; exposed for batch-mode reuse
+    * and the spec's streamed==rebuild comparison.
+    */
+  def ingestPqBatch(
+      batch: DataFrame,
+      table: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): PqIngestStats = {
+    val spark = batch.sparkSession
+    require(
+      spark.catalog.tableExists(table),
+      s"$table does not exist — bootstrap the index with writePqIndex on a seed corpus first"
+    )
+    // ids identify vectors (the id IS the index key): one row per id
+    // in-batch; two different payloads under one id is a caller bug and
+    // the survivor is arbitrary, same as any keyed upsert sink
+    val unique = batch.dropDuplicates(Seq(idCol))
+    // cross-batch replay guard — ids already indexed never re-append
+    val fresh = graft.ops.Materialize(
+      unique.join(
+        spark.table(table).select(col("cid").as(idCol)),
+        Seq(idCol),
+        "left_anti"
+      ),
+      eager = true
+    )
+    val appended = fresh.count()
+    if (appended > 0) {
+      graft.ops.Similarity.appendToPqIndex(spark, table, fresh, vecCol, idCol)
+    }
+    PqIngestStats(appended, unique.count() - appended)
+  }
+
   def spanDedupIngest(
       docs: DataFrame,
       corpusPath: String,

@@ -1014,6 +1014,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probe.groupBy($"qid").count().select("count").as[Long].collect().forall(_ === 3L))
   }
 
+  test("appendToIvfPqIndex: frozen-quantizer append, buckets intact through compaction") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val (cents, cbs) = Similarity.writeIvfPqIndex(a, "embedding", "vec_id", "ivfpq_app_idx",
+      dim = 64, nCells = 8, m = 8, kCodes = 32, lloydIters = 2)
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_app_idx", b, "embedding", "vec_id")
+    // both quantizers are FROZEN: the appended index holds exactly the
+    // union corpus assigned + encoded with them
+    assert(Similarity.readPqCodebooks(spark, "ivfpq_app_idx") === cbs)
+    assert(Similarity.readIvfCentroids(spark, "ivfpq_app_idx") === cents)
+    val got = spark.table("ivfpq_app_idx")
+      .select($"cid", $"cent_id", $"codes").as[(Long, Long, Seq[Int])].collect().toSet
+    val want = Similarity
+      .assignAndEncode(emb, "embedding", "vec_id", cents, cbs)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(got === want)
+    // appended vectors are probe-visible, bucket pruning still holds
+    // (single query: the scanned buckets are ITS nProbe cells alone)
+    val qs = emb.filter($"vec_id" < 5)
+    val probe = Similarity.ivfPqTopKIndexed(spark, "ivfpq_app_idx",
+      emb.filter($"vec_id" === 0), "embedding", "vec_id", 5, nProbe = 2)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt === 8,
+      s"expected <=2 of 8 buckets after append, got plan:\n$plan")
+    // compaction merges the per-append files; results unchanged
+    val before = Similarity
+      .ivfPqTopKIndexed(spark, "ivfpq_app_idx", qs, "embedding", "vec_id", 5, nProbe = 8)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    graft.sinks.Sinks.compactBucketed(spark, "ivfpq_app_idx")
+    val after = Similarity
+      .ivfPqTopKIndexed(spark, "ivfpq_app_idx", qs, "embedding", "vec_id", 5, nProbe = 8)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(after === before)
+    // geometry gate, same contract as the flat-PQ append
+    val short32 = emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, "ivfpq_app_idx", short32, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("corpusRecon: ranked pairs == matrix + rank; HLL annotations are sane; q74 matches") {
     val recon = Dedup
       .corpusRecon(docs, "text", "source", shingleSize = 3, numSlots = 128,

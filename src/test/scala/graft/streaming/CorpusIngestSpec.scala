@@ -337,4 +337,59 @@ class CorpusIngestSpec extends AnyFunSuite {
       === Set(1L, 2L, 3L, 5L))
     Seq(idx, "graft_span_rebuilt_idx", idxB).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
+
+  test("pqIndexIngest: streamed index == frozen-codebook encode over the union; replay-safe") {
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("pqingest").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val idx = "pq_stream_idx"
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+
+    // bootstrap: codebooks trained ONCE on the seed corpus
+    val seed = emb.filter($"vec_id" < 200)
+    val cbs = Similarity.writePqIndex(seed, "embedding", "vec_id", idx, dim = 64,
+      m = 8, kCodes = 32, lloydIters = 2)
+
+    // stream two file batches; the second replays part of the first
+    // (at-least-once delivery) and carries an in-batch duplicate id
+    val b1 = emb.filter($"vec_id" >= 200 && $"vec_id" < 320)
+    val b2 = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .unionByName(emb.filter($"vec_id" === 350))
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CorpusIngest.pqIndexIngest(CorpusIngest.fileVecStream(spark, srcDir), idx, s"$tmp/ckpt")
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    // invariant: the streamed index is bit-identical to a batch encode
+    // of every distinct vector seen, with the SAME frozen codebooks
+    val union = emb.filter($"vec_id" < 400)
+    val want = Similarity.pqEncode(union, "embedding", "vec_id", cbs)
+      .as[(Long, Seq[Int])].collect().toSet
+    val got = spark.table(idx).select($"cid", $"codes").as[(Long, Seq[Int])].collect().toSet
+    assert(got === want)
+    assert(Similarity.readPqCodebooks(spark, idx) === cbs) // codebooks untouched
+
+    // full redelivery under a fresh checkpoint: every id is a replay,
+    // nothing re-appends (the batch-level stats agree)
+    val stats = CorpusIngest.ingestPqBatch(b1, idx)
+    assert(stats === CorpusIngest.PqIngestStats(appended = 0L, replays = 120L))
+    assert(spark.table(idx).count() === union.count())
+
+    // a fresh session-style probe over the streamed index ranks all 5
+    val probe = Similarity.pqTopKIndexed(spark, idx, emb.filter($"vec_id" < 3),
+      "embedding", "vec_id", 5)
+    assert(probe.groupBy($"qid").count().select("count").as[Long].collect().forall(_ === 5L))
+
+    // the bootstrap contract is a loud require, not a confusing NPE
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestPqBatch(b1, "pq_never_written_idx")
+    }
+    assert(e.getMessage.contains("writePqIndex"))
+    spark.sql(s"DROP TABLE $idx")
+  }
 }
