@@ -54,10 +54,16 @@ object Materialize {
           // preserving clusters()' one-materializing-job-per-round
           // convergence accounting in reliable mode too. Unpersisted
           // immediately: the returned frame reads the checkpoint FILES,
-          // never this cache.
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try df.checkpoint(eager = true)
-          finally df.unpersist(blocking = false)
+          // never this cache. If the CALLER already cached this plan
+          // (storageLevel consults the shared CacheManager), both jobs
+          // read their cache and the transient persist/unpersist pair is
+          // skipped — re-persisting would be a no-op but the paired
+          // unpersist would silently drop the caller's cache entry.
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try df.checkpoint(eager = true)
+            finally df.unpersist(blocking = false)
+          } else df.checkpoint(eager = true)
         } else {
           // Lazy reliable mode keeps construction side-effect free, at
           // the documented cost that whichever LATER action first

@@ -404,6 +404,7 @@ object Similarity {
       rerank: Int = 1,
       corpus: Option[DataFrame] = None
   ): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
     require(
       rerank == 1 || corpus.nonEmpty,
       "rerank > 1 rescores with full-precision vectors: pass the corpus the index was built from"
@@ -427,10 +428,10 @@ object Similarity {
     * recall) degrades gradually as the corpus drifts — the codes stay
     * VALID (search still works, the recall gate still measures it), they
     * just compress the drifted region worse than a retrain would. The
-    * maintenance story at scale: monitor the recall gate, rebuild
-    * ([[writePqIndex]]) when it sags; there is no incremental retrain,
-    * because re-training codebooks re-encodes every existing code by
-    * definition.
+    * maintenance story at scale: monitor recall with [[annRecallProbe]]
+    * (sampled exact-vs-indexed, bounded cost), rebuild ([[writePqIndex]])
+    * when it sags; there is no incremental retrain, because re-training
+    * codebooks re-encodes every existing code by definition.
     *
     * Geometry gate: a batch whose vectors are not exactly the index's
     * dim is rejected up front (one bounded probe job) — [[PqCodes]]
@@ -446,11 +447,15 @@ object Similarity {
   ): Unit = {
     val cbs = readPqCodebooks(spark, table)
     val dim = cbs.size * cbs.head.head.size
-    val bad = batch.filter(size(col(vecCol)) =!= dim).limit(1).count()
+    // explicit isNull arm: under spark.sql.legacy.sizeOfNull=false,
+    // size(null) is NULL and a bare `size =!= dim` predicate would DROP
+    // null-vector rows from the gate — PqCodes would then write a null
+    // codes row into the index
+    val bad = batch.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim).limit(1).count()
     require(
       bad == 0L,
-      s"appendToPqIndex: batch contains vectors whose dim != $dim (index geometry) — " +
-        "rebuild the index for a new embedding width instead of appending"
+      s"appendToPqIndex: batch contains null vectors or vectors whose dim != $dim " +
+        "(index geometry) — rebuild the index for a new embedding width instead of appending"
     )
     pqEncode(batch, vecCol, idCol, cbs).write.mode("append").saveAsTable(table)
   }
@@ -812,14 +817,6 @@ object Similarity {
       .map { case (id, rs) => (id, rs.sortBy(_._2).map(_._3).toSeq) }
   }
 
-  /** Search an at-rest IVF-PQ index from table metadata alone. The union
-    * of probed cell ids is bounded by nCells (driver-safe collect) and
-    * becomes an `IN` filter on the bucket column, so the codes scan
-    * reads ONLY the probed buckets (`SelectedBucketsCount` in the plan)
-    * — and each of those rows is m bytes of codes, not dim floats.
-    * `rerank > 1` joins the shortlist against the full-precision corpus
-    * (the authoritative store, deliberately not duplicated in the index).
-    */
   /** Append a batch to an at-rest IVF-PQ index: coarse-assign + encode
     * with the index's FROZEN quantizers (both read and geometry-
     * validated from the sibling tables) and bucket-append the codes —
@@ -829,7 +826,7 @@ object Similarity {
     * limits as [[appendToPqIndex]], plus the coarse half: drifted
     * batches still assign to their NEAREST frozen cell (assignment
     * stays total), the cells just partition the drifted region less
-    * evenly — the recall gate is the monitor, rebuild is the fix.
+    * evenly — [[annRecallProbe]] is the monitor, rebuild is the fix.
     */
   def appendToIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -841,11 +838,12 @@ object Similarity {
     val cbs = readPqCodebooks(spark, table)
     val cents = readIvfCentroids(spark, table)
     val dim = cbs.size * cbs.head.head.size
-    val bad = batch.filter(size(col(vecCol)) =!= dim).limit(1).count()
+    // explicit isNull arm — same sizeOfNull trap as appendToPqIndex
+    val bad = batch.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim).limit(1).count()
     require(
       bad == 0L,
-      s"appendToIvfPqIndex: batch contains vectors whose dim != $dim (index geometry) — " +
-        "rebuild the index for a new embedding width instead of appending"
+      s"appendToIvfPqIndex: batch contains null vectors or vectors whose dim != $dim " +
+        "(index geometry) — rebuild the index for a new embedding width instead of appending"
     )
     graft.sinks.Sinks.appendBucketed(
       assignAndEncode(batch, vecCol, idCol, cents, cbs),
@@ -855,6 +853,14 @@ object Similarity {
     )
   }
 
+  /** Search an at-rest IVF-PQ index from table metadata alone. The union
+    * of probed cell ids is bounded by nCells (driver-safe collect) and
+    * becomes an `IN` filter on the bucket column, so the codes scan
+    * reads ONLY the probed buckets (`SelectedBucketsCount` in the plan)
+    * — and each of those rows is m bytes of codes, not dim floats.
+    * `rerank > 1` joins the shortlist against the full-precision corpus
+    * (the authoritative store, deliberately not duplicated in the index).
+    */
   def ivfPqTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
@@ -867,6 +873,7 @@ object Similarity {
       corpus: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
     require(
       rerank == 1 || corpus.nonEmpty,
       "rerank > 1 rescores with full-precision vectors: pass the corpus the index was built from"
@@ -878,5 +885,72 @@ object Similarity {
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val codes = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     searchCellsCompressed(codes, probes, cbs, corpus, vecCol, idCol, k, rerank)
+  }
+
+  /** ANN index maintenance, made executable: measured recall@k of an
+    * at-rest index (flat PQ or IVF-PQ — detected from the recorded table
+    * properties) against exact brute force, on a bounded deterministic
+    * sample of the corpus. This is the monitor the codebook-drift
+    * scaladocs ([[appendToPqIndex]], [[appendToIvfPqIndex]]) point at:
+    * run it on a cadence (or after every N appends), rebuild the index
+    * ([[writePqIndex]] / [[writeIvfPqIndex]]) when `recall_at_k` sags
+    * below the deployment's gate.
+    *
+    * Cost is bounded by the SAMPLE, not the corpus: the exact side is
+    * [[bruteForceTopK]] over `nSample` queries (one corpus scan — the
+    * same shape as any sampled-audit pass), the indexed side is the
+    * normal probe. The sample itself is a TakeOrdered over the id
+    * column by seeded hash — deterministic across runs and engines, so
+    * successive probes measure index drift, not sample noise.
+    *
+    * `corpus` must be the authoritative vector store the index was built
+    * from and appended with (the same frame the probes' `rerank` would
+    * join); `index_rows` rides along so the monitor can cross-check the
+    * index row count against the corpus it believes it serves.
+    *
+    * Returns one row: (recall_at_k, n_sampled, index_rows).
+    */
+  def annRecallProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 5,
+      nSample: Int = 20,
+      nProbe: Int = 4,
+      rerank: Int = 4,
+      seed: Long = 4270L
+  ): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nSample >= 1, s"nSample must be >= 1, got $nSample")
+    val sampleIds = corpus
+      .select(col(idCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(nSample)
+    val queries = corpus.join(sampleIds, Seq(idCol), "left_semi")
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    require(
+      props.contains(PqMProp),
+      s"$table records no PQ geometry — annRecallProbe monitors graft PQ / IVF-PQ indices"
+    )
+    val indexed =
+      if (props.contains(IvfCellsProp))
+        ivfPqTopKIndexed(spark, table, queries, vecCol, idCol, k, nProbe, rerank, Some(corpus))
+      else
+        pqTopKIndexed(spark, table, queries, vecCol, idCol, k, rerank, Some(corpus))
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k).select(col("qid"), col("cid"))
+    // recall@k = |indexed ∩ exact| / |exact| — the denominator is the
+    // exact result size (== nSampled * k unless the corpus is smaller
+    // than k+1), the standard sampled-recall estimator
+    val denom = exact.count()
+    val hits = exact.join(indexed.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi").count()
+    val nSampled = queries.count()
+    val indexRows = spark.table(table).count()
+    Seq((if (denom == 0L) 1.0 else hits.toDouble / denom, nSampled, indexRows))
+      .toDF("recall_at_k", "n_sampled", "index_rows")
   }
 }

@@ -340,8 +340,10 @@ object CorpusIngest {
     spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>").parquet(dir)
 
   /** Per-batch accounting from [[ingestPqBatch]]: vectors appended to
-    * the index and replays (in-batch duplicate ids + ids the index
-    * already holds).
+    * the index and replays — every input row that did NOT append, i.e.
+    * in-batch duplicate ids plus ids the index already holds (computed
+    * as `batch rows - appended`, so the two drop populations are both
+    * counted).
     */
   final case class PqIngestStats(appended: Long, replays: Long)
 
@@ -416,7 +418,7 @@ object CorpusIngest {
     if (appended > 0) {
       graft.ops.Similarity.appendToPqIndex(spark, table, fresh, vecCol, idCol)
     }
-    PqIngestStats(appended, unique.count() - appended)
+    PqIngestStats(appended, batch.count() - appended)
   }
 
   def spanDedupIngest(

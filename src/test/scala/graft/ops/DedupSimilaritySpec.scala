@@ -181,6 +181,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset(Materialize.CheckpointDirConf)
   }
 
+  test("eager reliable checkpoint preserves a caller-held cache entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cache").toString
+    spark.conf.set(Materialize.CheckpointDirConf, dir)
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("i", "j").filter($"i" > 0L)
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Materialize(df, eager = true)
+      assert(out.count() === 2L)
+      // the transient-cache bridge must not drop the CALLER's entry: the
+      // old persist/unpersist pair no-op'ed on the persist (already
+      // cached) but still unpersisted, silently evicting this plan
+      assert(df.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+        "caller-held cache entry was dropped by the eager reliable checkpoint")
+    } finally {
+      df.unpersist(blocking = true)
+      spark.conf.unset(Materialize.CheckpointDirConf)
+    }
+  }
+
   test("corpus overlap estimate: within HLL error of exact, deterministic, ranks pairs") {
     val n = docs.count()
     val a = docs.filter($"doc_id" < n * 2 / 3)
@@ -1055,6 +1074,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.appendToIvfPqIndex(spark, "ivfpq_app_idx", short32, "embedding", "vec_id")
     }
     assert(e.getMessage.contains("geometry"))
+  }
+
+  test("annRecallProbe: healthy index holds the gate; a drifted append measurably sags it") {
+    val idx = "ann_probe_idx"
+    val corpus = emb.select($"vec_id", $"embedding")
+    Similarity.writeIvfPqIndex(corpus, "embedding", "vec_id", idx, dim = 64,
+      nCells = 16, m = 8, kCodes = 256, lloydIters = 2)
+    val healthy = Similarity.annRecallProbe(spark, idx, corpus, "embedding", "vec_id",
+      k = 5, nSample = 20, nProbe = 12, rerank = 16).head()
+    assert(healthy.getAs[Long]("n_sampled") === 20L)
+    assert(healthy.getAs[Long]("index_rows") === corpus.count())
+    val r0 = healthy.getAs[Double]("recall_at_k")
+    assert(r0 >= 0.9, s"healthy recall $r0 below the q73-level gate")
+    // deterministic: the seeded sample makes successive probes measure
+    // index drift, not sample noise
+    assert(Similarity.annRecallProbe(spark, idx, corpus, "embedding", "vec_id",
+      k = 5, nSample = 20, nProbe = 12, rerank = 16).head().getAs[Double]("recall_at_k") === r0)
+
+    // drift: append a batch from a DIFFERENT distribution (affine-warped
+    // coordinates, fresh ids) — the frozen quantizers compress the
+    // drifted region badly, which is exactly what the probe must surface
+    val drifted = corpus.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => (x * lit(-3.0) + lit(7.5)).cast("float")).as("embedding"))
+    Similarity.appendToIvfPqIndex(spark, idx, drifted, "embedding", "vec_id")
+    val union = corpus.unionByName(drifted)
+    val after = Similarity.annRecallProbe(spark, idx, union, "embedding", "vec_id",
+      k = 5, nSample = 40, nProbe = 12, rerank = 16).head()
+    assert(after.getAs[Long]("index_rows") === 2L * corpus.count())
+    val r1 = after.getAs[Double]("recall_at_k")
+    assert(r1 < r0 - 0.05, s"drifted recall $r1 did not sag measurably below healthy $r0")
+
+    // the rebuild the monitor triggers: retrain over the full corpus,
+    // recall recovers above the drifted reading
+    Similarity.writeIvfPqIndex(union, "embedding", "vec_id", idx, dim = 64,
+      nCells = 16, m = 8, kCodes = 256, lloydIters = 2)
+    val rebuilt = Similarity.annRecallProbe(spark, idx, union, "embedding", "vec_id",
+      k = 5, nSample = 40, nProbe = 12, rerank = 16).head().getAs[Double]("recall_at_k")
+    assert(rebuilt > r1, s"rebuild did not recover recall: $rebuilt vs drifted $r1")
+
+    // flat-PQ flavor, detected from the table properties alone
+    Similarity.writePqIndex(corpus, "embedding", "vec_id", "ann_probe_flat_idx", dim = 64,
+      m = 8, kCodes = 256, lloydIters = 2)
+    val flat = Similarity.annRecallProbe(spark, "ann_probe_flat_idx", corpus, "embedding",
+      "vec_id", k = 5, nSample = 10, rerank = 16).head()
+    assert(flat.getAs[Double]("recall_at_k") >= 0.9)
+
+    // a table with no recorded PQ geometry is a loud require
+    corpus.limit(5).write.mode("overwrite").saveAsTable("ann_probe_not_an_idx")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annRecallProbe(spark, "ann_probe_not_an_idx", corpus, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("PQ geometry"))
+    Seq(idx, "ann_probe_flat_idx", "ann_probe_not_an_idx")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("corpusRecon: ranked pairs == matrix + rank; HLL annotations are sane; q74 matches") {
