@@ -366,57 +366,193 @@ object CorpusIngest {
     *
     * Crash safety: `foreachBatch` redelivers a completed batch when a
     * crash lands between the append and the checkpoint commit, and a
-    * codes append is not idempotent — so every batch anti-joins out
-    * ids the index already holds (the same replay guard as
-    * [[ingestNearDupBatch]]'s indexed-id check). The anti-join is one
-    * probe of the index's id column per batch: O(index) scan bytes but
-    * id-column-only, and O(batch) shuffle.
+    * codes append is not idempotent — so replayed ids must never
+    * re-append. The guard is BLOOM-FRONTED like [[dedupedIngest]]'s:
+    * a few-MB bloom over already-indexed ids lives beside the stream's
+    * checkpoint (`<checkpoint>/graft-id-bloom`, same self-describing
+    * `.new`/`.old` swap file as the exact-ingest state). Bloom-negative
+    * ids are DEFINITELY fresh — a map-side filter, no index read at
+    * all — so the common no-replay batch touches only its own rows;
+    * only suspected replays (true dupes + fpp false positives)
+    * anti-join the index's id column. The bloom is OR-updated and
+    * swapped BEFORE the append (a crash between the two over-claims,
+    * and over-claims are always confirmed against the index — the safe
+    * direction; false negatives cannot occur). First bloom-fronted
+    * batch against a pre-existing index seeds the filter from the
+    * index's id column: one id-only index scan, ONCE, after which the
+    * maintenance is O(batch) per batch.
+    *
+    * Single-writer contract (same as every swap protocol here): the
+    * foreachBatch loop owns both the index and its bloom. Appending to
+    * the index around the loop (e.g. batch-mode [[ingestPqBatch]] with
+    * `bloomPath = None`, or a direct `appendToPqIndex`) leaves the
+    * bloom under-claiming those ids, which un-guards THEIR replays —
+    * don't mix writers on a live streamed index.
     */
   def pqIndexIngest(
       vecs: DataFrame,
       table: String,
       checkpoint: String,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"
+      idCol: String = "vec_id",
+      expectedItems: Long = 10000000L
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestPqBatch(batch, table, vecCol, idCol)
+        ingestPqBatch(batch, table, vecCol, idCol,
+          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems)
         ()
       }
       .start()
 
   /** One micro-batch of [[pqIndexIngest]]; exposed for batch-mode reuse
-    * and the spec's streamed==rebuild comparison.
+    * and the spec's streamed==rebuild comparison. `bloomPath = None`
+    * drops the bloom front and anti-joins the full index id column
+    * (correct for one-off batch use on an index nothing is streaming
+    * into; see the single-writer contract above).
     */
   def ingestPqBatch(
       batch: DataFrame,
       table: String,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"
+      idCol: String = "vec_id",
+      bloomPath: Option[String] = None,
+      expectedItems: Long = 10000000L
+  ): PqIngestStats =
+    ingestCodesBatch(batch, table, vecCol, idCol, bloomPath, expectedItems,
+      graft.ops.Similarity.appendToPqIndex(_, _, _, vecCol, idCol), "writePqIndex")
+
+  /** Streaming IVF-PQ index ingest — [[pqIndexIngest]]'s contract over
+    * the BUCKETED composition index: each micro-batch is coarse-assigned
+    * and encoded with the index's frozen quantizers
+    * ([[graft.ops.Similarity.appendToIvfPqIndex]]) and bucket-appended,
+    * so probe-side bucket pruning keeps holding as the index grows
+    * (spec-pinned: `SelectedBucketsCount` stays < nCells on a
+    * fresh-session probe after streamed appends). Same bloom-fronted
+    * replay guard, same single-writer contract, same bootstrap rule
+    * (the index must exist — [[graft.ops.Similarity.writeIvfPqIndex]]
+    * on a representative seed corpus).
+    *
+    * Invariant (spec-pinned): after any prefix of batches, the codes
+    * table equals `assignAndEncode(seed ∪ streamed-so-far)` under the
+    * frozen quantizers — bit-identical to a batch rebuild.
+    */
+  def ivfPqIndexIngest(
+      vecs: DataFrame,
+      table: String,
+      checkpoint: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      expectedItems: Long = 10000000L
+  ): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestIvfPqBatch(batch, table, vecCol, idCol,
+          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[ivfPqIndexIngest]]; exposed for batch-mode
+    * reuse and the spec's streamed==rebuild comparison.
+    */
+  def ingestIvfPqBatch(
+      batch: DataFrame,
+      table: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      bloomPath: Option[String] = None,
+      expectedItems: Long = 10000000L
+  ): PqIngestStats =
+    ingestCodesBatch(batch, table, vecCol, idCol, bloomPath, expectedItems,
+      graft.ops.Similarity.appendToIvfPqIndex(_, _, _, vecCol, idCol), "writeIvfPqIndex")
+
+  /** The shared codes-index micro-batch: in-batch id dedup, bloom-front
+    * (or full-index) replay guard, bloom swap, frozen-quantizer append.
+    * `append` is the index-flavor append ([[graft.ops.Similarity.appendToPqIndex]]
+    * or [[graft.ops.Similarity.appendToIvfPqIndex]]).
+    */
+  private def ingestCodesBatch(
+      batch: DataFrame,
+      table: String,
+      vecCol: String,
+      idCol: String,
+      bloomPath: Option[String],
+      expectedItems: Long,
+      append: (SparkSession, String, DataFrame) => Unit,
+      bootstrapFn: String
   ): PqIngestStats = {
     val spark = batch.sparkSession
     require(
       spark.catalog.tableExists(table),
-      s"$table does not exist — bootstrap the index with writePqIndex on a seed corpus first"
+      s"$table does not exist — bootstrap the index with $bootstrapFn on a seed corpus first"
     )
     // ids identify vectors (the id IS the index key): one row per id
     // in-batch; two different payloads under one id is a caller bug and
     // the survivor is arbitrary, same as any keyed upsert sink
     val unique = batch.dropDuplicates(Seq(idCol))
-    // cross-batch replay guard — ids already indexed never re-append
-    val fresh = graft.ops.Materialize(
-      unique.join(
-        spark.table(table).select(col("cid").as(idCol)),
-        Seq(idCol),
-        "left_anti"
-      ),
-      eager = true
-    )
+    val indexIds = spark.table(table).select(col("cid").as(idCol))
+    val (fresh, bloomState) = bloomPath match {
+      case None =>
+        // bloomless batch mode: every batch anti-joins the full index
+        // id column — O(index) read bytes per batch
+        (graft.ops.Materialize(unique.join(indexIds, Seq(idCol), "left_anti"), eager = true),
+          None)
+      case Some(bp) =>
+        val fs = graft.sinks.Dfs.fs(spark, bp)
+        val stored = readBloom(fs, bp).getOrElse {
+          // first bloom-fronted batch on this index: seed the filter
+          // from the id column — one O(index) id-only scan, ONCE
+          val (items, bits) = Dedup.bloomSizing(expectedItems, fpp = 0.01)
+          val seeded = indexIds
+            .agg(Dedup.bloomAggWithBits(xxhash64(col(idCol)), items, bits).as("bf"))
+            .head()
+            .getAs[Array[Byte]](0)
+          val bytes =
+            if (seeded != null) seeded
+            else { // empty index aggregates to null: start from an empty filter
+              val out = new java.io.ByteArrayOutputStream()
+              BloomFilter.create(items, bits).writeTo(out)
+              out.toByteArray
+            }
+          StoredBloom(items, bits, bytes)
+        }
+        val tagged = graft.ops.Materialize(
+          unique.withColumn("__maybe", Dedup.bloomProbe(stored.filter, xxhash64(col(idCol)))),
+          eager = true
+        ) // feeds both branches + the suspect count: hash and scan once
+        val definite = tagged.filter(!col("__maybe")).drop("__maybe")
+        val suspects = tagged.filter(col("__maybe")).drop("__maybe")
+        val confirmed =
+          // the index's id column is read ONLY when the bloom suspects a
+          // replay; the common all-fresh batch never touches the index
+          if (suspects.isEmpty) suspects
+          else suspects.join(indexIds, Seq(idCol), "left_anti")
+        (graft.ops.Materialize(definite.unionByName(confirmed), eager = true),
+          Some((fs, bp, stored)))
+    }
     val appended = fresh.count()
     if (appended > 0) {
-      graft.ops.Similarity.appendToPqIndex(spark, table, fresh, vecCol, idCol)
+      bloomState.foreach { case (fs, bp, stored) =>
+        // deltas are built to the sizing the state was CREATED with
+        // (recorded in the file header) so mergeInPlace always accepts
+        val delta = fresh
+          .agg(Dedup.bloomAggWithBits(xxhash64(col(idCol)), stored.items, stored.bits).as("bf"))
+          .head()
+          .getAs[Array[Byte]](0)
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(stored.filter))
+        f.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(delta)))
+        val out = new java.io.ByteArrayOutputStream()
+        f.writeTo(out)
+        // bloom BEFORE the index append: a crash between the two leaves
+        // an over-claiming filter, and over-claims are always confirmed
+        // against the index — the safe direction (the reverse order
+        // would re-append the crash window's rows on redelivery)
+        writeBloom(fs, bp, stored.items, stored.bits, out.toByteArray)
+      }
+      append(spark, table, fresh)
     }
     PqIngestStats(appended, batch.count() - appended)
   }

@@ -392,4 +392,108 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writePqIndex"))
     spark.sql(s"DROP TABLE $idx")
   }
+
+  test("ivfPqIndexIngest: streamed == frozen-quantizer rebuild; bucket pruning survives appends") {
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("ivfpqingest").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val idx = "ivfpq_stream_idx"
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+
+    // bootstrap: BOTH quantizers trained ONCE, on the seed corpus
+    val seed = emb.filter($"vec_id" < 200)
+    val (cents, cbs) = Similarity.writeIvfPqIndex(seed, "embedding", "vec_id", idx, dim = 64,
+      nCells = 8, m = 8, kCodes = 32, lloydIters = 2)
+
+    // stream two file batches; the second replays part of the first
+    // (at-least-once delivery) and carries an in-batch duplicate id
+    val b1 = emb.filter($"vec_id" >= 200 && $"vec_id" < 320)
+    val b2 = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .unionByName(emb.filter($"vec_id" === 350))
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CorpusIngest.ivfPqIndexIngest(
+      CorpusIngest.fileVecStream(spark, srcDir), idx, s"$tmp/ckpt")
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    // invariant: streamed index == batch assign+encode over every
+    // distinct vector seen, with the SAME frozen quantizers
+    val union = emb.filter($"vec_id" < 400)
+    val want = Similarity.assignAndEncode(union, "embedding", "vec_id", cents, cbs)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val got = spark.table(idx).select($"cid", $"cent_id", $"codes")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(got === want)
+    assert(Similarity.readPqCodebooks(spark, idx) === cbs)
+    assert(Similarity.readIvfCentroids(spark, idx) === cents)
+    // the replay-guard bloom landed beside the checkpoint
+    assert(new java.io.File(s"$tmp/ckpt/graft-id-bloom").exists)
+
+    // bucket pruning is INTACT after streamed appends: a fresh-session
+    // single-query probe reads <= nProbe of the nCells buckets
+    val probe = Similarity.ivfPqTopKIndexed(spark, idx, emb.filter($"vec_id" === 0),
+      "embedding", "vec_id", 5, nProbe = 2)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt === 8,
+      s"expected <=2 of 8 buckets after streamed appends, got plan:\n$plan")
+
+    // bloom-fronted full redelivery: every id is a suspect, every
+    // suspect is confirmed present, nothing re-appends
+    val bp = s"$tmp/ckpt/graft-id-bloom"
+    val stats = CorpusIngest.ingestIvfPqBatch(b1, idx, bloomPath = Some(bp))
+    assert(stats === CorpusIngest.PqIngestStats(appended = 0L, replays = 120L))
+    assert(spark.table(idx).count() === union.count())
+
+    // mixed redelivery: replayed ids drop, fresh ids ALL land
+    val b3 = emb.filter($"vec_id" >= 350 && $"vec_id" < 450)
+    val s3 = CorpusIngest.ingestIvfPqBatch(b3, idx, bloomPath = Some(bp))
+    assert(s3 === CorpusIngest.PqIngestStats(appended = 50L, replays = 50L))
+    assert(spark.table(idx).count() === union.count() + 50L)
+
+    // the bootstrap contract names the right builder
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestIvfPqBatch(b1, "ivfpq_never_written_idx")
+    }
+    assert(e.getMessage.contains("writeIvfPqIndex"))
+    spark.sql(s"DROP TABLE $idx")
+  }
+
+  test("bloom-fronted replay guard: over-claiming bloom is confirmed, not trusted") {
+    import graft.ops.Similarity
+    val tmp = Files.createTempDirectory("pqbloom").toString
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val seed = emb.filter($"vec_id" < 100)
+    val b1 = emb.filter($"vec_id" >= 100 && $"vec_id" < 200)
+    val bp = s"$tmp/id-bloom"
+
+    // index A: first bloom-fronted batch seeds the filter from the
+    // index's id column, then appends b1 and swaps the updated bloom
+    Similarity.writePqIndex(seed, "embedding", "vec_id", "pq_bloom_idx_a", dim = 64,
+      m = 8, kCodes = 32, lloydIters = 1)
+    val s1 = CorpusIngest.ingestPqBatch(b1, "pq_bloom_idx_a", bloomPath = Some(bp))
+    assert(s1 === CorpusIngest.PqIngestStats(appended = 100L, replays = 0L))
+    // redelivery through the bloom: suspects confirmed PRESENT, no append
+    val s2 = CorpusIngest.ingestPqBatch(b1, "pq_bloom_idx_a", bloomPath = Some(bp))
+    assert(s2 === CorpusIngest.PqIngestStats(appended = 0L, replays = 100L))
+
+    // the crash window (bloom swapped, append lost) leaves a bloom that
+    // OVER-claims: reuse the same bloom against index B, which holds the
+    // seed only — b1's ids are all bloom-positive yet absent, and the
+    // confirm step must append every one of them exactly once
+    Similarity.writePqIndex(seed, "embedding", "vec_id", "pq_bloom_idx_b", dim = 64,
+      m = 8, kCodes = 32, lloydIters = 1)
+    val s3 = CorpusIngest.ingestPqBatch(b1, "pq_bloom_idx_b", bloomPath = Some(bp))
+    assert(s3 === CorpusIngest.PqIngestStats(appended = 100L, replays = 0L))
+    assert(spark.table("pq_bloom_idx_b").count() === 200L)
+    Seq("pq_bloom_idx_a", "pq_bloom_idx_b").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
