@@ -648,29 +648,82 @@ object Similarity {
   // nProbe/nCells x (m / 4*dim) of the at-rest bytes.
   // ---------------------------------------------------------------
 
+  /** The coarse centroids as a map literal keyed by cent_id — the
+    * map-side per-row centroid lookup the residual encode/decode paths
+    * use (nCells x dim doubles: bytes-scale, same budget as every other
+    * centroid literal here).
+    */
+  private def centMapLit(cents: Seq[(Long, Seq[Double])]): Column =
+    typedLit(cents.toMap)
+
+  /** `v - centroid(cent_id)` as a map-side projection over an assigned
+    * frame — the residual the opt-in PQ mode quantizes (Jégou §IV:
+    * residuals concentrate around 0 far more tightly than raw vectors,
+    * so the same (m, kCodes) budget spends its codes on a smaller
+    * region = less quantization error = better recall per byte).
+    */
+  private def residualCol(vec: Column, centId: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    zip_with(vec.cast("array<double>"), element_at(centMapLit(cents), centId), (x, c) => x - c)
+
   /** Coarse-assign + PQ-encode in ONE map-side projection: (cid,
-    * cent_id, codes). Residual-free variant (codes quantize the raw
-    * vector, not the residual): keeps encode independent of the cell
-    * assignment so appends and cell re-balancing stay O(batch).
+    * cent_id, codes). Residual-free default (codes quantize the raw
+    * vector): keeps encode independent of the cell assignment so cell
+    * re-balancing never re-encodes. `residual = true` quantizes
+    * `v - centroid(cell)` instead — the standard recall-per-byte win;
+    * appends stay O(batch) either way (the frozen assignment is
+    * computed in the same projection), the trade is that residual codes
+    * are only decodable WITH the cell geometry (recorded in the index's
+    * table properties, so probes always know).
     */
   private[graft] def assignAndEncode(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       cents: Seq[(Long, Seq[Double])],
-      cbs: Seq[Seq[Seq[Double]]]
-  ): DataFrame =
-    assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
-      .select(
-        col("cid"),
-        col("cent_id"),
-        graft.plans.PqCodes.pqCodes(col("cv").cast("array<double>"), cbs).as("codes")
-      )
+      cbs: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false
+  ): DataFrame = {
+    val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+    val toQuantize =
+      if (residual) residualCol(col("cv"), col("cent_id"), cents)
+      else col("cv").cast("array<double>")
+    assigned.select(
+      col("cid"),
+      col("cent_id"),
+      graft.plans.PqCodes.pqCodes(toQuantize, cbs).as("codes")
+    )
+  }
+
+  /** Train the PQ codebooks for an IVF-PQ index in the requested mode:
+    * over the raw vectors (residual-free) or over `v - centroid(cell)`
+    * (residual) — one extra map-side projection, same Lloyd loop.
+    */
+  private def trainIvfPqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      dim: Int,
+      m: Int,
+      kCodes: Int,
+      lloydIters: Int,
+      residual: Boolean
+  ): Seq[Seq[Seq[Double]]] =
+    if (!residual) pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    else {
+      val residuals = assignCells(
+        corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+        .select(col("cid"), residualCol(col("cv"), col("cent_id"), cents).as("rv"))
+      pqTrain(residuals, "rv", "cid", dim, m, kCodes, lloydIters)
+    }
 
   /** The IVF-PQ rank pipeline shared by the inline and at-rest paths:
     * join the probes onto the (cell-pruned) codes by cent_id, decode
     * map-side from the codebook literals, shortlist `k * rerank` per
     * query on the quantized cosine, exact-rerank the shortlist.
+    * `residualCents` present = the codes quantize residuals, so the
+    * reconstruction adds the cell centroid back (one extra zip_with in
+    * the same map-side projection).
     */
   private def searchCellsCompressed(
       codes: DataFrame,
@@ -680,8 +733,18 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int,
-      rerank: Int
+      rerank: Int,
+      residualCents: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
+    val recon = residualCents match {
+      case None => pqDecode(col("codes"), cbs)
+      case Some(cents) =>
+        zip_with(
+          element_at(centMapLit(cents), col("cent_id")),
+          pqDecode(col("codes"), cbs),
+          (c, r) => c + r
+        )
+    }
     val shortlist = probes
       .join(codes, "cent_id")
       .filter(col("qid") =!= col("cid"))
@@ -689,7 +752,7 @@ object Similarity {
         col("qid"),
         col("qv").cast("array<double>").as("qv"),
         col("cid"),
-        Fns.cosine(col("qv").cast("array<double>"), pqDecode(col("codes"), cbs)).as("cosine")
+        Fns.cosine(col("qv").cast("array<double>"), recon).as("cosine")
       )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)
@@ -699,6 +762,8 @@ object Similarity {
   /** Inline IVF-PQ ANN: train both quantizers, probe `nProbe` cells per
     * query, compressed-score ONLY those cells' codes, exact-rerank the
     * shortlist. Same output schema and tiebreak as [[bruteForceTopK]].
+    * `residual = true` opts into residual PQ (codes quantize
+    * `v - centroid(cell)` — see [[assignAndEncode]]).
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -712,26 +777,42 @@ object Similarity {
       m: Int = 8,
       kCodes: Int = 16,
       lloydIters: Int = 3,
-      rerank: Int = 4
+      rerank: Int = 4,
+      residual: Boolean = false
   ): DataFrame = {
     require(rerank >= 1, s"rerank must be >= 1, got $rerank")
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
-    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    val cbs = trainIvfPqCodebooks(corpus, vecCol, idCol, cents, dim, m, kCodes, lloydIters,
+      residual)
     searchCellsCompressed(
-      assignAndEncode(corpus, vecCol, idCol, cents, cbs),
+      assignAndEncode(corpus, vecCol, idCol, cents, cbs, residual),
       probeCells(queries, cents, vecCol, idCol, nProbe),
       cbs,
       Some(corpus),
       vecCol,
       idCol,
       k,
-      rerank
+      rerank,
+      if (residual) Some(cents) else None
     )
   }
 
   private val IvfCellsProp = "graft.ivf.nCells"
+  private val IvfResidualProp = "graft.ivfpq.residual"
 
   private def centroidTable(table: String): String = s"${table}__centroids"
+
+  /** Whether an at-rest IVF-PQ index's codes quantize residuals.
+    * Recorded at write time; a missing property (an index written
+    * before the knob existed) reads as residual-free, which is exactly
+    * how those indices were encoded.
+    */
+  def ivfResidualMode(spark: org.apache.spark.sql.SparkSession, table: String): Boolean =
+    spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+      .get(IvfResidualProp)
+      .exists(_.toBoolean)
 
   /** At-rest IVF-PQ index: the codes table `table` (cid, cent_id, codes)
     * BUCKETED by cent_id — so a probe reads only its cells' buckets —
@@ -739,6 +820,13 @@ object Similarity {
     * full geometry as table properties. Unlike [[writeIvfIndex]] (which
     * returns the centroids as driver-held metadata), a FRESH session can
     * probe this index with nothing but the table name.
+    *
+    * `residual = true` opts into residual PQ (Jégou §IV): codebooks are
+    * trained on and codes quantize `v - centroid(cell)`, the standard
+    * recall-per-byte win over the residual-free default. The mode is
+    * RECORDED as a table property, so probes decode correctly and
+    * appends encode in the index's own mode from the table alone — a
+    * mode mismatch between writer and appender cannot happen.
     */
   def writeIvfPqIndex(
       corpus: DataFrame,
@@ -749,18 +837,20 @@ object Similarity {
       nCells: Int = 16,
       m: Int = 8,
       kCodes: Int = 256,
-      lloydIters: Int = 3
+      lloydIters: Int = 3,
+      residual: Boolean = false
   ): (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
-    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
+    val cbs = trainIvfPqCodebooks(corpus, vecCol, idCol, cents, dim, m, kCodes, lloydIters,
+      residual)
     // cents.size, not the requested nCells: a corpus smaller than nCells
     // trains fewer cells, and the bucket count must equal the recorded
     // IvfCellsProp so appendToIvfPqIndex's bucket spec always matches
     // the catalog's
     graft.sinks.Sinks.writeBucketed(
-      assignAndEncode(corpus, vecCol, idCol, cents, cbs),
+      assignAndEncode(corpus, vecCol, idCol, cents, cbs, residual),
       table,
       Seq("cent_id"),
       numBuckets = cents.size
@@ -776,7 +866,8 @@ object Similarity {
     // nCells seeds fewer cells), same honesty rule as writeCodebooks
     spark.sql(
       s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
-        s"SET TBLPROPERTIES ('$IvfCellsProp'='${cents.size}')"
+        s"SET TBLPROPERTIES ('$IvfCellsProp'='${cents.size}', " +
+        s"'$IvfResidualProp'='$residual')"
     )
     (cents, cbs)
   }
@@ -827,6 +918,10 @@ object Similarity {
     * batches still assign to their NEAREST frozen cell (assignment
     * stays total), the cells just partition the drifted region less
     * evenly — [[annRecallProbe]] is the monitor, rebuild is the fix.
+    *
+    * Encoding MODE (residual vs residual-free) is read from the index's
+    * own table properties, so the append always encodes the way the
+    * index was written — a writer/appender mode mismatch cannot happen.
     */
   def appendToIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -846,7 +941,7 @@ object Similarity {
         "(index geometry) — rebuild the index for a new embedding width instead of appending"
     )
     graft.sinks.Sinks.appendBucketed(
-      assignAndEncode(batch, vecCol, idCol, cents, cbs),
+      assignAndEncode(batch, vecCol, idCol, cents, cbs, ivfResidualMode(spark, table)),
       table,
       Seq("cent_id"),
       numBuckets = cents.size
@@ -884,7 +979,8 @@ object Similarity {
     val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val codes = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
-    searchCellsCompressed(codes, probes, cbs, corpus, vecCol, idCol, k, rerank)
+    searchCellsCompressed(codes, probes, cbs, corpus, vecCol, idCol, k, rerank,
+      if (ivfResidualMode(spark, table)) Some(cents) else None)
   }
 
   /** ANN index maintenance, made executable: measured recall@k of an

@@ -1076,6 +1076,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("residual IVF-PQ: recorded mode round-trips, recall beats residual-free, appends follow") {
+    val corpus = emb.select($"vec_id", $"embedding")
+    // tight code budget (kCodes=16) so quantization error is the
+    // bottleneck and the residual win is visible; rerank=1 in the
+    // probes below ranks purely on the quantized scores, so the
+    // comparison measures the CODES, not the exact-rerank rescue
+    val (cR, _) = Similarity.writeIvfPqIndex(corpus, "embedding", "vec_id", "ivfpq_res_idx",
+      dim = 64, nCells = 16, m = 8, kCodes = 16, lloydIters = 2, residual = true)
+    val (cF, _) = Similarity.writeIvfPqIndex(corpus, "embedding", "vec_id", "ivfpq_raw_idx",
+      dim = 64, nCells = 16, m = 8, kCodes = 16, lloydIters = 2, residual = false)
+    assert(Similarity.ivfResidualMode(spark, "ivfpq_res_idx"))
+    assert(!Similarity.ivfResidualMode(spark, "ivfpq_raw_idx"))
+    // the coarse quantizer is mode-independent; only the codebooks differ
+    assert(cR === cF)
+    val rRes = Similarity.annRecallProbe(spark, "ivfpq_res_idx", corpus, "embedding", "vec_id",
+      k = 5, nSample = 40, nProbe = 12, rerank = 1).head().getAs[Double]("recall_at_k")
+    val rRaw = Similarity.annRecallProbe(spark, "ivfpq_raw_idx", corpus, "embedding", "vec_id",
+      k = 5, nSample = 40, nProbe = 12, rerank = 1).head().getAs[Double]("recall_at_k")
+    assert(rRes >= rRaw,
+      s"residual recall $rRes below residual-free $rRaw at the same (m, kCodes) budget")
+
+    // fresh-session residual probe decodes centroid + residual correctly:
+    // indexed == inline for the same geometry (training is deterministic)
+    val qs = emb.filter($"vec_id" < 5)
+    val indexed = Similarity
+      .ivfPqTopKIndexed(spark, "ivfpq_res_idx", qs, "embedding", "vec_id", 5, nProbe = 4,
+        rerank = 4, corpus = Some(corpus))
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity
+      .ivfPqTopK(corpus, qs, "embedding", "vec_id", 5, dim = 64, nCells = 16, nProbe = 4,
+        m = 8, kCodes = 16, lloydIters = 2, rerank = 4, residual = true)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(indexed === inline)
+
+    // appends read the MODE from the index itself: frozen-quantizer
+    // residual append == residual encode over the union
+    val a = corpus.filter($"vec_id" % 2 === 0)
+    val b = corpus.filter($"vec_id" % 2 === 1)
+    val (cents, cbs) = Similarity.writeIvfPqIndex(a, "embedding", "vec_id", "ivfpq_res_app_idx",
+      dim = 64, nCells = 8, m = 8, kCodes = 16, lloydIters = 2, residual = true)
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_res_app_idx", b, "embedding", "vec_id")
+    val got = spark.table("ivfpq_res_app_idx")
+      .select($"cid", $"cent_id", $"codes").as[(Long, Long, Seq[Int])].collect().toSet
+    val want = Similarity
+      .assignAndEncode(corpus, "embedding", "vec_id", cents, cbs, residual = true)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(got === want)
+    Seq("ivfpq_res_idx", "ivfpq_raw_idx", "ivfpq_res_app_idx")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("annRecallProbe: healthy index holds the gate; a drifted append measurably sags it") {
     val idx = "ann_probe_idx"
     val corpus = emb.select($"vec_id", $"embedding")
