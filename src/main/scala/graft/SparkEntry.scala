@@ -573,6 +573,32 @@ object SparkEntry {
         .filter(col("corpus_recall") >= 0.9)
     }),
 
+    // Residual IVF-PQ (Jégou §IV opt-in): the PQ codes quantize
+    // v - centroid(cell) instead of the raw vector — the standard
+    // recall-per-byte win at the same (m, kCodes) budget, decoded as
+    // centroid + residual at probe time. Same in-query recall@5 >= 0.9
+    // gate as q73 (no SQL oracle can score an approximate index); the
+    // residual >= residual-free comparison at a tight code budget is
+    // spec-pinned (DedupSimilaritySpec).
+    "q75_ivfpq_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity
+        .ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
+          nCells = 16, nProbe = 8, m = 8, kCodes = 256, rerank = 16, residual = true)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      exact
+        .join(approx, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
+        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+        .filter(col("corpus_recall") >= 0.9)
+    }),
+
     // JL random projection 64 -> 16 dims, long format for the compare
     // (one row per (vec_id, dim_idx); the operator itself returns the
     // projected array for pipeline composition).

@@ -437,6 +437,16 @@ object CorpusIngest {
     * Invariant (spec-pinned): after any prefix of batches, the codes
     * table equals `assignAndEncode(seed ∪ streamed-so-far)` under the
     * frozen quantizers — bit-identical to a batch rebuild.
+    *
+    * `compactFanout` is the same auto-compaction cadence as
+    * [[nearDupIngest]]: each bucket-append lands one file-set per
+    * batch, and without between-batch compaction probe latency and
+    * LIST cost grow linearly until the index is a small-file swamp.
+    * When files-per-bucket ([[graft.sinks.Sinks.bucketFileFanout]] —
+    * one flat LIST, no data read) exceeds the threshold after a
+    * batch's append, the batch ends with a
+    * [[graft.sinks.Sinks.compactBucketed]] pass — safe inline because
+    * this loop IS the index's single writer. `<= 0` disables.
     */
   def ivfPqIndexIngest(
       vecs: DataFrame,
@@ -444,13 +454,15 @@ object CorpusIngest {
       checkpoint: String,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
-      expectedItems: Long = 10000000L
+      expectedItems: Long = 10000000L,
+      compactFanout: Int = 16
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestIvfPqBatch(batch, table, vecCol, idCol,
-          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems)
+          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems,
+          compactFanout = compactFanout)
         ()
       }
       .start()
@@ -464,10 +476,17 @@ object CorpusIngest {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       bloomPath: Option[String] = None,
-      expectedItems: Long = 10000000L
-  ): PqIngestStats =
-    ingestCodesBatch(batch, table, vecCol, idCol, bloomPath, expectedItems,
+      expectedItems: Long = 10000000L,
+      compactFanout: Int = 0
+  ): PqIngestStats = {
+    val stats = ingestCodesBatch(batch, table, vecCol, idCol, bloomPath, expectedItems,
       graft.ops.Similarity.appendToIvfPqIndex(_, _, _, vecCol, idCol), "writeIvfPqIndex")
+    val spark = batch.sparkSession
+    if (compactFanout > 0 && stats.appended > 0 &&
+      graft.sinks.Sinks.bucketFileFanout(spark, table) > compactFanout)
+      graft.sinks.Sinks.compactBucketed(spark, table)
+    stats
+  }
 
   /** The shared codes-index micro-batch: in-batch id dedup, bloom-front
     * (or full-index) replay guard, bloom swap, frozen-quantizer append.

@@ -457,6 +457,29 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(s3 === CorpusIngest.PqIngestStats(appended = 50L, replays = 50L))
     assert(spark.table(idx).count() === union.count() + 50L)
 
+    // auto-compaction cadence: several appends have stacked one file-set
+    // per batch; a tight threshold triggers compactBucketed after the
+    // NEXT batch's append, and content + pruning come through unchanged
+    val fanoutBefore = graft.sinks.Sinks.bucketFileFanout(spark, idx)
+    assert(fanoutBefore > 1.0, s"appends should have stacked files, fanout=$fanoutBefore")
+    val b4 = emb.filter($"vec_id" >= 450)
+    val s4 = CorpusIngest.ingestIvfPqBatch(b4, idx, bloomPath = Some(bp), compactFanout = 1)
+    assert(s4.appended === 50L)
+    assert(graft.sinks.Sinks.bucketFileFanout(spark, idx) < fanoutBefore,
+      "cadence-triggered compaction did not reduce files-per-bucket")
+    val gotAll = spark.table(idx).select($"cid", $"cent_id", $"codes")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val wantAll = Similarity.assignAndEncode(emb, "embedding", "vec_id", cents, cbs)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(gotAll === wantAll)
+    val probe2 = Similarity.ivfPqTopKIndexed(spark, idx, emb.filter($"vec_id" === 0),
+      "embedding", "vec_id", 5, nProbe = 2)
+    probe2.collect()
+    val sel2 = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(probe2.queryExecution.executedPlan.toString)
+    assert(sel2.isDefined && sel2.get.group(1).toInt <= 2 && sel2.get.group(2).toInt === 8,
+      "bucket pruning broken after cadence compaction")
+
     // the bootstrap contract names the right builder
     val e = intercept[IllegalArgumentException] {
       CorpusIngest.ingestIvfPqBatch(b1, "ivfpq_never_written_idx")
