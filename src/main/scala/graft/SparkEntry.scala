@@ -308,6 +308,17 @@ object SparkEntry {
         )
     }),
 
+    // kNN classification: exact cosine top-5 neighbors majority-voted
+    // into a predicted label per query (ties: votes desc, nearer
+    // neighbor wins, then smaller label). votes is a long count and
+    // confidence one IEEE long/long division rounded to 4dp, so the
+    // relational replay is hash-exact.
+    "q76_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .knnClassify(emb, emb.filter(col("vec_id") < 20), "embedding", "vec_id", "label", k = 5)
+    }),
+
     // Similarity: IVF ANN (Lloyd k-means cells, nProbe probing) measured
     // as recall against the exact brute-force top-5. Rows-only check:
     // k-means isn't SQL-expressible; DedupSimilaritySpec asserts
@@ -1167,6 +1178,33 @@ object SparkEntry {
            |r AS (SELECT qid, cid, cosine,
            |   row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, cid) AS rn FROM p)
            |SELECT qid, cid, round(cosine, 4) AS cs4, rn AS rnk FROM r WHERE rn <= 5""".stripMargin
+      },
+      // Replays knnClassify: q20's exact top-5 CTE joined to the label
+      // column, majority vote with the (votes desc, best_rank, label)
+      // tiebreak. count(*) is BIGINT; the window sum is HUGEINT so it
+      // is cast back; votes/k_used is DuckDB float division = Spark's
+      // long/long division, IEEE-exact, rounded to 4dp.
+      "q76_knn_classify" -> {
+        def dot(x: String, y: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           |p AS (SELECT qid, cid,
+           |   ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+           | FROM q, c WHERE qid <> cid),
+           |r AS (SELECT qid, cid,
+           |   row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, cid) AS rn FROM p),
+           |nn AS (SELECT qid, cid, rn FROM r WHERE rn <= 5),
+           |v AS (SELECT nn.qid, e.label AS knn_label, CAST(count(*) AS BIGINT) AS votes,
+           |   min(nn.rn) AS best_rank
+           | FROM nn JOIN embeddings e ON e.vec_id = nn.cid
+           | WHERE e.label IS NOT NULL GROUP BY 1, 2),
+           |w AS (SELECT qid, knn_label, votes, best_rank,
+           |   CAST(sum(votes) OVER (PARTITION BY qid) AS BIGINT) AS k_used,
+           |   row_number() OVER (PARTITION BY qid
+           |     ORDER BY votes DESC, best_rank, knn_label) AS pick FROM v)
+           |SELECT qid, knn_label, votes, round(votes / k_used, 4) AS confidence
+           |FROM w WHERE pick = 1""".stripMargin
       },
       "q22_langid" ->
         s"""WITH t AS ($wordsSql),

@@ -1049,4 +1049,143 @@ object Similarity {
     Seq((if (denom == 0L) 1.0 else hits.toDouble / denom, nSampled, indexRows))
       .toDF("recall_at_k", "n_sampled", "index_rows")
   }
+
+  /** Operational stats for an at-rest PQ / IVF-PQ index — the other
+    * half of the maintenance loop next to [[annRecallProbe]]: the
+    * recall probe says WHEN to rebuild, these stats say WHY. Appends
+    * with frozen quantizers skew the cell histogram (drifted vectors
+    * pile into whichever cells are nearest), and a skewed histogram is
+    * both a recall symptom (badly-quantized cells) and a latency one
+    * (a probe that lands on the fat cell reranks its whole bucket) —
+    * at 100 TB the fat-cell read IS the probe cost, so `cell_skew` is
+    * the number an operator alarms on between recall probes, for the
+    * price of one codes-table aggregate instead of a corpus scan.
+    *
+    * Returns one row: (index_kind, index_rows, m, k_codes, dim,
+    * residual, n_cells, empty_cells, min_cell, max_cell, avg_cell,
+    * cell_skew). Cell stats count EMPTY cells as size 0 (avg is
+    * rows/n_cells over the recorded geometry, not the cells present),
+    * `cell_skew` = max_cell/avg_cell (1.0 = perfectly balanced).
+    * Flat PQ indices report the cell columns as nulls.
+    */
+  def annIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): DataFrame = {
+    import spark.implicits._
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    require(
+      props.contains(PqMProp),
+      s"$table records no PQ geometry — annIndexStats reads graft PQ / IVF-PQ indices"
+    )
+    val (m, k, dim) = (props(PqMProp).toInt, props(PqKProp).toInt, props(PqDimProp).toInt)
+    val residual = props.get(IvfResidualProp).exists(_.toBoolean)
+    val stats = props.get(IvfCellsProp).map(_.toInt) match {
+      case Some(nCells) =>
+        // one partial-agg scan of the codes table: per-cell counts are
+        // nCells rows, safe to finish on the driver
+        val present = spark
+          .table(table)
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("n"))
+          .as[Long]
+          .collect()
+        val rows = present.sum
+        val emptyCells = nCells - present.length
+        val minCell = if (emptyCells > 0) 0L else if (present.isEmpty) 0L else present.min
+        val maxCell = if (present.isEmpty) 0L else present.max
+        val avgCell = rows.toDouble / nCells
+        val skew = if (avgCell > 0) maxCell / avgCell else 1.0
+        ("ivf_pq", rows, Some(nCells), Some(emptyCells.toLong), Some(minCell), Some(maxCell),
+          Some(avgCell), Some(skew))
+      case None =>
+        val rows = spark.table(table).count()
+        ("pq", rows, None, None, None, None, None, None)
+    }
+    Seq((stats._1, stats._2, m, k, dim, residual, stats._3, stats._4, stats._5, stats._6,
+      stats._7, stats._8))
+      .toDF("index_kind", "index_rows", "m", "k_codes", "dim", "residual", "n_cells",
+        "empty_cells", "min_cell", "max_cell", "avg_cell", "cell_skew")
+  }
+
+  /** Majority-vote label propagation over ANY neighbor frame — the
+    * glue between similarity search and labeling a training corpus
+    * (kNN classification, weak-label propagation from a small
+    * hand-labeled seed set to the full corpus).
+    *
+    * `neighbors` is a `(qid, cid, rank)` top-k frame from any of the
+    * search entry points (exact [[bruteForceTopK]], [[ivfTopK]],
+    * [[pqTopKIndexed]], [[ivfPqTopKIndexed]] — they share the schema
+    * and tiebreak), so the label pass composes with whichever search
+    * tier the scale calls for: exact for an oracle-checked sample,
+    * IVF-PQ for the 100 TB corpus. `labels` maps `idCol` -> `labelCol`
+    * for the labeled corpus rows; unlabeled neighbors (null label or
+    * no labels row) drop out of the vote rather than voting "null".
+    *
+    * One shuffle-join (neighbors x labels on cid — AQE broadcasts
+    * whichever side is small: the seed-set side in propagation mode,
+    * the neighbor side in sampled-classify mode) + one partial-agg
+    * groupBy + one per-qid window. Ties are deterministic:
+    * (votes desc, best_rank asc, label asc) — a tied label wins by
+    * holding the nearer neighbor, engine-independently.
+    *
+    * Returns one row per qid: (qid, knn_label, votes, confidence)
+    * where confidence = votes / (labeled neighbors of qid), rounded
+    * to 4dp (cross-engine-safe: one long/long division per row).
+    */
+  def knnVote(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val l = labels
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"), col(labelCol).as("knn_label"))
+    val voted = neighbors
+      .select(col("qid"), col("cid"), col("rank"))
+      .join(l, Seq("cid"))
+      .groupBy(col("qid"), col("knn_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val perQ = Window.partitionBy(col("qid"))
+    val pick = Window
+      .partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("knn_label").asc)
+    voted
+      .withColumn("k_used", sum(col("votes")).over(perQ))
+      .withColumn("_pick", row_number().over(pick))
+      .filter(col("_pick") === 1)
+      .select(
+        col("qid"),
+        col("knn_label"),
+        col("votes"),
+        round(col("votes") / col("k_used"), 4).as("confidence")
+      )
+  }
+
+  /** kNN classification of query vectors against a labeled corpus:
+    * exact cosine top-k ([[bruteForceTopK]]) majority-voted by
+    * [[knnVote]]. This is the oracle-exact tier; at corpus scale swap
+    * the neighbor frame for an indexed probe and call [[knnVote]]
+    * directly — the vote semantics are identical by construction.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnVote(
+      bruteForceTopK(corpus, queries, vecCol, idCol, k),
+      corpus.select(col(idCol), col(labelCol)),
+      idCol,
+      labelCol
+    )
+  }
 }

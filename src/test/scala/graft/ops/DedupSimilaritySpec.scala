@@ -1181,6 +1181,98 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("annIndexStats: geometry + cell histogram for both index kinds; appends move the needle") {
+    val corpus = emb.select($"vec_id", $"embedding")
+    Similarity.writeIvfPqIndex(corpus, "embedding", "vec_id", "stats_ivfpq_idx", dim = 64,
+      nCells = 16, m = 8, kCodes = 256, lloydIters = 2)
+    val s0 = Similarity.annIndexStats(spark, "stats_ivfpq_idx").head()
+    assert(s0.getAs[String]("index_kind") === "ivf_pq")
+    assert(s0.getAs[Long]("index_rows") === corpus.count())
+    assert(s0.getAs[Int]("m") === 8 && s0.getAs[Int]("dim") === 64)
+    assert(!s0.getAs[Boolean]("residual"))
+    val nCells = s0.getAs[Int]("n_cells")
+    // cross-check the histogram against the codes table directly
+    val direct = spark.table("stats_ivfpq_idx").groupBy("cent_id").count()
+      .select("count").as[Long].collect()
+    assert(s0.getAs[Long]("max_cell") === direct.max)
+    assert(s0.getAs[Long]("empty_cells") === (nCells - direct.length).toLong)
+    assert(s0.getAs[Double]("avg_cell") === direct.sum.toDouble / nCells)
+    assert(s0.getAs[Double]("cell_skew") === direct.max / (direct.sum.toDouble / nCells))
+    assert(s0.getAs[Double]("cell_skew") >= 1.0)
+
+    // a drifted append (frozen quantizers) doubles index_rows and can
+    // only hold or worsen the max cell — the histogram moves with the
+    // index, no retrain needed to observe it
+    val drifted = corpus.select(($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x => (x * lit(-3.0) + lit(7.5)).cast("float")).as("embedding"))
+    Similarity.appendToIvfPqIndex(spark, "stats_ivfpq_idx", drifted, "embedding", "vec_id")
+    val s1 = Similarity.annIndexStats(spark, "stats_ivfpq_idx").head()
+    assert(s1.getAs[Long]("index_rows") === 2L * corpus.count())
+    assert(s1.getAs[Long]("max_cell") >= s0.getAs[Long]("max_cell"))
+
+    // flat-PQ flavor: geometry real, cell columns null
+    Similarity.writePqIndex(corpus, "embedding", "vec_id", "stats_pq_idx", dim = 64,
+      m = 8, kCodes = 256, lloydIters = 2)
+    val f = Similarity.annIndexStats(spark, "stats_pq_idx").head()
+    assert(f.getAs[String]("index_kind") === "pq")
+    assert(f.getAs[Long]("index_rows") === corpus.count())
+    assert(f.isNullAt(f.fieldIndex("n_cells")) && f.isNullAt(f.fieldIndex("cell_skew")))
+
+    // not an index -> loud require, same contract as annRecallProbe
+    corpus.limit(5).write.mode("overwrite").saveAsTable("stats_not_an_idx")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annIndexStats(spark, "stats_not_an_idx")
+    }
+    assert(e.getMessage.contains("PQ geometry"))
+    Seq("stats_ivfpq_idx", "stats_pq_idx", "stats_not_an_idx")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("knnVote: majority vote with (votes, best_rank, label) tiebreak; null labels drop out") {
+    val neighbors = Seq(
+      // qid 1: labels a,b,b,a,null — 2-2 tie, a holds the nearer neighbor
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      // qid 2: only unlabeled neighbors — must emit no row, not a null label
+      (2L, 14L, 1),
+      // qid 3: equal votes AND equal best_rank (duplicate ranks are legal
+      // input) — the label-asc safety tiebreak decides, deterministically
+      (3L, 20L, 1), (3L, 21L, 1)
+    ).toDF("qid", "cid", "rank")
+    val labels = Seq(
+      (10L, "a"), (11L, "b"), (12L, "b"), (13L, "a"), (20L, "z"), (21L, "y")
+    ).toDF("id", "lbl")
+      .unionByName(Seq(14L).toDF("id").withColumn("lbl", lit(null: String)))
+    val got = Similarity.knnVote(neighbors, labels, "id", "lbl")
+      .orderBy("qid")
+      .select("qid", "knn_label", "votes", "confidence")
+      .as[(Long, String, Long, Double)]
+      .collect()
+      .toSeq
+    assert(got === Seq((1L, "a", 2L, 0.5), (3L, "y", 1L, 0.5)))
+  }
+
+  test("knnClassify == knnVote over an everything-probed IVF frame; one row per query") {
+    val qs = emb.filter($"vec_id" < 20)
+    val exact = Similarity
+      .knnClassify(emb, qs, "embedding", "vec_id", "label", k = 5)
+    val rows = exact.collect()
+    assert(rows.length === 20, "one verdict per query")
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("confidence"); c > 0.0 && c <= 1.0
+    })
+    // nProbe == nCells probes every cell, so the ANN frame IS the exact
+    // top-k (same tiebreak by construction) and the votes must agree
+    // bit-for-bit — the "swap the search tier" composition contract
+    val annVote = Similarity.knnVote(
+      Similarity.ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 16),
+      emb.select($"vec_id", $"label"),
+      "vec_id", "label")
+    assert(annVote.collect().toSet === rows.toSet)
+    intercept[IllegalArgumentException] {
+      Similarity.knnClassify(emb, qs, "embedding", "vec_id", "label", k = 0)
+    }
+  }
+
   test("corpusRecon: ranked pairs == matrix + rank; HLL annotations are sane; q74 matches") {
     val recon = Dedup
       .corpusRecon(docs, "text", "source", shingleSize = 3, numSlots = 128,
