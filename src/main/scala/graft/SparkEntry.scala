@@ -1007,6 +1007,90 @@ object SparkEntry {
           expr("from_json(payload, 'event_type string, value double')").as("p")
         )
         .select(col("event_id"), col("p.event_type").as("event_type"), col("p.value").as("value"))
+    }),
+
+    // Mergeable histogram sketches: per-source n_chars histograms (64
+    // bins over [0, 1024)), merged to a corpus-level 'ALL' sketch by
+    // exact long addition — the pre-aggregation that answers quantile
+    // questions at 100 TB without rescanning raw data — then p50/p90/p99
+    // read from the sketches by in-bin linear interpolation.
+    "q77_sketch_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = Sketches.histogramSketch(docs, "n_chars", Seq("source"), 0.0, 1024.0, 64)
+      val all = Sketches
+        .mergeSketches(sk, Nil)
+        .withColumn("source", lit("ALL"))
+        .select(col("source"), col("bin"), col("n"))
+      Sketches
+        .quantilesFromSketch(
+          sk.select(col("source"), col("bin"), col("n")).unionByName(all),
+          Seq("source"),
+          Seq(0.5, 0.9, 0.99),
+          0.0,
+          1024.0,
+          64
+        )
+        .select(col("source"), col("p"), round(col("q_est"), 4).as("q_est"))
+    }),
+
+    // Corpus-level boilerplate strip: a deterministic 8-token license
+    // header + footer is affixed to every doc (the corpus itself has no
+    // cross-doc boilerplate, which would make the check vacuous), then
+    // segments occurring in >= 50 distinct docs are stripped and the
+    // doc text rebuilt from the survivors.
+    "q78_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("begin standard license header notice text follows now "),
+          col("text"),
+          lit(" copyright footer all rights reserved forever here end")
+        ).as("text")
+      )
+      TextAnalysis.stripBoilerplate(docs, "text", "doc_id", segTokens = 8, minDocs = 50)
+    }),
+
+    // DSIR importance resampling: score every doc by how 'en'-like its
+    // hashed unigram+bigram distribution is (target = lang='en' docs,
+    // raw = whole corpus). Hash-exact across engines via the
+    // deterministic glog + quantized-long-sum tricks (Dsir scaladoc).
+    "q79_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.importanceWeights(
+        docs,
+        docs.filter(col("lang") === "en"),
+        "text",
+        "doc_id",
+        nBuckets = 4096,
+        scale = 1000000000L
+      )
+    }),
+
+    // Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    // per-row 32-bit z-value from 16-bit ranks against the observed
+    // bounds (one bounded min/max agg — 4 longs to the driver), plus
+    // the 64-way file bucket a clustered write would assign (top 6
+    // z-bits — exact shift, no sampling, so the oracle reproduces it).
+    // Exact integer arithmetic end-to-end: hash-exact across engines.
+    "q80_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val Array(b) = li
+        .agg(
+          min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+          min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long"))
+        )
+        .collect()
+      val z = ZOrder.zValue2(
+        col("l_partkey"), b.getLong(0), b.getLong(1),
+        col("l_suppkey"), b.getLong(2), b.getLong(3)
+      )
+      li.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        col("l_suppkey"),
+        z.as("zval")
+      ).withColumn("zbucket", shiftright(col("zval"), 26))
     })
   )
 
@@ -1773,7 +1857,117 @@ object SparkEntry {
            |  round(score,4) AS score,
            |  (n >= 12 AND score > 2.0 AND rnk <= CAST(floor(n*0.25) AS BIGINT)) AS is_anomaly
            |FROM r""".stripMargin
-      }
+      },
+      // Same fixed-grid bin arithmetic and interpolation expression
+      // shape as Sketches.binOf/quantilesFromSketch: every term is a
+      // long or a literal-double IEEE op, so the estimates hash-match.
+      "q77_sketch_quantiles" ->
+        """WITH b AS (
+          |  SELECT source,
+          |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 16.0), 0.0), 63.0) AS BIGINT) AS bin,
+          |    count(*) AS n
+          |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          |m AS (SELECT source, bin, n FROM b
+          |      UNION ALL
+          |      SELECT 'ALL' AS source, bin, CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY 2),
+          |c AS (SELECT source, bin, n,
+          |    sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+          |    sum(n) OVER (PARTITION BY source) AS total
+          |  FROM m),
+          |r AS (SELECT source, bin, n, cum, p, greatest(p * total, 1e-12) AS rank
+          |  FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+          |  WHERE cum >= greatest(p * total, 1e-12)
+          |    AND (cum - n) < greatest(p * total, 1e-12))
+          |SELECT source, p,
+          |  round(0.0 + (bin + (rank - (cum - n)) / n) * 16.0, 4) AS q_est
+          |FROM r""".stripMargin,
+      // Same segmentation (non-overlapping 8-token windows over the
+      // normalized token stream), frequency threshold, and ordered
+      // reconstruction as TextAnalysis.stripBoilerplate.
+      "q78_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(regexp_replace(lower(
+          |      'begin standard license header notice text follows now ' || text ||
+          |      ' copyright footer all rights reserved forever here end'),
+          |      '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> '') AS words
+          |  FROM documents),
+          |s AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+          |  SELECT doc_id,
+          |    unnest([{'pos': CAST(i AS BIGINT),
+          |             'seg': array_to_string(words[(i*8+1):(i*8+8)], ' ')}
+          |            for i in range(0, CAST(ceil(len(words)/8.0) AS BIGINT))]) AS u
+          |  FROM t WHERE len(words) > 0)),
+          |b AS (SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 50),
+          |f AS (SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS boiler
+          |  FROM s LEFT JOIN b ON b.seg = s.seg)
+          |SELECT doc_id, count(*) AS n_segs,
+          |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+          |  floor(CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000
+          |    AS frac_boiler,
+          |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT boiler) AS clean_text
+          |FROM f GROUP BY doc_id""".stripMargin,
+      // Mirrors Dsir.importanceWeights exactly: same md5 bucketing, the
+      // same deterministic glog polynomial (only IEEE-exact ops — bin
+      // exponent, exact /2^e, two sqrts, fixed Horner), the same
+      // ((a-b)-(c-d)) ratio shape, and exact long sums of the quantized
+      // per-bucket ratios. glog is evaluated over the deduped value set
+      // once and joined back.
+      "q79_dsir_weights" ->
+        s"""WITH t AS ($wordsSql),
+           |g AS (SELECT doc_id,
+           |    unnest(words || [words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS gram
+           |  FROM t WHERE len(words) > 0),
+           |gb AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 6))::BIGINT % 4096 AS bucket FROM g),
+           |tg AS (SELECT gb.bucket FROM gb JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+           |rc AS (SELECT bucket, count(*) AS r FROM gb GROUP BY 1),
+           |tc AS (SELECT bucket, count(*) AS t FROM tg GROUP BY 1),
+           |tot AS (SELECT (SELECT coalesce(sum(r), 0) FROM rc) AS bigR,
+           |               (SELECT coalesce(sum(t), 0) FROM tc) AS bigT),
+           |model AS (SELECT rc.bucket, coalesce(tc.t, 0) AS t, rc.r
+           |  FROM rc LEFT JOIN tc USING (bucket)),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT t + 1 AS v FROM model UNION ALL SELECT r + 1 FROM model
+           |  UNION ALL SELECT bigT + 4096 FROM tot UNION ALL SELECT bigR + 4096 FROM tot)),
+           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |lr AS (SELECT m.bucket,
+           |    CAST(round((glt.glog - glr.glog - (glbt.glog - glbr.glog)) * 1000000000.0) AS BIGINT) AS lrq
+           |  FROM model m
+           |  CROSS JOIN tot
+           |  JOIN gl glt ON glt.v = m.t + 1
+           |  JOIN gl glr ON glr.v = m.r + 1
+           |  JOIN gl glbt ON glbt.v = tot.bigT + 4096
+           |  JOIN gl glbr ON glbr.v = tot.bigR + 4096)
+           |SELECT gb.doc_id, count(*) AS n_grams,
+           |  CAST(sum(lr.lrq) AS BIGINT) AS logw_q,
+           |  CAST(sum(lr.lrq) AS DOUBLE) / 1000000000.0 AS logw
+           |FROM gb JOIN lr USING (bucket)
+           |GROUP BY 1""".stripMargin,
+      // Same 16-bit rank scaling (exact integer multiply + floor div)
+      // and the same 4-step mask-shift bit spread as ZOrder.spreadBits;
+      // every op is integer, so the z-values match bit-for-bit.
+      "q80_zorder" ->
+        """WITH bnd AS (SELECT CAST(min(l_partkey) AS BIGINT) AS xlo, CAST(max(l_partkey) AS BIGINT) AS xhi,
+          |                    CAST(min(l_suppkey) AS BIGINT) AS ylo, CAST(max(l_suppkey) AS BIGINT) AS yhi
+          |             FROM lineitem),
+          |r AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          |    ((least(greatest(CAST(l_partkey AS BIGINT), xlo), xhi) - xlo) * 65535) // (xhi - xlo) AS rx,
+          |    ((least(greatest(CAST(l_suppkey AS BIGINT), ylo), yhi) - ylo) * 65535) // (yhi - ylo) AS ry
+          |  FROM lineitem CROSS JOIN bnd),
+          |s1 AS (SELECT *, (rx | (rx << 8)) & 16711935 AS ax, (ry | (ry << 8)) & 16711935 AS ay FROM r),
+          |s2 AS (SELECT *, (ax | (ax << 4)) & 252645135 AS bx, (ay | (ay << 4)) & 252645135 AS by FROM s1),
+          |s3 AS (SELECT *, (bx | (bx << 2)) & 858993459 AS cx, (by | (by << 2)) & 858993459 AS cy FROM s2),
+          |s4 AS (SELECT *, (cx | (cx << 1)) & 1431655765 AS dx, (cy | (cy << 1)) & 1431655765 AS dy FROM s3)
+          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          |  (dx | (dy << 1)) AS zval,
+          |  (dx | (dy << 1)) >> 26 AS zbucket
+          |FROM s4""".stripMargin
     )
   }
 

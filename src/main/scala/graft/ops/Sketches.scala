@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable histogram sketches — the pre-aggregation shape that makes
+  * percentile dashboards affordable at 100 TB. Instead of rescanning the
+  * raw corpus for every quantile question, each partition (day, source,
+  * shard) folds its rows once into a fixed-width histogram (`nBins`
+  * longs); sketches then MERGE by integer addition — associative,
+  * commutative, exact — so a month is the sum of 30 day-sketches and a
+  * corpus rollup is the sum of its source rows, each merge touching
+  * O(groups × bins) rows instead of the raw data.
+  *
+  * Chosen over KLL/t-digest deliberately: those sketches are
+  * merge-order-sensitive (their compaction randomizes), which breaks
+  * both the engine's cross-engine oracle discipline and reproducibility
+  * across Spark's nondeterministic partition merge order. A fixed-grid
+  * histogram is deterministic under ANY merge order, and with bins sized
+  * to the telemetry range the quantile error is bounded by one bin
+  * width (asserted in SketchesSpec).
+  *
+  * Reference semantics: the reference's dashboard rollups
+  * (`app/app.py:214-246`) recompute value histograms from the raw frame
+  * on every request; this operator family is the at-scale replacement.
+  *
+  * Values are CLAMPED into [lo, hi): below-range rows land in bin 0,
+  * above-range rows in bin nBins-1 (documented trade — no separate
+  * under/overflow bins keeps the bin id arithmetic identical in Spark
+  * and the DuckDB oracle, and tail clamping only widens the error of
+  * quantiles that already sit on the configured boundary).
+  */
+object Sketches {
+
+  /** Bin id for a value: floor((clamp(v) - lo) / width), in [0, nBins). */
+  def binOf(v: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    require(nBins > 0 && hi > lo, "need hi > lo and nBins > 0")
+    val w = (hi - lo) / nBins
+    least(greatest(floor((v.cast("double") - lit(lo)) / lit(w)), lit(0.0)), lit((nBins - 1).toDouble))
+      .cast("long")
+  }
+
+  /** Fold rows into one histogram row per (groupCols, bin): a map-side
+    * partial aggregation followed by one shuffle on the group keys —
+    * the only pass that ever sees the raw data. Empty bins are absent
+    * (sparse representation); merge and quantile read treat absence as
+    * zero.
+    */
+  def histogramSketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ binOf(col(valueCol), lo, hi, nBins).as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge sketches down to a coarser grouping (or to a single corpus
+    * row with `newGroups = Nil`): exact long addition per bin. This is
+    * the operation that must NOT see raw data — it runs on O(groups ×
+    * bins) rows, so rolling 1000 shard-sketches into a corpus sketch is
+    * driver-trivial no matter how big the shards were.
+    */
+  def mergeSketches(sketch: DataFrame, newGroups: Seq[String]): DataFrame =
+    sketch.groupBy((newGroups.map(col) :+ col("bin")): _*).agg(sum(col("n")).as("n"))
+
+  /** Quantile estimates from a sketch: for each probability p, locate
+    * the bin containing rank p·N and interpolate linearly inside it.
+    * Error ≤ one bin width by construction (SketchesSpec pins this
+    * against exact percentiles). Two window passes over the sketch rows
+    * (bins, not raw data) + an explode of the literal prob list — cost
+    * is independent of the data the sketch summarizes.
+    *
+    * The arithmetic is pure long/literal-double IEEE ops in a fixed
+    * expression shape, so the DuckDB oracle reproduces it bit-exactly.
+    */
+  def quantilesFromSketch(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      probs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), "probs in [0,1]")
+    val w = (hi - lo) / nBins
+    val grp = groupCols.map(col)
+    val byBin = Window.partitionBy(grp: _*).orderBy(col("bin"))
+    val all = Window.partitionBy((if (grp.isEmpty) Seq(lit(1)) else grp): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("n")).over(byBin))
+      .withColumn("total", sum(col("n")).over(all))
+    // rank is strictly > 0 (greatest with 1e-12) so p=0 resolves to the
+    // first populated bin instead of matching no bin at all.
+    val ranked = cum
+      .crossJoin(spark_explode_probs(probs))
+      .withColumn("rank", greatest(col("p") * col("total"), lit(1e-12)))
+      .filter(col("cum") >= col("rank") && (col("cum") - col("n")) < col("rank"))
+    ranked.select(
+      (grp :+ col("p")) :+
+        (lit(lo) + (col("bin") + (col("rank") - (col("cum") - col("n"))) / col("n")) * lit(w))
+          .as("q_est"): _*
+    )
+  }
+
+  private def spark_explode_probs(probs: Seq[Double]) = {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.active.range(1).select(explode(array(probs.map(lit): _*)).as("p"))
+  }
+
+  /** Persist a sketch (tiny — O(groups × bins) rows) so later sessions
+    * merge it without the raw scan. Plain parquet; readback is
+    * spark.read.parquet.
+    */
+  def writeSketch(sketch: DataFrame, path: String): Unit =
+    sketch.write.mode("overwrite").parquet(path)
+}

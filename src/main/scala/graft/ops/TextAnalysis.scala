@@ -553,4 +553,76 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated")
       )
   }
+
+  /** Corpus-level boilerplate removal (the CCNet/MassiveText pass that
+    * strips headers, footers, cookie banners and license stubs): cut
+    * each document into non-overlapping `segTokens`-token segments, call
+    * a segment boilerplate when its normalized text occurs in at least
+    * `minDocs` DISTINCT documents, and rebuild each document from its
+    * surviving segments (in order). Returns one row per input doc:
+    * segment counts, the boilerplate fraction, and the cleaned text
+    * (null when every segment was boilerplate — nothing survives).
+    *
+    * Reference semantics: the reference has no corpus-frequency pass
+    * (its cleaning is per-cell, `processing.py:text_clean`-family); this
+    * is part of the LLM-curation superset, after CCNet §3 / Rae et al.
+    * (Gopher) App. A — implemented from the papers' descriptions.
+    *
+    * Scale shape: one explode (linear in corpus tokens), one
+    * aggregation shuffled on segment text to find the frequent set, and
+    * a BROADCAST join back — the boilerplate set is small by
+    * construction (only segments clearing `minDocs` survive the
+    * HAVING), so the per-segment flagging never shuffles the corpus a
+    * second time. Reconstruction is one groupBy on doc_id with an
+    * array_sort over (pos, seg) structs — deterministic under Spark's
+    * nondeterministic collect order.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int
+  ): DataFrame = {
+    require(segTokens > 0 && minDocs > 1, "need segTokens > 0, minDocs > 1")
+    val base = df
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val nSeg = ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
+    val segs = base
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), nSeg - 1),
+            i => concat_ws(" ", slice(col("_toks"), i * segTokens + 1, lit(segTokens)))
+          )
+        )
+      )
+      .select(col("doc_id"), col("pos"), col("col").as("seg"))
+    val boiler = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("_boiler"))
+    val flagged = segs
+      .join(broadcast(boiler), Seq("seg"), "left")
+      .withColumn("boiler", coalesce(col("_boiler"), lit(false)))
+    flagged
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sort_array(collect_list(when(!col("boiler"), struct(col("pos"), col("seg")))))
+          .as("_kept")
+      )
+      .select(
+        col("doc_id"),
+        col("n_segs"),
+        col("n_boiler"),
+        (floor(col("n_boiler") / col("n_segs") * 10000) / 10000).as("frac_boiler"),
+        when(size(col("_kept")) > 0,
+          concat_ws(" ", transform(col("_kept"), s => s.getField("seg")))).as("clean_text")
+      )
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** Pins for DSIR importance resampling ([[Dsir]]): the deterministic
+  * glog's accuracy envelope (the cross-engine BIT-equality half is
+  * enforced by the q79 DuckDB oracle), weight directionality (target-
+  * like docs outscore off-target docs), exact-sum determinism under
+  * repartitioning, and the model-table boundedness that makes the
+  * operator a broadcast join at 100 TB.
+  */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("glog matches Math.log within 2e-15 over a wide integer range") {
+    val xs = (Seq(1L, 2L, 3L, 7L, 100L, 4095L, 4096L, 65537L, 999983L, 3000000L) ++
+      (1 to 2000).map(i => (i * 104729L) % 2999999L + 1L)).distinct
+    val got = xs
+      .toDF("x")
+      .select(col("x"), Dsir.glog(col("x")).as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    got.foreach { case (x, g) =>
+      assert(math.abs(g - math.log(x.toDouble)) <= 2e-15, s"glog($x)=$g")
+    }
+  }
+
+  test("target-like documents get higher weights than off-target ones") {
+    val target = (1 to 40).map(i => (100L + i, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val raw = ((1 to 10).map(i => (i.toLong, "the quick brown fox jumps high")) ++
+      (11 to 20).map(i => (i.toLong, "der schnelle braune fuchs springt hoch"))).toDF("doc_id", "text")
+    val w = Dsir
+      .importanceWeights(raw, target, "text", "doc_id", nBuckets = 1024)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q"))
+      .toMap
+    val enScore = w(1L)
+    val deScore = w(11L)
+    assert(enScore > deScore, s"en=$enScore de=$deScore")
+    // identical docs score identically (exact long arithmetic)
+    assert((1 to 10).map(i => w(i.toLong)).distinct.size === 1)
+  }
+
+  test("weights are invariant to partitioning (exact long sums)") {
+    val docs = (1 to 200)
+      .map(i => (i.toLong, s"alpha beta gamma delta token$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 50)
+    val a = Dsir
+      .importanceWeights(docs.repartition(1), target, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q"))
+      .toMap
+    val b = Dsir
+      .importanceWeights(docs.repartition(17, col("doc_id")), target.repartition(5), "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q"))
+      .toMap
+    assert(a === b)
+  }
+
+  test("model table is bounded by nBuckets and joined via broadcast") {
+    val docs = (1 to 300).map(i => (i.toLong, s"word$i filler common tokens here")).toDF("doc_id", "text")
+    val lr = Dsir.bucketLogRatios(docs, docs.limit(30), "text", "doc_id", nBuckets = 64, scale = 1000000000L)
+    assert(lr.count() <= 64)
+    val plan = Dsir
+      .importanceWeights(docs, docs.limit(30), "text", "doc_id", nBuckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** Pins for the mergeable-histogram-sketch family ([[Sketches]]):
+  * merge exactness under arbitrary partitionings (the property that
+  * makes per-shard sketches safe at 100 TB), the one-bin-width quantile
+  * error bound, clamping at the grid edges, and at-rest round-trip.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val lo = 0.0
+  private val hi = 100.0
+  private val bins = 20 // width 5.0
+
+  private lazy val rows = (1 to 997).map(i => ((i * 7919) % 1000, if (i % 3 == 0) "a" else "b"))
+  private lazy val df = rows.toDF("v", "g").withColumn("v", col("v") / 10.0)
+
+  test("merging per-partition sketches equals the sketch of the union, exactly") {
+    val whole = Sketches
+      .histogramSketch(df, "v", Seq("g"), lo, hi, bins)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val half1 = Sketches.histogramSketch(df.filter(col("v") < 37.7), "v", Seq("g"), lo, hi, bins)
+    val half2 = Sketches.histogramSketch(df.filter(col("v") >= 37.7), "v", Seq("g"), lo, hi, bins)
+    val merged = Sketches
+      .mergeSketches(half1.unionByName(half2), Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged === whole)
+  }
+
+  test("quantile estimates are within one bin width of the exact percentile") {
+    val sk = Sketches.histogramSketch(df, "v", Seq("g"), lo, hi, bins)
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketches
+      .quantilesFromSketch(sk, Seq("g"), probs, lo, hi, bins)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val exact = df
+      .groupBy("g")
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("qs"))
+      .collect()
+      .flatMap(r => probs.zip(r.getSeq[Double](1)).map { case (p, q) => (r.getString(0), p) -> q })
+      .toMap
+    val w = (hi - lo) / bins
+    exact.foreach { case (k, q) =>
+      assert(math.abs(est(k) - q) <= w, s"$k: est=${est(k)} exact=$q")
+    }
+  }
+
+  test("out-of-range values clamp into the edge bins (no dropped rows)") {
+    val oob = Seq(-5.0, -0.001, 0.0, 99.999, 100.0, 250.0).toDF("v").withColumn("g", lit("x"))
+    val sk = Sketches
+      .histogramSketch(oob, "v", Seq("g"), lo, hi, bins)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    assert(sk(0L) === 3L) // -5, -0.001, 0.0
+    assert(sk(19L) === 3L) // 99.999, 100.0, 250.0
+    assert(sk.values.sum === 6L)
+  }
+
+  test("p=0 resolves to the first populated bin, p=1 to the last") {
+    val sk = Sketches.histogramSketch(df.filter(col("v") >= 20.0), "v", Seq("g"), lo, hi, bins)
+    val est = Sketches
+      .quantilesFromSketch(sk, Seq("g"), Seq(0.0, 1.0), lo, hi, bins)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    est.foreach { case ((_, p), q) =>
+      if (p == 0.0) assert(q >= 20.0 && q <= 25.0) else assert(q <= hi)
+    }
+    assert(est.size === 4)
+  }
+
+  test("at-rest round trip: written sketch reads back and merges with a fresh one") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    val day1 = Sketches.histogramSketch(df.filter(col("v") < 50), "v", Seq("g"), lo, hi, bins)
+    Sketches.writeSketch(day1, s"$dir/day1")
+    val day2 = Sketches.histogramSketch(df.filter(col("v") >= 50), "v", Seq("g"), lo, hi, bins)
+    val merged = Sketches
+      .mergeSketches(spark.read.parquet(s"$dir/day1").unionByName(day2), Seq("g"))
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    assert(merged === df.count())
+  }
+}

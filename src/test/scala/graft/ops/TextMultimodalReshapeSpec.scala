@@ -175,6 +175,48 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("n_emails") === 0L && got(2L).getAs[Long]("n_urls") === 0L)
   }
 
+  test("stripBoilerplate: shared segments stripped, text rebuilt in order, all-boiler doc nulls") {
+    // 4 docs share the same 2-token header segment (segTokens = 2);
+    // bodies are unique. minDocs = 3 -> header is boilerplate, bodies
+    // survive. Doc 5 is ONLY the header: its clean_text must be null.
+    val df = Seq(
+      (1L, "legal header alpha beta gamma"),
+      (2L, "legal header delta epsilon"),
+      (3L, "legal header zeta eta theta iota"),
+      (4L, "legal header kappa"),
+      (5L, "legal header")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .stripBoilerplate(df, "text", "doc_id", segTokens = 2, minDocs = 3)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_boiler"), r.getAs[String]("clean_text")))
+      )
+      .toMap
+    // doc 3: segs = [legal header][zeta eta][theta iota] -> header stripped
+    assert(got(3L) === ((3L, 1L, "zeta eta theta iota")))
+    // doc 1: tail segment [gamma] is a partial window and survives
+    assert(got(1L) === ((3L, 1L, "alpha beta gamma")))
+    assert(got(4L) === ((2L, 1L, "kappa")))
+    // all-boilerplate doc: nothing survives -> null (not empty string)
+    assert(got(5L)._2 === 1L && got(5L)._3 === null)
+    // no body segment was ever flagged
+    assert(got.values.map(_._2).sum === 5L)
+  }
+
+  test("stripBoilerplate: below-threshold repeats are kept") {
+    val df = Seq(
+      (1L, "shared pair one"),
+      (2L, "shared pair two"),
+      (3L, "other words three")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .stripBoilerplate(df, "text", "doc_id", segTokens = 2, minDocs = 3)
+      .collect()
+    assert(got.forall(_.getAs[Long]("n_boiler") === 0L))
+  }
+
   test("fingerprints: formatting-only variants collide") {
     val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "text", "doc_id").collect()
