@@ -1091,6 +1091,23 @@ object SparkEntry {
         col("l_suppkey"),
         z.as("zval")
       ).withColumn("zbucket", shiftright(col("zval"), 26))
+    }),
+
+    // CDF / rank normalization from the histogram sketch — per-row
+    // percent-rank WITHOUT a global sort: cumulative bin counts (exact
+    // longs) broadcast back onto rows, linear in-bin interpolation.
+    "q81_cdf_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = Sketches.histogramSketch(docs, "n_chars", Seq("source"), 0.0, 1024.0, 64)
+      Sketches.cdfFromSketch(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "n_chars",
+        Seq("source"),
+        sk,
+        0.0,
+        1024.0,
+        64
+      )
     })
   )
 
@@ -1967,7 +1984,21 @@ object SparkEntry {
           |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           |  (dx | (dy << 1)) AS zval,
           |  (dx | (dy << 1)) >> 26 AS zbucket
-          |FROM s4""".stripMargin
+          |FROM s4""".stripMargin,
+      // Same bin grid as q77, cum-below/total as exact integer window
+      // sums over the bins, and the same least/greatest-clamped linear
+      // interpolation expression shape as Sketches.cdfFromSketch.
+      "q81_cdf_normalize" ->
+        """WITH b AS (SELECT doc_id, source, n_chars,
+          |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 16.0), 0.0), 63.0) AS BIGINT) AS bin
+          |  FROM documents WHERE n_chars IS NOT NULL),
+          |h AS (SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2),
+          |c AS (SELECT source, bin, n,
+          |    sum(n) OVER (PARTITION BY source ORDER BY bin) - n AS cum_below,
+          |    sum(n) OVER (PARTITION BY source) AS total FROM h)
+          |SELECT b.doc_id, b.source, b.n_chars,
+          |  (cum_below + n * least(greatest((CAST(b.n_chars AS DOUBLE) - (0.0 + bin * 16.0)) / 16.0, 0.0), 1.0)) / total AS cdf
+          |FROM b JOIN c USING (source, bin)""".stripMargin
     )
   }
 

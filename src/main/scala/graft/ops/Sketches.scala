@@ -118,4 +118,49 @@ object Sketches {
     */
   def writeSketch(sketch: DataFrame, path: String): Unit =
     sketch.write.mode("overwrite").parquet(path)
+
+  /** Per-row CDF / rank normalization against a histogram sketch — the
+    * scale-correct replacement for `percent_rank()`'s global sort: the
+    * sketch (usually of the SAME data, or a persisted one from
+    * [[writeSketch]]) is enriched with per-bin cumulative counts (a
+    * window over O(groups × bins) rows, NOT the data) and BROADCAST-
+    * joined back onto the rows; each value's CDF position is the mass
+    * strictly below its bin plus a linear in-bin interpolation. No
+    * shuffle of `df` at all — a 100 TB feature-normalization pass is
+    * one map-side join. Estimate error ≤ one bin's mass fraction
+    * (SketchesSpec pins vs exact percent_rank).
+    *
+    * Deterministic across engines: cumulative counts are exact longs;
+    * the interpolation is the same fixed shape of IEEE-exact ops in
+    * Spark and the DuckDB oracle.
+    */
+  def cdfFromSketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      sketch: DataFrame,
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame = {
+    val w = (hi - lo) / nBins
+    val grp = groupCols.map(col)
+    val byBin = Window.partitionBy(grp: _*).orderBy(col("bin"))
+    val all = Window.partitionBy((if (grp.isEmpty) Seq(lit(1)) else grp): _*)
+    val enriched = sketch
+      .withColumn("cum_below", sum(col("n")).over(byBin) - col("n"))
+      .withColumn("total", sum(col("n")).over(all))
+    val frac = least(
+      greatest(
+        (col(valueCol).cast("double") - (lit(lo) + col("bin") * lit(w))) / lit(w),
+        lit(0.0)
+      ),
+      lit(1.0)
+    )
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", binOf(col(valueCol), lo, hi, nBins))
+      .join(broadcast(enriched), groupCols :+ "bin")
+      .withColumn("cdf", (col("cum_below") + col("n") * frac) / col("total"))
+      .drop("bin", "cum_below", "n", "total")
+  }
 }

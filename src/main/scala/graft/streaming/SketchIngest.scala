@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Sketches
+import graft.sinks.Dfs
+
+/** Continuous maintenance of an at-rest histogram sketch
+  * ([[graft.ops.Sketches]]) over a stream — the telemetry shape behind
+  * "p99 document length, updated live, queryable without rescanning":
+  * each micro-batch folds its rows into a batch histogram (map-side,
+  * O(batch)), exact-long-merges it with the at-rest sketch (O(groups ×
+  * bins) rows — KB-sized regardless of history), and swap-writes the
+  * result. Readers ([[graft.ops.Sketches.quantilesFromSketch]],
+  * [[graft.ops.Sketches.cdfFromSketch]]) always see a COMPLETE sketch:
+  * the live dir is replaced by the two-rename `.new`/`.old` protocol
+  * shared with the engine's other at-rest state.
+  *
+  * Exactly-once under foreachBatch's at-least-once redelivery: the
+  * committed batch id rides INSIDE the versioned dir (`_batch` control
+  * file — underscore-prefixed, invisible to parquet readers), so the
+  * sketch and its progress marker swap atomically. A replayed batch id
+  * ≤ the stored one is a no-op. Because merge is exact long addition,
+  * the streamed sketch is bit-identical to a batch rebuild over the
+  * same rows (spec-pinned), and a crash in ANY rename window leaves
+  * either the previous complete version (healed from `.old`) or the
+  * next one (promoted from `.new` — complete by protocol order: it is
+  * fully written and closed before the live dir is retired).
+  *
+  * Single-writer contract (as everywhere in this engine): one ingest
+  * loop owns a sketch path.
+  */
+object SketchIngest {
+
+  /** Start the ingest loop: `rows` must contain `valueCol` and
+    * `groupCols`. The sketch lands at `sketchPath` (live parquet dir +
+    * `_batch` marker inside).
+    */
+  def sketchIngest(
+      rows: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      sketchPath: String,
+      checkpoint: String
+  ): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestSketchBatch(batch, batchId, valueCol, groupCols, lo, hi, nBins, sketchPath)
+        ()
+      }
+      .start()
+
+  /** One micro-batch; exposed for batch-mode reuse and the spec's
+    * streamed==rebuild and crash-window tests. Returns true when the
+    * batch was applied, false when it was recognized as a replay.
+    */
+  def ingestSketchBatch(
+      batch: DataFrame,
+      batchId: Long,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      sketchPath: String
+  ): Boolean = {
+    val spark = batch.sparkSession
+    val fs = Dfs.fs(spark, sketchPath)
+    val live = new HPath(sketchPath)
+    heal(fs, live)
+    val stored = committedBatch(fs, live)
+    if (stored.exists(_ >= batchId)) return false
+
+    val batchSketch = Sketches.histogramSketch(batch, valueCol, groupCols, lo, hi, nBins)
+    val merged =
+      if (fs.exists(live)) {
+        val current = spark.read.parquet(sketchPath)
+        Sketches.mergeSketches(current.unionByName(batchSketch), groupCols)
+      } else batchSketch
+
+    val fresh = new HPath(sketchPath + ".new")
+    Dfs.rmTree(fs, fresh) // stray .new from a pre-swap crash: never acknowledged, rebuild
+    merged.coalesce(1).write.parquet(fresh.toString)
+    Dfs.writeSmall(fs, new HPath(fresh, "_batch"), batchId.toString)
+
+    val old = new HPath(sketchPath + ".old")
+    Dfs.rmTree(fs, old)
+    if (fs.exists(live)) Dfs.move(fs, live, old)
+    Dfs.move(fs, fresh, live)
+    Dfs.rmTree(fs, old)
+    true
+  }
+
+  /** Restore a complete live dir after a crash mid-swap: a missing live
+    * dir with `.new` beside it promotes `.new` (complete by protocol
+    * order); missing live with only `.old` restores the previous
+    * version. No-op when the live dir exists.
+    */
+  def heal(fs: FileSystem, live: HPath): Unit = {
+    val fresh = new HPath(live.toString + ".new")
+    val old = new HPath(live.toString + ".old")
+    if (!fs.exists(live)) {
+      if (fs.exists(fresh)) {
+        Dfs.move(fs, fresh, live)
+        Dfs.rmTree(fs, old)
+      } else if (fs.exists(old)) {
+        Dfs.move(fs, old, live)
+      }
+    }
+  }
+
+  /** The batch id the live sketch was committed at, if any. */
+  def committedBatch(fs: FileSystem, live: HPath): Option[Long] = {
+    val marker = new HPath(live, "_batch")
+    if (fs.exists(live) && Dfs.existsSmall(fs, marker))
+      Some(Dfs.readSmallString(fs, marker).trim.toLong)
+    else None
+  }
+}

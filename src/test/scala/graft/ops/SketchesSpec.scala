@@ -57,6 +57,38 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdfFromSketch: within the containing bin's mass of the exact CDF; broadcast join") {
+    val sk = Sketches.histogramSketch(df, "v", Seq("g"), lo, hi, bins)
+    val est = Sketches.cdfFromSketch(df, "v", Seq("g"), sk, lo, hi, bins)
+    assert(est.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = est
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("v")) -> r.getAs[Double]("cdf"))
+      .toMap
+    val totals = df.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df
+      .groupBy("g", "v")
+      .count()
+      .withColumn("cum", sum("count").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getAs[Long]("cum"))
+      .toMap
+    val w = (hi - lo) / bins
+    val binMass = df
+      .groupBy(col("g"), Sketches.binOf(col("v"), lo, hi, bins).as("b"))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    exact.foreach { case ((g, v), cum) =>
+      val b = math.min(math.max(math.floor((v - lo) / w), 0.0), (bins - 1).toDouble).toLong
+      val bound = binMass((g, b)).toDouble / totals(g)
+      val e = cum.toDouble / totals(g)
+      assert(math.abs(got((g, v)) - e) <= bound + 1e-12, s"($g,$v): est=${got((g, v))} exact=$e")
+    }
+  }
+
   test("out-of-range values clamp into the edge bins (no dropped rows)") {
     val oob = Seq(-5.0, -0.001, 0.0, 99.999, 100.0, 250.0).toDF("v").withColumn("g", lit("x"))
     val sk = Sketches
