@@ -1056,9 +1056,9 @@ object SparkEntry {
     // deterministic glog + quantized-long-sum tricks (Dsir scaladoc).
     "q79_dsir_weights" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dsir.importanceWeights(
+      Dsir.importanceWeightsWithin(
         docs,
-        docs.filter(col("lang") === "en"),
+        col("lang") === "en",
         "text",
         "doc_id",
         nBuckets = 4096,
@@ -1108,6 +1108,32 @@ object SparkEntry {
         1024.0,
         64
       )
+    }),
+
+    // Sketch-driven equi-depth partitioning: assign each doc a stable
+    // balanced partition id from the GLOBAL n_chars sketch (the
+    // skew-proof, cross-job-stable alternative to repartitionByRange
+    // sampling), then prove the balance + range-contiguity properties
+    // as per-pid stats.
+    "q82_equidepth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = Sketches.histogramSketch(docs, "n_chars", Nil, 0.0, 1024.0, 64)
+      Sketches
+        .equiDepthPartition(
+          docs.select(col("doc_id"), col("n_chars")),
+          "n_chars",
+          sk,
+          0.0,
+          1024.0,
+          64,
+          k = 16
+        )
+        .groupBy(col("pid"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars")
+        )
     })
   )
 
@@ -1998,7 +2024,22 @@ object SparkEntry {
           |    sum(n) OVER (PARTITION BY source) AS total FROM h)
           |SELECT b.doc_id, b.source, b.n_chars,
           |  (cum_below + n * least(greatest((CAST(b.n_chars AS DOUBLE) - (0.0 + bin * 16.0)) / 16.0, 0.0), 1.0)) / total AS cdf
-          |FROM b JOIN c USING (source, bin)""".stripMargin
+          |FROM b JOIN c USING (source, bin)""".stripMargin,
+      // q81's cdf shape with a GLOBAL (partitionless) window, then
+      // pid = min(floor(cdf*16), 15) and per-pid aggregation.
+      "q82_equidepth" ->
+        """WITH b AS (SELECT doc_id, n_chars,
+          |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 16.0), 0.0), 63.0) AS BIGINT) AS bin
+          |  FROM documents WHERE n_chars IS NOT NULL),
+          |h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+          |c AS (SELECT bin, n,
+          |    sum(n) OVER (ORDER BY bin) - n AS cum_below,
+          |    sum(n) OVER () AS total FROM h),
+          |p AS (SELECT b.doc_id, b.n_chars,
+          |    least(CAST(floor(((cum_below + n * least(greatest((CAST(b.n_chars AS DOUBLE) - (0.0 + bin * 16.0)) / 16.0, 0.0), 1.0)) / total) * 16) AS BIGINT), 15) AS pid
+          |  FROM b JOIN c USING (bin))
+          |SELECT pid, count(*) AS n_docs, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+          |FROM p GROUP BY 1""".stripMargin
     )
   }
 

@@ -80,7 +80,16 @@ object Dsir {
     * unigrams + bigrams over the shared [[Fns.tokens]] normalization.
     * Pure map-side explode — the only pass that reads full text.
     */
-  def gramBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame = {
+  def gramBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
+    gramsOf(df, textCol, idCol, nBuckets, Nil)
+
+  private def gramsOf(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      extra: Seq[(String, Column)]
+  ): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     val unigrams = toks
     // empty-array literal via slice keeps the branch array<string>-typed
@@ -91,8 +100,10 @@ object Dsir {
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))
       )
     ).otherwise(slice(toks, lit(1), lit(0)))
-    df.select(col(idCol).as("doc_id"), explode(concat(unigrams, bigrams)).as("gram"))
-      .select(col("doc_id"), gramBucket(col("gram"), nBuckets).as("bucket"))
+    val keep = col(idCol).as("doc_id") +: extra.map { case (n, c) => c.as(n) }
+    df.select(keep :+ explode(concat(unigrams, bigrams)).as("gram"): _*)
+      .select(col("doc_id") +: extra.map(e => col(e._1)) :+
+        gramBucket(col("gram"), nBuckets).as("bucket"): _*)
   }
 
   /** The ≤`nBuckets`-row model table: for every bucket observed in the
@@ -110,9 +121,20 @@ object Dsir {
       idCol: String,
       nBuckets: Int,
       scale: Long
+  ): DataFrame =
+    ratiosFromGrams(
+      gramBuckets(raw, textCol, idCol, nBuckets),
+      gramBuckets(target, textCol, idCol, nBuckets),
+      nBuckets,
+      scale
+    )
+
+  private def ratiosFromGrams(
+      rawG: DataFrame,
+      tgtG: DataFrame,
+      nBuckets: Int,
+      scale: Long
   ): DataFrame = {
-    val rawG = gramBuckets(raw, textCol, idCol, nBuckets)
-    val tgtG = gramBuckets(target, textCol, idCol, nBuckets)
     val rCounts = rawG.groupBy("bucket").agg(count(lit(1)).as("r"))
     val tCounts = tgtG.groupBy("bucket").agg(count(lit(1)).as("t"))
     val totals = rCounts
@@ -147,8 +169,39 @@ object Dsir {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
-    val lr = bucketLogRatios(raw, target, textCol, idCol, nBuckets, scale)
-    gramBuckets(raw, textCol, idCol, nBuckets)
+    // the raw gram table feeds BOTH the model fit and the per-doc score
+    // join — pin it once (two longs per gram occurrence) instead of
+    // re-running tokenize+md5 over the corpus for each branch
+    val rawG = Materialize(gramBuckets(raw, textCol, idCol, nBuckets), eager = false)
+    val lr = ratiosFromGrams(rawG, gramBuckets(target, textCol, idCol, nBuckets), nBuckets, scale)
+    scoreGrams(rawG, lr, scale)
+  }
+
+  /** [[importanceWeights]] for the common "target is a labeled subset
+    * of the raw corpus" case (DSIR against an in-corpus quality
+    * subset): ONE explode+hash pass total — each gram occurrence
+    * carries a `targetCond` flag, the target model is the flagged
+    * slice, and the pinned gram table feeds model fit and scoring both.
+    */
+  def importanceWeightsWithin(
+      raw: DataFrame,
+      targetCond: Column,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    val g = Materialize(
+      gramsOf(raw, textCol, idCol, nBuckets, Seq("_tgt" -> targetCond)),
+      eager = false
+    )
+    val lr = ratiosFromGrams(g, g.filter(col("_tgt")), nBuckets, scale)
+    scoreGrams(g.drop("_tgt"), lr, scale)
+  }
+
+  private def scoreGrams(rawG: DataFrame, lr: DataFrame, scale: Long): DataFrame =
+    rawG
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(
@@ -156,5 +209,4 @@ object Dsir {
         sum(col("lrq")).as("logw_q")
       )
       .withColumn("logw", col("logw_q").cast("double") / scale.toDouble)
-  }
 }

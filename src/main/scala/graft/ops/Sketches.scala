@@ -119,6 +119,37 @@ object Sketches {
   def writeSketch(sketch: DataFrame, path: String): Unit =
     sketch.write.mode("overwrite").parquet(path)
 
+  /** Equi-depth partition assignment from a (global) histogram sketch:
+    * `pid = min(floor(cdf(v) · k), k−1)` — every partition receives
+    * ≈1/k of the data MASS regardless of how skewed the value
+    * distribution is, and partitions are contiguous value ranges (the
+    * property range-joins and sorted writes want). This is the
+    * sketch-driven alternative to `repartitionByRange`'s per-job
+    * sampling: boundaries are derived from a mergeable at-rest sketch,
+    * so they are STABLE across jobs and days (same sketch → same
+    * boundaries → co-partitioned outputs), and assignment is a
+    * broadcast join + two arithmetic ops per row. Balance error is
+    * bounded by the largest bin's mass fraction (same bound as
+    * [[cdfFromSketch]], which this composes).
+    */
+  def equiDepthPartition(
+      df: DataFrame,
+      valueCol: String,
+      sketch: DataFrame,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "need k > 0")
+    cdfFromSketch(df, valueCol, Nil, sketch, lo, hi, nBins)
+      .withColumn(
+        "pid",
+        least(floor(col("cdf") * k).cast("long"), lit((k - 1).toLong))
+      )
+      .drop("cdf")
+  }
+
   /** Per-row CDF / rank normalization against a histogram sketch — the
     * scale-correct replacement for `percent_rank()`'s global sort: the
     * sketch (usually of the SAME data, or a persisted one from

@@ -1,15 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) clustering for multi-column data skipping — the
-  * lakehouse layout trick (Delta OPTIMIZE ZORDER BY, Hudi/Iceberg
-  * equivalents) re-expressed as plain Spark: map each clustering
-  * column to a fixed-width integer rank, interleave the rank bits into
-  * a single z-value, and range-partition + sort the write by it. Rows
-  * close in EVERY clustering dimension land in the same files, so
+/** Z-order (Morton) curve arithmetic — the shared math behind the
+  * engine's multi-dimensional data-skipping layout
+  * (`Sinks.writeZOrdered` is the write path that range-partitions and
+  * sorts by these values; `sinks/ZOrderSpec` proves the file-pruning
+  * win, `ops/ZOrderSpec` the both-dims-narrow locality property).
+  * Rows close in EVERY clustering dimension land in the same files, so
   * min/max file statistics prune selective predicates on ANY of the
   * dimensions — not just the leading sort key. At 100 TB this is the
   * difference between a point-ish query reading ~√N of the files
@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   * the at-scale superset, after Morton 1966 and the Delta Lake
   * OPTIMIZE ZORDER design.
   *
-  * Everything here is exact integer arithmetic (subtract, multiply,
-  * integer-div, shift, mask) — bit-identical in any engine, so the
-  * q80 oracle is hash-exact with no floating point anywhere.
+  * Two rank flavors: [[rankOf]] is EXACT integer scaling (subtract,
+  * multiply, integer-div — bit-identical in any engine, which is what
+  * makes the q80 oracle hash-exact with no floating point anywhere);
+  * `writeZOrdered`'s double-based scaling tolerates arbitrary numeric
+  * columns where exactness doesn't matter (file assignment only).
   *
-  * The bit-spread uses the classic mask-shift doubling (5 shift/or/and
-  * steps per column, all codegen'd `long` ops — no loops, no UDFs):
-  * x = (x | x<<8) & 0x00FF00FF, then 4, 2, 1 with masks 0x0F0F0F0F,
-  * 0x33333333, 0x55555555.
+  * The 2-D bit-spread uses the classic mask-shift doubling (5
+  * shift/or/and steps per column, all codegen'd `long` ops — no loops,
+  * no UDFs): x = (x | x<<8) & 0x00FF00FF, then 4, 2, 1 with masks
+  * 0x0F0F0F0F, 0x33333333, 0x55555555. N-dim falls back to the
+  * bit-by-bit fold ([[interleaveN]]).
   */
 object ZOrder {
 
@@ -68,6 +71,23 @@ object ZOrder {
   def interleave2(xRank: Column, yRank: Column): Column =
     spreadBits(xRank).bitwiseOR(shiftleft(spreadBits(yRank), 1))
 
+  /** N-dimensional Morton value: output bit `b·ndims + d` = bit `b` of
+    * dimension `d` (dimension 0 at the LSB — the same layout
+    * [[interleave2]] produces, which specializes the 2-D case from
+    * `bits × ndims` fold steps down to 5 shift/mask ops per column).
+    * Used by `Sinks.writeZOrdered` for its 1–4-dim layouts.
+    */
+  def interleaveN(ranks: Seq[Column], bits: Int): Column = {
+    require(ranks.nonEmpty, "need at least one rank column")
+    if (ranks.size == 2 && bits <= MaxBits) interleave2(ranks(0), ranks(1))
+    else
+      (0 until bits)
+        .flatMap(b => ranks.zipWithIndex.map { case (s, d) => (b, d, s) })
+        .foldLeft(lit(0L)) { case (acc, (b, d, s)) =>
+          acc.bitwiseOR(shiftleft(shiftright(s, b).bitwiseAND(1L), b * ranks.size + d))
+        }
+  }
+
   /** Z-value for two columns against explicit bounds. */
   def zValue2(
       x: Column, xLo: Long, xHi: Long,
@@ -76,35 +96,4 @@ object ZOrder {
   ): Column =
     interleave2(rankOf(x, xLo, xHi, bits), rankOf(y, yLo, yHi, bits))
 
-  /** Cluster-write `df` by the z-order of two columns: one bounded
-    * min/max aggregation for the rank scaling (4 longs to the driver),
-    * then `repartitionByRange` on the z-value (range exchange — a
-    * sample-based shuffle, no global sort barrier) with an in-partition
-    * sort, so every output file covers a compact z-range. Returns the
-    * (lo, hi) bounds used, so readers can recompute z-values for
-    * skipping predicates.
-    */
-  def clusterWrite2(
-      df: DataFrame,
-      path: String,
-      xCol: String,
-      yCol: String,
-      numFiles: Int,
-      bits: Int = MaxBits
-  ): ((Long, Long), (Long, Long)) = {
-    val Array(b) = df
-      .agg(
-        min(col(xCol).cast("long")).as("xlo"), max(col(xCol).cast("long")).as("xhi"),
-        min(col(yCol).cast("long")).as("ylo"), max(col(yCol).cast("long")).as("yhi")
-      )
-      .collect()
-    val (xLo, xHi, yLo, yHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val z = zValue2(col(xCol), xLo, xHi, col(yCol), yLo, yHi, bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
-    ((xLo, xHi), (yLo, yHi))
-  }
 }

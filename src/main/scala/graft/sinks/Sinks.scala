@@ -184,12 +184,9 @@ object Sinks {
         greatest(lit(0), floor((col(c).cast("double") - mn) / range * ((1 << bits) - 1)))
       ).cast("long")
     }
-    // interleave: output bit (b * ndims + d) = bit b of dimension d
-    val z = (0 until bits)
-      .flatMap(b => scaled.zipWithIndex.map { case (s, d) => (b, d, s) })
-      .foldLeft(lit(0L)) { case (acc, (b, d, s)) =>
-        acc.bitwiseOR(shiftleft(shiftright(s, b).bitwiseAND(1L), b * cols.size + d))
-      }
+    // shared Morton math (ops/ZOrder); the 2-dim case takes the 5-op
+    // mask-shift spread instead of the bits×ndims fold
+    val z = graft.ops.ZOrder.interleaveN(scaled, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

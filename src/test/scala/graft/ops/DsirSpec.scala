@@ -63,6 +63,23 @@ class DsirSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("importanceWeightsWithin == importanceWeights on the filtered subset") {
+    val docs = ((1 to 60).map(i => (i.toLong, s"alpha beta doc$i gamma", i <= 20)) ++
+      Seq((61L, "", false))).toDF("doc_id", "text", "good")
+    val a = Dsir
+      .importanceWeightsWithin(docs, col("good"), "text", "doc_id", nBuckets = 512)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("logw_q"))))
+      .toMap
+    val b = Dsir
+      .importanceWeights(docs, docs.filter(col("good")), "text", "doc_id", nBuckets = 512)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("logw_q"))))
+      .toMap
+    assert(a === b)
+    assert(!a.contains(61L)) // empty doc produces no grams, no row
+  }
+
   test("model table is bounded by nBuckets and joined via broadcast") {
     val docs = (1 to 300).map(i => (i.toLong, s"word$i filler common tokens here")).toDF("doc_id", "text")
     val lr = Dsir.bucketLogRatios(docs, docs.limit(30), "text", "doc_id", nBuckets = 64, scale = 1000000000L)

@@ -89,6 +89,30 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("equiDepthPartition: balanced within largest-bin mass; contiguous value ranges") {
+    val sk = Sketches.histogramSketch(df, "v", Nil, lo, hi, bins)
+    val k = 7
+    val pids = Sketches.equiDepthPartition(df, "v", sk, lo, hi, bins, k)
+    val stats = pids
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("pid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = stats.map(_._2).sum
+    val maxBinN = Sketches
+      .histogramSketch(df, "v", Nil, lo, hi, bins)
+      .agg(max("n")).collect()(0).getLong(0)
+    stats.foreach { case (pid, n, _, _) =>
+      assert(n <= total / k + maxBinN + 1, s"pid=$pid n=$n")
+    }
+    stats.sliding(2).foreach {
+      case Array((_, _, _, mx1), (_, _, mn2, _)) => assert(mx1 <= mn2)
+      case _ =>
+    }
+    assert(stats.map(_._1).toSeq == (0 until k).map(_.toLong))
+  }
+
   test("out-of-range values clamp into the edge bins (no dropped rows)") {
     val oob = Seq(-5.0, -0.001, 0.0, 99.999, 100.0, 250.0).toDF("v").withColumn("g", lit("x"))
     val sk = Sketches

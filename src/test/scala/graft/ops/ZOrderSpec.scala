@@ -45,6 +45,21 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaveN bit-fold == interleave2 mask-shift on 2 dims (layout unchanged)") {
+    // bits=17 forces the generic fold path; bit 16 of a 16-bit rank is
+    // zero, so equality here pins that Sinks.writeZOrdered's layouts
+    // are unchanged by routing through the specialized spread.
+    val pairs = (1 to 300).map { i => ((i * 40503L) % 65536L, (i * 25173L) % 65536L) }
+    val got = pairs
+      .toDF("x", "y")
+      .select(
+        ZOrder.interleave2(col("x"), col("y")).as("a"),
+        ZOrder.interleaveN(Seq(col("x"), col("y")), 17).as("b")
+      )
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("rankOf maps bounds to 0 and 2^bits-1, clamps out-of-range") {
     val df = Seq(-50L, 0L, 500L, 1000L, 4000L).toDF("v")
     val got = df.select(ZOrder.rankOf(col("v"), 0L, 1000L, 16).as("r")).as[Long].collect()
@@ -61,7 +76,7 @@ class ZOrderSpec extends AnyFunSuite {
     val df = grid.toDF("x", "y").repartition(8)
     val dir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
 
-    ZOrder.clusterWrite2(df, s"$dir/z", "x", "y", numFiles = 16)
+    graft.sinks.Sinks.writeZOrdered(df, s"$dir/z", Seq("x", "y"), nFiles = 16)
     df.repartitionByRange(16, col("x"), col("y"))
       .sortWithinPartitions(col("x"), col("y"))
       .write.mode("overwrite").parquet(s"$dir/linear")
