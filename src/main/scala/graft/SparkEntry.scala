@@ -1134,7 +1134,14 @@ object SparkEntry {
           min(col("n_chars")).as("lo_chars"),
           max(col("n_chars")).as("hi_chars")
         )
-    })
+    }),
+
+    // Perplexity filtering: per-doc surprisal under a hashed bigram
+    // model of the corpus itself (CCNet-style statistical quality
+    // pass). Deterministic via glog + per-bucket quantized long sums.
+    "q83_perplexity" -> ((s, dir) =>
+      Dsir.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+    )
   )
 
   def oracleSql: Map[String, String] = {
@@ -2039,7 +2046,38 @@ object SparkEntry {
           |    least(CAST(floor(((cum_below + n * least(greatest((CAST(b.n_chars AS DOUBLE) - (0.0 + bin * 16.0)) / 16.0, 0.0), 1.0)) / total) * 16) AS BIGINT), 15) AS pid
           |  FROM b JOIN c USING (bin))
           |SELECT pid, count(*) AS n_docs, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
-          |FROM p GROUP BY 1""".stripMargin
+          |FROM p GROUP BY 1""".stripMargin,
+      // Mirrors Dsir.bigramSurprisal: context/bigram hashed counts from
+      // one position pass, the shared glog polynomial over the deduped
+      // value set, per-bucket quantization, exact long sums per doc.
+      "q83_perplexity" ->
+        s"""WITH t AS ($wordsSql),
+           |p AS (SELECT doc_id,
+           |    unnest([{'cb': ('0x' || substr(md5(words[i]), 1, 6))::BIGINT % 4096,
+           |             'bb': ('0x' || substr(md5(words[i] || ' ' || words[i+1]), 1, 6))::BIGINT % 4096}
+           |            for i in range(1, len(words))]) AS u
+           |  FROM t WHERE len(words) >= 2),
+           |pb AS (SELECT doc_id, u.cb AS cb, u.bb AS bb FROM p),
+           |cu AS (SELECT cb, count(*) AS c FROM pb GROUP BY 1),
+           |cbg AS (SELECT bb, count(*) AS c FROM pb GROUP BY 1),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT c + 4096 AS v FROM cu UNION ALL SELECT c + 1 FROM cbg)),
+           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |cuq AS (SELECT cb, CAST(round(gl.glog * 1000000000.0) AS BIGINT) AS glq_u
+           |  FROM cu JOIN gl ON gl.v = cu.c + 4096),
+           |bgq AS (SELECT bb, CAST(round(gl.glog * 1000000000.0) AS BIGINT) AS glq_b
+           |  FROM cbg JOIN gl ON gl.v = cbg.c + 1)
+           |SELECT pb.doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(glq_u - glq_b) AS BIGINT) AS nll_q,
+           |  (CAST(sum(glq_u - glq_b) AS DOUBLE) / 1000000000.0) / count(*) AS avg_nll
+           |FROM pb JOIN cuq USING (cb) JOIN bgq USING (bb)
+           |GROUP BY 1""".stripMargin
     )
   }
 

@@ -200,6 +200,78 @@ object Dsir {
     scoreGrams(g.drop("_tgt"), lr, scale)
   }
 
+  /** Per-document surprisal under a hashed bigram model of the corpus —
+    * the perplexity-filter pass (CCNet §3.3 scores against a reference
+    * LM; self-scoring flags statistical outliers: boilerplate, alien
+    * vocabulary, token salad). For each adjacent token pair, `−log
+    * p(w2|w1) = log(C_ctx(w1)+B) − log(C_big(w1 w2)+1)` with add-one
+    * smoothing over the `nBuckets`-bucket hashed event space; a doc's
+    * `nll_q` is the exact long sum of the two PER-BUCKET quantized glog
+    * tables (each ≤ nBuckets rows, broadcast), and `avg_nll` divides
+    * out length so long docs aren't penalized. Context counts are true
+    * CONTEXT occurrences (positions 1..n−1), not unigram counts, so
+    * the model is a proper conditional.
+    *
+    * Same scale shape as [[importanceWeights]]: one explode (pinned —
+    * it feeds two count fits and the scoring join), two tiny
+    * aggregations, two broadcast joins, one final groupBy(doc). Same
+    * determinism story: glog + quantized-long sums, hash-exact vs the
+    * DuckDB oracle.
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    val toks = Fns.tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("_toks")) - 1),
+            i =>
+              struct(
+                element_at(col("_toks"), i).as("ctx"),
+                concat(element_at(col("_toks"), i), lit(" "), element_at(col("_toks"), i + 1))
+                  .as("big")
+              )
+          )
+        ).as("p")
+      )
+      .select(
+        col("doc_id"),
+        gramBucket(col("p.ctx"), nBuckets).as("cb"),
+        gramBucket(col("p.big"), nBuckets).as("bb")
+      )
+    val pinned = Materialize(pairs, eager = false)
+    val ctxT = pinned
+      .groupBy(col("cb"))
+      .agg(count(lit(1)).as("cu"))
+      .select(col("cb"), round(glog(col("cu") + nBuckets) * scale).cast("long").as("glq_u"))
+    val bigT = pinned
+      .groupBy(col("bb"))
+      .agg(count(lit(1)).as("cbig"))
+      .select(col("bb"), round(glog(col("cbig") + 1) * scale).cast("long").as("glq_b"))
+    pinned
+      .join(broadcast(ctxT), Seq("cb"))
+      .join(broadcast(bigT), Seq("bb"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("glq_u") - col("glq_b")).as("nll_q")
+      )
+      .withColumn(
+        "avg_nll",
+        (col("nll_q").cast("double") / scale.toDouble) / col("n_bigrams")
+      )
+  }
+
   private def scoreGrams(rawG: DataFrame, lr: DataFrame, scale: Long): DataFrame =
     rawG
       .join(broadcast(lr), Seq("bucket"))

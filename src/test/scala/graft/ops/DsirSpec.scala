@@ -80,6 +80,30 @@ class DsirSpec extends AnyFunSuite {
     assert(!a.contains(61L)) // empty doc produces no grams, no row
   }
 
+  test("bigramSurprisal: formulaic docs score lower than token salad; exact-sum determinism") {
+    val common = (1 to 50).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val salad = Seq((99L, "zxqv wfjp klmn qrtb yhgd xcvb"))
+    val one = Seq((100L, "single")) // 1 token -> no bigrams -> no row
+    val docs = (common ++ salad ++ one).toDF("doc_id", "text")
+    val got = Dsir
+      .bigramSurprisal(docs, "text", "doc_id", nBuckets = 2048)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_q"), r.getAs[Double]("avg_nll"))))
+      .toMap
+    assert(!got.contains(100L))
+    assert(got(1L)._1 === 8L) // 9 tokens -> 8 bigrams
+    assert(got(99L)._3 > got(1L)._3, s"salad=${got(99L)._3} common=${got(1L)._3}")
+    // identical docs identical scores; repartitioned input identical too
+    assert(got(2L) === got(1L))
+    val re = Dsir
+      .bigramSurprisal(docs.repartition(13, col("doc_id")), "text", "doc_id", nBuckets = 2048)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_q"))
+      .toMap
+    assert(re === got.view.mapValues(_._2).toMap)
+  }
+
   test("model table is bounded by nBuckets and joined via broadcast") {
     val docs = (1 to 300).map(i => (i.toLong, s"word$i filler common tokens here")).toDF("doc_id", "text")
     val lr = Dsir.bucketLogRatios(docs, docs.limit(30), "text", "doc_id", nBuckets = 64, scale = 1000000000L)
