@@ -134,15 +134,37 @@ object Dsir {
       tgtG: DataFrame,
       nBuckets: Int,
       scale: Long
+  ): DataFrame =
+    ratiosFromCounts(
+      rawG.groupBy("bucket").agg(count(lit(1)).as("n")),
+      tgtG.groupBy("bucket").agg(count(lit(1)).as("n")),
+      nBuckets,
+      scale
+    )
+
+  /** [[bucketLogRatios]] from pre-aggregated `(bucket, n)` count
+    * tables — the at-rest model form. Count tables are exact-addition
+    * mergeable, so they stream via
+    * `SketchIngest.countIngest(..., modelFold(...), Seq("bucket"), ...)`
+    * and a model over a growing corpus is maintained O(batch) per
+    * batch; scoring composes via [[importanceWeightsFromModels]].
+    */
+  def ratiosFromCounts(
+      rawCounts: DataFrame,
+      tgtCounts: DataFrame,
+      nBuckets: Int,
+      scale: Long
   ): DataFrame = {
-    val rCounts = rawG.groupBy("bucket").agg(count(lit(1)).as("r"))
-    val tCounts = tgtG.groupBy("bucket").agg(count(lit(1)).as("t"))
+    val rCounts = rawCounts.select(col("bucket"), col("n").as("r"))
+    val tCounts = tgtCounts.select(col("bucket"), col("n").as("t"))
     val totals = rCounts
       .agg(coalesce(sum(col("r")), lit(0L)).as("bigR"))
       .crossJoin(tCounts.agg(coalesce(sum(col("t")), lit(0L)).as("bigT")))
+    // full outer: when scoring docs OUTSIDE the raw corpus, a bucket may
+    // be target-only (within-corpus target ⊆ raw makes this a left join)
     rCounts
-      .join(tCounts, Seq("bucket"), "left")
-      .na.fill(0L, Seq("t"))
+      .join(tCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("r", "t"))
       .crossJoin(broadcast(totals))
       .select(
         col("bucket"),
@@ -151,6 +173,51 @@ object Dsir {
             (glog(col("bigT") + nBuckets) - glog(col("bigR") + nBuckets))) * scale
         ).cast("long").as("lrq")
       )
+  }
+
+  /** The micro-batch fold maintaining an at-rest `(bucket, n)` gram
+    * model under `SketchIngest.countIngest` (keys = Seq("bucket")).
+    */
+  def modelFold(textCol: String, idCol: String, nBuckets: Int): DataFrame => DataFrame =
+    b => gramBuckets(b, textCol, idCol, nBuckets).groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Score `docs` against PRE-BUILT raw/target models (at-rest tables
+    * from [[modelFold]] ingest, or any `(bucket, n)` pair): one explode
+    * over the docs being scored, one broadcast join — scoring a
+    * micro-batch never touches the corpora the models summarize.
+    */
+  def importanceWeightsFromModels(
+      docs: DataFrame,
+      rawCounts: DataFrame,
+      tgtCounts: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    // buckets unseen by EITHER model (brand-new vocabulary) fall back to
+    // the smoothed prior ratio glog(1)−glog(1)−C = −C, so every gram of
+    // a scored doc counts — an inner join would silently drop them
+    val dflt = rawCounts
+      .agg(coalesce(sum(col("n")), lit(0L)).as("bigR"))
+      .crossJoin(tgtCounts.agg(coalesce(sum(col("n")), lit(0L)).as("bigT")))
+      .select(
+        round(
+          (glog(lit(1)) - glog(lit(1)) -
+            (glog(col("bigT") + nBuckets) - glog(col("bigR") + nBuckets))) * scale
+        ).cast("long").as("lrq0")
+      )
+    gramBuckets(docs, textCol, idCol, nBuckets)
+      .join(broadcast(ratiosFromCounts(rawCounts, tgtCounts, nBuckets, scale)), Seq("bucket"), "left")
+      .crossJoin(broadcast(dflt))
+      .withColumn("_lrq", coalesce(col("lrq"), col("lrq0")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("_lrq")).as("logw_q")
+      )
+      .withColumn("logw", col("logw_q").cast("double") / scale.toDouble)
   }
 
   /** Per-document importance weights of `raw` against `target`: one

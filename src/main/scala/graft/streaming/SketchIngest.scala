@@ -69,33 +69,78 @@ object SketchIngest {
       hi: Double,
       nBins: Int,
       sketchPath: String
+  ): Boolean =
+    ingestCountBatch(
+      batch,
+      batchId,
+      b => Sketches.histogramSketch(b, valueCol, groupCols, lo, hi, nBins),
+      groupCols :+ "bin",
+      sketchPath
+    )
+
+  /** The general form behind [[ingestSketchBatch]]: maintain ANY
+    * at-rest keyed-count table (`keyCols` + a long `n`) whose merge is
+    * exact addition — histogram sketches, DSIR gram-bucket models,
+    * vocabulary counts. `fold` turns a micro-batch into its keyed
+    * counts; the rest is the shared swap/marker protocol (object
+    * scaladoc). Addition-mergeable state is the entire trick: streamed
+    * == batch rebuild bit-identically, in any delivery order.
+    */
+  def ingestCountBatch(
+      batch: DataFrame,
+      batchId: Long,
+      fold: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      path: String
   ): Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
     val spark = batch.sparkSession
-    val fs = Dfs.fs(spark, sketchPath)
-    val live = new HPath(sketchPath)
+    val fs = Dfs.fs(spark, path)
+    val live = new HPath(path)
     heal(fs, live)
     val stored = committedBatch(fs, live)
     if (stored.exists(_ >= batchId)) return false
 
-    val batchSketch = Sketches.histogramSketch(batch, valueCol, groupCols, lo, hi, nBins)
+    val batchCounts = fold(batch)
     val merged =
       if (fs.exists(live)) {
-        val current = spark.read.parquet(sketchPath)
-        Sketches.mergeSketches(current.unionByName(batchSketch), groupCols)
-      } else batchSketch
+        val current = spark.read.parquet(path)
+        current
+          .unionByName(batchCounts)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n")).as("n"))
+      } else batchCounts
 
-    val fresh = new HPath(sketchPath + ".new")
+    val fresh = new HPath(path + ".new")
     Dfs.rmTree(fs, fresh) // stray .new from a pre-swap crash: never acknowledged, rebuild
     merged.coalesce(1).write.parquet(fresh.toString)
     Dfs.writeSmall(fs, new HPath(fresh, "_batch"), batchId.toString)
 
-    val old = new HPath(sketchPath + ".old")
+    val old = new HPath(path + ".old")
     Dfs.rmTree(fs, old)
     if (fs.exists(live)) Dfs.move(fs, live, old)
     Dfs.move(fs, fresh, live)
     Dfs.rmTree(fs, old)
     true
   }
+
+  /** Streaming loop over [[ingestCountBatch]] — the generic
+    * keyed-count companion to [[sketchIngest]].
+    */
+  def countIngest(
+      rows: DataFrame,
+      fold: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      path: String,
+      checkpoint: String
+  ): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCountBatch(batch, batchId, fold, keyCols, path)
+        ()
+      }
+      .start()
 
   /** Restore a complete live dir after a crash mid-swap: a missing live
     * dir with `.new` beside it promotes `.new` (complete by protocol

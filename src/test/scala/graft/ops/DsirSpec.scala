@@ -104,6 +104,47 @@ class DsirSpec extends AnyFunSuite {
     assert(re === got.view.mapValues(_._2).toMap)
   }
 
+  test("at-rest models: streamed count ingest == batch model; scoring from models == direct") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("dsirmodel").toString
+    val raw = (1 to 80).map(i => (i.toLong, s"common words here plus token$i")).toDF("doc_id", "text")
+    val tgt = (1 to 25).map(i => (i.toLong, "common words here quality")).toDF("doc_id", "text")
+    val nB = 512
+    val fold = Dsir.modelFold("text", "doc_id", nB)
+
+    // stream the raw model in two batches through the generic count ingest
+    val rawPath = s"$tmpDir/raw_model"
+    import graft.streaming.SketchIngest
+    assert(SketchIngest.ingestCountBatch(raw.filter(col("doc_id") <= 40), 0L, fold, Seq("bucket"), rawPath))
+    assert(SketchIngest.ingestCountBatch(raw.filter(col("doc_id") > 40), 1L, fold, Seq("bucket"), rawPath))
+    val streamedModel = spark.read.parquet(rawPath)
+    val batchModel = fold(raw)
+    assert(
+      streamedModel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        batchModel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    )
+
+    val direct = Dsir
+      .importanceWeights(raw, tgt, "text", "doc_id", nBuckets = nB)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("logw_q"))))
+      .toMap
+    val fromModels = Dsir
+      .importanceWeightsFromModels(raw, streamedModel, fold(tgt), "text", "doc_id", nBuckets = nB)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("logw_q"))))
+      .toMap
+    assert(fromModels === direct)
+
+    // scoring OUT-OF-CORPUS docs with unseen vocabulary: every gram
+    // still counts (prior fallback), no silently dropped rows
+    val newDocs = Seq((900L, "zzqx wvnm entirely unseen tokens")).toDF("doc_id", "text")
+    val scored = Dsir
+      .importanceWeightsFromModels(newDocs, streamedModel, fold(tgt), "text", "doc_id", nBuckets = nB)
+      .collect()
+    assert(scored.length === 1)
+    assert(scored(0).getAs[Long]("n_grams") === 9L) // 5 unigrams + 4 bigrams
+  }
+
   test("model table is bounded by nBuckets and joined via broadcast") {
     val docs = (1 to 300).map(i => (i.toLong, s"word$i filler common tokens here")).toDF("doc_id", "text")
     val lr = Dsir.bucketLogRatios(docs, docs.limit(30), "text", "doc_id", nBuckets = 64, scale = 1000000000L)
