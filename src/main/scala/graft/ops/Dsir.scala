@@ -285,17 +285,13 @@ object Dsir {
     * determinism story: glog + quantized-long sums, hash-exact vs the
     * DuckDB oracle.
     */
-  def bigramSurprisal(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      nBuckets: Int = 4096,
-      scale: Long = 1000000000L
-  ): DataFrame = {
-    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+  /** One row per adjacent token pair with hashed context and bigram
+    * buckets — the shared position pass behind [[bigramSurprisal]] and
+    * the streaming model folds.
+    */
+  def bigramPairBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame = {
     val toks = Fns.tokens(col(textCol))
-    val pairs = df
-      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+    df.select(col(idCol).as("doc_id"), toks.as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(
         col("doc_id"),
@@ -316,7 +312,30 @@ object Dsir {
         gramBucket(col("p.ctx"), nBuckets).as("cb"),
         gramBucket(col("p.big"), nBuckets).as("bb")
       )
-    val pinned = Materialize(pairs, eager = false)
+  }
+
+  /** Micro-batch folds maintaining the at-rest surprisal model under
+    * `SketchIngest.ingestCountBatch`: context counts keyed `bucket`
+    * (from `cb`) and bigram counts keyed `bucket` (from `bb`) — two
+    * tables, two ingest paths, each with its own exactly-once marker.
+    */
+  def surprisalCtxFold(textCol: String, idCol: String, nBuckets: Int): DataFrame => DataFrame =
+    b => bigramPairBuckets(b, textCol, idCol, nBuckets)
+      .groupBy(col("cb").as("bucket")).agg(count(lit(1)).as("n"))
+
+  def surprisalBigFold(textCol: String, idCol: String, nBuckets: Int): DataFrame => DataFrame =
+    b => bigramPairBuckets(b, textCol, idCol, nBuckets)
+      .groupBy(col("bb").as("bucket")).agg(count(lit(1)).as("n"))
+
+  def bigramSurprisal(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    val pinned = Materialize(bigramPairBuckets(df, textCol, idCol, nBuckets), eager = false)
     val ctxT = pinned
       .groupBy(col("cb"))
       .agg(count(lit(1)).as("cu"))
@@ -337,6 +356,67 @@ object Dsir {
         "avg_nll",
         (col("nll_q").cast("double") / scale.toDouble) / col("n_bigrams")
       )
+  }
+
+  /** [[bigramSurprisal]] against PRE-BUILT at-rest model tables
+    * ([[surprisalCtxFold]]/[[surprisalBigFold]] maintained by
+    * `SketchIngest.ingestCountBatch`) — the STREAMING form: score a
+    * micro-batch with one explode + two broadcast joins, never
+    * touching the corpus the model summarizes. Buckets unseen by the
+    * model take the smoothed priors (ctx: glog(0+B); bigram:
+    * glog(0+1) = 0). When the model tables are the fold of the scored
+    * docs themselves, output is bit-identical to [[bigramSurprisal]]
+    * (spec-pinned).
+    */
+  def bigramSurprisalFromModels(
+      docs: DataFrame,
+      ctxCounts: DataFrame,
+      bigCounts: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    val ctxT = ctxCounts.select(
+      col("bucket").as("cb"),
+      round(glog(col("n") + nBuckets) * scale).cast("long").as("glq_u")
+    )
+    val bigT = bigCounts.select(
+      col("bucket").as("bb"),
+      round(glog(col("n") + 1) * scale).cast("long").as("glq_b")
+    )
+    val dfltU = math.round(glogD(nBuckets.toLong) * scale)
+    bigramPairBuckets(docs, textCol, idCol, nBuckets)
+      .join(broadcast(ctxT), Seq("cb"), "left")
+      .join(broadcast(bigT), Seq("bb"), "left")
+      .withColumn("_u", coalesce(col("glq_u"), lit(dfltU)))
+      .withColumn("_b", coalesce(col("glq_b"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("_u") - col("_b")).as("nll_q")
+      )
+      .withColumn(
+        "avg_nll",
+        (col("nll_q").cast("double") / scale.toDouble) / col("n_bigrams")
+      )
+  }
+
+  /** Driver-side twin of [[glog]] (same IEEE op sequence on the JVM —
+    * bit-identical to the Column form, DsirSpec-pinned); used for
+    * literal defaults where the value is a compile-time constant.
+    */
+  private[ops] def glogD(x: Long): Double = {
+    require(x >= 1, "glogD domain: x >= 1")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val m = x.toDouble / math.pow(2.0, e.toDouble)
+    val r = math.sqrt(math.sqrt(m))
+    val z = (r - 1.0) / (r + 1.0)
+    val w = z * z
+    val horner = 1.0 + w * (1.0 / 3.0 + w * (1.0 / 5.0 + w * (1.0 / 7.0 +
+      w * (1.0 / 9.0 + w * (1.0 / 11.0 + w * (1.0 / 13.0 + w * (1.0 / 15.0)))))))
+    e.toDouble * 0.6931471805599453 + 8.0 * (z * horner)
   }
 
   private def scoreGrams(rawG: DataFrame, lr: DataFrame, scale: Long): DataFrame =

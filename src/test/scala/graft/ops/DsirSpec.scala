@@ -145,6 +145,55 @@ class DsirSpec extends AnyFunSuite {
     assert(scored(0).getAs[Long]("n_grams") === 9L) // 5 unigrams + 4 bigrams
   }
 
+  test("surprisal-from-models == self-fit bigramSurprisal; streaming folds; unseen prior") {
+    val docs = ((1 to 40).map(i => (i.toLong, "the quick brown fox jumps high today")) ++
+      (41 to 50).map(i => (i.toLong, s"variant doc number v$i with extra words"))).toDF("doc_id", "text")
+    val nB = 1024
+    val ctx = Dsir.surprisalCtxFold("text", "doc_id", nB)(docs)
+    val big = Dsir.surprisalBigFold("text", "doc_id", nB)(docs)
+
+    val self = Dsir
+      .bigramSurprisal(docs, "text", "doc_id", nBuckets = nB)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_q"))))
+      .toMap
+    val fromModels = Dsir
+      .bigramSurprisalFromModels(docs, ctx, big, "text", "doc_id", nBuckets = nB)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_q"))))
+      .toMap
+    assert(fromModels === self)
+
+    // streamed two-batch model == batch fold (generic count ingest)
+    val tmp = java.nio.file.Files.createTempDirectory("surpmodel").toString
+    import graft.streaming.SketchIngest
+    val fold = Dsir.surprisalCtxFold("text", "doc_id", nB)
+    assert(SketchIngest.ingestCountBatch(docs.filter(col("doc_id") <= 25), 0L, fold, Seq("bucket"), s"$tmp/ctx"))
+    assert(SketchIngest.ingestCountBatch(docs.filter(col("doc_id") > 25), 1L, fold, Seq("bucket"), s"$tmp/ctx"))
+    val streamed = spark.read.parquet(s"$tmp/ctx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === ctx.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // a doc with vocabulary entirely unseen by the model: every bigram
+    // takes the smoothed prior -ln p = ln(B) (ctx prior) - 0
+    val alien = Seq((900L, "qqxz wwvy rrtu ppos")).toDF("doc_id", "text")
+    val scored = Dsir
+      .bigramSurprisalFromModels(alien, ctx, big, "text", "doc_id", nBuckets = nB)
+      .collect()
+    assert(scored.length === 1)
+    assert(scored(0).getAs[Long]("n_bigrams") === 3L)
+    assert(math.abs(scored(0).getAs[Double]("avg_nll") - math.log(nB.toDouble)) < 1e-6)
+  }
+
+  test("glogD driver twin is bit-identical to the glog column") {
+    val xs = Seq(1L, 2L, 1024L, 4096L, 65537L, 999983L, 2999999L)
+    val colVals = xs.toDF("x").select(Dsir.glog(col("x"))).as[Double].collect()
+    xs.zip(colVals).foreach { case (x, g) =>
+      assert(java.lang.Double.doubleToRawLongBits(Dsir.glogD(x)) ===
+        java.lang.Double.doubleToRawLongBits(g), s"x=$x")
+    }
+  }
+
   test("model table is bounded by nBuckets and joined via broadcast") {
     val docs = (1 to 300).map(i => (i.toLong, s"word$i filler common tokens here")).toDF("doc_id", "text")
     val lr = Dsir.bucketLogRatios(docs, docs.limit(30), "text", "doc_id", nBuckets = 64, scale = 1000000000L)
