@@ -23,4 +23,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("r10 query plan pins: broadcast models, shuffle-free z-order projection") {
+    val dir = "/root/testdata/sf0.001"
+    // model/sketch tables must reach the data via broadcast — a shuffled
+    // join here would re-shuffle the corpus for a KB-sized build side
+    Seq("q79_dsir_weights", "q81_cdf_normalize", "q83_perplexity").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n${plan.take(1500)}")
+    }
+    // the z-value projection is map-side only: no Exchange in the main
+    // plan (the bounds min/max agg is a separate bounded driver job)
+    val zPlan = SparkEntry.queries("q80_zorder")(spark, dir).queryExecution.executedPlan.toString
+    assert(!zPlan.contains("Exchange"), s"q80 gained a shuffle:\n${zPlan.take(1500)}")
+  }
 }
