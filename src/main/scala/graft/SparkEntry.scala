@@ -1141,6 +1141,19 @@ object SparkEntry {
     // pass). Deterministic via glog + per-bucket quantized long sums.
     "q83_perplexity" -> ((s, dir) =>
       Dsir.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+    ),
+
+    // Split-leakage QA: after the deterministic 80/10/10 carve, how
+    // many val/test docs share a 3-token shingle with train. The
+    // reference side is the train corpus — shuffle equi-join on the
+    // gram, not a broadcast.
+    "q84_split_leakage" -> ((s, dir) =>
+      TextAnalysis.splitLeakage(
+        t(s, dir, "documents"),
+        "text",
+        "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      )
     )
   )
 
@@ -2077,7 +2090,36 @@ object SparkEntry {
            |  CAST(sum(glq_u - glq_b) AS BIGINT) AS nll_q,
            |  (CAST(sum(glq_u - glq_b) AS DOUBLE) / 1000000000.0) / count(*) AS avg_nll
            |FROM pb JOIN cuq USING (cb) JOIN bgq USING (bb)
-           |GROUP BY 1""".stripMargin
+           |GROUP BY 1""".stripMargin,
+      // q53's md5-bucket split carve + q55's shingle shape (3-grams),
+      // train grams distinct, semi-join per held-out split.
+      "q84_split_leakage" ->
+        s"""WITH t AS ($wordsSql),
+           |sp AS (SELECT doc_id,
+           |  CASE WHEN b IS NULL THEN NULL
+           |       WHEN b < 3277 THEN 'train'
+           |       WHEN b < 3686 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+           | + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+           | + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS b
+           |FROM documents)),
+           |s AS (SELECT DISTINCT doc_id,
+           |   unnest(list_transform(range(1, len(words)-1),
+           |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+           | FROM t WHERE len(words) >= 3),
+           |g AS (SELECT s.doc_id, s.sh, sp.split FROM s JOIN sp USING (doc_id)),
+           |tr AS (SELECT DISTINCT sh FROM g WHERE split = 'train'),
+           |cont AS (SELECT DISTINCT g.split, g.doc_id FROM g JOIN tr USING (sh)
+           |         WHERE g.split <> 'train'),
+           |tot AS (SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train' GROUP BY 1),
+           |c AS (SELECT split, count(*) AS n_contaminated FROM cont GROUP BY 1)
+           |SELECT tot.split, tot.n_docs,
+           |  CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           |  floor(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / tot.n_docs * 10000) / 10000
+           |    AS frac_contaminated
+           |FROM tot LEFT JOIN c USING (split)""".stripMargin
     )
   }
 

@@ -554,6 +554,61 @@ object TextAnalysis {
       )
   }
 
+  /** Split-leakage report — the QA artifact a train/val/test carve
+    * ships with: after [[Sampling.assignSplit]]'s deterministic
+    * md5-bucket assignment, how many documents of each held-out split
+    * share at least one n-token shingle with the TRAIN split (the
+    * split-level complement of [[decontaminate]], which checks one doc
+    * set against a small eval vocabulary — here the reference side is
+    * the train corpus itself, so the gram join is a shuffle equi-join
+    * on the shingle, never a broadcast). One row per held-out split:
+    * doc count, contaminated count, truncated fraction.
+    *
+    * Scale shape: shingle explode (linear), one distinct over train
+    * grams, one semi-join on the gram string, two tiny aggregations —
+    * the same corpus-gram-join shape as the duplicate-substring family.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      trainSplit: String = "train",
+      n: Int = 3
+  ): DataFrame = {
+    require(splits.exists(_._1 == trainSplit), s"splits must include '$trainSplit'")
+    val labeled = Sampling.assignSplit(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+      "doc_id",
+      splits
+    )
+    val grams = Dedup
+      .shingleSets(labeled, "_text", "doc_id", n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(labeled.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val trainSh = grams.filter(col("split") === trainSplit).select(col("sh")).distinct()
+    val contaminated = grams
+      .filter(col("split") =!= trainSplit)
+      .join(trainSh, Seq("sh"), "left_semi")
+      .select(col("split"), col("doc_id"))
+      .distinct()
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    labeled
+      .filter(col("split") =!= trainSplit)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("split"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(
+        col("split"),
+        col("n_docs"),
+        col("n_contaminated"),
+        (floor(col("n_contaminated").cast("double") / col("n_docs") * 10000) / 10000)
+          .as("frac_contaminated")
+      )
+  }
+
   /** Corpus-level boilerplate removal (the CCNet/MassiveText pass that
     * strips headers, footers, cookie banners and license stubs): cut
     * each document into non-overlapping `segTokens`-token segments, call

@@ -217,6 +217,41 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("n_boiler") === 0L))
   }
 
+  test("splitLeakage: planted cross-split shingle counted once per doc; clean corpus zero") {
+    // discover the deterministic split labels first, then craft texts
+    val ids = (1L to 120L).toDF("doc_id")
+    val labels = Sampling
+      .assignSplit(ids, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val trainId = labels.collectFirst { case (id, "train") => id }.get
+    val valIds = labels.collect { case (id, "val") => id }.toSeq.sorted
+    val testIds = labels.collect { case (id, "test") => id }.toSeq.sorted
+    assert(valIds.nonEmpty && testIds.nonEmpty)
+    // one val doc copies a train phrase (>= 3 shared tokens); everything
+    // else is unique vocabulary per doc
+    val leakVal = valIds.head
+    val docs = (1L to 120L).map { id =>
+      val text =
+        if (id == trainId) "shared secret phrase alpha beta"
+        else if (id == leakVal) "prefix shared secret phrase suffix"
+        else s"unique${id}a unique${id}b unique${id}c unique${id}d"
+      (id, text)
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis
+      .splitLeakage(docs, "text", "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"), r.getAs[Double]("frac_contaminated"))))
+      .toMap
+    assert(got.keySet === Set("val", "test"))
+    assert(got("val")._1 === valIds.size.toLong)
+    assert(got("val")._2 === 1L) // the planted doc, counted once despite 2 shared shingles? (1 shared 3-gram: "shared secret phrase")
+    assert(got("test") === ((testIds.size.toLong, 0L, 0.0)))
+    assert(got("val")._3 === math.floor(1.0 / valIds.size * 10000) / 10000)
+  }
+
   test("fingerprints: formatting-only variants collide") {
     val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "text", "doc_id").collect()
