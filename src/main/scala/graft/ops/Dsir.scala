@@ -327,6 +327,43 @@ object Dsir {
     b => bigramPairBuckets(b, textCol, idCol, nBuckets)
       .groupBy(col("bb").as("bucket")).agg(count(lit(1)).as("n"))
 
+  /** Both surprisal model halves in ONE keyed-count table
+    * (`kind ∈ {ctx, big}`, `bucket`, `n`) so a single
+    * `SketchIngest.ingestCountBatch` path (keys = kind, bucket) commits
+    * them ATOMICALLY under one marker — the property that keeps a
+    * crash between two separate model updates from ever letting the
+    * halves drift apart (see `CorpusIngest.ingestCuratedBatch`).
+    */
+  def surprisalFold(textCol: String, idCol: String, nBuckets: Int): DataFrame => DataFrame =
+    b => {
+      val p = bigramPairBuckets(b, textCol, idCol, nBuckets)
+      p.groupBy(lit("ctx").as("kind"), col("cb").as("bucket")).agg(count(lit(1)).as("n"))
+        .unionByName(
+          p.groupBy(lit("big").as("kind"), col("bb").as("bucket")).agg(count(lit(1)).as("n"))
+        )
+    }
+
+  /** [[bigramSurprisalFromModels]] over the combined one-table model
+    * from [[surprisalFold]].
+    */
+  def bigramSurprisalFromModel(
+      docs: DataFrame,
+      model: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame =
+    bigramSurprisalFromModels(
+      docs,
+      model.filter(col("kind") === "ctx").select(col("bucket"), col("n")),
+      model.filter(col("kind") === "big").select(col("bucket"), col("n")),
+      textCol,
+      idCol,
+      nBuckets,
+      scale
+    )
+
   def bigramSurprisal(
       df: DataFrame,
       textCol: String,

@@ -658,6 +658,135 @@ object CorpusIngest {
     SpanIngestStats(keptCnt, freshCnt - keptCnt, replays)
   }
 
+  /** Per-batch accounting for [[curatedIngest]]. */
+  final case class CurateIngestStats(input: Long, qualityPass: Long, gated: Long)
+
+  /** Quality- and perplexity-gated corpus ingest — the streaming form
+    * of the `Curation` gates over the exactly-once corpus loop: per
+    * micro-batch (1) the heuristic quality gate
+    * ([[graft.ops.TextAnalysis.quality]] ≥ `minQuality`), (2) the
+    * perplexity gate ([[graft.ops.Dsir.bigramSurprisalFromModel]]
+    * `avg_nll` ≤ `maxAvgNll`) against the AT-REST surprisal model —
+    * skipped until the model holds `warmupGrams` context grams (a
+    * cold model scores every bigram at the ln(B) prior, which would
+    * gate on nothing but length) — then (3) the bloom-fronted
+    * exact-dedup corpus append ([[ingestBatch]]) and (4) the model
+    * update ([[graft.ops.Dsir.surprisalFold]] through
+    * `SketchIngest.ingestCountBatch`, both halves under ONE marker).
+    *
+    * Determinism under redelivery (the ordering is load-bearing):
+    * gates are evaluated against the model AS OF batch start; the
+    * model update commits LAST, under its batch-id marker. A replayed
+    * batch therefore re-derives the SAME gated set (model unchanged —
+    * its update either never happened, and re-applies now, or was
+    * committed, and the marker skips it), and the corpus append is
+    * per-doc idempotent regardless. There is no crash window in which
+    * the two model halves diverge (single table, single marker).
+    *
+    * Model semantics (documented trade): the model counts the
+    * GATE-PASSING stream, exact-deduped within each batch (smallest-id
+    * keeper, same rule as the corpus loop) — a doc resubmitted in a
+    * LATER batch reinforces counts even though the corpus keeps one
+    * copy. Counting only corpus-appended survivors instead would read
+    * back nondeterministically under replay (the corpus has since
+    * absorbed the first attempt), so stream-fit is the price of the
+    * replay-deterministic loop; with dedup upstream the two fits
+    * converge.
+    */
+  def curatedIngest(
+      docs: DataFrame,
+      corpusPath: String,
+      bloomPath: String,
+      modelPath: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minQuality: Double = 0.5,
+      maxAvgNll: Double = 9.0,
+      nBuckets: Int = 4096,
+      warmupGrams: Long = 10000L,
+      expectedItems: Long = 10000000L
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCuratedBatch(batch, batchId, corpusPath, bloomPath, modelPath,
+          textCol, idCol, minQuality, maxAvgNll, nBuckets, warmupGrams, expectedItems)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[curatedIngest]]; exposed for batch-mode reuse
+    * and the spec's replay/warmup/crash pins.
+    */
+  def ingestCuratedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      corpusPath: String,
+      bloomPath: String,
+      modelPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minQuality: Double = 0.5,
+      maxAvgNll: Double = 9.0,
+      nBuckets: Int = 4096,
+      warmupGrams: Long = 10000L,
+      expectedItems: Long = 10000000L
+  ): CurateIngestStats = {
+    val spark = batch.sparkSession
+    val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // batch-level exact dedup FIRST (smallest-id keeper, the corpus
+    // loop's rule) so gate work and model counts see each text once
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val uniq = graft.ops.Materialize(
+      base.withColumn("__rn", row_number().over(wFp)).filter(col("__rn") === 1).drop("__rn"),
+      eager = false
+    )
+    val nInput = uniq.count()
+
+    val qualIds = graft.ops.TextAnalysis
+      .quality(uniq, "text", "doc_id")
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    val qualityPass = graft.ops.Materialize(uniq.join(qualIds, Seq("doc_id")), eager = false)
+    val nQual = qualityPass.count()
+
+    val modelFs = graft.sinks.Dfs.fs(spark, modelPath)
+    SketchIngest.heal(modelFs, new HPath(modelPath))
+    val modelExists = pathExists(spark, modelPath)
+    val modelWarm = modelExists && {
+      val g = spark.read.parquet(modelPath)
+        .filter(col("kind") === "ctx")
+        .agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+      g >= warmupGrams
+    }
+    val gated =
+      if (!modelWarm) qualityPass
+      else {
+        val keepIds = graft.ops.Dsir
+          .bigramSurprisalFromModel(
+            qualityPass, spark.read.parquet(modelPath), "text", "doc_id", nBuckets)
+          .filter(col("avg_nll") <= maxAvgNll)
+          .select(col("doc_id"))
+        graft.ops.Materialize(qualityPass.join(keepIds, Seq("doc_id")), eager = false)
+      }
+    val nGated = gated.count()
+
+    // corpus append (per-doc idempotent) BEFORE the marker-committed
+    // model update — see the determinism note in the scaladoc
+    ingestBatch(gated, corpusPath, bloomPath, expectedItems)
+    SketchIngest.ingestCountBatch(
+      gated, batchId,
+      graft.ops.Dsir.surprisalFold("text", "doc_id", nBuckets),
+      Seq("kind", "bucket"),
+      modelPath
+    )
+    CurateIngestStats(nInput, nQual, nGated)
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
