@@ -178,7 +178,22 @@ object Sketches {
     val grp = groupCols.map(col)
     val byBin = Window.partitionBy(grp: _*).orderBy(col("bin"))
     val all = Window.partitionBy((if (grp.isEmpty) Seq(lit(1)) else grp): _*)
-    val enriched = sketch
+    // densify to the full bin grid per group (still O(groups × bins))
+    // BEFORE the join: when scoring NEW data against a persisted
+    // sketch, a row may land in a bin the sketch corpus never
+    // populated — with a sparse sketch the inner join would silently
+    // drop it; the dense n=0 row scores it at cum_below/total, the
+    // correct CDF for a value the summarized corpus had no mass at.
+    // Same-corpus scoring is unaffected (every hit bin has its row).
+    val grid = {
+      val bins = explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin")
+      if (grp.isEmpty) sketch.sparkSession.range(1).select(bins)
+      else sketch.select(grp: _*).distinct().select(grp :+ bins: _*)
+    }
+    val dense = grid
+      .join(sketch, groupCols :+ "bin", "left")
+      .na.fill(0L, Seq("n"))
+    val enriched = dense
       .withColumn("cum_below", sum(col("n")).over(byBin) - col("n"))
       .withColumn("total", sum(col("n")).over(all))
     val frac = least(

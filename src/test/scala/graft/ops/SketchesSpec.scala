@@ -89,6 +89,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdfFromSketch scores NEW data in bins the sketch corpus never populated") {
+    // sketch over [40, 60) only; new data hits empty bins below/above
+    val corpus = (1 to 200).map(i => (40.0 + (i % 20), "g")).toDF("v", "g")
+    val sk = Sketches.histogramSketch(corpus, "v", Seq("g"), lo, hi, bins)
+    val fresh = Seq((5.0, "g"), (50.0, "g"), (95.0, "g")).toDF("v", "g")
+    val got = Sketches
+      .cdfFromSketch(fresh, "v", Seq("g"), sk, lo, hi, bins)
+      .collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Double]("cdf"))
+      .toMap
+    assert(got.size === 3) // nothing silently dropped
+    assert(got(5.0) === 0.0) // below all corpus mass
+    assert(got(95.0) === 1.0) // above all corpus mass
+    assert(got(50.0) > 0.0 && got(50.0) < 1.0)
+  }
+
   test("equiDepthPartition: balanced within largest-bin mass; contiguous value ranges") {
     val sk = Sketches.histogramSketch(df, "v", Nil, lo, hi, bins)
     val k = 7
