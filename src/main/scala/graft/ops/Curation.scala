@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *   2. heuristic quality gate ([[TextAnalysis.quality]] score ≥ min)
   *   3. perplexity gate     ([[Dsir.bigramSurprisal]] avg_nll ≤ max —
   *      fitted on the post-quality survivors, so token salad that
-  *      slipped the heuristics is scored against a cleaner model)
+  *      slipped the heuristics is scored against a cleaner model;
+  *      docs with fewer than 2 tokens carry no bigram evidence and
+  *      are dropped here)
   *   4. exact dedup         ([[Dedup.exact]] min-id keeper)
   *   5. DSIR selection      ([[Dsir.importanceWeightsWithin]] against
   *      a caller-labeled target subset; keep the top `keepFraction`

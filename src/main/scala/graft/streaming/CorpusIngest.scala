@@ -669,7 +669,9 @@ object CorpusIngest {
     * `avg_nll` ≤ `maxAvgNll`) against the AT-REST surprisal model —
     * skipped until the model holds `warmupGrams` context grams (a
     * cold model scores every bigram at the ln(B) prior, which would
-    * gate on nothing but length) — then (3) the bloom-fronted
+    * gate on nothing but length; once warm, docs with fewer than 2
+    * tokens carry no bigram evidence and are dropped by the gate) —
+    * then (3) the bloom-fronted
     * exact-dedup corpus append ([[ingestBatch]]) and (4) the model
     * update ([[graft.ops.Dsir.surprisalFold]] through
     * `SketchIngest.ingestCountBatch`, both halves under ONE marker).
