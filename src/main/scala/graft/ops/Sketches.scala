@@ -164,6 +164,14 @@ object Sketches {
     * Deterministic across engines: cumulative counts are exact longs;
     * the interpolation is the same fixed shape of IEEE-exact ops in
     * Spark and the DuckDB oracle.
+    *
+    * Rows whose GROUP never appeared in the sketch (new data scored
+    * against a persisted sketch from a corpus that had no such group)
+    * are NOT dropped: the join back is a left join, and such rows get a
+    * NULL `cdf` — the explicit "the model has no mass for this group"
+    * signal, distinct from 0.0 (which means "below all of the group's
+    * mass"). Callers that want to treat unseen groups as unscorable
+    * filter `cdf.isNull`; same-corpus scoring never produces one.
     */
   def cdfFromSketch(
       df: DataFrame,
@@ -205,7 +213,7 @@ object Sketches {
     )
     df.filter(col(valueCol).isNotNull)
       .withColumn("bin", binOf(col(valueCol), lo, hi, nBins))
-      .join(broadcast(enriched), groupCols :+ "bin")
+      .join(broadcast(enriched), groupCols :+ "bin", "left")
       .withColumn("cdf", (col("cum_below") + col("n") * frac) / col("total"))
       .drop("bin", "cum_below", "n", "total")
   }

@@ -52,11 +52,16 @@ object ZOrder {
     * — exact integer scaling against known column bounds (take them
     * from one bounded min/max aggregation, a metastore, or domain
     * knowledge). Values are clamped into [lo, hi] first, mirroring
-    * [[Sketches.binOf]]'s documented edge-bin trade.
+    * [[Sketches.binOf]]'s documented edge-bin trade. A degenerate
+    * `hi == lo` (a constant clustering column — observed-bounds callers
+    * hit this on single-valued data) ranks every row 0 instead of
+    * requiring a non-empty range, mirroring `Sinks.writeZOrdered`'s
+    * range guard: the dimension simply carries no ordering information.
     */
   def rankOf(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(bits > 0 && bits <= MaxBits, s"bits in 1..$MaxBits")
-    require(hi > lo, "need hi > lo")
+    require(hi >= lo, "need hi >= lo")
+    if (hi == lo) return lit(0L)
     val clamped = least(greatest(v.cast("long"), lit(lo)), lit(hi))
     val scaled = (clamped - lit(lo)) * lit((1L << bits) - 1)
     GraftColumnBridge.column(

@@ -658,8 +658,17 @@ object CorpusIngest {
     SpanIngestStats(keptCnt, freshCnt - keptCnt, replays)
   }
 
-  /** Per-batch accounting for [[curatedIngest]]. */
-  final case class CurateIngestStats(input: Long, qualityPass: Long, gated: Long)
+  /** Per-batch accounting for [[curatedIngest]]. `replayed = true`
+    * marks a batch recognized as fully committed (model marker ≥
+    * batchId) and skipped as a whole — the counts are then zero, not
+    * re-derived.
+    */
+  final case class CurateIngestStats(
+      input: Long,
+      qualityPass: Long,
+      gated: Long,
+      replayed: Boolean = false
+  )
 
   /** Quality- and perplexity-gated corpus ingest — the streaming form
     * of the `Curation` gates over the exactly-once corpus loop: per
@@ -676,12 +685,19 @@ object CorpusIngest {
     * update ([[graft.ops.Dsir.surprisalFold]] through
     * `SketchIngest.ingestCountBatch`, both halves under ONE marker).
     *
-    * Determinism under redelivery (the ordering is load-bearing):
-    * gates are evaluated against the model AS OF batch start; the
-    * model update commits LAST, under its batch-id marker. A replayed
-    * batch therefore re-derives the SAME gated set (model unchanged —
-    * its update either never happened, and re-applies now, or was
-    * committed, and the marker skips it), and the corpus append is
+    * Determinism under redelivery (the ordering is load-bearing): the
+    * model marker is checked FIRST — the model commits LAST, so a
+    * stored marker ≥ the delivered batch id PROVES the entire batch
+    * (corpus append included) already ran, and the redelivery returns
+    * as a full no-op. That check is what closes the one divergence
+    * window a gate-re-evaluation replay would have: a crash after the
+    * model commit but before the streaming checkpoint commit would
+    * otherwise re-gate against the ALREADY-UPDATED model (which may
+    * also have just crossed `warmupGrams`), derive a DIFFERENT gated
+    * set, and append genuinely-new docs the clean run never kept.
+    * Below the marker check the model is guaranteed unchanged: gates
+    * are evaluated against the model AS OF batch start, a replayed
+    * batch re-derives the SAME gated set, and the corpus append is
     * per-doc idempotent regardless. There is no crash window in which
     * the two model halves diverge (single table, single marker).
     *
@@ -736,6 +752,14 @@ object CorpusIngest {
       expectedItems: Long = 10000000L
   ): CurateIngestStats = {
     val spark = batch.sparkSession
+    // Marker first (scaladoc): the model commits last, so a stored
+    // batch id ≥ ours proves corpus append AND model update both
+    // happened — the redelivery is a full no-op. Heal any swap-crash
+    // window before reading the marker.
+    val modelFs = graft.sinks.Dfs.fs(spark, modelPath)
+    SketchIngest.heal(modelFs, new HPath(modelPath))
+    if (SketchIngest.committedBatch(modelFs, new HPath(modelPath)).exists(_ >= batchId))
+      return CurateIngestStats(0L, 0L, 0L, replayed = true)
     val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // batch-level exact dedup FIRST (smallest-id keeper, the corpus
     // loop's rule) so gate work and model counts see each text once
@@ -755,8 +779,6 @@ object CorpusIngest {
     val qualityPass = graft.ops.Materialize(uniq.join(qualIds, Seq("doc_id")), eager = false)
     val nQual = qualityPass.count()
 
-    val modelFs = graft.sinks.Dfs.fs(spark, modelPath)
-    SketchIngest.heal(modelFs, new HPath(modelPath))
     val modelExists = pathExists(spark, modelPath)
     val modelWarm = modelExists && {
       val g = spark.read.parquet(modelPath)

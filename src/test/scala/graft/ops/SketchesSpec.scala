@@ -105,6 +105,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(50.0) > 0.0 && got(50.0) < 1.0)
   }
 
+  test("cdfFromSketch keeps rows of GROUPS the sketch never saw, with null cdf") {
+    val corpus = (1 to 100).map(i => (40.0 + (i % 20), "seen")).toDF("v", "g")
+    val sk = Sketches.histogramSketch(corpus, "v", Seq("g"), lo, hi, bins)
+    val fresh = Seq((50.0, "seen"), (50.0, "unseen")).toDF("v", "g")
+    val rows = Sketches
+      .cdfFromSketch(fresh, "v", Seq("g"), sk, lo, hi, bins)
+      .collect()
+      .map(r => r.getAs[String]("g") -> Option(r.get(r.fieldIndex("cdf"))))
+      .toMap
+    assert(rows.size === 2) // the unseen group's row is NOT dropped
+    assert(rows("seen").isDefined)
+    assert(rows("unseen").isEmpty) // null = "no model mass for this group"
+  }
+
   test("equiDepthPartition: balanced within largest-bin mass; contiguous value ranges") {
     val sk = Sketches.histogramSketch(df, "v", Nil, lo, hi, bins)
     val k = 7

@@ -70,6 +70,12 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got(4) === 65535L) // clamped
   }
 
+  test("rankOf on a constant column (hi == lo) ranks every row 0") {
+    val df = Seq(7L, 7L, 7L).toDF("v")
+    val got = df.select(ZOrder.rankOf(col("v"), 7L, 7L, 16).as("r")).as[Long].collect()
+    assert(got.forall(_ === 0L))
+  }
+
   test("z-ordered files are narrow in BOTH dims; linear sort is not") {
     // 64x64 grid, one row per cell — uniform 2-D data
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))

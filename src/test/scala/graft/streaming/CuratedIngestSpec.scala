@@ -51,10 +51,14 @@ class CuratedIngestSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(model1.values.sum > model0.values.sum)
 
-    // full redelivery of batch 1: same gated stats re-derived, corpus
-    // unchanged (bloom), model unchanged (marker)
+    // full redelivery of batch 1: the model marker (which commits LAST)
+    // proves the batch fully ran, so the redelivery is a whole-batch
+    // no-op — gates are NOT re-evaluated (re-gating against the model
+    // that now includes batch 1's own counts could derive a DIFFERENT
+    // set and append docs a clean run never kept), corpus and model
+    // stay untouched
     val s1r = run(b1, 1L)
-    assert(s1r === s1)
+    assert(s1r === CorpusIngest.CurateIngestStats(0L, 0L, 0L, replayed = true))
     assert(spark.read.parquet(corpus).count() === 41L)
     val model1r = spark.read.parquet(model)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -68,6 +72,18 @@ class CuratedIngestSpec extends AnyFunSuite {
     val model2 = spark.read.parquet(model)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(model2.values.sum > model1.values.sum)
+
+    // late redelivery of batch 0 (the ADVICE r10 window: model committed
+    // and long since warm, checkpoint lost): under gate re-evaluation
+    // the perplexity gate — skipped cold — would now run; the marker
+    // makes it a no-op instead
+    val corpusBefore = spark.read.parquet(corpus).collect().toSet
+    val s0r = run(b0, 0L)
+    assert(s0r.replayed && s0r.gated === 0L)
+    assert(spark.read.parquet(corpus).collect().toSet === corpusBefore)
+    val model0r = spark.read.parquet(model)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(model0r === model2)
 
     // quality-fail text never reached the corpus at any point
     assert(spark.read.parquet(corpus).filter(col("text").contains("spam")).count() === 0L)
