@@ -640,11 +640,75 @@ object TextAnalysis {
       minDocs: Int
   ): DataFrame = {
     require(segTokens > 0 && minDocs > 1, "need segTokens > 0, minDocs > 1")
+    val segs = segmentsOf(df, textCol, idCol, segTokens)
+    val boiler = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("_boiler"))
+    rebuildDocs(flagAgainst(segs, boiler))
+  }
+
+  /** Addition-mergeable segment-count fold: one (seg, n) row per
+    * distinct segment of the batch, n = the number of batch docs
+    * containing it — the keyed-count shape
+    * `SketchIngest.ingestCountBatch` maintains at rest, so a corpus's
+    * boilerplate frequencies can be kept live by a stream. Folding
+    * disjoint doc sets and merging by addition equals folding their
+    * union in one pass (countDistinct per batch + docs appearing once
+    * across batches), which is what makes
+    * [[stripBoilerplateFromModel]] over the streamed model equal
+    * [[stripBoilerplate]] over the batch corpus (spec-pinned). A doc
+    * resubmitted in a LATER batch reinforces its segments' counts —
+    * the same documented stream-fit trade as the surprisal model.
+    */
+  def boilerFold(textCol: String, idCol: String, segTokens: Int): DataFrame => DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    b =>
+      segmentsOf(b, textCol, idCol, segTokens)
+        .groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("n"))
+  }
+
+  /** [[stripBoilerplate]] with the frequent-segment set taken from an
+    * AT-REST (seg, n) model ([[boilerFold]] counts, merged by
+    * addition) instead of being recomputed from `df` — the streaming
+    * stage-0 form: the corpus pass that found the frequencies already
+    * happened, so this is ONE explode plus a broadcast of the
+    * `n >= minDocs` survivors; `df` is never shuffled. Identical
+    * output to [[stripBoilerplate]] when the model is the fold of the
+    * same docs.
+    */
+  def stripBoilerplateFromModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int,
+      model: DataFrame
+  ): DataFrame = {
+    require(segTokens > 0 && minDocs > 1, "need segTokens > 0, minDocs > 1")
+    val boiler = model
+      .filter(col("n") >= minDocs)
+      .select(col("seg"), lit(true).as("_boiler"))
+    rebuildDocs(flagAgainst(segmentsOf(df, textCol, idCol, segTokens), boiler))
+  }
+
+  /** Non-overlapping `segTokens`-token segments: (doc_id, pos, seg).
+    * Zero-token docs produce no rows, so they vanish from every strip
+    * output (the documented empty-doc behavior).
+    */
+  private def segmentsOf(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int
+  ): DataFrame = {
     val base = df
       .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) > 0)
     val nSeg = ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
-    val segs = base
+    base
       .select(
         col("doc_id"),
         posexplode(
@@ -655,14 +719,14 @@ object TextAnalysis {
         )
       )
       .select(col("doc_id"), col("pos"), col("col").as("seg"))
-    val boiler = segs
-      .groupBy(col("seg"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("seg"), lit(true).as("_boiler"))
-    val flagged = segs
+  }
+
+  private def flagAgainst(segs: DataFrame, boiler: DataFrame): DataFrame =
+    segs
       .join(broadcast(boiler), Seq("seg"), "left")
       .withColumn("boiler", coalesce(col("_boiler"), lit(false)))
+
+  private def rebuildDocs(flagged: DataFrame): DataFrame =
     flagged
       .groupBy(col("doc_id"))
       .agg(
@@ -679,5 +743,4 @@ object TextAnalysis {
         when(size(col("_kept")) > 0,
           concat_ws(" ", transform(col("_kept"), s => s.getField("seg")))).as("clean_text")
       )
-  }
 }

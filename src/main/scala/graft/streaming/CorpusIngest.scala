@@ -665,25 +665,46 @@ object CorpusIngest {
     */
   final case class CurateIngestStats(
       input: Long,
+      boilerPass: Long,
       qualityPass: Long,
       gated: Long,
       replayed: Boolean = false
   )
 
-  /** Quality- and perplexity-gated corpus ingest — the streaming form
-    * of the `Curation` gates over the exactly-once corpus loop: per
-    * micro-batch (1) the heuristic quality gate
-    * ([[graft.ops.TextAnalysis.quality]] ≥ `minQuality`), (2) the
-    * perplexity gate ([[graft.ops.Dsir.bigramSurprisalFromModel]]
-    * `avg_nll` ≤ `maxAvgNll`) against the AT-REST surprisal model —
-    * skipped until the model holds `warmupGrams` context grams (a
-    * cold model scores every bigram at the ln(B) prior, which would
-    * gate on nothing but length; once warm, docs with fewer than 2
-    * tokens carry no bigram evidence and are dropped by the gate) —
-    * then (3) the bloom-fronted
-    * exact-dedup corpus append ([[ingestBatch]]) and (4) the model
-    * update ([[graft.ops.Dsir.surprisalFold]] through
-    * `SketchIngest.ingestCountBatch`, both halves under ONE marker).
+  /** Curation-gated corpus ingest — the streaming form of the full
+    * `Curation` pipeline over the exactly-once corpus loop: per
+    * micro-batch (0) boilerplate stripping
+    * ([[graft.ops.TextAnalysis.stripBoilerplateFromModel]]) against
+    * the AT-REST segment-count model (cold model = nothing frequent
+    * yet, so stage 0 degrades to the same tokenize-and-rebuild
+    * normalization every batch gets — corpus text is uniformly
+    * normalized from batch one; docs whose every segment is
+    * boilerplate drop here, like batch stage 1), (1) the heuristic
+    * quality gate ([[graft.ops.TextAnalysis.quality]] ≥ `minQuality`),
+    * (2) the perplexity gate
+    * ([[graft.ops.Dsir.bigramSurprisalFromModel]] `avg_nll` ≤
+    * `maxAvgNll`) against the AT-REST surprisal model — skipped until
+    * the model holds `warmupGrams` context grams (a cold model scores
+    * every bigram at the ln(B) prior, which would gate on nothing but
+    * length; once warm, docs with fewer than 2 tokens carry no bigram
+    * evidence and are dropped by the gate) — then (3) the
+    * bloom-fronted exact-dedup corpus append ([[ingestBatch]], on the
+    * CLEANED text, so docs differing only in boilerplate dedup) and
+    * (4) the model update: [[graft.ops.Dsir.surprisalFold]] over the
+    * gated docs PLUS [[graft.ops.TextAnalysis.boilerFold]] over the
+    * batch's raw input (pre-gates, matching the batch pipeline where
+    * segment frequencies come from the un-gated corpus), both folds
+    * and both surprisal halves written to ONE keyed-count table
+    * (`kind` ∈ ctx/big/boiler; boiler rows carry the segment in `seg`,
+    * surprisal rows a null `seg`) through
+    * `SketchIngest.ingestCountBatch` under ONE marker — there is no
+    * crash window in which any model part diverges from another.
+    *
+    * A segment's cleaned form changes as the boiler model warms: a doc
+    * resubmitted after its header became frequent strips differently,
+    * fingerprints differently, and appends as genuinely new text —
+    * the same model-evolution trade a batch pipeline takes when it
+    * reprocesses with refreshed frequencies (documented, spec-pinned).
     *
     * Determinism under redelivery (the ordering is load-bearing): the
     * model marker is checked FIRST — the model commits LAST, so a
@@ -723,13 +744,16 @@ object CorpusIngest {
       maxAvgNll: Double = 9.0,
       nBuckets: Int = 4096,
       warmupGrams: Long = 10000L,
-      expectedItems: Long = 10000000L
+      expectedItems: Long = 10000000L,
+      segTokens: Int = 8,
+      minDocsBoiler: Int = 50
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestCuratedBatch(batch, batchId, corpusPath, bloomPath, modelPath,
-          textCol, idCol, minQuality, maxAvgNll, nBuckets, warmupGrams, expectedItems)
+          textCol, idCol, minQuality, maxAvgNll, nBuckets, warmupGrams, expectedItems,
+          segTokens, minDocsBoiler)
         ()
       }
       .start()
@@ -749,7 +773,9 @@ object CorpusIngest {
       maxAvgNll: Double = 9.0,
       nBuckets: Int = 4096,
       warmupGrams: Long = 10000L,
-      expectedItems: Long = 10000000L
+      expectedItems: Long = 10000000L,
+      segTokens: Int = 8,
+      minDocsBoiler: Int = 50
   ): CurateIngestStats = {
     val spark = batch.sparkSession
     // Marker first (scaladoc): the model commits last, so a stored
@@ -759,10 +785,12 @@ object CorpusIngest {
     val modelFs = graft.sinks.Dfs.fs(spark, modelPath)
     SketchIngest.heal(modelFs, new HPath(modelPath))
     if (SketchIngest.committedBatch(modelFs, new HPath(modelPath)).exists(_ >= batchId))
-      return CurateIngestStats(0L, 0L, 0L, replayed = true)
+      return CurateIngestStats(0L, 0L, 0L, 0L, replayed = true)
     val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // batch-level exact dedup FIRST (smallest-id keeper, the corpus
-    // loop's rule) so gate work and model counts see each text once
+    // loop's rule) so stage-0/gate work and model counts see each raw
+    // text once; docs differing only in boilerplate converge AFTER the
+    // strip and are caught by the corpus append's fingerprint dedup
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text")))
       .orderBy(col("doc_id"))
@@ -772,14 +800,31 @@ object CorpusIngest {
     )
     val nInput = uniq.count()
 
+    val modelExists = pathExists(spark, modelPath)
+    // stage 0: boilerplate strip against the at-rest segment counts as
+    // of batch start (cold/empty model: nothing is frequent yet, the
+    // pass is pure tokenize-and-rebuild normalization)
+    val boilerModel =
+      if (modelExists)
+        spark.read.parquet(modelPath).filter(col("kind") === "boiler")
+          .select(col("seg"), col("n"))
+      else spark.range(0).select(lit("").as("seg"), lit(0L).as("n"))
+    val clean = graft.ops.Materialize(
+      graft.ops.TextAnalysis
+        .stripBoilerplateFromModel(uniq, "text", "doc_id", segTokens, minDocsBoiler, boilerModel)
+        .filter(col("clean_text").isNotNull)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      eager = false
+    )
+    val nBoiler = clean.count()
+
     val qualIds = graft.ops.TextAnalysis
-      .quality(uniq, "text", "doc_id")
+      .quality(clean, "text", "doc_id")
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    val qualityPass = graft.ops.Materialize(uniq.join(qualIds, Seq("doc_id")), eager = false)
+    val qualityPass = graft.ops.Materialize(clean.join(qualIds, Seq("doc_id")), eager = false)
     val nQual = qualityPass.count()
 
-    val modelExists = pathExists(spark, modelPath)
     val modelWarm = modelExists && {
       val g = spark.read.parquet(modelPath)
         .filter(col("kind") === "ctx")
@@ -802,13 +847,25 @@ object CorpusIngest {
     // corpus append (per-doc idempotent) BEFORE the marker-committed
     // model update — see the determinism note in the scaladoc
     ingestBatch(gated, corpusPath, bloomPath, expectedItems)
+    // model update, one table + one marker: surprisal counts from the
+    // gated CLEAN docs (null seg), boiler segment counts from the
+    // batch's raw post-dedup input (pre-gates — the batch pipeline's
+    // frequencies come from the un-gated corpus). The fold closes over
+    // both frames, so the ingestCountBatch `batch` argument is only a
+    // session handle here.
     SketchIngest.ingestCountBatch(
       gated, batchId,
-      graft.ops.Dsir.surprisalFold("text", "doc_id", nBuckets),
-      Seq("kind", "bucket"),
+      _ => {
+        val sup = graft.ops.Dsir.surprisalFold("text", "doc_id", nBuckets)(gated)
+          .withColumn("seg", lit(null).cast("string"))
+        val boil = graft.ops.TextAnalysis.boilerFold("text", "doc_id", segTokens)(uniq)
+          .select(lit("boiler").as("kind"), lit(0L).as("bucket"), col("seg"), col("n"))
+        sup.unionByName(boil)
+      },
+      Seq("kind", "bucket", "seg"),
       modelPath
     )
-    CurateIngestStats(nInput, nQual, nGated)
+    CurateIngestStats(nInput, nBoiler, nQual, nGated)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -217,6 +217,34 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("n_boiler") === 0L))
   }
 
+  test("stripBoilerplateFromModel over the addition-merged boilerFold == stripBoilerplate") {
+    // the streamed-model equivalence behind curatedIngest's stage 0:
+    // fold two DISJOINT halves, merge by long addition (what
+    // SketchIngest.ingestCountBatch does at rest), and strip from the
+    // merged model — must equal the one-pass batch strip over the union
+    val docs = Seq(
+      (1L, "legal header alpha beta gamma"),
+      (2L, "legal header delta epsilon"),
+      (3L, "legal header zeta eta theta iota"),
+      (4L, "legal header kappa"),
+      (5L, "legal header"),
+      (6L, "free body words only")
+    ).toDF("doc_id", "text")
+    val fold = TextAnalysis.boilerFold("text", "doc_id", segTokens = 2)
+    val model = fold(docs.filter(col("doc_id") <= 3))
+      .unionByName(fold(docs.filter(col("doc_id") > 3)))
+      .groupBy(col("seg"))
+      .agg(sum(col("n")).as("n"))
+    val fromModel = TextAnalysis
+      .stripBoilerplateFromModel(docs, "text", "doc_id", 2, 3, model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val batch = TextAnalysis
+      .stripBoilerplate(docs, "text", "doc_id", 2, 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(fromModel === batch)
+    assert(fromModel(3L)(4) === "zeta eta theta iota") // header really stripped
+  }
+
   test("splitLeakage: planted cross-split shingle counted once per doc; clean corpus zero") {
     // discover the deterministic split labels first, then craft texts
     val ids = (1L to 120L).toDF("doc_id")
