@@ -47,13 +47,16 @@ object Bench {
     * (BenchGuardSpec) instead of only runtime-evidenced: a run over
     * `max(10 s, 5 × min-so-far)` is discarded and re-run, at most
     * `maxReruns` times per block; min-so-far spans warmups + every
-    * measured AND discarded run. Acceptance is decided at run time and
-    * never revisited: a stalled first measured run is caught when the
-    * warmup already revealed the floor, but if the warmup stalled too
-    * it stands (median-of-iters then dilutes it) while every LATER
-    * stall is guarded by the updated floor. Returns (measured,
-    * discarded) — measured always has `iters` entries; nothing is
-    * silently dropped.
+    * measured AND discarded run. Acceptance is RETROACTIVE (round 11 —
+    * BENCH_r10's q79 kept a 19.2 s first measured run because the
+    * block's 3.48 s floor only surfaced from run 2 on): whenever a new
+    * run lowers the floor, earlier ACCEPTED runs that now exceed the
+    * limit are evicted to `discarded` and replaced, spending the same
+    * re-run budget. A stalled warmup+first-run pair therefore only
+    * stands until any later run reveals the true floor; a stall
+    * outlasting the budget still lands in the medians rather than
+    * hiding. Returns (measured, discarded) — measured always has
+    * `iters` entries; nothing is silently dropped.
     */
   private[graft] def measureBlock(
       iters: Int,
@@ -75,10 +78,24 @@ object Bench {
       // sub-second queries' GC/compile jitter from churn; slow blocks
       // keep the original 10 s floor.
       val floor = if (minSoFar < 2.0) 3.0 else 10.0
-      if (t > math.max(floor, 5.0 * minSoFar) && reruns < maxReruns) {
+      val limit = math.max(floor, 5.0 * minSoFar)
+      if (t > limit && reruns < maxReruns) {
         discarded :+= t
         reruns += 1
-      } else measured :+= t
+      } else {
+        measured :+= t
+        // retroactive eviction: this run may have lowered the floor
+        // enough to reveal earlier accepted runs as stalls — evict and
+        // replace them within the same re-run budget (a discarded run
+        // can't lower the floor further, so only this branch rescans)
+        var idx = measured.indexWhere(_ > limit)
+        while (idx >= 0 && reruns < maxReruns) {
+          discarded :+= measured(idx)
+          measured = measured.patch(idx, Vector.empty, 1)
+          reruns += 1
+          idx = measured.indexWhere(_ > limit)
+        }
+      }
     }
     (measured, discarded)
   }
@@ -128,6 +145,26 @@ object Bench {
           org.apache.logging.log4j.Level.FATAL
         )
     }
+
+    // Host-speed calibration (round 11 — two rounds of cross-round bench
+    // analysis burned on separating host drift from regressions): a
+    // fixed pure-CPU workload — no IO, no shuffle, deterministic plan —
+    // timed before the suite. Its MIN of 3 runs (min is the capacity
+    // statistic for pure CPU; medians absorb co-tenant noise we want
+    // EXCLUDED here) lands in bench_detail.json as `calibration_sec`,
+    // so BENCH_NOTES can normalize cross-round per-query ratios
+    // mechanically instead of re-deriving "the host was ~1.6x slower"
+    // from untouched-query forensics each round.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("id") % 97L))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateOnce() // codegen + JIT warm
+    val calibration = (1 to 3).map(_ => calibrateOnce()).min
 
     // session warmup: touch every table at the target SF (page cache +
     // reader init), then run every query once at the smallest SF — this
@@ -212,7 +249,7 @@ object Bench {
         f""""$k":{"median":$med%.3f,"min":$mn%.3f,"all_runs_incl_warmup":$runsJson,"discarded":$discJson}"""
       }
       .mkString(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"max_reruns":$maxReruns,"sf":"$sfDir","queries":{""",
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"max_reruns":$maxReruns,"calibration_sec":$calibration%.3f,"sf":"$sfDir","queries":{""",
         ",",
         "}}"
       )

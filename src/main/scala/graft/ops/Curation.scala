@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   4. exact dedup         ([[Dedup.exact]] min-id keeper)
   *   5. DSIR selection      ([[Dsir.importanceWeightsWithin]] against
   *      a caller-labeled target subset; keep the top `keepFraction`
-  *      by exact quantized weight, ties broken by doc_id)
+  *      by quantized weight)
   *
   * Returns the kept docs (doc_id + cleaned text + logw_q) plus a
   * per-stage survivor-count report for pipeline observability — the
@@ -27,13 +27,25 @@ import org.apache.spark.sql.functions._
   * (explodes + bounded-model broadcasts + hash-shuffles on doc ids);
   * the composition adds NO new join pattern — stages hand off slim
   * (doc_id, text) frames, and each stage's corpus pass is pinned by
-  * that operator's own plan discipline. The final top-fraction select
-  * is a count + filter on the quantized weight rank via window over a
-  * single ordered column — at true 100 TB scale swap it for the
-  * sketch-CDF threshold ([[Sketches.cdfFromSketch]] on logw_q) to
-  * avoid the global sort; both forms are provided.
+  * that operator's own plan discipline. Stage counts are NOT separate
+  * `count()` jobs: every stage frame is lazily pinned, one action
+  * materializes the whole chain, and a single flags-join aggregation
+  * over the pinned frames reads all six survivor counts in one job.
+  *
+  * Selection default is the SCALE path: the top-`keepFraction` cut is
+  * a threshold on the sketch-CDF of the quantized weight
+  * ([[Sketches.cdfFromSketch]] — a broadcast of O(bins) rows, no
+  * shuffle of the scored corpus), which keeps ≈ the requested fraction
+  * with boundary docs possibly differing by one 1/256 bin's mass from
+  * the exact rank cut (the documented trade). `exactRank = true`
+  * restores the exact `row_number` cut for oracle-grade runs — that is
+  * a single-task global sort (Window with no partitionBy), logged as a
+  * warning because at 100 TB it funnels the corpus through one
+  * executor; opt into it only when the corpus is known small.
   */
 object Curation {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Curation")
 
   final case class StageCounts(
       input: Long,
@@ -46,9 +58,9 @@ object Curation {
 
   /** Run the five-stage pipeline. `targetCond` labels the DSIR target
     * subset over the ORIGINAL columns (e.g. `col("lang") === "en"`).
-    * `exactRank = false` replaces the final global-sort selection with
-    * the sketch-CDF threshold (scale path; keeps ≈ the same fraction,
-    * boundary docs may differ by one bin's mass).
+    * See the object scaladoc for the `exactRank` selection trade
+    * (sketch-CDF threshold by default; exact global-sort rank on
+    * opt-in, warned — single-task at scale).
     */
   def curate(
       docs: DataFrame,
@@ -60,12 +72,10 @@ object Curation {
       segTokens: Int = 8,
       minDocsBoiler: Int = 50,
       keepFraction: Double = 0.5,
-      exactRank: Boolean = true
+      exactRank: Boolean = false
   ): (DataFrame, StageCounts) = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
-    val spark = docs.sparkSession
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"), targetCond.as("_tgt"))
-    val nInput = base.count()
 
     // 1. boilerplate: rebuild text from surviving segments; drop docs
     //    that were pure boilerplate (clean_text null)
@@ -75,7 +85,6 @@ object Curation {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(base.select(col("doc_id"), col("_tgt")), Seq("doc_id"))
     val afterBoiler = Materialize(stripped, eager = false)
-    val nBoiler = afterBoiler.count()
 
     // 2. heuristic quality gate
     val qualIds = TextAnalysis
@@ -83,7 +92,6 @@ object Curation {
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
     val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
-    val nQual = afterQual.count()
 
     // 3. perplexity gate, model fitted on the post-quality corpus
     val pplIds = Dsir
@@ -91,12 +99,10 @@ object Curation {
       .filter(col("avg_nll") <= maxAvgNll)
       .select(col("doc_id"))
     val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
-    val nPpl = afterPpl.count()
 
     // 4. exact dedup: keep each fingerprint's min-id doc
     val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
     val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
-    val nDedup = afterDedup.count()
 
     // 5. DSIR selection against the labeled target subset
     val weighted = Dsir
@@ -105,6 +111,10 @@ object Curation {
     val scored = afterDedup.join(weighted, Seq("doc_id"))
     val selected =
       if (exactRank) {
+        log.warn(
+          "Curation.curate(exactRank = true): exact selection ranks via a global-sort " +
+            "window (single task) — fine for oracle-grade small corpora, a bottleneck at " +
+            "scale; the default sketch-CDF threshold (exactRank = false) is the scale path")
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("logw_q").desc, col("doc_id"))
         val total = scored.count()
@@ -113,7 +123,8 @@ object Curation {
       } else {
         // scale path: no global sort — threshold on the sketch CDF of
         // the quantized weight (higher logw_q => higher cdf; keep top
-        // keepFraction by mass)
+        // keepFraction by mass). This action is also what materializes
+        // the stage chain above.
         val Array(b) = scored
           .agg(min(col("logw_q")).as("mn"), max(col("logw_q")).as("mx"))
           .collect()
@@ -128,9 +139,36 @@ object Curation {
             .drop("cdf")
         }
       }
-    val kept = selected.select(col("doc_id"), col("text"), col("logw_q"))
-    val nKept = kept.count()
+    val kept = Materialize(selected.select(col("doc_id"), col("text"), col("logw_q")), eager = false)
 
-    (kept, StageCounts(nInput, nBoiler, nQual, nPpl, nDedup, nKept))
+    // Stage report in ONE job: every stage frame above is pinned, so
+    // flag-joining them onto the input ids and aggregating reads the
+    // materialized blocks — no stage plan re-executes, no per-stage
+    // count() actions (the r10 shape ran 6).
+    def flagged(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(true).as(name))
+    val report = base
+      .select(col("doc_id"))
+      .join(flagged(afterBoiler, "_s1"), Seq("doc_id"), "left")
+      .join(flagged(afterQual, "_s2"), Seq("doc_id"), "left")
+      .join(flagged(afterPpl, "_s3"), Seq("doc_id"), "left")
+      .join(flagged(afterDedup, "_s4"), Seq("doc_id"), "left")
+      .join(flagged(kept, "_s5"), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n0"),
+        count(col("_s1")).as("n1"),
+        count(col("_s2")).as("n2"),
+        count(col("_s3")).as("n3"),
+        count(col("_s4")).as("n4"),
+        count(col("_s5")).as("n5")
+      )
+      .head()
+
+    (
+      kept,
+      StageCounts(
+        report.getLong(0), report.getLong(1), report.getLong(2),
+        report.getLong(3), report.getLong(4), report.getLong(5))
+    )
   }
 }

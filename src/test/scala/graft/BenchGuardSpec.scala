@@ -46,13 +46,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m === Vector(35.0, 38.0, 36.0) && d.isEmpty)
   }
 
-  test("warmup-and-first-run both stalled: the first run stands, later stalls are caught") {
-    // acceptance is never revisited — the 80.0 was accepted under a
-    // stalled floor and stays; the 2.0 drops min-so-far, so the 85.0
-    // IS caught and re-run
-    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(90.0), scripted(80.0, 2.0, 85.0, 2.1))
-    assert(m === Vector(80.0, 2.0, 2.1))
-    assert(d === Vector(85.0))
+  test("warmup-and-first-run both stalled: the floor reveal retro-evicts the first run too") {
+    // the 80.0 was accepted under a stalled floor; the 2.0 drops
+    // min-so-far, which retroactively evicts the 80.0 AND catches the
+    // later 85.0 — both replaced within the re-run budget
+    val (m, d) = Bench.measureBlock(3, 3, warm = Seq(90.0), scripted(80.0, 2.0, 85.0, 2.1, 1.9))
+    assert(m === Vector(2.0, 2.1, 1.9))
+    assert(d === Vector(80.0, 85.0))
+  }
+
+  test("BENCH_r10 q79 case: stalled FIRST measured run, floor revealed at run 2+") {
+    // 19.2 survives its own acceptance (limit = 5 x 19.2); run 2's 3.5
+    // reveals the block floor (limit = 17.5) and evicts it retroactively
+    val (m, d) = Bench.measureBlock(5, 3, warm = Seq(20.0),
+      scripted(19.2, 3.5, 3.6, 3.7, 3.4, 3.55))
+    assert(m === Vector(3.5, 3.6, 3.7, 3.4, 3.55))
+    assert(d === Vector(19.2))
+  }
+
+  test("retro-eviction respects the exhausted re-run budget") {
+    // both 80.0 and 85.0 are accepted under the stalled floor; when
+    // 2.0 reveals it, the budget of 1 evicts only the first — the
+    // second stands and lands in the medians honestly
+    val (m, d) = Bench.measureBlock(3, 1, warm = Seq(90.0), scripted(80.0, 85.0, 2.0, 2.1))
+    assert(d === Vector(80.0))
+    assert(m === Vector(85.0, 2.0, 2.1))
   }
 
   test("a stalled first measured run IS caught when the warmup revealed the floor") {

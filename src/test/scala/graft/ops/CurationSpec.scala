@@ -42,7 +42,8 @@ class CurationSpec extends AnyFunSuite {
       maxAvgNll = 6.0,
       segTokens = 2,
       minDocsBoiler = 70,
-      keepFraction = 0.5
+      keepFraction = 0.5,
+      exactRank = true // opt-in: exact rank keeps the count pin exact
     )
     assert(counts.input === 72L)
     assert(counts.afterBoilerplate === 70L) // -2 pure-header docs
@@ -64,7 +65,7 @@ class CurationSpec extends AnyFunSuite {
     assert(!ids.exists(i => i >= 58 && i <= 60))
   }
 
-  test("sketch-CDF selection path (exactRank=false) runs and keeps a top slice") {
+  test("sketch-CDF selection path (the default) runs and keeps a top slice") {
     val (kept, counts) = Curation.curate(
       docs,
       "text",
@@ -73,8 +74,7 @@ class CurationSpec extends AnyFunSuite {
       maxAvgNll = 6.0,
       segTokens = 2,
       minDocsBoiler = 70,
-      keepFraction = 0.5,
-      exactRank = false
+      keepFraction = 0.5
     )
     assert(counts.afterDedup === 57L)
     val n = kept.count()
@@ -82,5 +82,36 @@ class CurationSpec extends AnyFunSuite {
     // the CDF threshold keeps a HIGH-weight slice: its min weight must
     // be >= the corpus median weight region (sanity, not exactness)
     assert(counts.kept === n)
+  }
+
+  test("stage counts come from one flags-join job, not per-stage count() actions") {
+    // pin the r11 action shape: the default-path curate derives its
+    // six stage counts from ONE flags-join aggregation over the pinned
+    // stage frames — the r10 shape ran a dedicated Dataset.count()
+    // action per stage, so ANY count() action firing during curate is
+    // the regression this guards against.
+    val actions = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (_, counts) = Curation.curate(
+        docs, "text", "doc_id",
+        targetCond = col("doc_id") <= 28,
+        maxAvgNll = 6.0, segTokens = 2, minDocsBoiler = 70, keepFraction = 0.5)
+      assert(counts.afterDedup === 57L)
+      Thread.sleep(1000) // QueryExecutionListener delivery is async
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val names = actions.asScala.toList
+    assert(!names.contains("count"), s"curate ran count() actions: $names")
   }
 }
