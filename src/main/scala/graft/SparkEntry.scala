@@ -1154,7 +1154,31 @@ object SparkEntry {
         "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       )
-    )
+    ),
+
+    // Boilerplate strip from the AT-REST segment-count model (the
+    // streaming stage-0 path): the model is boilerFold run over two
+    // DISJOINT halves and merged by exact long addition — what
+    // SketchIngest maintains across micro-batches — and the strip
+    // flags against the merged counts. Hash-exact against the SAME
+    // one-pass oracle as q78: merged fold == in-corpus frequencies is
+    // the equivalence this query pins cross-engine.
+    "q85_boiler_from_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("begin standard license header notice text follows now "),
+          col("text"),
+          lit(" copyright footer all rights reserved forever here end")
+        ).as("text")
+      )
+      val fold = TextAnalysis.boilerFold("text", "doc_id", segTokens = 8)
+      val model = fold(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(fold(docs.filter(col("doc_id") % 2 =!= 0)))
+        .groupBy(col("seg"))
+        .agg(sum(col("n")).as("n"))
+      TextAnalysis.stripBoilerplateFromModel(docs, "text", "doc_id", 8, 50, model)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -2119,7 +2143,38 @@ object SparkEntry {
            |  CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
            |  floor(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / tot.n_docs * 10000) / 10000
            |    AS frac_contaminated
-           |FROM tot LEFT JOIN c USING (split)""".stripMargin
+           |FROM tot LEFT JOIN c USING (split)""".stripMargin,
+      // Same segmentation/reconstruction as q78, but the frequent set
+      // comes from per-half distinct-doc counts SUMMED across the two
+      // halves — the oracle mirrors the fold-and-merge model build, so
+      // a hash match pins merged-fold == one-pass counts cross-engine.
+      "q85_boiler_from_model" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(regexp_replace(lower(
+          |      'begin standard license header notice text follows now ' || text ||
+          |      ' copyright footer all rights reserved forever here end'),
+          |      '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> '') AS words
+          |  FROM documents),
+          |s AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+          |  SELECT doc_id,
+          |    unnest([{'pos': CAST(i AS BIGINT),
+          |             'seg': array_to_string(words[(i*8+1):(i*8+8)], ' ')}
+          |            for i in range(0, CAST(ceil(len(words)/8.0) AS BIGINT))]) AS u
+          |  FROM t WHERE len(words) > 0)),
+          |b AS (SELECT seg FROM (
+          |    SELECT seg, count(DISTINCT doc_id) AS n FROM s WHERE doc_id % 2 = 0 GROUP BY seg
+          |    UNION ALL
+          |    SELECT seg, count(DISTINCT doc_id) AS n FROM s WHERE doc_id % 2 <> 0 GROUP BY seg
+          |  ) GROUP BY seg HAVING sum(n) >= 50),
+          |f AS (SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS boiler
+          |  FROM s LEFT JOIN b ON b.seg = s.seg)
+          |SELECT doc_id, count(*) AS n_segs,
+          |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+          |  floor(CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000
+          |    AS frac_boiler,
+          |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT boiler) AS clean_text
+          |FROM f GROUP BY doc_id""".stripMargin
     )
   }
 
