@@ -109,37 +109,11 @@ object Curation {
       .importanceWeightsWithin(afterDedup, col("_tgt"), "text", "doc_id")
       .select(col("doc_id"), col("logw_q"))
     val scored = afterDedup.join(weighted, Seq("doc_id"))
-    val selected =
-      if (exactRank) {
-        log.warn(
-          "Curation.curate(exactRank = true): exact selection ranks via a global-sort " +
-            "window (single task) — fine for oracle-grade small corpora, a bottleneck at " +
-            "scale; the default sketch-CDF threshold (exactRank = false) is the scale path")
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("logw_q").desc, col("doc_id"))
-        val total = scored.count()
-        val keepN = math.max(1L, math.ceil(total * keepFraction).toLong)
-        scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= keepN).drop("_rk")
-      } else {
-        // scale path: no global sort — threshold on the sketch CDF of
-        // the quantized weight (higher logw_q => higher cdf; keep top
-        // keepFraction by mass). This action is also what materializes
-        // the stage chain above.
-        val Array(b) = scored
-          .agg(min(col("logw_q")).as("mn"), max(col("logw_q")).as("mx"))
-          .collect()
-        val (mn, mx) = (b.getLong(0), b.getLong(1))
-        if (mn == mx) scored
-        else {
-          val sk = Sketches.histogramSketch(
-            scored, "logw_q", Nil, mn.toDouble, mx.toDouble + 1.0, 256)
-          Sketches
-            .cdfFromSketch(scored, "logw_q", Nil, sk, mn.toDouble, mx.toDouble + 1.0, 256)
-            .filter(col("cdf") >= 1.0 - keepFraction)
-            .drop("cdf")
-        }
-      }
-    val kept = Materialize(selected.select(col("doc_id"), col("text"), col("logw_q")), eager = false)
+    val kept = Materialize(
+      selectTop(scored, keepFraction, exactRank)
+        .select(col("doc_id"), col("text"), col("logw_q")),
+      eager = false
+    )
 
     // Stage report in ONE job: every stage frame above is pinned, so
     // flag-joining them onto the input ids and aggregating reads the
@@ -171,4 +145,134 @@ object Curation {
         report.getLong(3), report.getLong(4), report.getLong(5))
     )
   }
+
+  /** The pipeline driven entirely by AT-REST models — the catch-up /
+    * reprocessing form, and the batch twin of
+    * `CorpusIngest.ingestCuratedBatch`'s gate set: nothing is fitted on
+    * `docs`; the boilerplate frequent set, the surprisal model, and the
+    * DSIR raw/target models are persisted state (from the streaming
+    * folds, or frozen snapshots of a previous batch fit), so a run is
+    * reproducible against a pinned model version and scoring a new doc
+    * batch never touches the corpora the models summarize. Every model
+    * join is a broadcast of KB-scale counts — with no fit passes, the
+    * whole pipeline shuffles `docs` only on doc_id hashes.
+    *
+    * Model schemas: `boilerModel` (seg, n) from
+    * [[TextAnalysis.boilerFold]]; `surprisalModel` (kind ∈ ctx/big,
+    * bucket, n) from [[Dsir.surprisalFold]]; `dsirRaw` / `dsirTgt`
+    * (bucket, n) from [[Dsir.modelFold]]. Stage semantics, counts
+    * report, and the selection trade match [[curate]].
+    */
+  def curateFromModels(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      boilerModel: DataFrame,
+      surprisalModel: DataFrame,
+      dsirRaw: DataFrame,
+      dsirTgt: DataFrame,
+      minQuality: Double = 0.5,
+      maxAvgNll: Double = 9.0,
+      segTokens: Int = 8,
+      minDocsBoiler: Int = 50,
+      keepFraction: Double = 0.5,
+      exactRank: Boolean = false
+  ): (DataFrame, StageCounts) = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    val afterBoiler = Materialize(
+      TextAnalysis
+        .stripBoilerplateFromModel(base, "text", "doc_id", segTokens, minDocsBoiler, boilerModel)
+        .filter(col("clean_text").isNotNull)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      eager = false
+    )
+
+    val qualIds = TextAnalysis
+      .quality(afterBoiler, "text", "doc_id")
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
+
+    val pplIds = Dsir
+      .bigramSurprisalFromModel(afterQual, surprisalModel, "text", "doc_id")
+      .filter(col("avg_nll") <= maxAvgNll)
+      .select(col("doc_id"))
+    val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
+
+    val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
+    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
+
+    val weighted = Dsir
+      .importanceWeightsFromModels(afterDedup, dsirRaw, dsirTgt, "text", "doc_id")
+      .select(col("doc_id"), col("logw_q"))
+    val scored = afterDedup.join(weighted, Seq("doc_id"))
+    val kept = Materialize(
+      selectTop(scored, keepFraction, exactRank)
+        .select(col("doc_id"), col("text"), col("logw_q")),
+      eager = false
+    )
+
+    def flagged(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(true).as(name))
+    val report = base
+      .select(col("doc_id"))
+      .join(flagged(afterBoiler, "_s1"), Seq("doc_id"), "left")
+      .join(flagged(afterQual, "_s2"), Seq("doc_id"), "left")
+      .join(flagged(afterPpl, "_s3"), Seq("doc_id"), "left")
+      .join(flagged(afterDedup, "_s4"), Seq("doc_id"), "left")
+      .join(flagged(kept, "_s5"), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n0"),
+        count(col("_s1")).as("n1"),
+        count(col("_s2")).as("n2"),
+        count(col("_s3")).as("n3"),
+        count(col("_s4")).as("n4"),
+        count(col("_s5")).as("n5")
+      )
+      .head()
+
+    (
+      kept,
+      StageCounts(
+        report.getLong(0), report.getLong(1), report.getLong(2),
+        report.getLong(3), report.getLong(4), report.getLong(5))
+    )
+  }
+
+  /** Top-`keepFraction` cut on `logw_q` (see the object scaladoc for
+    * the trade): sketch-CDF threshold by default; exact global-sort
+    * rank on opt-in, warned. The first action here is also what
+    * materializes the lazily-pinned stage chain feeding `scored`.
+    */
+  private def selectTop(scored: DataFrame, keepFraction: Double, exactRank: Boolean): DataFrame =
+    if (exactRank) {
+      log.warn(
+        "Curation exactRank = true: exact selection ranks via a global-sort " +
+          "window (single task) — fine for oracle-grade small corpora, a bottleneck at " +
+          "scale; the default sketch-CDF threshold (exactRank = false) is the scale path")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("logw_q").desc, col("doc_id"))
+      val total = scored.count()
+      val keepN = math.max(1L, math.ceil(total * keepFraction).toLong)
+      scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= keepN).drop("_rk")
+    } else {
+      // scale path: no global sort — threshold on the sketch CDF of
+      // the quantized weight (higher logw_q => higher cdf; keep top
+      // keepFraction by mass)
+      val Array(b) = scored
+        .agg(min(col("logw_q")).as("mn"), max(col("logw_q")).as("mx"))
+        .collect()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      if (mn == mx) scored
+      else {
+        val sk = Sketches.histogramSketch(
+          scored, "logw_q", Nil, mn.toDouble, mx.toDouble + 1.0, 256)
+        Sketches
+          .cdfFromSketch(scored, "logw_q", Nil, sk, mn.toDouble, mx.toDouble + 1.0, 256)
+          .filter(col("cdf") >= 1.0 - keepFraction)
+          .drop("cdf")
+      }
+    }
 }

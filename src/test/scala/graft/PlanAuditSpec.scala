@@ -37,4 +37,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val zPlan = SparkEntry.queries("q80_zorder")(spark, dir).queryExecution.executedPlan.toString
     assert(!zPlan.contains("Exchange"), s"q80 gained a shuffle:\n${zPlan.take(1500)}")
   }
+
+  test("r11 pin: q85 flags segments via a broadcast of the model's frequent set") {
+    // the at-rest-model strip must broadcast the n >= minDocs
+    // survivors onto the segment stream — a shuffled flag join would
+    // re-shuffle the exploded corpus against a KB-sized set
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q85_boiler_from_model")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q85 lost its broadcast flag join:\n${plan.take(1500)}")
+  }
 }

@@ -114,4 +114,36 @@ class CurationSpec extends AnyFunSuite {
     val names = actions.asScala.toList
     assert(!names.contains("count"), s"curate ran count() actions: $names")
   }
+
+  test("curateFromModels: at-rest models drive every gate (batch catch-up form)") {
+    // frozen models, nothing fitted on the scored batch: boiler
+    // frequencies from the 72-doc reference corpus (header n=72 >= 70),
+    // surprisal + DSIR gram models from the clean bodies
+    val boilerModel = TextAnalysis.boilerFold("text", "doc_id", segTokens = 2)(docs)
+    val bodies = (1 to 56).map(i => (i.toLong, commonBody(i))).toDF("doc_id", "text")
+    val surprisalModel = Dsir.surprisalFold("text", "doc_id", 4096)(bodies)
+    val dsirRaw = Dsir.modelFold("text", "doc_id", 4096)(bodies)
+    val dsirTgt = Dsir.modelFold("text", "doc_id", 4096)(bodies.filter(col("doc_id") <= 28))
+
+    // a NEW batch with one casualty per stage
+    val batch = Seq(
+      (101L, header + commonBody(101)), // passes everything
+      (102L, header + commonBody(102)), // passes everything
+      (103L, header + commonBody(102)), // post-strip duplicate of 102
+      (104L, header + (1 to 10).map(j => s"zzq104w$j").mkString(" ")), // salad: dies at ppl
+      (105L, header + Seq.fill(10)("spam").mkString(" ")), // dies at quality
+      (106L, "begin legal") // pure boilerplate: dies at stage 0
+    ).toDF("doc_id", "text")
+
+    val (kept, counts) = Curation.curateFromModels(
+      batch, "text", "doc_id",
+      boilerModel, surprisalModel, dsirRaw, dsirTgt,
+      minQuality = 0.5, maxAvgNll = 6.0, segTokens = 2, minDocsBoiler = 70,
+      keepFraction = 1.0)
+    assert(counts === Curation.StageCounts(6L, 5L, 4L, 3L, 2L, 2L))
+    val rows = kept.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.keySet === Set(101L, 102L))
+    // header stripped by the frozen model before the append
+    assert(rows(101L) === commonBody(101))
+  }
 }
