@@ -661,6 +661,10 @@ object TextAnalysis {
     * [[stripBoilerplate]] over the batch corpus (spec-pinned). A doc
     * resubmitted in a LATER batch reinforces its segments' counts —
     * the same documented stream-fit trade as the surprisal model.
+    * NOTE the state is vocabulary-sized (one row per distinct
+    * segment); [[boilerFoldCms]] is the bounded-state form for
+    * corpora whose segment universe outgrows a rewrite-per-batch
+    * table.
     */
   def boilerFold(textCol: String, idCol: String, segTokens: Int): DataFrame => DataFrame = {
     require(segTokens > 0, "need segTokens > 0")
@@ -692,6 +696,81 @@ object TextAnalysis {
       .filter(col("n") >= minDocs)
       .select(col("seg"), lit(true).as("_boiler"))
     rebuildDocs(flagAgainst(segmentsOf(df, textCol, idCol, segTokens), boiler))
+  }
+
+  /** [[boilerFold]]'s BOUNDED-state alternative: a count-min sketch of
+    * the distinct-doc segment frequencies. The exact (seg, n) model is
+    * vocabulary-sized — one row per distinct segment, so the at-rest
+    * table (and each streaming merge, which rewrites it) grows with
+    * the corpus; fine to ~10^7 segments, a trap at 100 TB. The CMS is
+    * `depth × width` long cells regardless of corpus size: each batch
+    * segment increments `depth` hashed cells once per containing doc
+    * (per-batch distinct first, same distinct-doc semantic as the
+    * exact fold), cells merge by addition, and a segment's estimated
+    * frequency is the MIN over its cells — never an underestimate, so
+    * the error is ONE-SIDED: every truly-frequent segment is flagged,
+    * and a rare segment is over-stripped only when all `depth` of its
+    * cells collide with frequent mass (probability ≈ (collisions/width)^depth).
+    * Output rows: (bucket, n) with bucket = d·width + h_d(seg).
+    */
+  def boilerFoldCms(
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      depth: Int = 4,
+      width: Int = 1 << 16
+  ): DataFrame => DataFrame = {
+    require(segTokens > 0 && depth > 0 && width > 0, "need segTokens/depth/width > 0")
+    b =>
+      segmentsOf(b, textCol, idCol, segTokens)
+        .select(col("doc_id"), col("seg"))
+        .distinct()
+        .select(col("seg"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+        .select(
+          (col("d").cast("long") * width +
+            pmod(xxhash64(col("seg"), col("d")), lit(width.toLong))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[stripBoilerplateFromModel]] against a count-min sketch from
+    * [[boilerFoldCms]] (addition-merged cells): the CMS is BOUNDED, so
+    * it collects to the driver and rides the plan as ONE array
+    * literal — flagging is a pure projection (`depth` element_at
+    * lookups + a min), no join at all; `df` is never shuffled and
+    * nothing is broadcast per-row. Over-strip is one-sided (object
+    * note on [[boilerFoldCms]]); an exact-match spec pins parity with
+    * the exact model when no cell collides.
+    */
+  def stripBoilerplateFromCms(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int,
+      cms: DataFrame,
+      depth: Int = 4,
+      width: Int = 1 << 16
+  ): DataFrame = {
+    require(segTokens > 0 && minDocs > 1, "need segTokens > 0, minDocs > 1")
+    require(depth > 0 && width > 0 && depth.toLong * width <= (1L << 24),
+      "CMS must stay bounded (depth * width <= 16M cells)")
+    val cells = new Array[Long](depth * width)
+    cms.select(col("bucket"), col("n")).collect().foreach { r =>
+      val b = r.getLong(0)
+      require(b >= 0 && b < cells.length, s"CMS bucket $b outside depth*width")
+      cells(b.toInt) = r.getLong(1)
+    }
+    val arr = typedLit(cells.toSeq)
+    val est = (0 until depth)
+      .map(d =>
+        element_at(
+          arr,
+          (lit(d.toLong * width) + pmod(xxhash64(col("seg"), lit(d)), lit(width.toLong)))
+            .cast("int") + 1))
+      .reduce(least(_, _))
+    rebuildDocs(
+      segmentsOf(df, textCol, idCol, segTokens).withColumn("boiler", est >= minDocs))
   }
 
   /** Non-overlapping `segTokens`-token segments: (doc_id, pos, seg).

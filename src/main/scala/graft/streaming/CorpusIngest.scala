@@ -746,14 +746,15 @@ object CorpusIngest {
       warmupGrams: Long = 10000L,
       expectedItems: Long = 10000000L,
       segTokens: Int = 8,
-      minDocsBoiler: Int = 50
+      minDocsBoiler: Int = 50,
+      boilerCmsWidth: Int = 0
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestCuratedBatch(batch, batchId, corpusPath, bloomPath, modelPath,
           textCol, idCol, minQuality, maxAvgNll, nBuckets, warmupGrams, expectedItems,
-          segTokens, minDocsBoiler)
+          segTokens, minDocsBoiler, boilerCmsWidth)
         ()
       }
       .start()
@@ -775,7 +776,8 @@ object CorpusIngest {
       warmupGrams: Long = 10000L,
       expectedItems: Long = 10000000L,
       segTokens: Int = 8,
-      minDocsBoiler: Int = 50
+      minDocsBoiler: Int = 50,
+      boilerCmsWidth: Int = 0
   ): CurateIngestStats = {
     val spark = batch.sparkSession
     // Marker first (scaladoc): the model commits last, so a stored
@@ -803,15 +805,33 @@ object CorpusIngest {
     val modelExists = pathExists(spark, modelPath)
     // stage 0: boilerplate strip against the at-rest segment counts as
     // of batch start (cold/empty model: nothing is frequent yet, the
-    // pass is pure tokenize-and-rebuild normalization)
-    val boilerModel =
-      if (modelExists)
-        spark.read.parquet(modelPath).filter(col("kind") === "boiler")
-          .select(col("seg"), col("n"))
-      else spark.range(0).select(lit("").as("seg"), lit(0L).as("n"))
+    // pass is pure tokenize-and-rebuild normalization). boilerCmsWidth
+    // > 0 selects the BOUNDED count-min model (kind=boilcms cells,
+    // depth 4) over the exact vocabulary-sized segment table — the
+    // 100 TB form: at-rest state and the per-batch merge stay
+    // depth×width cells no matter how large the corpus vocabulary
+    // grows, at the price of one-sided over-strip on cell collisions
+    // (TextAnalysis.boilerFoldCms scaladoc).
+    val stripped =
+      if (boilerCmsWidth > 0) {
+        val cms =
+          if (modelExists)
+            spark.read.parquet(modelPath).filter(col("kind") === "boilcms")
+              .select(col("bucket"), col("n"))
+          else spark.range(0).select(col("id").as("bucket"), lit(0L).as("n"))
+        graft.ops.TextAnalysis.stripBoilerplateFromCms(
+          uniq, "text", "doc_id", segTokens, minDocsBoiler, cms, CmsDepth, boilerCmsWidth)
+      } else {
+        val boilerModel =
+          if (modelExists)
+            spark.read.parquet(modelPath).filter(col("kind") === "boiler")
+              .select(col("seg"), col("n"))
+          else spark.range(0).select(lit("").as("seg"), lit(0L).as("n"))
+        graft.ops.TextAnalysis
+          .stripBoilerplateFromModel(uniq, "text", "doc_id", segTokens, minDocsBoiler, boilerModel)
+      }
     val clean = graft.ops.Materialize(
-      graft.ops.TextAnalysis
-        .stripBoilerplateFromModel(uniq, "text", "doc_id", segTokens, minDocsBoiler, boilerModel)
+      stripped
         .filter(col("clean_text").isNotNull)
         .select(col("doc_id"), col("clean_text").as("text")),
       eager = false
@@ -858,8 +878,15 @@ object CorpusIngest {
       _ => {
         val sup = graft.ops.Dsir.surprisalFold("text", "doc_id", nBuckets)(gated)
           .withColumn("seg", lit(null).cast("string"))
-        val boil = graft.ops.TextAnalysis.boilerFold("text", "doc_id", segTokens)(uniq)
-          .select(lit("boiler").as("kind"), lit(0L).as("bucket"), col("seg"), col("n"))
+        val boil =
+          if (boilerCmsWidth > 0)
+            graft.ops.TextAnalysis
+              .boilerFoldCms("text", "doc_id", segTokens, CmsDepth, boilerCmsWidth)(uniq)
+              .select(lit("boilcms").as("kind"), col("bucket"),
+                lit(null).cast("string").as("seg"), col("n"))
+          else
+            graft.ops.TextAnalysis.boilerFold("text", "doc_id", segTokens)(uniq)
+              .select(lit("boiler").as("kind"), lit(0L).as("bucket"), col("seg"), col("n"))
         sup.unionByName(boil)
       },
       Seq("kind", "bucket", "seg"),
@@ -867,6 +894,11 @@ object CorpusIngest {
     )
     CurateIngestStats(nInput, nBoiler, nQual, nGated)
   }
+
+  /** Count-min depth for the bounded boiler model (width is the knob;
+    * 4 rows is the standard accuracy/size point).
+    */
+  val CmsDepth = 4
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

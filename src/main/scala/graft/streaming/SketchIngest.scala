@@ -85,6 +85,13 @@ object SketchIngest {
     * counts; the rest is the shared swap/marker protocol (object
     * scaladoc). Addition-mergeable state is the entire trick: streamed
     * == batch rebuild bit-identically, in any delivery order.
+    *
+    * Designed for BOUNDED tables (sketch grids, hashed-bucket models,
+    * CMS cells): the merge reads and rewrites the whole table each
+    * batch, so per-batch cost is O(table). Keep unbounded keyed counts
+    * (e.g. a raw vocabulary) out of this loop — fold them into a
+    * bounded sketch first (`TextAnalysis.boilerFoldCms` is the worked
+    * example replacing the vocabulary-sized exact segment table).
     */
   def ingestCountBatch(
       batch: DataFrame,

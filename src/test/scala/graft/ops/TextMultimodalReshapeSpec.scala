@@ -243,6 +243,40 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
     assert(fromModel === batch)
     assert(fromModel(3L)(4) === "zeta eta theta iota") // header really stripped
+
+    // the BOUNDED count-min form: same two-half fold-and-merge, wide
+    // enough that no cells collide -> exact parity with the batch strip
+    val cfold = TextAnalysis.boilerFoldCms("text", "doc_id", segTokens = 2, depth = 4, width = 4096)
+    val cms = cfold(docs.filter(col("doc_id") <= 3))
+      .unionByName(cfold(docs.filter(col("doc_id") > 3)))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val fromCms = TextAnalysis
+      .stripBoilerplateFromCms(docs, "text", "doc_id", 2, 3, cms, depth = 4, width = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(fromCms === batch)
+  }
+
+  test("boilerFoldCms over-strip is one-sided: width-1 collisions strip MORE, never less") {
+    // width = 1: every segment maps to the same cell per depth row, so
+    // the CMS estimate for ANY segment is the total distinct-doc mass —
+    // everything over minDocs gets stripped (the documented collision
+    // direction). No frequent segment can ever escape (min >= truth).
+    val docs = Seq(
+      (1L, "legal header alpha beta"),
+      (2L, "legal header gamma delta"),
+      (3L, "legal header epsilon zeta")
+    ).toDF("doc_id", "text")
+    val cms = TextAnalysis.boilerFoldCms("text", "doc_id", 2, depth = 2, width = 1)(docs)
+    val got = TextAnalysis
+      .stripBoilerplateFromCms(docs, "text", "doc_id", 2, 3, cms, depth = 2, width = 1)
+      .collect()
+    // all mass collides into one cell (3 docs x 2 segments = n 6 >= 3):
+    // every segment flags as boiler, every doc strips to null
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") === r.getAs[Long]("n_segs"))
+      assert(r.getAs[String]("clean_text") === null)
+    }
   }
 
   test("splitLeakage: planted cross-split shingle counted once per doc; clean corpus zero") {

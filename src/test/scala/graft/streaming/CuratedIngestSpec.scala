@@ -151,6 +151,39 @@ class CuratedIngestSpec extends AnyFunSuite {
     assert(doc10 === "totally fresh content here")
   }
 
+  test("stage 0 CMS mode: bounded boilcms cells drive the strip like the exact model") {
+    val tmp = Files.createTempDirectory("curated_cms").toString
+    val (corpus, bloom, model) = (s"$tmp/corpus", s"$tmp/bloom", s"$tmp/model")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      CorpusIngest.ingestCuratedBatch(
+        batch, id, corpus, bloom, model,
+        minQuality = 0.3, maxAvgNll = 50.0, nBuckets = 1024,
+        warmupGrams = 1000000L, expectedItems = 10000L,
+        segTokens = 2, minDocsBoiler = 3, boilerCmsWidth = 4096)
+
+    val b0 = (1L to 5L)
+      .map(i => (i, s"begin legal unique body number$i words"))
+      .toDF("doc_id", "text")
+    assert(run(b0, 0L) === CorpusIngest.CurateIngestStats(5L, 5L, 5L, 5L))
+    // the model holds BOUNDED cells, not segments: every boilcms bucket
+    // is inside depth*width and there are no exact-segment rows
+    val cells = spark.read.parquet(model).filter(col("kind") === "boilcms")
+    assert(cells.count() > 0)
+    assert(spark.read.parquet(model).filter(col("kind") === "boiler").count() === 0L)
+    val maxBucket = cells.agg(max(col("bucket"))).head().getLong(0)
+    assert(maxBucket < CorpusIngest.CmsDepth.toLong * 4096)
+
+    val b1 = Seq(
+      (10L, "begin legal totally fresh content here"),
+      (11L, "begin legal")
+    ).toDF("doc_id", "text")
+    val s1 = run(b1, 1L)
+    assert(s1 === CorpusIngest.CurateIngestStats(2L, 1L, 1L, 1L))
+    val doc10 = spark.read.parquet(corpus)
+      .filter(col("doc_id") === 10L).head().getAs[String]("text")
+    assert(doc10 === "totally fresh content here")
+  }
+
   test("crash window: corpus appended, model uncommitted -> redelivery converges to clean state") {
     val tmp = Files.createTempDirectory("curated_crash").toString
     val (corpus, bloom, model) = (s"$tmp/corpus", s"$tmp/bloom", s"$tmp/model")
