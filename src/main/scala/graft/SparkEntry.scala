@@ -1178,6 +1178,41 @@ object SparkEntry {
         .groupBy(col("seg"))
         .agg(sum(col("n")).as("n"))
       TextAnalysis.stripBoilerplateFromModel(docs, "text", "doc_id", 8, 50, model)
+    }),
+
+    // The COMPOSED five-stage curation pipeline end-to-end, hash-exact:
+    // boilerplate strip (synthetic frequent header) → quality gate →
+    // perplexity gate fitted on the post-quality survivors → exact
+    // dedup → DSIR selection against the lang='en' target with the
+    // exact rank cut (oracle-grade opt-in; the sketch-CDF default is
+    // the scale path, exercised by CurationSpec). Every stage's
+    // arithmetic reuses an already-oracled kernel (q78/q23/q83/q16/q79),
+    // so this query pins their COMPOSITION — including the stage
+    // handoffs (rebuilt text feeding the gates, survivor-set model
+    // fits) — against one assembled DuckDB chain.
+    "q86_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("begin standard license header notice text follows now "),
+          col("text"),
+          lit(" copyright footer all rights reserved forever here end")
+        ).as("text"),
+        col("lang")
+      )
+      val (kept, _) = graft.ops.Curation.curate(
+        docs,
+        "text",
+        "doc_id",
+        targetCond = col("lang") === "en",
+        minQuality = 0.3,
+        maxAvgNll = 9.0,
+        segTokens = 8,
+        minDocsBoiler = 50,
+        keepFraction = 0.5,
+        exactRank = true
+      )
+      kept
     })
   )
 
@@ -2174,7 +2209,115 @@ object SparkEntry {
           |  floor(CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000
           |    AS frac_boiler,
           |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT boiler) AS clean_text
-          |FROM f GROUP BY doc_id""".stripMargin
+          |FROM f GROUP BY doc_id""".stripMargin,
+      // The five-stage composition: q78's strip → q23's quality formula
+      // on the REBUILT text → q83's surprisal fitted on the post-quality
+      // survivors → min-id dedup on md5(clean text) → q79's DSIR ratio
+      // chain with raw = the deduped survivors and target = lang='en',
+      // cut at the exact (logw_q DESC, doc_id) rank. Two glog chains
+      // (gla for the surprisal fit, glb for the DSIR ratios) because
+      // their value sets derive from different stage outputs.
+      "q86_curation_pipeline" ->
+        """WITH rawd AS (
+          |  SELECT doc_id, lang,
+          |    'begin standard license header notice text follows now ' || text ||
+          |    ' copyright footer all rights reserved forever here end' AS text
+          |  FROM documents),
+          |tok AS (SELECT doc_id,
+          |    list_filter(string_split(regexp_replace(lower(text),
+          |      '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> '') AS words
+          |  FROM rawd),
+          |sg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+          |  SELECT doc_id,
+          |    unnest([{'pos': CAST(i AS BIGINT),
+          |             'seg': array_to_string(words[(i*8+1):(i*8+8)], ' ')}
+          |            for i in range(0, CAST(ceil(len(words)/8.0) AS BIGINT))]) AS u
+          |  FROM tok WHERE len(words) > 0)),
+          |boil AS (SELECT s.seg FROM sg s GROUP BY s.seg HAVING count(DISTINCT s.doc_id) >= 50),
+          |clean AS (SELECT s.doc_id,
+          |    string_agg(s.seg, ' ' ORDER BY s.pos) FILTER (WHERE b.seg IS NULL) AS text
+          |  FROM sg s LEFT JOIN boil b ON b.seg = s.seg
+          |  GROUP BY s.doc_id
+          |  HAVING count(*) FILTER (WHERE b.seg IS NULL) > 0),
+          |cw AS (SELECT doc_id, text,
+          |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+          |  FROM clean),
+          |qual AS (SELECT doc_id FROM (
+          |  SELECT doc_id,
+          |    floor((0.4*least(CAST(len(words) AS DOUBLE)/100.0, 1.0)
+          |      + 0.3*(CAST(len(list_distinct(words)) AS DOUBLE)/len(words))
+          |      + 0.3*(1.0 - CAST(len(list_filter(words,
+          |          w -> w IN ('the','a','of','and','is'))) AS DOUBLE)/len(words)))
+          |      * 10000)/10000 AS quality
+          |  FROM cw WHERE len(words) > 0)
+          |  WHERE quality >= 0.3),
+          |sv AS (SELECT cw.doc_id, cw.text, cw.words FROM cw JOIN qual USING (doc_id)),
+          |pp AS (SELECT doc_id,
+          |    unnest([{'cb': ('0x' || substr(md5(words[i]), 1, 6))::BIGINT % 4096,
+          |             'bb': ('0x' || substr(md5(words[i] || ' ' || words[i+1]), 1, 6))::BIGINT % 4096}
+          |            for i in range(1, len(words))]) AS u
+          |  FROM sv WHERE len(words) >= 2),
+          |pb AS (SELECT doc_id, u.cb AS cb, u.bb AS bb FROM pp),
+          |cu AS (SELECT cb, count(*) AS c FROM pb GROUP BY 1),
+          |cbg AS (SELECT bb, count(*) AS c FROM pb GROUP BY 1),
+          |valsa AS (SELECT DISTINCT v FROM (
+          |  SELECT c + 4096 AS v FROM cu UNION ALL SELECT c + 1 FROM cbg)),
+          |gla0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM valsa),
+          |gla1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gla0),
+          |gla2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+          |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gla1),
+          |gla AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+          |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+          |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gla2),
+          |cuq AS (SELECT cb, CAST(round(gla.glog * 1000000000.0) AS BIGINT) AS glq_u
+          |  FROM cu JOIN gla ON gla.v = cu.c + 4096),
+          |bgq AS (SELECT bb, CAST(round(gla.glog * 1000000000.0) AS BIGINT) AS glq_b
+          |  FROM cbg JOIN gla ON gla.v = cbg.c + 1),
+          |nll AS (SELECT pb.doc_id, count(*) AS n, CAST(sum(glq_u - glq_b) AS BIGINT) AS nllq
+          |  FROM pb JOIN cuq USING (cb) JOIN bgq USING (bb) GROUP BY 1),
+          |pplok AS (SELECT doc_id FROM nll
+          |  WHERE (CAST(nllq AS DOUBLE) / 1000000000.0) / n <= 9.0),
+          |sv2 AS (SELECT sv.doc_id, sv.text, sv.words FROM sv JOIN pplok USING (doc_id)),
+          |keepid AS (SELECT min(doc_id) AS doc_id FROM sv2 GROUP BY md5(text)),
+          |dd AS (SELECT sv2.doc_id, sv2.text, sv2.words FROM sv2 JOIN keepid USING (doc_id)),
+          |g AS (SELECT doc_id,
+          |    unnest(words || [words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS gram
+          |  FROM dd WHERE len(words) > 0),
+          |gb2 AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 6))::BIGINT % 4096 AS bucket FROM g),
+          |tg2 AS (SELECT gb2.bucket FROM gb2 JOIN rawd USING (doc_id) WHERE rawd.lang = 'en'),
+          |rc AS (SELECT bucket, count(*) AS r FROM gb2 GROUP BY 1),
+          |tc AS (SELECT bucket, count(*) AS t FROM tg2 GROUP BY 1),
+          |tot AS (SELECT (SELECT coalesce(sum(r), 0) FROM rc) AS bigR,
+          |               (SELECT coalesce(sum(t), 0) FROM tc) AS bigT),
+          |model AS (SELECT rc.bucket, coalesce(tc.t, 0) AS t, rc.r
+          |  FROM rc LEFT JOIN tc USING (bucket)),
+          |valsb AS (SELECT DISTINCT v FROM (
+          |  SELECT t + 1 AS v FROM model UNION ALL SELECT r + 1 FROM model
+          |  UNION ALL SELECT bigT + 4096 FROM tot UNION ALL SELECT bigR + 4096 FROM tot)),
+          |glb0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM valsb),
+          |glb1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM glb0),
+          |glb2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+          |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM glb1),
+          |glb AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+          |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+          |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM glb2),
+          |lr AS (SELECT m.bucket,
+          |    CAST(round((glt.glog - glr.glog - (glbt.glog - glbr.glog)) * 1000000000.0) AS BIGINT) AS lrq
+          |  FROM model m
+          |  CROSS JOIN tot
+          |  JOIN glb glt ON glt.v = m.t + 1
+          |  JOIN glb glr ON glr.v = m.r + 1
+          |  JOIN glb glbt ON glbt.v = tot.bigT + 4096
+          |  JOIN glb glbr ON glbr.v = tot.bigR + 4096),
+          |wts AS (SELECT gb2.doc_id, CAST(sum(lr.lrq) AS BIGINT) AS logw_q
+          |  FROM gb2 JOIN lr USING (bucket) GROUP BY 1),
+          |sc AS (SELECT dd.doc_id, dd.text, wts.logw_q FROM dd JOIN wts USING (doc_id)),
+          |rk AS (SELECT doc_id, text, logw_q,
+          |    row_number() OVER (ORDER BY logw_q DESC, doc_id) AS rn,
+          |    count(*) OVER () AS cnt
+          |  FROM sc)
+          |SELECT doc_id, text, logw_q FROM rk
+          |WHERE rn <= greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))""".stripMargin
     )
   }
 
