@@ -562,7 +562,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("i", "j").as[(Long, Long)].collect()
     val ids = emb.select(col("vec_id")).as[Long].collect()
     // in-memory union-find reference
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    val parent = scala.collection.mutable.Map(ids.toIndexedSeq.map(i => i -> i): _*)
     def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
     pairs.foreach { case (i, j) =>
       val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)

@@ -330,7 +330,7 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
     assert(approx.keySet === exact.keySet, "approx top-20 set must equal exact on this corpus")
     val totalTokens = docs
-      .agg(sum(size(graft.functions.Fns.tokens(col("text"))))).head.getLong(0)
+      .agg(sum(size(graft.functions.Fns.tokens(col("text"))))).head().getLong(0)
     approx.foreach { case (t, est) =>
       assert(est >= exact(t), s"CMS must never underestimate ($t)")
       assert(est <= exact(t) + (1e-4 * totalTokens).ceil.toLong, s"overestimate beyond eps*N ($t)")

@@ -47,8 +47,8 @@ class ZOrderSpec extends AnyFunSuite {
     // same rows in both layouts
     assert(spark.read.parquet(zPath).count() === events.count())
     assert(
-      spark.read.parquet(zPath).agg(sum($"event_id")).head.getLong(0) ===
-        events.agg(sum($"event_id")).head.getLong(0)
+      spark.read.parquet(zPath).agg(sum($"event_id")).head().getLong(0) ===
+        events.agg(sum($"event_id")).head().getLong(0)
     )
 
     // narrow range on each dimension (~10% of its span)
