@@ -1213,6 +1213,87 @@ object SparkEntry {
         exactRank = true
       )
       kept
+    }),
+    // Retrieval: BM25 top-k over posting lists — candidate postings
+    // pruned by a broadcast of the query tokens BEFORE any shuffle;
+    // idf via the integer-argument glog difference, per-term scores
+    // quantized to longs, per-(query,doc) sums exact. Deterministic
+    // rank ties broken by doc_id.
+    "q87_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val postings = Retrieval.invertedIndex(t(s, dir, "documents"), "text", "doc_id")
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window filter scan"),
+        (3L, "customer vector data")
+      ).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(postings, qs, "query_id", "qtext", k = 5)
+    }),
+    // Classification: hashed-gram multinomial NB (fastText-style
+    // langid/quality classifier) — train on even doc_ids, predict
+    // lang for odd. Every score an exact quantized-long sum; argmax
+    // tie-broken by label asc. The synthetic lang labels carry no
+    // real text signal (ClassifySpec proves learning on separable
+    // data); this query pins the hash-exact scoring mechanics.
+    "q88_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 =!= 0)
+      Classify
+        .nbTrainPredict(train, test, "text", "doc_id", "lang")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"), col("score_q"), col("n_grams"))
+    }),
+    // Ordered funnel: users completing view → click → purchase, each
+    // step strictly after the previous one's completion time. Every
+    // later stage joins only its own type-pruned slice on user_id.
+    "q89_funnel" -> ((s, dir) =>
+      Analytics.funnel(
+        t(s, dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        Seq("view", "click", "purchase")
+      )),
+    // Weekly retention triangle: cohort week = floor(days since
+    // 2024-01-01 / 7) of each user's first event; distinct users per
+    // (cohort_week, week_offset). Integer week math — no
+    // engine-specific week truncation.
+    "q90_retention" -> ((s, dir) =>
+      Analytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts", "2024-01-01")),
+    // TPC-H Q5-shaped six-table join: revenue by nation where customer
+    // and supplier share the nation, one order-year, one region. Fixed
+    // dims (region, nation) broadcast by hand; supplier/customer joins
+    // stay shuffle joins so the plan survives SFs where they stop
+    // fitting in memory (AQE broadcasts them at small SF on its own).
+    // Revenue is the house exact integer form: cents x (100 - discount
+    // cents), summed as longs.
+    "q91_local_supplier_volume" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        cents(col("l_extendedprice")).as("pc"),
+        round(col("l_discount") * 100).cast("long").as("dc")
+      )
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("pc") * (lit(100L) - col("dc"))).as("revenue_e4"),
+          count(lit(1)).as("n_items")
+        )
     })
   )
 
@@ -2317,7 +2398,147 @@ object SparkEntry {
           |    count(*) OVER () AS cnt
           |  FROM sc)
           |SELECT doc_id, text, logw_q FROM rk
-          |WHERE rn <= greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))""".stripMargin
+          |WHERE rn <= greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))""".stripMargin,
+      // BM25: postings = (token, doc, tf, dl); idf = glog(2N+2) −
+      // glog(2df+1) (the Lucene ln(1+(N−df+.5)/(df+.5)) rewritten to
+      // integer glog arguments); per-term score quantized to a long,
+      // per-(query,doc) exact long sums; ranks tie-broken by doc_id.
+      // The glog CTE chain is the shared q83 shape over this query's
+      // value set {2N+2} ∪ {2df+1}.
+      "q87_bm25_topk" ->
+        s"""WITH t AS ($wordsSql),
+           |post AS (SELECT token, doc_id, dl, count(*) AS tf FROM (
+           |    SELECT doc_id, len(words) AS dl, unnest(words) AS token FROM t)
+           |  GROUP BY 1, 2, 3),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+           |  FROM (SELECT DISTINCT doc_id, dl FROM post)),
+           |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES
+           |    (1, 'spark join merge'),
+           |    (2, 'window filter scan'),
+           |    (3, 'customer vector data')) AS v(query_id, qtext)),
+           |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+           |    string_split(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' '),
+           |    w -> w <> ''))) AS token FROM q),
+           |qtok AS (SELECT DISTINCT token FROM qt),
+           |cand AS (SELECT p.* FROM post p JOIN qtok USING (token)),
+           |dft AS (SELECT token, count(*) AS df FROM cand GROUP BY 1),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT 2 * n_docs + 2 AS v FROM st UNION ALL SELECT 2 * df + 1 FROM dft)),
+           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |gn AS (SELECT gl.glog AS glog_n FROM st JOIN gl ON gl.v = 2 * st.n_docs + 2),
+           |idf AS (SELECT d.token, gn.glog_n - gl.glog AS idf
+           |  FROM dft d JOIN gl ON gl.v = 2 * d.df + 1 CROSS JOIN gn),
+           |term AS (SELECT c.token, c.doc_id,
+           |    CAST(round(i.idf * ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 *
+           |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+           |      * 1000000000.0) AS BIGINT) AS term_q
+           |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
+           |sc AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
+           |  FROM term tm JOIN qt USING (token) GROUP BY 1, 2),
+           |rk AS (SELECT query_id, doc_id, score_q,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+           |  FROM sc)
+           |SELECT query_id, doc_id, rank, score_q,
+           |  CAST(score_q AS DOUBLE) / 1000000000.0 AS score
+           |FROM rk WHERE rank <= 5""".stripMargin,
+      // NB: grams = unigrams + bigrams hashed md5→24bit→mod 4096 (the
+      // q83 bucket shape); Laplace log-likelihoods and priors
+      // quantized per model cell via the shared glog chain; scores are
+      // exact integer sums prq + Σ_found llq + (n−n_found)·llq0.
+      "q88_nb_classify" ->
+        s"""WITH t AS ($wordsSql),
+           |g AS (SELECT doc_id, ('0x' || substr(md5(gg), 1, 6))::BIGINT % 4096 AS bucket FROM (
+           |    SELECT doc_id,
+           |      unnest(words || [words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS gg
+           |    FROM t)),
+           |trl AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 2 = 0),
+           |trg AS (SELECT g.doc_id, g.bucket, trl.label FROM g JOIN trl USING (doc_id)),
+           |pc AS (SELECT label, bucket, count(*) AS c FROM trg GROUP BY 1, 2),
+           |lt AS (SELECT label, sum(c) AS tot FROM pc GROUP BY 1),
+           |ld AS (SELECT label, count(*) AS docs_l FROM trl GROUP BY 1),
+           |nn AS (SELECT sum(docs_l) AS n_docs FROM ld),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT c + 1 AS v FROM pc UNION ALL SELECT tot + 4096 FROM lt
+           |  UNION ALL SELECT docs_l FROM ld UNION ALL SELECT n_docs FROM nn)),
+           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |llq AS (SELECT pc.label, pc.bucket,
+           |    CAST(round((glc.glog - glt.glog) * 1000000000.0) AS BIGINT) AS llq
+           |  FROM pc JOIN gl glc ON glc.v = pc.c + 1
+           |    JOIN lt ON lt.label = pc.label JOIN gl glt ON glt.v = lt.tot + 4096),
+           |l0 AS (SELECT lt.label,
+           |    CAST(round((0.0 - glt.glog) * 1000000000.0) AS BIGINT) AS llq0,
+           |    CAST(round((gld.glog - gln.glog) * 1000000000.0) AS BIGINT) AS prq
+           |  FROM lt JOIN gl glt ON glt.v = lt.tot + 4096
+           |    JOIN ld ON ld.label = lt.label JOIN gl gld ON gld.v = ld.docs_l
+           |    CROSS JOIN nn JOIN gl gln ON gln.v = nn.n_docs),
+           |te AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0),
+           |teg AS (SELECT g.* FROM g JOIN te USING (doc_id)),
+           |ng AS (SELECT doc_id, count(*) AS n_grams FROM teg GROUP BY 1),
+           |found AS (SELECT teg.doc_id, m.label, sum(m.llq) AS fsum, count(*) AS fn
+           |  FROM teg JOIN llq m ON m.bucket = teg.bucket GROUP BY 1, 2),
+           |sc AS (SELECT te.doc_id, l.label,
+           |    l.prq + coalesce(f.fsum, 0) +
+           |      (coalesce(ng.n_grams, 0) - coalesce(f.fn, 0)) * l.llq0 AS score_q,
+           |    coalesce(ng.n_grams, 0) AS n_grams
+           |  FROM te CROSS JOIN l0 l
+           |  LEFT JOIN ng ON ng.doc_id = te.doc_id
+           |  LEFT JOIN found f ON f.doc_id = te.doc_id AND f.label = l.label),
+           |rk AS (SELECT doc_id, label, score_q, n_grams,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
+           |  FROM sc)
+           |SELECT rk.doc_id, te.lang, rk.label AS pred,
+           |  CAST(rk.score_q AS BIGINT) AS score_q, CAST(rk.n_grams AS BIGINT) AS n_grams
+           |FROM rk JOIN te ON te.doc_id = rk.doc_id WHERE rn = 1""".stripMargin,
+      // Ordered funnel: each step's completion = min ts of that type
+      // strictly after the previous step's completion.
+      "q89_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |  JOIN s1 ON s1.user_id = e.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |  JOIN s2 ON s2.user_id = e.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+          |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, count(*) AS users FROM s1
+          |UNION ALL SELECT 2, 'click', count(*) FROM s2
+          |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+      // Retention triangle on integer week indices (floor(days/7)).
+      "q90_retention" ->
+        """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          |c AS (SELECT user_id, min(d) AS c FROM d GROUP BY 1)
+          |SELECT CAST(floor((c.c - DATE '2024-01-01') / 7.0) AS BIGINT) AS cohort_week,
+          |  CAST(floor((d.d - c.c) / 7.0) AS BIGINT) AS week_offset,
+          |  count(DISTINCT d.user_id) AS users
+          |FROM d JOIN c ON c.user_id = d.user_id
+          |GROUP BY 1, 2""".stripMargin,
+      "q91_local_supplier_volume" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+          |       * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name""".stripMargin
     )
   }
 

@@ -83,6 +83,19 @@ object Dsir {
   def gramBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
     gramsOf(df, textCol, idCol, nBuckets, Nil)
 
+  /** [[gramBuckets]] carrying extra per-doc columns (e.g. a class
+    * label) through the explode — free, vs re-joining gram rows back
+    * to a doc→label map on doc_id (a shuffle of the gram table).
+    */
+  def gramBucketsWith(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      extra: (String, Column)*
+  ): DataFrame =
+    gramsOf(df, textCol, idCol, nBuckets, extra)
+
   private def gramsOf(
       df: DataFrame,
       textCol: String,

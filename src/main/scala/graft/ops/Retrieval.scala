@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** BM25 keyword retrieval over an at-rest inverted index.
+  *
+  * The missing retrieval mode next to the embedding-ANN family
+  * ([[Similarity]]): exact lexical top-k, the standard first stage of
+  * corpus search / RAG candidate generation and the workhorse behind
+  * "find the documents containing these terms" QA sweeps that a
+  * training-data pipeline runs constantly (reference analogy: the CDC
+  * pipeline's key-lookup queries, `queryprocessing.py`, generalized to
+  * free text).
+  *
+  * == Shape at 100 TB ==
+  *
+  * The index is posting lists — one row per (token, doc): the classic
+  * layout every search engine shards. Everything query-time touches is
+  * either broadcast-sized (the query's tokens, their document
+  * frequencies, the 1-row corpus stats) or pruned to postings of the
+  * query's tokens BEFORE any shuffle, so per-query cost is
+  * O(candidate postings), never O(corpus). The only shuffle is the
+  * per-(query, doc) score aggregation over candidates; the final rank
+  * window partitions by query id — no global sort. Persist the
+  * postings bucketed by `token` ([[graft.sinks.Sinks.writeBucketed]])
+  * and the candidate prune becomes a bucket-pruned scan.
+  *
+  * == Cross-engine determinism ==
+  *
+  * BM25 needs ln; libm ln is not bit-identical across engines, so the
+  * Lucene idf `ln(1 + (N - df + 0.5)/(df + 0.5))` is rewritten as the
+  * integer-argument difference `glog(2N+2) - glog(2df+1)` (same value:
+  * `1 + (N-df+0.5)/(df+0.5) = (N+1)/(df+0.5) = (2N+2)/(2df+1)`) using
+  * [[Dsir.glog]], which is bit-identical in any IEEE-754 engine. The
+  * per-(token, doc) term score is quantized ONCE to a long
+  * (`round(term * 1e9)`, always positive — idf > 0 for df ≤ N), and
+  * per-(query, doc) scores are exact long sums — associative,
+  * commutative, deterministic under any partitioning. Ranking compares
+  * the quantized longs (exact), tie-broken by doc_id.
+  */
+object Retrieval {
+
+  /** Posting lists: one row per (token, doc) with the in-doc term
+    * frequency `tf` and the doc's token count `dl` (denormalized onto
+    * every posting so query-time length normalization needs no second
+    * join against a doc-stats table). Docs with zero tokens index
+    * nothing — they can never match a term query.
+    *
+    * One explode + one shuffle on (token, doc_id); this is the
+    * index-build pass, O(total tokens).
+    */
+  def invertedIndex(corpus: DataFrame, textCol: String, idCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+      .select(col("doc_id"), size(col("words")).as("dl"), explode(col("words")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats the BM25 formula needs: indexed-doc count and total
+    * token mass (avgdl = sum_dl / n_docs is derived at query time as
+    * one shared IEEE division). One row; computed from the postings
+    * with a distinct over (doc_id, dl) — at index-build time, persist
+    * it next to the postings instead of recomputing.
+    */
+  def indexStats(postings: DataFrame): DataFrame =
+    postings
+      .select("doc_id", "dl")
+      .distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** BM25 top-k per query. `queries` is small (id + text); the corpus
+    * side is `postings`. Scores use distinct query terms (qtf = 1 —
+    * the common web-query case; a repeated term scores once).
+    *
+    * Output: (query_id, doc_id, rank, score_q, score) where `score_q`
+    * is the exact quantized-long sum (the ranking key) and
+    * `score = score_q / 1e9` its human-readable double form.
+    *
+    * Plan: postings ⋈ broadcast(query tokens) prunes to candidate
+    * postings first; df is counted on the pruned set (identical to the
+    * full-corpus df for surviving tokens — the prune keeps ALL docs of
+    * a kept token); stats and per-token idf ride as broadcasts. One
+    * shuffle: the (query_id, doc_id) score aggregation.
+    */
+  def bm25TopK(
+      postings: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      stats: Option[DataFrame] = None
+  ): DataFrame = {
+    val qt = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(array_distinct(Fns.tokens(col(queryTextCol)))).as("token")
+    )
+    val qtok = qt.select("token").distinct()
+    val st = stats.getOrElse(indexStats(postings))
+
+    // Candidate postings: only the query's tokens survive. df on this
+    // set equals the full-index df for those tokens.
+    val cand = postings.join(broadcast(qtok), Seq("token"))
+    val dfT = cand.groupBy("token").agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = Dsir.glog(lit(2) * col("n_docs") + lit(2)) -
+      Dsir.glog(lit(2) * col("df") + lit(1))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    val termQ = round(idf * tfNorm * lit(1e9)).cast("long")
+
+    val scored = cand
+      .join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(st))
+      .select(col("token"), col("doc_id"), termQ.as("term_q"))
+      .join(broadcast(qt), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum("term_q").as("score_q"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("score_q").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("rank"),
+        col("score_q"),
+        (col("score_q").cast("double") / lit(1e9)).as("score")
+      )
+  }
+
+  /** Build and persist the index at `path`: postings under
+    * `path/postings` (parquet), stats under `path/stats`. At real
+    * scale, write the postings via [[graft.sinks.Sinks.writeBucketed]]
+    * on `token` instead so query-time candidate pruning is a
+    * bucket-pruned scan; plain parquet keeps this self-contained.
+    */
+  def buildIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val postings = invertedIndex(corpus, textCol, idCol)
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    indexStats(postings).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append NEW documents to an at-rest index. Postings of distinct
+    * doc_ids never collide, so the index grows by pure parquet append
+    * — no read-modify-write of existing posting lists — and only the
+    * 1-row stats table is rebuilt by exact addition. Appended ==
+    * rebuilt bit-identically (spec-pinned); the caller owns doc_id
+    * uniqueness (same contract as [[Similarity]]'s incremental ANN
+    * appends). NOT crash-atomic across the two writes — a crash
+    * between the postings append and the stats overwrite leaves stale
+    * stats (scores shift slightly; no row is lost); wrap the calls in
+    * [[graft.streaming.SketchIngest]]'s marker protocol for
+    * exactly-once streaming maintenance.
+    */
+  def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val newPost = invertedIndex(newDocs, textCol, idCol)
+    val delta = indexStats(newPost)
+    // merge stats BEFORE appending postings so the old stats read can't
+    // see the new postings rows (1-row collect; exact long addition)
+    val merged = spark.read
+      .parquet(s"$path/stats")
+      .unionByName(delta)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()
+    newPost.write.mode("append").parquet(s"$path/postings")
+    import spark.implicits._
+    merged
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+      .toDF("n_docs", "sum_dl")
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/stats")
+  }
+
+  /** Load an at-rest index: (postings, stats). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"))
+}

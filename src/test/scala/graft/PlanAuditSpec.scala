@@ -47,4 +47,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"q85 lost its broadcast flag join:\n${plan.take(1500)}")
   }
+
+  test("r11 pins: q87 BM25 prunes candidates via broadcasts and never self-joins postings; " +
+    "q88 NB model rides broadcasts") {
+    val dir = "/root/testdata/sf0.001"
+    // BM25: query tokens, df table, stats and query ids all reach the
+    // postings as broadcasts — the postings table must never shuffle
+    // into a SortMergeJoin (its only shuffle is the per-(query,doc)
+    // score aggregation)
+    val bm = SparkEntry.queries("q87_bm25_topk")(spark, dir).queryExecution.executedPlan.toString
+    assert(bm.contains("BroadcastHashJoin"), s"q87 lost its broadcast prune:\n${bm.take(1500)}")
+    assert(!bm.contains("SortMergeJoin"), s"q87 shuffles postings into a join:\n${bm.take(1500)}")
+    // NB: the labels x nBuckets model must broadcast onto the gram stream
+    val nb = SparkEntry.queries("q88_nb_classify")(spark, dir).queryExecution.executedPlan.toString
+    assert(nb.contains("BroadcastHashJoin"), s"q88 lost its broadcast model join:\n${nb.take(1500)}")
+  }
 }
