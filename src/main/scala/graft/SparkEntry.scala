@@ -1294,7 +1294,13 @@ object SparkEntry {
           sum(col("pc") * (lit(100L) - col("dc"))).as("revenue_e4"),
           count(lit(1)).as("n_items")
         )
-    })
+    }),
+    // Trailing 7-day active users per day — (user, day) dedup once,
+    // then a map-side explode into window-end days replaces the
+    // range join. Exact distinct counts; the HLL per-day-sketch form
+    // is the at-rest scale path (RollingDistinctSpec).
+    "q92_rolling_actives" -> ((s, dir) =>
+      Analytics.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts", windowDays = 7))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2538,7 +2544,18 @@ object SparkEntry {
           |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-          |GROUP BY n_name""".stripMargin
+          |GROUP BY n_name""".stripMargin,
+      // Trailing-window actives: calendar join on the oracle side,
+      // explode-into-window-ends on the Spark side — same set of
+      // (day, user-in-window) pairs, exact distinct counts.
+      "q92_rolling_actives" ->
+        """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |b AS (SELECT min(d) AS lo, max(d) AS hi FROM d),
+          |cal AS (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day FROM b)
+          |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+          |  count(DISTINCT d.user_id) AS active_users
+          |FROM cal JOIN d ON d.d <= cal.day AND d.d > cal.day - 7
+          |GROUP BY 1""".stripMargin
     )
   }
 

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Byte-pair-encoding merge learning (Sennrich et al. '16) — the
+  * tokenizer-training step of an LLM data pipeline, distributed the
+  * way the algorithm actually scales: the corpus is touched ONCE to
+  * build the (word, freq) vocabulary; every merge iteration runs on
+  * that bounded vocab table only (pair-count aggregate + one argmax +
+  * a map-side re-segmentation), never on the corpus again.
+  *
+  * Determinism: pair counts are exact longs; the argmax tie-breaks
+  * (count desc, left asc, right asc), so the learned merge sequence is
+  * a pure function of the corpus. BpeSpec pins the distributed fit
+  * against an independent sequential reference implementation and the
+  * classic (es, est)-first textbook example.
+  *
+  * No oracle query: merge learning is iterative argmax over mutating
+  * state — not SQL-expressible (same class as k-means; see
+  * SparkEntry's q40 note). Evidence is spec-level.
+  *
+  * The per-iteration argmax is a 1-row collect (like k-means
+  * centroids); lineage is cut every `checkpointEvery` merges via
+  * [[Materialize]] so the vocab plan doesn't deepen linearly.
+  */
+object Bpe {
+
+  /** Adjacent symbol pairs (l, r) of a symbol array, empty below 2
+    * symbols (guarded — `sequence(1, 0)` would count DOWN).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(
+      size(syms) >= 2,
+      transform(
+        sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("l"), element_at(syms, j + 1).as("r"))
+      )
+    ).otherwise(slice(transform(syms, s => struct(s.as("l"), s.as("r"))), lit(1), lit(0)))
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) into a+b.
+    * A fold: the merged symbol a+b can never equal `a` (b is
+    * non-empty), so "aaa" under (a,a) correctly becomes [aa, a] with
+    * no just-merged flag.
+    */
+  def mergeAdjacent(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      slice(syms, lit(1), lit(0)), // typed empty array<string>
+      (acc, e) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && e === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+        ).otherwise(concat(acc, array(e)))
+    )
+
+  /** The bounded (word, freq, syms) vocabulary — the corpus's only
+    * full pass. Words segment to single characters.
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Fns.tokens(col(textCol))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
+
+  /** Learn up to `nMerges` merges. Stops early when no adjacent pair
+    * is left or the best pair's count falls below `minCount`.
+    */
+  def fitMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 2L,
+      checkpointEvery: Int = 8
+  ): Seq[(String, String)] = {
+    var vocab = Materialize(vocabulary(df, textCol), eager = true)
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val best = vocab
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms", mergeAdjacent(col("syms"), a, b))
+        if ((i + 1) % checkpointEvery == 0) vocab = Materialize(vocab, eager = true)
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Apply a learned merge list to a symbol array, in rank order. The
+    * expression nests one fold per merge — fine for the tens of merges
+    * a spec or a subword-prefix vocabulary uses; for production-sized
+    * merge lists (30k+), apply in [[Materialize]]-pinned groups of
+    * `checkpointEvery` instead of one expression.
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => mergeAdjacent(c, a, b) }
+
+  /** Tokenize a corpus with a learned merge list: one row per doc with
+    * the BPE token array (per word, flattened in word order). Pure
+    * map-side.
+    */
+  def tokenize(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      flatten(
+        transform(
+          Fns.tokens(col(textCol)),
+          w => applyMerges(filter(split(w, ""), s => s =!= ""), merges)
+        )
+      ).as("bpe_tokens")
+    )
+}

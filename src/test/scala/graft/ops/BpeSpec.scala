@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Independent sequential BPE reference (textbook algorithm) with the
+    * same tie-break (count desc, left asc, right asc).
+    */
+  private def referenceFit(
+      wordFreq: Map[String, Long],
+      nMerges: Int,
+      minCount: Long = 2L
+  ): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => w.toVector.map(_.toString) -> f }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minCount) done = true
+        else {
+          merges += pair
+          vocab = vocab.groupMapReduce { case (syms, _) => mergeSeq(syms, pair) }(_._2)(_ + _)
+        }
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  private def mergeSeq(syms: Vector[String], p: (String, String)): Vector[String] = {
+    var acc = Vector.empty[String]
+    syms.foreach { e =>
+      if (acc.nonEmpty && acc.last == p._1 && e == p._2)
+        acc = acc.init :+ (p._1 + p._2)
+      else acc = acc :+ e
+    }
+    acc
+  }
+
+  // the Sennrich textbook corpus: es/est merges come first
+  private def corpus = Seq(
+    (1L, ("low " * 5).trim),
+    (2L, ("lower " * 2).trim),
+    (3L, ("newest " * 6).trim),
+    (4L, ("widest " * 3).trim)
+  ).toDF("doc_id", "text")
+
+  test("fitMerges matches the sequential reference and the textbook first merges") {
+    val got = Bpe.fitMerges(corpus, "text", nMerges = 8)
+    val wf = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(got === referenceFit(wf, 8))
+    // es (9) ties st (9) -> lex; then (es, t) at 9
+    assert(got.take(2) === Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("tokenize: BPE tokens concatenate back to the original words; merges actually apply") {
+    // 3 merges: (e,s), (es,t), (l,o) — "est" survives as a token
+    // (deeper fits absorb it: by merge 6 "newest" segments [n, ewest])
+    val merges = Bpe.fitMerges(corpus, "text", nMerges = 3)
+    val toks = Bpe.tokenize(corpus, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // reconstruction: concatenated tokens == concatenated words
+    for ((id, t) <- toks) {
+      val words = corpus.filter($"doc_id" === id).collect().head.getString(1).split(" ")
+      assert(t.mkString("") === words.mkString(""))
+    }
+    // "newest" must contain the merged "est" (es+t) as one token
+    assert(toks(3L).contains("est"))
+  }
+
+  test("mergeAdjacent is left-to-right non-overlapping (aaa + (a,a) -> [aa, a])") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+    val out = df.select(Bpe.mergeAdjacent(org.apache.spark.sql.functions.col("syms"), "a", "a"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("aa", "a"))
+  }
+
+  test("fit is partitioning-invariant and stops below minCount") {
+    val a = Bpe.fitMerges(corpus, "text", 5)
+    val b = Bpe.fitMerges(corpus.repartition(7), "text", 5)
+    assert(a === b)
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Bpe.fitMerges(tiny, "text", 5, minCount = 2L).isEmpty)
+  }
+}
