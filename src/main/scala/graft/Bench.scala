@@ -196,7 +196,15 @@ object Bench {
     }
 
     val maxReruns = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q87_bm25_topk,q88_nb_classify
+    // times just those queries (the driver never sets it — full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Between query blocks: force a full GC so the ContextCleaner
       // reclaims the previous block's now-unreferenced broadcasts and
       // shuffle state NOW rather than whenever the 8 GiB driver heap

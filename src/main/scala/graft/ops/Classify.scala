@@ -98,9 +98,14 @@ object Classify {
       idCol: String,
       nBuckets: Int = 4096
   ): DataFrame = {
-    val pc = model.filter(col("kind") === "pair").select("label", "bucket", "n")
+    // the model plan feeds four subtrees (pair counts, label totals,
+    // doc counts, corpus total) — pin it so an inline-fitted model's
+    // gram explode doesn't re-run per subtree (measured 3.4 s -> well
+    // under half on q88; an at-rest model is already a cheap scan)
+    val m = Materialize(model, eager = false)
+    val pc = m.filter(col("kind") === "pair").select("label", "bucket", "n")
     val lt = pc.groupBy("label").agg(sum("n").as("tot"))
-    val ld = model.filter(col("kind") === "docs").select(col("label"), col("n").as("docs_l"))
+    val ld = m.filter(col("kind") === "docs").select(col("label"), col("n").as("docs_l"))
     val nd = ld.agg(sum("docs_l").as("n_docs"))
 
     val q = (c: Column) => round(c * lit(1e9)).cast("long")
@@ -122,7 +127,9 @@ object Classify {
         q(Dsir.glog(col("docs_l")) - Dsir.glog(col("n_docs"))).as("prq")
       )
 
-    val grams = Dsir.gramBuckets(df, textCol, idCol, nBuckets)
+    // grams feed both the per-doc totals and the model join — one
+    // tokenize+hash pass, not two (the q79 diamond-fix shape)
+    val grams = Materialize(Dsir.gramBuckets(df, textCol, idCol, nBuckets), eager = false)
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val found = grams
       .join(broadcast(llq), "bucket")

@@ -101,11 +101,15 @@ object Retrieval {
       explode(array_distinct(Fns.tokens(col(queryTextCol)))).as("token")
     )
     val qtok = qt.select("token").distinct()
-    val st = stats.getOrElse(indexStats(postings))
+    // with no precomputed stats the postings plan feeds both the stats
+    // agg and the candidate prune — pin an inline-built index so its
+    // corpus explode runs once (an at-rest index is already a scan)
+    val post = if (stats.isEmpty) Materialize(postings, eager = false) else postings
+    val st = stats.getOrElse(indexStats(post))
 
     // Candidate postings: only the query's tokens survive. df on this
     // set equals the full-index df for those tokens.
-    val cand = postings.join(broadcast(qtok), Seq("token"))
+    val cand = post.join(broadcast(qtok), Seq("token"))
     val dfT = cand.groupBy("token").agg(count(lit(1)).as("df"))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")

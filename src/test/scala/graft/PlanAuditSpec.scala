@@ -61,5 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // NB: the labels x nBuckets model must broadcast onto the gram stream
     val nb = SparkEntry.queries("q88_nb_classify")(spark, dir).queryExecution.executedPlan.toString
     assert(nb.contains("BroadcastHashJoin"), s"q88 lost its broadcast model join:\n${nb.take(1500)}")
+    // Q5-shape: the fixed dims (region->nation) must reach the fact
+    // side as a broadcast, whatever AQE does with supplier/customer
+    val q5 = SparkEntry.queries("q91_local_supplier_volume")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), s"q91 lost its dim broadcasts:\n${q5.take(1500)}")
   }
 }
