@@ -1300,7 +1300,18 @@ object SparkEntry {
     // range join. Exact distinct counts; the HLL per-day-sketch form
     // is the at-rest scale path (RollingDistinctSpec).
     "q92_rolling_actives" -> ((s, dir) =>
-      Analytics.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts", windowDays = 7))
+      Analytics.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts", windowDays = 7)),
+    // Efraimidis–Spirakis weighted sample without replacement, weights
+    // = n_chars: exponential keys from seeded md5 uniforms via the
+    // integer-argument glog, k smallest win. Bit-exact cross-engine.
+    "q93_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars",
+        "doc_id",
+        k = 100,
+        seed = "g93"
+      ))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2555,7 +2566,27 @@ object SparkEntry {
           |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
           |  count(DISTINCT d.user_id) AS active_users
           |FROM cal JOIN d ON d.d <= cal.day AND d.d > cal.day - 7
-          |GROUP BY 1""".stripMargin
+          |GROUP BY 1""".stripMargin,
+      // E-S keys: e = (glog(2^24) - glog(h)) / w, h = md5-seeded 24-bit
+      // uniform + 1; k smallest, ties by doc_id. Shared glog chain.
+      "q93_weighted_sample" ->
+        """WITH d AS (SELECT doc_id, n_chars,
+          |    ('0x' || substr(md5('g93' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1 AS h
+          |  FROM documents),
+          |vals AS (SELECT DISTINCT v FROM (SELECT h AS v FROM d UNION ALL SELECT 16777216)),
+          |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+          |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+          |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+          |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+          |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+          |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+          |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+          |ek AS (SELECT d.doc_id, d.n_chars,
+          |    (glm.glog - glh.glog) / CAST(d.n_chars AS DOUBLE) AS es_key
+          |  FROM d JOIN gl glh ON glh.v = d.h
+          |  CROSS JOIN (SELECT glog FROM gl WHERE v = 16777216) glm(glog))
+          |SELECT doc_id, n_chars, es_key FROM ek
+          |ORDER BY es_key, doc_id LIMIT 100""".stripMargin
     )
   }
 

@@ -158,4 +158,35 @@ object Sampling {
       .filter(col("_rn") <= col("_k"))
       .drop("_rn", "_k")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06):
+    * each row draws an exponential key e = −ln(u)/w from its own
+    * deterministic uniform u, and the k smallest keys are the sample —
+    * inclusion probability rises with weight, no row twice, one pass.
+    *
+    * The draw is seeded-hash pseudorandomness, not entropy:
+    * u = h / 2^24 with h = (md5(seed ‖ id) first 24 bits) + 1, and
+    * −ln(u) = glog(2^24) − glog(h) via the IEEE-exact integer-argument
+    * [[Dsir.glog]] — the whole key is bit-identical in any IEEE-754
+    * engine (q93's DuckDB oracle) and under any partitioning. Ties
+    * break by id.
+    *
+    * Scale: key is a map-side projection; selection is sort-limit
+    * (TakeOrdered — only k rows per partition cross the wire), the
+    * [[graft.ops.Analytics.topK]] shape.
+    */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      idCol: String,
+      k: Int,
+      seed: String
+  ): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("long") + 1
+    val e = (Dsir.glog(lit(16777216L)) - Dsir.glog(h)) / col(weightCol).cast("double")
+    df.withColumn("es_key", e)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
 }
