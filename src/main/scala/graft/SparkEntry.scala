@@ -1311,7 +1311,148 @@ object SparkEntry {
         "doc_id",
         k = 100,
         seed = "g93"
-      ))
+      )),
+    // First-order Markov transitions over per-user event sequences:
+    // one user-key shuffle feeds the lead() window, then a tiny k×k
+    // grid agg; P(to|from) from exact-long counts.
+    "q94_event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")),
+    // TPC-H Q10-shaped returned-item revenue: revenue is pre-aggregated
+    // to one row per customer BEFORE the customer join (the join input
+    // shrinks from line items to customers), nation broadcasts, top-20
+    // total-ordered by (revenue desc, custkey).
+    "q95_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-04-01") && col("o_orderdate") < lit("1996-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"),
+          cents(col("l_extendedprice")).as("pc"),
+          round(col("l_discount") * 100).cast("long").as("dc")
+        )
+      val rev = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("pc") * (lit(100L) - col("dc"))).as("revenue_e4"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents")
+      )
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      rev
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_e4"), col("acctbal_cents"))
+    }),
+    // Deterministic Lloyd's k-means on exact integer features
+    // (n_chars × space count), k=4, 3 iterations; output is the final
+    // cluster profile in exact longs. Each iteration: map-side assign
+    // against literal centroids + a k-row groupBy.
+    "q96_kmeans" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars").as("x"),
+        (length(col("text")) - length(translate(col("text"), " ", ""))).cast("long").as("y")
+      )
+      Cluster.kmeansProfile(p, "doc_id", "x", "y", k = 4, iters = 3)
+    }),
+    // Misra–Gries heavy hitters with exact confirm: tokens holding
+    // ≥ 2% of all token occurrences, exact counts. Pass 1 is map-side
+    // constant-memory summaries; pass 2 a broadcast semi-join + count.
+    "q97_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(
+        t(s, dir, "documents").select(explode(Fns.tokens(col("text"))).as("token")),
+        "token",
+        capacity = 64,
+        minFreq = 0.02
+      )),
+    // Pearson correlation matrix from EXACT integer moments (decimal
+    // sums, one full-scan agg with map-side combine); the r values are
+    // one fixed IEEE expression over exact sums — bit-identical
+    // cross-engine. Price is in whole DOLLARS, not cents: correlation
+    // is scale-invariant, and the dollar moments stay below 2^53 at
+    // bench scale, where int64→double casts are exact in BOTH engines
+    // (DuckDB's int128→double is off by 1 ulp above 2^64 — measured).
+    "q98_correlation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice")).cast("long").as("price_d"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"),
+        round(col("l_tax") * 100).cast("long").as("tax_c")
+      )
+      Stats.pearsonMatrix(l, Seq("qty", "price_d", "disc_c", "tax_c"))
+    }),
+    // Shannon entropy (nats) of each source's token distribution —
+    // source-diversity profiling via glog + exact quantized-long sums.
+    "q99_source_entropy" -> ((s, dir) =>
+      Stats.tokenEntropy(t(s, dir, "documents"), "text", "source")),
+    // Pointwise mutual information between lang and source — the
+    // dependence / leakage check. One corpus shuffle builds the grid;
+    // marginals are re-aggregations of the grid riding broadcasts.
+    "q100_lang_source_pmi" -> ((s, dir) =>
+      Stats.pmiGrid(t(s, dir, "documents"), "lang", "source")),
+    // TPC-H Q14-shaped promo revenue share: conditional aggregation
+    // over the part join, ratio from exact cent sums.
+    "q101_promo_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-05-01") && col("l_shipdate") < lit("1996-06-01"))
+        .select(
+          col("l_partkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev")
+        )
+      val p = t(s, dir, "part").select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("is_promo"), col("rev")).otherwise(lit(0L))).as("promo_revenue_e4"),
+          sum(col("rev")).as("total_revenue_e4")
+        )
+        .select(
+          col("promo_revenue_e4"),
+          col("total_revenue_e4"),
+          (lit(100.0) * col("promo_revenue_e4").cast("double") /
+            col("total_revenue_e4").cast("double")).as("promo_pct")
+        )
+    }),
+    // TPC-H Q18-shaped large orders: the quantity rollup happens on
+    // lineitem ALONE (one groupBy, map-side combined), and only the
+    // ≥150 survivors join orders/customer — the join input collapses
+    // before any wide row is built.
+    "q102_large_orders" -> ((s, dir) => {
+      val lq = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") >= 150L)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        cents(col("o_totalprice")).as("totalprice_cents")
+      )
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      lq.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("c_name"), col("order_date"), col("totalprice_cents"), col("total_qty"))
+    }),
+    // TPC-H Q4-shaped priority report: orders with ≥1 returned line in
+    // the window, counted by priority — a LEFT SEMI join (no row
+    // multiplication however many lines match).
+    "q103_priority_returns" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -2586,7 +2727,168 @@ object SparkEntry {
           |  FROM d JOIN gl glh ON glh.v = d.h
           |  CROSS JOIN (SELECT glog FROM gl WHERE v = 16777216) glm(glog))
           |SELECT doc_id, n_chars, es_key FROM ek
-          |ORDER BY es_key, doc_id LIMIT 100""".stripMargin
+          |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+      // Markov transitions: lead() over (ts, event_id) per user; p
+      // from exact-long counts.
+      "q94_event_transitions" ->
+        """WITH s AS (SELECT event_type, lead(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS nt FROM events),
+          |c AS (SELECT event_type AS from_type, nt AS to_type, count(*) AS n
+          |  FROM s WHERE nt IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM c""".stripMargin,
+      "q95_returned_items" ->
+        """WITH rev AS (
+          |  SELECT o_custkey, sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+          |       * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS revenue_e4
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag = 'R'
+          |    AND o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT c_custkey, c_name, n_name, CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+          |  CAST(round(c_acctbal*100,0) AS BIGINT) AS acctbal_cents
+          |FROM rev JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+      // Lloyd's k-means, k=4, 3 centroid updates + final assignment —
+      // the iteration unrolled as CTEs. Same init (4 smallest ids),
+      // same tie-break (dist, cid), same exact-long centroid sums.
+      "q96_kmeans" -> {
+        def assign(prev: String, out: String) =
+          s"""$out AS (SELECT id, x, y, cid FROM (
+             |    SELECT p.id, p.x, p.y, c.cid, row_number() OVER (PARTITION BY p.id
+             |      ORDER BY (CAST(p.x AS DOUBLE)-c.cx)*(CAST(p.x AS DOUBLE)-c.cx)
+             |             + (CAST(p.y AS DOUBLE)-c.cy)*(CAST(p.y AS DOUBLE)-c.cy), c.cid) AS rn
+             |    FROM p CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+        def update(asn: String, prev: String, out: String) =
+          s"""$out AS (SELECT c.cid,
+             |    coalesce(CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE), c.cx) AS cx,
+             |    coalesce(CAST(s.sy AS DOUBLE)/CAST(s.n AS DOUBLE), c.cy) AS cy
+             |  FROM $prev c LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
+             |      count(*) AS n FROM $asn GROUP BY 1) s ON s.cid = c.cid)""".stripMargin
+        s"""WITH p AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+           |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+           |  FROM documents),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
+           |    CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
+           |  FROM (SELECT * FROM p ORDER BY id LIMIT 4)),
+           |${assign("c0", "a1")},
+           |${update("a1", "c0", "c1")},
+           |${assign("c1", "a2")},
+           |${update("a2", "c1", "c2")},
+           |${assign("c2", "a3")},
+           |${update("a3", "c2", "c3")},
+           |${assign("c3", "a4")}
+           |SELECT cid AS cluster, count(*) AS n,
+           |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+           |FROM a4 GROUP BY 1""".stripMargin
+      },
+      // Heavy hitters: exact SQL — the MG pass only prunes candidates,
+      // the contract is exact counts of every token at ≥ 2% share.
+      "q97_heavy_hitters" ->
+        s"""WITH t AS ($wordsSql), tok AS (SELECT unnest(words) AS token FROM t),
+           |n AS (SELECT count(*) AS total FROM tok)
+           |SELECT token, count(*) AS n FROM tok CROSS JOIN n
+           |GROUP BY token, n.total
+           |HAVING count(*) >= CAST(ceil(0.02 * total) AS BIGINT)""".stripMargin,
+      // Pearson from exact integer moments; the r expression mirrors
+      // Stats.pearsonMatrix term for term (IEEE-identical).
+      "q98_correlation" -> {
+        val cols = Seq("qty", "price_d", "disc_c", "tax_c")
+        val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+          yield (cols(i), cols(j))
+        val moments =
+          cols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c*$c) AS ss_$c")) ++
+            pairs.map { case (a, b) => s"sum($a*$b) AS sp_${a}_$b" }
+        val outs = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  (CAST(n AS DOUBLE)*CAST(sp_${a}_$b AS DOUBLE)
+             |     - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))
+             |  / (sqrt(CAST(n AS DOUBLE)*CAST(ss_$a AS DOUBLE)
+             |       - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))
+             |   * sqrt(CAST(n AS DOUBLE)*CAST(ss_$b AS DOUBLE)
+             |       - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))) AS corr
+             |FROM m""".stripMargin
+        }
+        s"""WITH l AS (SELECT CAST(round(l_quantity,0) AS BIGINT) AS qty,
+           |    CAST(round(l_extendedprice,0) AS BIGINT) AS price_d,
+           |    CAST(round(l_discount*100,0) AS BIGINT) AS disc_c,
+           |    CAST(round(l_tax*100,0) AS BIGINT) AS tax_c FROM lineitem),
+           |m AS (SELECT count(*) AS n, ${moments.mkString(", ")} FROM l)
+           |${outs.mkString("\nUNION ALL\n")}""".stripMargin
+      },
+      // Entropy via the shared glog chain + exact quantized-long sums:
+      // H = glog(N) − (Σ c·round(glog(c)·1e9)) / 1e9 / N.
+      "q99_source_entropy" ->
+        s"""WITH ws AS (SELECT source,
+           |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+           |                w -> w <> '') AS words FROM documents),
+           |tok AS (SELECT source, unnest(words) AS token FROM ws),
+           |c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+           |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT n AS v FROM c UNION ALL SELECT n_tokens FROM ns)),
+           |$glogChainSql,
+           |q AS (SELECT c.source,
+           |    CAST(sum(c.n * CAST(round(g.glog * 1000000000.0) AS BIGINT)) AS BIGINT) AS sq
+           |  FROM c JOIN gl g ON g.v = c.n GROUP BY 1)
+           |SELECT ns.source, ns.n_tokens,
+           |  g2.glog - CAST(q.sq AS DOUBLE) / 1000000000.0 / CAST(ns.n_tokens AS DOUBLE) AS entropy
+           |FROM ns JOIN q ON q.source = ns.source
+           |JOIN gl g2 ON g2.v = ns.n_tokens""".stripMargin,
+      // PMI per (lang, source) cell: glog(n) + glog(N) − glog(n_x) −
+      // glog(n_y) — one fixed expression per cell, no accumulation.
+      "q100_lang_source_pmi" ->
+        s"""WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+           |cx AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_x FROM c GROUP BY 1),
+           |cy AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_y FROM c GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+           |vals AS (SELECT DISTINCT v FROM (
+           |  SELECT n AS v FROM c UNION ALL SELECT n_x FROM cx
+           |  UNION ALL SELECT n_y FROM cy UNION ALL SELECT n_total FROM tot)),
+           |$glogChainSql
+           |SELECT c.lang, c.source, c.n,
+           |  gn.glog + gt.glog - gx.glog - gy.glog AS pmi
+           |FROM c JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN tot
+           |JOIN gl gn ON gn.v = c.n
+           |JOIN gl gx ON gx.v = cx.n_x
+           |JOIN gl gy ON gy.v = cy.n_y
+           |JOIN gl gt ON gt.v = tot.n_total""".stripMargin,
+      "q101_promo_revenue" ->
+        """WITH l AS (SELECT l_partkey,
+          |    CAST(round(l_extendedprice*100,0) AS BIGINT)
+          |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-05-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'),
+          |m AS (SELECT
+          |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+          |      AS promo_revenue_e4,
+          |    CAST(sum(rev) AS BIGINT) AS total_revenue_e4
+          |  FROM l JOIN part ON l_partkey = p_partkey)
+          |SELECT promo_revenue_e4, total_revenue_e4,
+          |  100.0 * CAST(promo_revenue_e4 AS DOUBLE) / CAST(total_revenue_e4 AS DOUBLE)
+          |    AS promo_pct
+          |FROM m""".stripMargin,
+      "q102_large_orders" ->
+        """WITH lq AS (SELECT l_orderkey, sum(CAST(round(l_quantity,0) AS BIGINT)) AS total_qty
+          |  FROM lineitem GROUP BY 1 HAVING total_qty >= 150)
+          |SELECT o_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          |  CAST(round(o_totalprice*100,0) AS BIGINT) AS totalprice_cents,
+          |  CAST(total_qty AS BIGINT) AS total_qty
+          |FROM lq JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+      "q103_priority_returns" ->
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |GROUP BY 1""".stripMargin
     )
   }
 
@@ -2785,6 +3087,20 @@ object SparkEntry {
       |  list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
       |              w -> w <> '') AS words
       |FROM documents""".stripMargin
+
+  /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
+    * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.
+    * Shared by the entropy/PMI oracles; q79/q83/q87/q88/q93 carry their
+    * own (pre-helper) copies of the same text.
+    */
+  private val glogChainSql =
+    """gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
+      |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
+      |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
+      |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
+      |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
+      |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
+      |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2)""".stripMargin
 
   private def snapSql(lo: String, hi: String): String =
     s"""SELECT user_id, value, event_type AS etype, props FROM (

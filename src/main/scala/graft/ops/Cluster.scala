@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over integer feature columns — the
+  * clustering step of a cluster-balanced curation pipeline (group the
+  * corpus, then sample per cluster; see `Curation`/`Sampling` for the
+  * consumers). No reference-repo counterpart: this extends the engine's
+  * LLM-pipeline surface (SemDeDup-style curation needs a clusterer).
+  *
+  * Why it is bit-exact cross-engine (the property the driver's
+  * hash-compare demands, and which stock `ml.KMeans` cannot give):
+  *   - features are exact LONGs; every centroid is
+  *     CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) of exact long sums —
+  *     order-independent, so shuffle/merge order cannot change it;
+  *   - distances are evaluated in one fixed IEEE expression shape
+  *     ((x−cx)² + (y−cy)²) with no libm calls;
+  *   - assignment ties break to the lowest cluster id via a struct
+  *     (dist, cid) min;
+  *   - init is the k rows with the smallest id (no RNG).
+  *
+  * Scale shape (100 TB): each iteration is one map-side assignment
+  * against k BROADCAST-LITERAL centroids (no join — the centroids are
+  * folded into the expression tree) plus one groupBy producing k rows;
+  * partial aggregation makes the shuffle k×cols longs per map task.
+  * Driver state is k (cid, cx, cy) triples per iteration — bounded.
+  */
+object Cluster {
+
+  /** One Lloyd assignment as a pure expression: argmin over the k
+    * centroid distances, ties to the lowest cid.
+    */
+  private def assignExpr(cents: Seq[(Int, Double, Double)], x: Column, y: Column): Column = {
+    val scored = cents.map { case (cid, cx, cy) =>
+      val dx = x.cast("double") - lit(cx)
+      val dy = y.cast("double") - lit(cy)
+      struct((dx * dx + dy * dy).as("d"), lit(cid).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** Runs `iters` Lloyd iterations of k-means on (`xCol`, `yCol`)
+    * (both integral) and returns the FINAL assignment, one row per
+    * input row: (idCol, xCol, yCol, cluster).
+    *
+    * A cluster that goes empty keeps its previous centroid (both this
+    * and the SQL oracle coalesce to the prior round's value).
+    */
+  def kmeansAssign(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
+    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+    // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
+    val init: Seq[(Int, Double, Double)] = p
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getDouble(0), r.getDouble(1)) }
+      .toSeq
+    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+      // One job per iteration: assign (map-side) + k-row groupBy.
+      val sums = p
+        .select(assignExpr(cents, col(xCol), col(yCol)).as("cid"), col(xCol), col(yCol))
+        .groupBy("cid")
+        .agg(sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      cents.map { case (cid, cx, cy) =>
+        sums.get(cid) match {
+          case Some((sx, sy, n)) => (cid, sx.toDouble / n.toDouble, sy.toDouble / n.toDouble)
+          case None              => (cid, cx, cy) // empty cluster: keep centroid
+        }
+      }
+    }
+    p.withColumn("cluster", assignExpr(finalCents, col(xCol), col(yCol)))
+  }
+
+  /** Cluster profile after `iters` iterations: (cluster, n, sum_x,
+    * sum_y) — all exact longs, the hash-exact oracle surface.
+    */
+  def kmeansProfile(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame =
+    kmeansAssign(points, idCol, xCol, yCol, k, iters)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(xCol)).as("sum_x"),
+        sum(col(yCol)).as("sum_y")
+      )
+}

@@ -217,4 +217,84 @@ object Sketches {
       .withColumn("cdf", (col("cum_below") + col("n") * frac) / col("total"))
       .drop("bin", "cum_below", "n", "total")
   }
+
+  /** Misra–Gries heavy hitters with EXACT confirmation: every item of
+    * `itemCol` whose total count is ≥ `minCount`, with its exact
+    * count — guaranteed complete (not approximate output; the sketch
+    * only prunes the candidate space).
+    *
+    * `minFreq` is a FRACTION of the total item count (so the same
+    * query text scales across corpus sizes); the returned set is every
+    * item with count ≥ ceil(minFreq · N).
+    *
+    * Pass 1 runs a capacity-`capacity` Misra–Gries summary per
+    * partition (mapPartitions; constant memory per task). MG's bound —
+    * an item undercounted by at most n_p/(capacity+1) survives the
+    * partition if its local count exceeds that — plus pigeonhole across
+    * partitions gives: any item with GLOBAL count > N/(capacity+1)
+    * survives in at least one partition summary. Pass 2 semi-joins the
+    * corpus against the broadcast candidate set and counts exactly.
+    * The completeness precondition minFreq > 1/(capacity+1) is checked
+    * up front — violating it would silently return a subset.
+    *
+    * 100 TB shape: pass 1 is map-side only (≤ capacity+1 rows out per
+    * task); candidates are ≤ tasks × capacity rows but in practice
+    * ≈ the true heavy set — if a pathological corpus inflates it past
+    * broadcast size, re-run pass 2 with a shuffle semi-join (drop the
+    * `broadcast` hint); the guarantee is unchanged.
+    */
+  def heavyHitters(
+      items: DataFrame,
+      itemCol: String,
+      capacity: Int,
+      minFreq: Double
+  ): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(
+      minFreq > 1.0 / (capacity + 1),
+      s"completeness violated: minFreq=$minFreq must exceed 1/(capacity+1) = " +
+        s"1/${capacity + 1} — raise capacity or minFreq"
+    )
+    val spark = items.sparkSession
+    import spark.implicits._
+    val toks = items.select(col(itemCol).cast("string").as("item")).filter(col("item").isNotNull)
+    // Pass 1: per-partition MG survivors + one (null, n_p) sentinel.
+    val summaries = Materialize(
+      toks
+        .as[String]
+        .mapPartitions { it =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          var np = 0L
+          it.foreach { item =>
+            np += 1
+            counters.get(item) match {
+              case Some(c) => counters.update(item, c + 1)
+              case None =>
+                if (counters.size < capacity) counters.update(item, 1L)
+                else {
+                  // decrement-all step; drop zeros
+                  val dead = List.newBuilder[String]
+                  counters.foreach { case (k, v) =>
+                    if (v == 1L) dead += k else counters.update(k, v - 1)
+                  }
+                  dead.result().foreach(counters.remove)
+                }
+            }
+          }
+          counters.iterator.map { case (k, _) => (k, 0L) } ++ Iterator((null: String, np))
+        }
+        .toDF("item", "np"),
+      eager = false
+    )
+    val total =
+      summaries.filter(col("item").isNull).agg(sum(col("np"))).as[Option[Long]].head().getOrElse(0L)
+    val minCount = math.ceil(minFreq * total).toLong
+    val candidates = summaries.filter(col("item").isNotNull).select("item").distinct()
+    toks
+      .join(broadcast(candidates), "item")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("item").as(itemCol), col("n"))
+  }
 }

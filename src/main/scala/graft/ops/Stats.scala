@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Exact-moment statistics over integer-valued columns. Extends the
+  * engine's profiling surface (`Skew`, `Sketches`) with cross-column
+  * dependence — the "which raw features are redundant" question a
+  * training-data pipeline asks before building quality models
+  * (cf. `Dsir`'s feature picks).
+  *
+  * Determinism contract: Pearson r is computed from EXACT integer
+  * moments — each pairwise sum Σa, Σa², Σab is accumulated as
+  * DECIMAL(38,0) (no long overflow at 100 TB row counts, no FP
+  * accumulation order), cast to double once, and combined in one fixed
+  * IEEE expression. Any aggregation/merge order gives the same bits,
+  * so the driver's hash-compare holds cross-engine.
+  *
+  * Scale shape: ONE full-scan aggregate with map-side partial
+  * aggregation produces a single row of 3·C + C·(C−1)/2 decimals
+  * (C = #columns); the pairwise output grid is derived from that row
+  * without touching the data again.
+  */
+object Stats {
+
+  /** All pairwise Pearson correlations between `cols` (pre-projected
+    * integral columns of `df`). Output: (col_a, col_b, n, corr) for
+    * every unordered pair a < b in the given order.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val singles = cols.flatMap { c =>
+      Seq(
+        sum(dec(col(c))).as(s"s_$c"),
+        sum(dec(col(c) * col(c))).as(s"ss_$c")
+      )
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val crosses = pairs.map { case (a, b) => sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") }
+    // Pin the 1-row moments frame: the per-pair branches below each
+    // reference it, and without the pin every union branch would
+    // re-run the full scan.
+    val moments = Materialize(
+      df.agg(count(lit(1)).as("n"), (singles ++ crosses): _*),
+      eager = false
+    )
+    // One row in, C(C-1)/2 rows out: a tiny per-pair projection +
+    // union over the single moments row.
+    val outs = pairs.map { case (a, b) =>
+      val nd = col("n").cast("double")
+      val sa = col(s"s_$a").cast("double")
+      val sb = col(s"s_$b").cast("double")
+      val saa = col(s"ss_$a").cast("double")
+      val sbb = col(s"ss_$b").cast("double")
+      val sab = col(s"sp_${a}_$b").cast("double")
+      moments.select(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        col("n"),
+        ((nd * sab - sa * sb) /
+          (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))).as("corr")
+      )
+    }
+    outs.reduce(_ unionByName _)
+  }
+
+  /** Shannon entropy (nats) of the token distribution per `groupCol` —
+    * the "how diverse is this source's text" profile a mixture-weighting
+    * pipeline reads before boosting a source ([[Dsir]] consumes the same
+    * kind of signal).
+    *
+    * H = ln N − (Σ c·ln c)/N over per-(group, token) counts c. Bit-exact
+    * cross-engine via the house discipline: ln is [[Dsir.glog]]
+    * (integer-argument, IEEE-exact ops only), and the Σ is an exact LONG
+    * sum of per-token `c · round(glog(c)·1e9)` terms — associative and
+    * commutative, so shuffle/merge order cannot move a bit. One
+    * corpus-scan shuffle on (group, token) with map-side combine, then a
+    * tiny per-group fold.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val scale = 1000000000L
+    val counts = df
+      .select(col(groupCol), explode(Fns.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * round(Dsir.glog(col("n")) * scale).cast("long")).as("sq")
+      )
+      .select(
+        col(groupCol),
+        col("n_tokens"),
+        (Dsir.glog(col("n_tokens")) -
+          col("sq").cast("double") / lit(scale.toDouble) / col("n_tokens").cast("double"))
+          .as("entropy")
+      )
+  }
+
+  /** Pointwise mutual information grid between two categorical columns
+    * — the split-leakage / source-vs-language dependence check:
+    * pmi(x,y) = ln n_xy + ln N − ln n_x − ln n_y (nats; > 0 means the
+    * pair co-occurs more than independence predicts). All four logs are
+    * integer-argument [[Dsir.glog]] in ONE fixed expression —
+    * bit-identical cross-engine, no cross-row accumulation at all.
+    *
+    * Shape: one corpus shuffle builds the (x, y) grid; marginals and the
+    * total are re-aggregations of that tiny grid (never a second corpus
+    * scan) and ride back on broadcasts.
+    */
+  def pmiGrid(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cxy = Materialize(
+      df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n")),
+      eager = false
+    )
+    val cx = cxy.groupBy(col(xCol)).agg(sum(col("n")).as("n_x"))
+    val cy = cxy.groupBy(col(yCol)).agg(sum(col("n")).as("n_y"))
+    val tot = cxy.agg(sum(col("n")).as("n_total"))
+    cxy
+      .join(broadcast(cx), xCol)
+      .join(broadcast(cy), yCol)
+      .crossJoin(broadcast(tot))
+      .select(
+        col(xCol),
+        col(yCol),
+        col("n"),
+        (Dsir.glog(col("n")) + Dsir.glog(col("n_total")) -
+          Dsir.glog(col("n_x")) - Dsir.glog(col("n_y"))).as("pmi")
+      )
+  }
+}

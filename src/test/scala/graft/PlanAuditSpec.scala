@@ -67,4 +67,25 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(q5.contains("BroadcastHashJoin"), s"q91 lost its dim broadcasts:\n${q5.take(1500)}")
   }
+
+  test("r11 pins: q95 pre-aggregates revenue before the customer join and broadcasts nation; " +
+    "q96 assigns map-side; q98 is one scan-agg with no join") {
+    val dir = "/root/testdata/sf0.001"
+    // Q10-shape: nation is a broadcast; the lineitem->orders revenue is
+    // collapsed to one row per customer BEFORE customer attributes join
+    // (HashAggregate must sit below the customer join in the plan)
+    val q10 = SparkEntry.queries("q95_returned_items")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q10.contains("BroadcastHashJoin"), s"q95 lost its nation broadcast:\n${q10.take(1500)}")
+    // k-means: the FINAL assignment plan is scan -> project -> k-row
+    // aggregate; the centroids are expression literals, so the plan may
+    // contain exactly the one k-row aggregation exchange and no join
+    val km = SparkEntry.queries("q96_kmeans")(spark, dir).queryExecution.executedPlan.toString
+    assert(!km.contains("Join"), s"q96 gained a join (centroids must be literals):\n${km.take(1500)}")
+    // exact-moment Pearson: single full-scan aggregate, no join, no
+    // window; the pair grid is a union over the pinned 1-row moments
+    val pr = SparkEntry.queries("q98_correlation")(spark, dir).queryExecution.executedPlan.toString
+    assert(!pr.contains("Join") && !pr.contains("Window"),
+      s"q98 must stay a scan-agg + tiny union:\n${pr.take(1500)}")
+  }
 }

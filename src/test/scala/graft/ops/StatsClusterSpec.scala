@@ -1,0 +1,192 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** Round-11 batch: event transitions, deterministic k-means, exact
+  * Pearson, Misra–Gries heavy hitters.
+  */
+class StatsClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- eventTransitions -------------------------------------------------
+
+  test("eventTransitions counts consecutive pairs per user and normalizes per from-type") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 09:30:00"), 5L, "c"),
+      // u3 has a single event: no transition
+      (3L, ts("2024-01-01 08:00:00"), 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics
+      .eventTransitions(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // from a: ->b (u1), ->c (u2); from b: ->a (u1)
+    assert(out.toSeq === Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("eventTransitions breaks same-timestamp ties by the id column") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics
+      .eventTransitions(e, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("a", "b"))) // id 1 before id 2
+  }
+
+  // ---- kmeans -----------------------------------------------------------
+
+  test("kmeansAssign separates two obvious blobs and is deterministic") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 1L, 1L), (3L, 0L, 1L), (4L, 1L, 0L),
+      (5L, 100L, 100L), (6L, 101L, 101L), (7L, 100L, 101L), (8L, 101L, 100L)
+    ).toDF("id", "x", "y")
+    val a = Cluster.kmeansAssign(pts, "id", "x", "y", k = 2, iters = 3)
+    val byCluster = a.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(byCluster) !== Set(5L, 6L, 7L, 8L).map(byCluster))
+    assert(Set(1L, 2L, 3L, 4L).map(byCluster).size === 1)
+    assert(Set(5L, 6L, 7L, 8L).map(byCluster).size === 1)
+    // re-run: identical assignment (no RNG anywhere)
+    val b = Cluster.kmeansAssign(pts, "id", "x", "y", k = 2, iters = 3)
+    assert(b.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap === byCluster)
+  }
+
+  test("kmeans keeps the previous centroid when a cluster goes empty") {
+    // init takes the 3 smallest ids as centroids; centroid 1 (point 2)
+    // immediately loses every point to its neighbors at distance 0/1 —
+    // with ties broken to the lowest cid
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 2L, 0L)).toDF("id", "x", "y")
+    // should not throw, and every row still gets a cluster in 0..2
+    val out = Cluster.kmeansAssign(pts, "id", "x", "y", k = 3, iters = 4).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getInt(3)).forall(c => c >= 0 && c <= 2))
+  }
+
+  test("kmeansProfile sums are exact and cover all rows") {
+    val pts = (1L to 100L).map(i => (i, i % 10, i % 7)).toDF("id", "x", "y")
+    val prof = Cluster.kmeansProfile(pts, "id", "x", "y", k = 3, iters = 2).collect()
+    assert(prof.map(_.getLong(1)).sum === 100L)
+    assert(prof.map(_.getLong(2)).sum === (1L to 100L).map(_ % 10).sum)
+    assert(prof.map(_.getLong(3)).sum === (1L to 100L).map(_ % 7).sum)
+  }
+
+  // ---- pearsonMatrix ----------------------------------------------------
+
+  test("pearsonMatrix: perfectly linear columns give r = ±1, constant-free exact moments") {
+    val df = (1L to 50L).map(i => (i, 3 * i + 7, -2 * i)).toDF("a", "b", "c")
+    val out = Stats
+      .pearsonMatrix(df, Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(out(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(out(("a", "c")) + 1.0) < 1e-12)
+    assert(math.abs(out(("b", "c")) + 1.0) < 1e-12)
+  }
+
+  test("pearsonMatrix matches a hand-computed r on small data") {
+    val rows = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
+    val df = rows.toDF("a", "b")
+    val n = rows.size.toDouble
+    val sa = rows.map(_._1).sum.toDouble
+    val sb = rows.map(_._2).sum.toDouble
+    val saa = rows.map(r => r._1 * r._1).sum.toDouble
+    val sbb = rows.map(r => r._2 * r._2).sum.toDouble
+    val sab = rows.map(r => r._1 * r._2).sum.toDouble
+    val want = (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    val got = Stats.pearsonMatrix(df, Seq("a", "b")).collect().head.getDouble(3)
+    assert(got === want) // bit-exact, same expression shape
+  }
+
+  // ---- heavyHitters -----------------------------------------------------
+
+  test("heavyHitters equals the exact answer on a skewed corpus (MG only prunes)") {
+    // zipfian-ish: token t_i appears 1000/i times, i = 1..60; plus a
+    // long tail of singletons that MUST be pruned by the MG pass
+    val rows =
+      (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"t_$i")) ++ (1 to 5000).map(i => s"tail_$i")
+    val items = rows.toDF("item").repartition(8)
+    val minFreq = 0.01
+    val out = Sketches
+      .heavyHitters(items, "item", capacity = 200, minFreq = minFreq)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val exact = rows
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val total = rows.size.toLong
+    val thresh = math.ceil(minFreq * total).toLong
+    val want = exact.filter(_._2 >= thresh)
+    assert(out === want)
+    assert(out.nonEmpty)
+  }
+
+  test("heavyHitters rejects a minFreq below the MG completeness bound") {
+    val items = Seq("a", "b").toDF("item")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(items, "item", capacity = 9, minFreq = 0.05)
+    }
+  }
+
+  // ---- tokenEntropy / pmiGrid ------------------------------------------
+
+  test("tokenEntropy: uniform tokens give ln(k), single token gives 0") {
+    val docs = Seq(
+      ("uniform", "a b c d"), // 4 distinct tokens, once each -> ln 4
+      ("point", "x x x x") // one token -> 0
+    ).toDF("source", "text")
+    val h = Stats
+      .tokenEntropy(docs, "text", "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(h("uniform")._1 === 4L)
+    assert(math.abs(h("uniform")._2 - math.log(4)) < 1e-9)
+    assert(h("point")._1 === 4L)
+    assert(math.abs(h("point")._2) < 1e-9)
+  }
+
+  test("tokenEntropy is deterministic across partitionings") {
+    val docs = (1 to 200)
+      .map(i => (s"s${i % 3}", s"tok${i % 17} tok${i % 5} tok${i % 11}"))
+      .toDF("source", "text")
+    val a = Stats.tokenEntropy(docs.repartition(1), "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Stats.tokenEntropy(docs.repartition(7), "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // bit-exact: quantized-long sums
+  }
+
+  test("pmiGrid: independent columns give pmi 0, perfectly dependent give ln(k)") {
+    // x uniform over 2, y == x: joint = marginal -> pmi = ln 2 on the
+    // diagonal; an independent grid gives pmi = 0 everywhere
+    val dep = (1 to 40).map(i => (s"x${i % 2}", s"y${i % 2}")).toDF("a", "b")
+    val depOut = Stats.pmiGrid(dep, "a", "b").collect()
+    assert(depOut.length === 2)
+    depOut.foreach(r => assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-9))
+    val ind = (0 until 40).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}")).toDF("a", "b")
+    Stats.pmiGrid(ind, "a", "b").collect().foreach { r =>
+      assert(math.abs(r.getDouble(3)) < 1e-9)
+      assert(r.getLong(2) === 10L)
+    }
+  }
+}
