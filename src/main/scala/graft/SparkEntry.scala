@@ -1452,6 +1452,36 @@ object SparkEntry {
       o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
+    }),
+    // Cluster-balanced sample: k-means assignment (as q96), then the 25
+    // smallest seeded-md5 keys per cluster — the even-across-modes
+    // selection step of a curation mixture.
+    "q104_cluster_sample" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars").as("x"),
+        (length(col("text")) - length(translate(col("text"), " ", ""))).cast("long").as("y")
+      )
+      Cluster.clusterBalancedSample(p, "doc_id", "x", "y", k = 4, iters = 3, perCluster = 25, seed = "g104")
+    }),
+    // Monthly revenue per order priority with running cumulative cents
+    // and cumulative share — the partitioned running-total window shape
+    // (never a global sort; one shuffle on the priority key).
+    "q105_cumulative_revenue" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(sum(cents(col("o_totalprice"))).as("month_cents"))
+      val byP = Window.partitionBy(col("o_orderpriority"))
+      val cum = byP.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("cum_cents", sum(col("month_cents")).over(cum))
+        .withColumn(
+          "cum_share",
+          col("cum_cents").cast("double") / sum(col("month_cents")).over(byP).cast("double")
+        )
     })
   )
 
@@ -2753,38 +2783,14 @@ object SparkEntry {
           |JOIN nation ON c_nationkey = n_nationkey
           |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
       // Lloyd's k-means, k=4, 3 centroid updates + final assignment —
-      // the iteration unrolled as CTEs. Same init (4 smallest ids),
-      // same tie-break (dist, cid), same exact-long centroid sums.
-      "q96_kmeans" -> {
-        def assign(prev: String, out: String) =
-          s"""$out AS (SELECT id, x, y, cid FROM (
-             |    SELECT p.id, p.x, p.y, c.cid, row_number() OVER (PARTITION BY p.id
-             |      ORDER BY (CAST(p.x AS DOUBLE)-c.cx)*(CAST(p.x AS DOUBLE)-c.cx)
-             |             + (CAST(p.y AS DOUBLE)-c.cy)*(CAST(p.y AS DOUBLE)-c.cy), c.cid) AS rn
-             |    FROM p CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-        def update(asn: String, prev: String, out: String) =
-          s"""$out AS (SELECT c.cid,
-             |    coalesce(CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE), c.cx) AS cx,
-             |    coalesce(CAST(s.sy AS DOUBLE)/CAST(s.n AS DOUBLE), c.cy) AS cy
-             |  FROM $prev c LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
-             |      count(*) AS n FROM $asn GROUP BY 1) s ON s.cid = c.cid)""".stripMargin
-        s"""WITH p AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
-           |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
-           |  FROM documents),
-           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
-           |    CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
-           |  FROM (SELECT * FROM p ORDER BY id LIMIT 4)),
-           |${assign("c0", "a1")},
-           |${update("a1", "c0", "c1")},
-           |${assign("c1", "a2")},
-           |${update("a2", "c1", "c2")},
-           |${assign("c2", "a3")},
-           |${update("a3", "c2", "c3")},
-           |${assign("c3", "a4")}
+      // the iteration unrolled as CTEs (shared with q104). Same init
+      // (4 smallest ids), same tie-break (dist, cid), same exact-long
+      // centroid sums.
+      "q96_kmeans" ->
+        s"""WITH $kmeansCtesSql
            |SELECT cid AS cluster, count(*) AS n,
            |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
-           |FROM a4 GROUP BY 1""".stripMargin
-      },
+           |FROM a4 GROUP BY 1""".stripMargin,
       // Heavy hitters: exact SQL — the MG pass only prunes candidates,
       // the contract is exact counts of every token at ≥ 2% share.
       "q97_heavy_hitters" ->
@@ -2888,7 +2894,27 @@ object SparkEntry {
           |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
           |  AND EXISTS (SELECT 1 FROM lineitem l
           |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-          |GROUP BY 1""".stripMargin
+          |GROUP BY 1""".stripMargin,
+      // Same a4 assignment as q96, then the 25 smallest seeded-md5
+      // keys per cluster (ties by id).
+      "q104_cluster_sample" ->
+        s"""WITH $kmeansCtesSql
+           |SELECT cid AS cluster, id AS doc_id, x, y FROM (
+           |  SELECT a4.*, row_number() OVER (PARTITION BY cid
+           |    ORDER BY md5('g104' || CAST(id AS VARCHAR)), id) AS rn FROM a4)
+           |WHERE rn <= 25""".stripMargin,
+      "q105_cumulative_revenue" ->
+        """WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+          |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS month_cents
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT o_orderpriority, month, month_cents,
+          |  CAST(sum(month_cents) OVER (PARTITION BY o_orderpriority ORDER BY month
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+          |  CAST(sum(month_cents) OVER (PARTITION BY o_orderpriority ORDER BY month
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    / CAST(sum(month_cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+          |    AS cum_share
+          |FROM m""".stripMargin
     )
   }
 
@@ -3087,6 +3113,41 @@ object SparkEntry {
       |  list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
       |              w -> w <> '') AS words
       |FROM documents""".stripMargin
+
+  /** Shared Lloyd's-k-means CTE chain for the q96/q104 oracles: points
+    * `p(id, x, y)` from documents (x = n_chars, y = space count), init
+    * `c0` = the 4 smallest ids, three assign/update rounds, final
+    * assignment `a4` — mirroring `Cluster.kmeansAssign` op for op
+    * (same (dist, cid) tie-break, exact-long centroid sums, empty
+    * clusters keep their previous centroid).
+    */
+  private lazy val kmeansCtesSql: String = {
+    def assign(prev: String, out: String) =
+      s"""$out AS (SELECT id, x, y, cid FROM (
+         |    SELECT p.id, p.x, p.y, c.cid, row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (CAST(p.x AS DOUBLE)-c.cx)*(CAST(p.x AS DOUBLE)-c.cx)
+         |             + (CAST(p.y AS DOUBLE)-c.cy)*(CAST(p.y AS DOUBLE)-c.cy), c.cid) AS rn
+         |    FROM p CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    def update(asn: String, prev: String, out: String) =
+      s"""$out AS (SELECT c.cid,
+         |    coalesce(CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE), c.cx) AS cx,
+         |    coalesce(CAST(s.sy AS DOUBLE)/CAST(s.n AS DOUBLE), c.cy) AS cy
+         |  FROM $prev c LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
+         |      count(*) AS n FROM $asn GROUP BY 1) s ON s.cid = c.cid)""".stripMargin
+    s"""p AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+       |  FROM documents),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
+       |    CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
+       |  FROM (SELECT * FROM p ORDER BY id LIMIT 4)),
+       |${assign("c0", "a1")},
+       |${update("a1", "c0", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c1", "c2")},
+       |${assign("c2", "a3")},
+       |${update("a3", "c2", "c3")},
+       |${assign("c3", "a4")}""".stripMargin
+  }
 
   /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
     * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.

@@ -85,6 +85,40 @@ object Cluster {
     p.withColumn("cluster", assignExpr(finalCents, col(xCol), col(yCol)))
   }
 
+  /** Cluster-balanced corpus sample: run [[kmeansAssign]], then keep
+    * the `perCluster` rows with the smallest seeded-md5 key inside each
+    * cluster — the "sample evenly across content clusters" step a
+    * curation pipeline uses so one dominant mode can't crowd out the
+    * mixture (the same motivation as SemDeDup's cluster pruning, but
+    * for selection rather than dedup). Fully deterministic: md5 keys,
+    * ties broken by id.
+    *
+    * Shape: one row_number window partitioned by cluster. With small k
+    * that is k reducers; for huge corpora push `perCluster` selection
+    * through a two-phase top-N (per-partition local top-N first — the
+    * same trick `Analytics.topKPerGroup` documents) before the final
+    * per-cluster merge.
+    */
+  def clusterBalancedSample(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      iters: Int,
+      perCluster: Int,
+      seed: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(points, idCol, xCol, yCol, k, iters)
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("cluster")).orderBy(key, col(idCol))
+    assigned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perCluster)
+      .select(col("cluster").cast("long").as("cluster"), col(idCol), col(xCol), col(yCol))
+  }
+
   /** Cluster profile after `iters` iterations: (cluster, n, sum_x,
     * sum_y) — all exact longs, the hash-exact oracle surface.
     */

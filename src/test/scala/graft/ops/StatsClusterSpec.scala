@@ -85,6 +85,27 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(prof.map(_.getLong(3)).sum === (1L to 100L).map(_ % 7).sum)
   }
 
+  test("clusterBalancedSample takes at most perCluster per cluster, deterministically") {
+    val pts = ((1L to 50L).map(i => (i, i % 3, i % 5)) ++
+      (51L to 60L).map(i => (i, 1000 + i % 2, 1000 + i % 2))).toDF("id", "x", "y")
+    val s1 = Cluster
+      .clusterBalancedSample(pts, "id", "x", "y", k = 2, iters = 3, perCluster = 5, seed = "t")
+      .collect()
+    val byCluster = s1.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byCluster.values.forall(_ <= 5))
+    assert(byCluster.values.sum === s1.length && s1.length >= 6) // both blobs represented
+    val s2 = Cluster
+      .clusterBalancedSample(pts, "id", "x", "y", k = 2, iters = 3, perCluster = 5, seed = "t")
+      .collect()
+    assert(s1.map(_.getLong(1)).sorted.toSeq === s2.map(_.getLong(1)).sorted.toSeq)
+    // a different seed picks a different subset (overwhelmingly likely
+    // with 45 candidates choose 5)
+    val s3 = Cluster
+      .clusterBalancedSample(pts, "id", "x", "y", k = 2, iters = 3, perCluster = 5, seed = "u")
+      .collect()
+    assert(s3.map(_.getLong(1)).sorted.toSeq !== s1.map(_.getLong(1)).sorted.toSeq)
+  }
+
   // ---- pearsonMatrix ----------------------------------------------------
 
   test("pearsonMatrix: perfectly linear columns give r = ±1, constant-free exact moments") {
