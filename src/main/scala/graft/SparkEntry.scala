@@ -1482,7 +1482,60 @@ object SparkEntry {
           "cum_share",
           col("cum_cents").cast("double") / sum(col("month_cents")).over(byP).cast("double")
         )
-    })
+    }),
+    // TPC-H Q17-shaped small-quantity revenue: lineitems with qty below
+    // half their part's average. The correlated average is ONE partial
+    // agg per part joined back on the part key, and the threshold
+    // compare is pure integers (qty·2·cnt < sum_qty) — no division, no
+    // FP, exact at any scale.
+    "q106_small_qty_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("pc")
+      )
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      l.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("qty") * 2L * col("cnt") < col("sum_qty"))
+        .agg(
+          sum(col("pc")).as("revenue_cents"),
+          count(lit(1)).as("n_items")
+        )
+    }),
+    // TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    // keep every supplier tying the maximum. The max is a 1-row
+    // broadcast; equality is exact (integer revenue), so the argmax is
+    // deterministic cross-engine — the classic "join back to the max"
+    // without a window over everything.
+    "q107_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_e4")
+        )
+      val mx = rev.agg(max(col("revenue_e4")).as("max_rev"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val top = rev
+        .crossJoin(broadcast(mx))
+        .filter(col("revenue_e4") === col("max_rev"))
+      // the tied-max set is a handful of rows — IT broadcasts onto
+      // supplier, never the other way around
+      sup
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+    }),
+    // Language-ID evaluation: confusion matrix of labeled vs predicted
+    // lang. The label rides THROUGH the langid projection (no re-join
+    // on doc_id); one tiny grid shuffle + a window over the grid.
+    "q108_langid_confusion" -> ((s, dir) =>
+      Classify.confusionMatrix(
+        TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id", keep = Seq("lang")),
+        "lang",
+        "pred_lang"
+      ))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2903,6 +2956,48 @@ object SparkEntry {
            |  SELECT a4.*, row_number() OVER (PARTITION BY cid
            |    ORDER BY md5('g104' || CAST(id AS VARCHAR)), id) AS rn FROM a4)
            |WHERE rn <= 25""".stripMargin,
+      // Integer-exact correlated-average threshold: qty*2*cnt < sum.
+      "q106_small_qty_revenue" ->
+        """WITH l AS (SELECT l_partkey, CAST(round(l_quantity,0) AS BIGINT) AS qty,
+          |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc FROM lineitem),
+          |pp AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_qty,
+          |    count(*) AS cnt FROM l GROUP BY 1)
+          |SELECT CAST(sum(pc) AS BIGINT) AS revenue_cents, count(*) AS n_items
+          |FROM l JOIN pp ON l_partkey = pk
+          |WHERE qty * 2 * cnt < sum_qty""".stripMargin,
+      "q107_top_supplier" ->
+        """WITH rev AS (SELECT l_suppkey,
+          |    CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+          |      * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, revenue_e4
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE revenue_e4 = (SELECT max(revenue_e4) FROM rev)""".stripMargin,
+      // q22's prediction chain + labels -> confusion grid; frac from
+      // exact-long counts.
+      "q108_langid_confusion" ->
+        s"""WITH t AS ($wordsSql),
+           |s AS (SELECT t.doc_id, d.text, d.lang,
+           |   len(list_filter(words, w -> w IN ('the','a','of','and','is'))) AS s_en,
+           |   len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+           |   len(list_filter(words, w -> w IN ('le','la','les','et','est'))) AS s_fr,
+           |   len(list_filter(words, w -> w IN ('el','los','las','es','y'))) AS s_es
+           | FROM t JOIN documents d ON d.doc_id = t.doc_id),
+           |p AS (SELECT doc_id, lang,
+           | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |      WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |      ELSE 'es' END AS pred_lang
+           |FROM s),
+           |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+           |SELECT lang, pred_lang, n,
+           |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+           |FROM g""".stripMargin,
       "q105_cumulative_revenue" ->
         """WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
           |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS month_cents

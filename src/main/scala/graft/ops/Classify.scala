@@ -167,4 +167,22 @@ object Classify {
       nBuckets: Int = 4096
   ): DataFrame =
     nbClassify(test, nbFit(train, textCol, idCol, labelCol, nBuckets), textCol, idCol, nBuckets)
+
+  /** Classifier evaluation: the (actual, predicted) confusion grid with
+    * exact counts and each cell's share of its actual-class row
+    * (`frac` — the diagonal cells are per-class recall). One shuffle to
+    * the label-pair grid; the row totals come from a window over that
+    * tiny grid, never a second pass over the predictions.
+    */
+  def confusionMatrix(preds: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = preds
+      .groupBy(col(actualCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
+    grid.withColumn(
+      "frac",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col(actualCol))).cast("double")
+    )
+  }
 }

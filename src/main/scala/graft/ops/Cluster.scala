@@ -47,14 +47,18 @@ object Cluster {
     * A cluster that goes empty keeps its previous centroid (both this
     * and the SQL oracle coalesce to the prior round's value).
     */
-  def kmeansAssign(
+  /** Trains the centroids alone (init + `iters` Lloyd updates) — the
+    * bounded driver-side model behind [[kmeansAssign]] and the at-rest
+    * [[writeModel]]/[[assignFromModel]] pair.
+    */
+  def kmeansCentroids(
       points: DataFrame,
       idCol: String,
       xCol: String,
       yCol: String,
       k: Int,
       iters: Int
-  ): DataFrame = {
+  ): Seq[(Int, Double, Double)] = {
     require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
     val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
     // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
@@ -66,7 +70,7 @@ object Cluster {
       .zipWithIndex
       .map { case (r, i) => (i, r.getDouble(0), r.getDouble(1)) }
       .toSeq
-    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+    (1 to iters).foldLeft(init) { (cents, _) =>
       // One job per iteration: assign (map-side) + k-row groupBy.
       val sums = p
         .select(assignExpr(cents, col(xCol), col(yCol)).as("cid"), col(xCol), col(yCol))
@@ -82,7 +86,70 @@ object Cluster {
         }
       }
     }
+  }
+
+  def kmeansAssign(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    val finalCents = kmeansCentroids(points, idCol, xCol, yCol, k, iters)
+    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
     p.withColumn("cluster", assignExpr(finalCents, col(xCol), col(yCol)))
+  }
+
+  /** Persists trained centroids as a k-row parquet model — train once
+    * on a sample/snapshot, then [[assignFromModel]] scores any later
+    * corpus (or stream micro-batch) map-side without re-training: the
+    * same at-rest-model discipline as `Dsir`'s surprisal models and
+    * `Sketches.writeSketch`.
+    */
+  def writeModel(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      iters: Int,
+      path: String
+  ): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    kmeansCentroids(points, idCol, xCol, yCol, k, iters)
+      .toDF("cid", "cx", "cy")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Assignment against an at-rest model: reads the k-row centroid
+    * table (bounded collect), folds it into the same literal argmin
+    * expression as the inline path — the plan is a pure map-side
+    * projection, no join, no shuffle. Bit-identical to
+    * [[kmeansAssign]] when the model was written from the same
+    * training run (spec-pinned).
+    */
+  def assignFromModel(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      path: String
+  ): DataFrame = {
+    val cents = points.sparkSession.read
+      .parquet(path)
+      .select(col("cid"), col("cx"), col("cy"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"empty k-means model at $path")
+    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+    p.withColumn("cluster", assignExpr(cents, col(xCol), col(yCol)))
   }
 
   /** Cluster-balanced corpus sample: run [[kmeansAssign]], then keep

@@ -24,7 +24,7 @@ object TextAnalysis {
     * pick the argmax (fixed priority order on ties); CJK-range characters
     * short-circuit to zh.
     */
-  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def langId(df: DataFrame, textCol: String, idCol: String, keep: Seq[String] = Nil): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     val scores = markers.map { case (lang, ms) =>
       lang -> size(filter(toks, t => t.isInCollection(ms)))
@@ -34,9 +34,13 @@ object TextAnalysis {
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
     // \x{...} escapes parse in both Java regex and RE2 (\uXXXX is Java-only)
+    // `keep` carries extra per-doc columns (e.g. the labeled lang for a
+    // confusion matrix) through the projection — free, vs re-joining the
+    // prediction back to the corpus on the id
     df.select(
-      col(idCol).as("doc_id"),
-      when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick).as("pred_lang")
+      col(idCol).as("doc_id") +:
+        when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick).as("pred_lang") +:
+        keep.map(col): _*
     )
   }
 

@@ -87,5 +87,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val pr = SparkEntry.queries("q98_correlation")(spark, dir).queryExecution.executedPlan.toString
     assert(!pr.contains("Join") && !pr.contains("Window"),
       s"q98 must stay a scan-agg + tiny union:\n${pr.take(1500)}")
+    // Q15-shape: the tied-max set and the 1-row max ride broadcasts;
+    // nothing shuffles into a sort-merge join
+    val ts = SparkEntry.queries("q107_top_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ts.contains("BroadcastHashJoin") && !ts.contains("SortMergeJoin"),
+      s"q107 lost its broadcast argmax shape:\n${ts.take(1500)}")
+    // langid confusion: the label rides the projection — no join at all
+    val cf = SparkEntry.queries("q108_langid_confusion")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!cf.contains("Join"), s"q108 gained a join (label must ride the projection):\n${cf.take(1500)}")
   }
 }

@@ -85,6 +85,18 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(prof.map(_.getLong(3)).sum === (1L to 100L).map(_ % 7).sum)
   }
 
+  test("assignFromModel == inline kmeansAssign bit-for-bit; model plan is map-side") {
+    val pts = (1L to 80L).map(i => (i, (i % 13) * 3, (i % 7) * 5)).toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("kmmodel").toString + "/model"
+    Cluster.writeModel(pts, "id", "x", "y", k = 3, iters = 2, path)
+    val inline = Cluster.kmeansAssign(pts, "id", "x", "y", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val fromModel = Cluster.assignFromModel(pts, "id", "x", "y", path)
+    assert(fromModel.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap === inline)
+    // centroids are literals: no join anywhere in the scoring plan
+    assert(!fromModel.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("clusterBalancedSample takes at most perCluster per cluster, deterministically") {
     val pts = ((1L to 50L).map(i => (i, i % 3, i % 5)) ++
       (51L to 60L).map(i => (i, 1000 + i % 2, 1000 + i % 2))).toDF("id", "x", "y")
@@ -166,6 +178,21 @@ class StatsClusterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(items, "item", capacity = 9, minFreq = 0.05)
     }
+  }
+
+  test("confusionMatrix: exact counts, diagonal frac is per-class recall") {
+    val preds = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"), ("de", "de"), ("zh", "zh")
+    ).toDF("lang", "pred_lang")
+    val m = Classify
+      .confusionMatrix(preds, "lang", "pred_lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(m(("en", "en")) === ((2L, 2.0 / 3.0)))
+    assert(m(("en", "de")) === ((1L, 1.0 / 3.0)))
+    assert(m(("de", "de")) === ((1L, 1.0)))
+    assert(m(("zh", "zh")) === ((1L, 1.0)))
   }
 
   // ---- tokenEntropy / pmiGrid ------------------------------------------
