@@ -1535,7 +1535,21 @@ object SparkEntry {
         TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id", keep = Seq("lang")),
         "lang",
         "pred_lang"
-      ))
+      )),
+    // Per-type least-squares trend of daily event volume — the drift
+    // monitor. Day index and counts are exact integers; the fit is the
+    // exact-moment OLS (one grid shuffle + a moments projection).
+    "q109_daily_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x")
+        )
+        .agg(count(lit(1)).as("y"))
+      Stats
+        .trendPerGroup(daily, Seq("event_type"), "x", "y")
+        .withColumnRenamed("n", "n_days")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -2373,13 +2387,7 @@ object SparkEntry {
            |vals AS (SELECT DISTINCT v FROM (
            |  SELECT t + 1 AS v FROM model UNION ALL SELECT r + 1 FROM model
            |  UNION ALL SELECT bigT + 4096 FROM tot UNION ALL SELECT bigR + 4096 FROM tot)),
-           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
-           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
-           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
-           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
-           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
-           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
-           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |$glogChainSql,
            |lr AS (SELECT m.bucket,
            |    CAST(round((glt.glog - glr.glog - (glbt.glog - glbr.glog)) * 1000000000.0) AS BIGINT) AS lrq
            |  FROM model m
@@ -2456,13 +2464,7 @@ object SparkEntry {
            |cbg AS (SELECT bb, count(*) AS c FROM pb GROUP BY 1),
            |vals AS (SELECT DISTINCT v FROM (
            |  SELECT c + 4096 AS v FROM cu UNION ALL SELECT c + 1 FROM cbg)),
-           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
-           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
-           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
-           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
-           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
-           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
-           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |$glogChainSql,
            |cuq AS (SELECT cb, CAST(round(gl.glog * 1000000000.0) AS BIGINT) AS glq_u
            |  FROM cu JOIN gl ON gl.v = cu.c + 4096),
            |bgq AS (SELECT bb, CAST(round(gl.glog * 1000000000.0) AS BIGINT) AS glq_b
@@ -2665,13 +2667,7 @@ object SparkEntry {
            |dft AS (SELECT token, count(*) AS df FROM cand GROUP BY 1),
            |vals AS (SELECT DISTINCT v FROM (
            |  SELECT 2 * n_docs + 2 AS v FROM st UNION ALL SELECT 2 * df + 1 FROM dft)),
-           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
-           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
-           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
-           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
-           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
-           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
-           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |$glogChainSql,
            |gn AS (SELECT gl.glog AS glog_n FROM st JOIN gl ON gl.v = 2 * st.n_docs + 2),
            |idf AS (SELECT d.token, gn.glog_n - gl.glog AS idf
            |  FROM dft d JOIN gl ON gl.v = 2 * d.df + 1 CROSS JOIN gn),
@@ -2707,13 +2703,7 @@ object SparkEntry {
            |vals AS (SELECT DISTINCT v FROM (
            |  SELECT c + 1 AS v FROM pc UNION ALL SELECT tot + 4096 FROM lt
            |  UNION ALL SELECT docs_l FROM ld UNION ALL SELECT n_docs FROM nn)),
-           |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
-           |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
-           |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
-           |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
-           |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
-           |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
-           |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+           |$glogChainSql,
            |llq AS (SELECT pc.label, pc.bucket,
            |    CAST(round((glc.glog - glt.glog) * 1000000000.0) AS BIGINT) AS llq
            |  FROM pc JOIN gl glc ON glc.v = pc.c + 1
@@ -2794,17 +2784,11 @@ object SparkEntry {
       // E-S keys: e = (glog(2^24) - glog(h)) / w, h = md5-seeded 24-bit
       // uniform + 1; k smallest, ties by doc_id. Shared glog chain.
       "q93_weighted_sample" ->
-        """WITH d AS (SELECT doc_id, n_chars,
+        s"""WITH d AS (SELECT doc_id, n_chars,
           |    ('0x' || substr(md5('g93' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1 AS h
           |  FROM documents),
           |vals AS (SELECT DISTINCT v FROM (SELECT h AS v FROM d UNION ALL SELECT 16777216)),
-          |gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),
-          |gl1 AS (SELECT v, e, sqrt(sqrt(CAST(v AS DOUBLE) / (2.0 ** e))) AS r FROM gl0),
-          |gl2 AS (SELECT v, e, (r - 1.0) / (r + 1.0) AS z,
-          |               ((r - 1.0) / (r + 1.0)) * ((r - 1.0) / (r + 1.0)) AS w FROM gl1),
-          |gl AS (SELECT v, e * 0.6931471805599453 + 8.0 * (z * (1.0 + w * (1.0/3.0 +
-          |    w * (1.0/5.0 + w * (1.0/7.0 + w * (1.0/9.0 + w * (1.0/11.0 +
-          |    w * (1.0/13.0 + w * (1.0/15.0))))))))) AS glog FROM gl2),
+          |$glogChainSql,
           |ek AS (SELECT d.doc_id, d.n_chars,
           |    (glm.glog - glh.glog) / CAST(d.n_chars AS DOUBLE) AS es_key
           |  FROM d JOIN gl glh ON glh.v = d.h
@@ -2998,6 +2982,28 @@ object SparkEntry {
            |SELECT lang, pred_lang, n,
            |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
            |FROM g""".stripMargin,
+      // Exact-moment OLS, mirrored term for term; single-x groups give
+      // null slope/intercept in both engines.
+      "q109_daily_trend" ->
+        """WITH d AS (SELECT event_type,
+          |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+          |  FROM d GROUP BY 1)
+          |SELECT event_type, n AS n_days,
+          |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+          |            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+          |    THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+          |       / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          |    END AS slope,
+          |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+          |            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+          |    THEN (CAST(sy AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sxy AS DOUBLE))
+          |       / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          |    END AS intercept
+          |FROM m""".stripMargin,
       "q105_cumulative_revenue" ->
         """WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
           |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS month_cents
@@ -3246,8 +3252,7 @@ object SparkEntry {
 
   /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
     * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.
-    * Shared by the entropy/PMI oracles; q79/q83/q87/q88/q93 carry their
-    * own (pre-helper) copies of the same text.
+    * ONE copy shared by every glog oracle (q79/q83/q87/q88/q93/q99/q100).
     */
   private val glogChainSql =
     """gl0 AS (SELECT v, CAST(length(bin(CAST(v AS BIGINT))) - 1 AS DOUBLE) AS e FROM vals),

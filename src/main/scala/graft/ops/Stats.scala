@@ -69,6 +69,52 @@ object Stats {
     outs.reduce(_ unionByName _)
   }
 
+  /** Per-group least-squares trend line of integral `yCol` over
+    * integral `xCol` — the "is this source's daily volume drifting"
+    * monitoring fit. Same exact-moment discipline as [[pearsonMatrix]]:
+    * decimal sums, one fixed IEEE expression per group —
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * A single-point (or single-x) group has zero denominator → null
+    * slope/intercept in both engines (0/0 NaN is avoided by the
+    * explicit null guard).
+    *
+    * One shuffle to per-group moments (map-side combined); the fit is a
+    * projection of the tiny moments table.
+    */
+  def trendPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = col(xCol)
+    val y = col(yCol)
+    val m = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(x)).as("sx"),
+        sum(dec(y)).as("sy"),
+        sum(dec(x * x)).as("sxx"),
+        sum(dec(x * y)).as("sxy")
+      )
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double")
+    val den = nd * sxx - sx * sx
+    m.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        when(den =!= lit(0.0), (nd * sxy - sx * sy) / den).as("slope"),
+        when(den =!= lit(0.0), (sy * sxx - sx * sxy) / den).as("intercept")
+      ): _*
+    )
+  }
+
   /** Shannon entropy (nats) of the token distribution per `groupCol` —
     * the "how diverse is this source's text" profile a mixture-weighting
     * pipeline reads before boosting a source ([[Dsir]] consumes the same

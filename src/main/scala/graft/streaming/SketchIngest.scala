@@ -98,7 +98,8 @@ object SketchIngest {
       batchId: Long,
       fold: DataFrame => DataFrame,
       keyCols: Seq[String],
-      path: String
+      path: String,
+      finish: DataFrame => DataFrame = identity
   ): Boolean = {
     import org.apache.spark.sql.functions.{col, sum}
     val spark = batch.sparkSession
@@ -109,7 +110,10 @@ object SketchIngest {
     if (stored.exists(_ >= batchId)) return false
 
     val batchCounts = fold(batch)
-    val merged =
+    // `finish` post-processes the MERGED table before it is committed —
+    // e.g. HeavyHitterIngest's deterministic Misra-Gries prune keeping
+    // the at-rest state bounded. Identity for plain additive state.
+    val merged = finish(
       if (fs.exists(live)) {
         val current = spark.read.parquet(path)
         current
@@ -117,6 +121,7 @@ object SketchIngest {
           .groupBy(keyCols.map(col): _*)
           .agg(sum(col("n")).as("n"))
       } else batchCounts
+    )
 
     val fresh = new HPath(path + ".new")
     Dfs.rmTree(fs, fresh) // stray .new from a pre-swap crash: never acknowledged, rebuild

@@ -132,6 +132,21 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(math.abs(out(("b", "c")) + 1.0) < 1e-12)
   }
 
+  test("trendPerGroup recovers an exact linear law; single-x group yields nulls") {
+    // y = 3x + 7 exactly -> slope 3, intercept 7 with zero residual
+    val df = ((1L to 20L).map(x => ("lin", x, 3 * x + 7)) :+ (("point", 5L, 9L)))
+      .toDF("g", "x", "y")
+    val out = Stats
+      .trendPerGroup(df, Seq("g"), "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(out("lin").getLong(1) === 20L)
+    assert(out("lin").getDouble(2) === 3.0)
+    assert(out("lin").getDouble(3) === 7.0)
+    assert(out("point").isNullAt(2) && out("point").isNullAt(3))
+  }
+
   test("pearsonMatrix matches a hand-computed r on small data") {
     val rows = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
     val df = rows.toDF("a", "b")
