@@ -128,12 +128,23 @@ object Stats {
     * corpus-scan shuffle on (group, token) with map-side combine, then a
     * tiny per-group fold.
     */
-  def tokenEntropy(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+  def tokenEntropy(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    tokenEntropyFromCounts(
+      df.select(col(groupCol), explode(Fns.tokens(col(textCol))).as("token"))
+        .groupBy(col(groupCol), col("token"))
+        .agg(count(lit(1)).as("n")),
+      groupCol
+    )
+
+  /** [[tokenEntropy]] from an already-built (`groupCol`, token, n)
+    * count table — e.g. one continuously maintained by
+    * `SketchIngest.countIngest` (addition-mergeable, so the streamed
+    * table is bit-identical to a batch rebuild and this read gives the
+    * same entropies; spec-pinned). Keep the keyed table bounded
+    * (hashed/bounded vocabularies) per the `SketchIngest` contract.
+    */
+  def tokenEntropyFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
     val scale = 1000000000L
-    val counts = df
-      .select(col(groupCol), explode(Fns.tokens(col(textCol))).as("token"))
-      .groupBy(col(groupCol), col("token"))
-      .agg(count(lit(1)).as("n"))
     counts
       .groupBy(col(groupCol))
       .agg(
@@ -160,11 +171,18 @@ object Stats {
     * total are re-aggregations of that tiny grid (never a second corpus
     * scan) and ride back on broadcasts.
     */
-  def pmiGrid(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cxy = Materialize(
-      df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n")),
-      eager = false
-    )
+  def pmiGrid(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    pmiFromCounts(df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n")), xCol, yCol)
+
+  /** [[pmiGrid]] from an already-built (`xCol`, `yCol`, n) joint-count
+    * table — the at-rest form: a `SketchIngest.countIngest` loop keeps
+    * the (bounded) grid live, and this read derives marginals, total,
+    * and PMI from the tiny table alone, never touching the corpus.
+    * Addition-mergeable counts ⇒ streamed == batch bit-identically
+    * (spec-pinned).
+    */
+  def pmiFromCounts(counts: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cxy = Materialize(counts, eager = false)
     val cx = cxy.groupBy(col(xCol)).agg(sum(col("n")).as("n_x"))
     val cy = cxy.groupBy(col(yCol)).agg(sum(col("n")).as("n_y"))
     val tot = cxy.agg(sum(col("n")).as("n_total"))

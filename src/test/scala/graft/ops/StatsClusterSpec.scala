@@ -239,6 +239,50 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq) // bit-exact: quantized-long sums
   }
 
+  test("entropy/PMI from a SketchIngest-maintained count table == batch, bit-for-bit") {
+    import graft.streaming.SketchIngest
+    val docs = (1 to 120).map(i => (s"s${i % 3}", s"l${i % 2}", s"tok${i % 7} tok${i % 4}"))
+    val (b1, b2) = docs.splitAt(50)
+    val tmp = java.nio.file.Files.createTempDirectory("statsingest").toString
+
+    // (source, token) counts maintained over two micro-batches
+    val tokPath = s"$tmp/tok"
+    val tokFold = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("source"), explode(graft.functions.Fns.tokens(col("text"))).as("token"))
+        .groupBy("source", "token")
+        .agg(count(lit(1)).as("n"))
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      SketchIngest.ingestCountBatch(
+        b.toDF("source", "lang", "text"), i.toLong, tokFold, Seq("source", "token"), tokPath)
+    }
+    val streamedH = Stats
+      .tokenEntropyFromCounts(spark.read.parquet(tokPath), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val batchH = Stats
+      .tokenEntropy(docs.toDF("source", "lang", "text"), "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamedH.toSeq === batchH.toSeq)
+
+    // (lang, source) joint counts likewise
+    val gridPath = s"$tmp/grid"
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      SketchIngest.ingestCountBatch(
+        b.toDF("source", "lang", "text"), i.toLong,
+        (x: org.apache.spark.sql.DataFrame) =>
+          x.groupBy("lang", "source").agg(count(lit(1)).as("n")),
+        Seq("lang", "source"), gridPath)
+    }
+    val streamedP = Stats
+      .pmiFromCounts(spark.read.parquet(gridPath), "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val batchP = Stats
+      .pmiGrid(docs.toDF("source", "lang", "text"), "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamedP.toSeq === batchP.toSeq)
+  }
+
   test("pmiGrid: independent columns give pmi 0, perfectly dependent give ln(k)") {
     // x uniform over 2, y == x: joint = marginal -> pmi = ln 2 on the
     // diagonal; an independent grid gives pmi = 0 everywhere
