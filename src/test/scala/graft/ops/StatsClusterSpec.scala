@@ -162,6 +162,43 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(got === want) // bit-exact, same expression shape
   }
 
+  test("pearsonMatrix properties on random integer data: |r| <= 1, matches naive, " +
+    "invariant to positive rescaling of a column") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 4) {
+      val rows = (1 to 60).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(2000).toLong))
+      val df = rows.toDF("a", "b")
+      val r = Stats.pearsonMatrix(df, Seq("a", "b")).collect().head.getDouble(3)
+      assert(math.abs(r) <= 1.0 + 1e-12, s"round $round |r|>1: $r")
+      val n = rows.size.toDouble
+      val (sa, sb) = (rows.map(_._1).sum.toDouble, rows.map(_._2).sum.toDouble)
+      val saa = rows.map(x => x._1 * x._1).sum.toDouble
+      val sbb = rows.map(x => x._2 * x._2).sum.toDouble
+      val sab = rows.map(x => x._1 * x._2).sum.toDouble
+      val want = (n * sab - sa * sb) /
+        (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+      assert(r === want, s"round $round")
+      // r(3a, b) == r(a, b) up to FP in the rescaled moments
+      val scaled = rows.map { case (a, b) => (3 * a, b) }.toDF("a", "b")
+      val r3 = Stats.pearsonMatrix(scaled, Seq("a", "b")).collect().head.getDouble(3)
+      assert(math.abs(r3 - r) < 1e-9, s"round $round rescale moved r: $r3 vs $r")
+    }
+  }
+
+  test("tokenEntropy bounds on random corpora: 0 <= H <= ln(distinct tokens)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val docs = (1 to 80)
+      .map(_ => ("s" + rnd.nextInt(3),
+        Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("source", "text")
+    Stats.tokenEntropy(docs, "text", "source").collect().foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= -1e-9, s"negative entropy $h")
+      assert(h <= math.log(vocab.size) + 1e-9, s"entropy $h above ln(|V|)")
+    }
+  }
+
   // ---- heavyHitters -----------------------------------------------------
 
   test("heavyHitters equals the exact answer on a skewed corpus (MG only prunes)") {
