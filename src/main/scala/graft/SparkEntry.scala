@@ -1536,6 +1536,21 @@ object SparkEntry {
         "lang",
         "pred_lang"
       )),
+    // Winsorized length profile: clamp n_chars into each source's
+    // sketch-derived [p05, p95] band (bounds broadcast, clamp is a
+    // projection), then exact quantized-long sums of the clamped
+    // values. The robust-preprocessing composition over q77's sketch.
+    "q110_winsorized_lengths" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = Sketches.histogramSketch(docs, "n_chars", Seq("source"), 0.0, 1024.0, 64)
+      Sketches
+        .winsorizeFromSketch(docs, "n_chars", Seq("source"), sk, 0.05, 0.95, 0.0, 1024.0, 64)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(round(col("n_chars_winsor") * 10000).cast("long")).as("sum_winsor_q")
+        )
+    }),
     // Per-type least-squares trend of daily event volume — the drift
     // monitor. Day index and counts are exact integers; the fit is the
     // exact-moment OLS (one grid shuffle + a moments projection).
@@ -2982,6 +2997,33 @@ object SparkEntry {
            |SELECT lang, pred_lang, n,
            |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
            |FROM g""".stripMargin,
+      // q77's sketch-quantile chain at p05/p95 -> per-source clamp ->
+      // quantized-long sums (raw q_est, no rounding, mirrored exactly).
+      "q110_winsorized_lengths" ->
+        """WITH b AS (
+          |  SELECT source,
+          |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 16.0), 0.0), 63.0) AS BIGINT) AS bin,
+          |    count(*) AS n
+          |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT source, bin, n,
+          |    sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+          |    sum(n) OVER (PARTITION BY source) AS total
+          |  FROM b),
+          |r AS (SELECT source, bin, n, cum, p, greatest(p * total, 1e-12) AS rank
+          |  FROM c CROSS JOIN (SELECT unnest([0.05, 0.95]) AS p)
+          |  WHERE cum >= greatest(p * total, 1e-12)
+          |    AND (cum - n) < greatest(p * total, 1e-12)),
+          |q AS (SELECT source, p, 0.0 + (bin + (rank - (cum - n)) / n) * 16.0 AS q_est FROM r),
+          |bounds AS (SELECT source,
+          |    min(CASE WHEN p = 0.05 THEN q_est END) AS qlo,
+          |    min(CASE WHEN p = 0.95 THEN q_est END) AS qhi
+          |  FROM q GROUP BY 1),
+          |w AS (SELECT d.source,
+          |    least(greatest(CAST(d.n_chars AS DOUBLE), b.qlo), b.qhi) AS v
+          |  FROM documents d JOIN bounds b ON b.source = d.source)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CAST(round(v * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_winsor_q
+          |FROM w GROUP BY 1""".stripMargin,
       // Exact-moment OLS, mirrored term for term; single-x groups give
       // null slope/intercept in both engines.
       "q109_daily_trend" ->

@@ -218,6 +218,41 @@ object Sketches {
       .drop("bin", "cum_below", "n", "total")
   }
 
+  /** Robust clamping (winsorization) against sketch quantiles: caps
+    * `valueCol` into the per-group [pLow, pHigh] quantile band derived
+    * from a (possibly at-rest / streamed) histogram sketch — the
+    * outlier-taming preprocessing step before scale-sensitive features.
+    * The bounds table is O(groups) rows and BROADCASTS onto the data;
+    * the clamp is one `least(greatest(...))` projection — the corpus
+    * never shuffles. Appends `<valueCol>_winsor`.
+    */
+  def winsorizeFromSketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      sketch: DataFrame,
+      pLow: Double,
+      pHigh: Double,
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame = {
+    require(pLow < pHigh, s"need pLow < pHigh, got $pLow >= $pHigh")
+    val q = quantilesFromSketch(sketch, groupCols, Seq(pLow, pHigh), lo, hi, nBins)
+    val bounds = q
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("p") === pLow, col("q_est"))).as("_qlo"),
+        min(when(col("p") === pHigh, col("q_est"))).as("_qhi")
+      )
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(
+        s"${valueCol}_winsor",
+        least(greatest(col(valueCol).cast("double"), col("_qlo")), col("_qhi"))
+      )
+      .drop("_qlo", "_qhi")
+  }
+
   /** Misra–Gries heavy hitters with EXACT confirmation: every item of
     * `itemCol` whose total count is ≥ `minCount`, with its exact
     * count — guaranteed complete (not approximate output; the sketch

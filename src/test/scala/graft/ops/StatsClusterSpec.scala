@@ -225,6 +225,24 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("winsorizeFromSketch clamps into the per-group quantile band") {
+    // group g: values 1..100; p10/p90 on a 0..100 sketch with 100 bins
+    // land near 10 and 90 — extremes must be pulled inside, mid-range
+    // values untouched
+    val df = (1L to 100L).map(i => ("g", i)).toDF("grp", "v")
+    val sk = Sketches.histogramSketch(df, "v", Seq("grp"), 0.0, 100.0, 100)
+    val out = Sketches
+      .winsorizeFromSketch(df, "v", Seq("grp"), sk, 0.1, 0.9, 0.0, 100.0, 100)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+      .toMap
+    assert(out(1L) > 1.0 && out(1L) <= 12.0)
+    assert(out(100L) < 100.0 && out(100L) >= 88.0)
+    assert(out(50L) === 50.0)
+    // clamped values are monotone in the input
+    assert(out(1L) <= out(2L) && out(99L) <= out(100L))
+  }
+
   test("heavyHitters rejects a minFreq below the MG completeness bound") {
     val items = Seq("a", "b").toDF("item")
     intercept[IllegalArgumentException] {
