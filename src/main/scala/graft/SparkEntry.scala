@@ -2861,13 +2861,16 @@ object SparkEntry {
           cols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c*$c) AS ss_$c")) ++
             pairs.map { case (a, b) => s"sum($a*$b) AS sp_${a}_$b" }
         val outs = pairs.map { case (a, b) =>
+          val den =
+            s"""sqrt(CAST(n AS DOUBLE)*CAST(ss_$a AS DOUBLE)
+               |       - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))
+               |   * sqrt(CAST(n AS DOUBLE)*CAST(ss_$b AS DOUBLE)
+               |       - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))""".stripMargin
           s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  CASE WHEN $den <> 0.0 THEN
              |  (CAST(n AS DOUBLE)*CAST(sp_${a}_$b AS DOUBLE)
              |     - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))
-             |  / (sqrt(CAST(n AS DOUBLE)*CAST(ss_$a AS DOUBLE)
-             |       - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))
-             |   * sqrt(CAST(n AS DOUBLE)*CAST(ss_$b AS DOUBLE)
-             |       - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))) AS corr
+             |  / ($den) END AS corr
              |FROM m""".stripMargin
         }
         s"""WITH l AS (SELECT CAST(round(l_quantity,0) AS BIGINT) AS qty,

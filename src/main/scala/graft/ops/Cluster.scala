@@ -60,7 +60,12 @@ object Cluster {
       iters: Int
   ): Seq[(Int, Double, Double)] = {
     require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
-    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+    // Pinned: init + every iteration re-reads this projection — without
+    // the pin each of the iters+1 jobs re-scans the source.
+    val p = Materialize(
+      points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol)),
+      eager = false
+    )
     // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
     val init: Seq[(Int, Double, Double)] = p
       .orderBy(col(idCol))

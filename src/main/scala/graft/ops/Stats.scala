@@ -58,12 +58,14 @@ object Stats {
       val saa = col(s"ss_$a").cast("double")
       val sbb = col(s"ss_$b").cast("double")
       val sab = col(s"sp_${a}_$b").cast("double")
+      // a zero-variance column has no defined correlation: null, not
+      // NaN/Inf (the 0-denominator guard mirrors the oracle's CASE)
+      val den = sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb)
       moments.select(
         lit(a).as("col_a"),
         lit(b).as("col_b"),
         col("n"),
-        ((nd * sab - sa * sb) /
-          (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))).as("corr")
+        when(den =!= lit(0.0), (nd * sab - sa * sb) / den).as("corr")
       )
     }
     outs.reduce(_ unionByName _)

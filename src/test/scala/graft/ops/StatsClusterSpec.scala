@@ -147,6 +147,12 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(out("point").isNullAt(2) && out("point").isNullAt(3))
   }
 
+  test("pearsonMatrix: zero-variance column gives null corr, not NaN") {
+    val df = (1L to 10L).map(i => (i, 4L)).toDF("a", "b")
+    val r = Stats.pearsonMatrix(df, Seq("a", "b")).collect().head
+    assert(r.isNullAt(3))
+  }
+
   test("pearsonMatrix matches a hand-computed r on small data") {
     val rows = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
     val df = rows.toDF("a", "b")
