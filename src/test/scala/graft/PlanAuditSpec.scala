@@ -24,6 +24,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("no driver query plans a GLOBAL window (empty partitionSpec)") {
+    // the single-task-sort class the r10 verdict flagged on
+    // Curation.exactRank: a Window with no PARTITION BY funnels the
+    // whole input through one task. Bounded-table global windows exist
+    // in non-query code paths (HeavyHitterIngest.mgPrune, the exactRank
+    // opt-in) — driver queries must never plan one over corpus data.
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val globals = fn(spark, dir).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("r10 query plan pins: broadcast models, shuffle-free z-order projection") {
     val dir = "/root/testdata/sf0.001"
     // model/sketch tables must reach the data via broadcast — a shuffled
