@@ -1551,6 +1551,29 @@ object SparkEntry {
           sum(round(col("n_chars_winsor") * 10000).cast("long")).as("sum_winsor_q")
         )
     }),
+    // Month-over-month revenue growth per priority: lag() on the
+    // aggregated month grid (tiny, partitioned by priority — never a
+    // window over raw orders). Growth is a fixed-order double ratio of
+    // exact cent sums; the first month's growth is null in both engines.
+    "q111_mom_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")
+        )
+        .agg(sum(cents(col("o_totalprice"))).as("month_cents"))
+      val byP = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+      monthly
+        .withColumn("prev_cents", lag(col("month_cents"), 1).over(byP))
+        .withColumn(
+          "growth",
+          when(
+            col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
+            (col("month_cents") - col("prev_cents")).cast("double") /
+              col("prev_cents").cast("double")
+          )
+        )
+    }),
     // Per-type least-squares trend of daily event volume — the drift
     // monitor. Day index and counts are exact integers; the fit is the
     // exact-moment OLS (one grid shuffle + a moments projection).
@@ -3027,6 +3050,18 @@ object SparkEntry {
           |SELECT source, count(*) AS n_docs,
           |  CAST(sum(CAST(round(v * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_winsor_q
           |FROM w GROUP BY 1""".stripMargin,
+      "q111_mom_growth" ->
+        """WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+          |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS month_cents
+          |  FROM orders GROUP BY 1, 2),
+          |g AS (SELECT o_orderpriority, month, month_cents,
+          |    lag(month_cents) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_cents
+          |  FROM m)
+          |SELECT o_orderpriority, month, month_cents, prev_cents,
+          |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+          |    THEN CAST(month_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+          |  END AS growth
+          |FROM g""".stripMargin,
       // Exact-moment OLS, mirrored term for term; single-x groups give
       // null slope/intercept in both engines.
       "q109_daily_trend" ->

@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * consumers). No reference-repo counterpart: this extends the engine's
   * LLM-pipeline surface (SemDeDup-style curation needs a clusterer).
   *
+  * The core is N-dimensional (`featureCols: Seq[String]`); the 2-D
+  * (x, y) overloads the driver queries use delegate to it.
+  *
   * Why it is bit-exact cross-engine (the property the driver's
   * hash-compare demands, and which stock `ml.KMeans` cannot give):
-  *   - features are exact LONGs; every centroid is
+  *   - features are exact LONGs; every centroid coordinate is
   *     CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) of exact long sums —
   *     order-independent, so shuffle/merge order cannot change it;
   *   - distances are evaluated in one fixed IEEE expression shape
-  *     ((x−cx)² + (y−cy)²) with no libm calls;
+  *     (Σ_d (v_d − c_d)², summed left-to-right in feature order) with
+  *     no libm calls;
   *   - assignment ties break to the lowest cluster id via a struct
   *     (dist, cid) min;
   *   - init is the k rows with the smallest id (no RNG).
@@ -23,34 +27,98 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): each iteration is one map-side assignment
   * against k BROADCAST-LITERAL centroids (no join — the centroids are
   * folded into the expression tree) plus one groupBy producing k rows;
-  * partial aggregation makes the shuffle k×cols longs per map task.
-  * Driver state is k (cid, cx, cy) triples per iteration — bounded.
+  * partial aggregation makes the shuffle k×dims longs per map task.
+  * Driver state is k×(dims+1) doubles per iteration — bounded. The
+  * point projection is pinned once, so the iters+1 jobs read
+  * materialized blocks instead of re-scanning the source.
   */
 object Cluster {
 
   /** One Lloyd assignment as a pure expression: argmin over the k
     * centroid distances, ties to the lowest cid.
     */
-  private def assignExpr(cents: Seq[(Int, Double, Double)], x: Column, y: Column): Column = {
-    val scored = cents.map { case (cid, cx, cy) =>
-      val dx = x.cast("double") - lit(cx)
-      val dy = y.cast("double") - lit(cy)
-      struct((dx * dx + dy * dy).as("d"), lit(cid).as("cid"))
+  private def assignExprND(cents: Seq[(Int, Seq[Double])], features: Seq[Column]): Column = {
+    val scored = cents.map { case (cid, cs) =>
+      val d = features
+        .zip(cs)
+        .map { case (f, c) =>
+          val df = f.cast("double") - lit(c)
+          df * df
+        }
+        .reduce(_ + _) // left-to-right in feature order: fixed IEEE shape
+      struct(d.as("d"), lit(cid).as("cid"))
     }
     array_min(array(scored: _*)).getField("cid")
   }
 
-  /** Runs `iters` Lloyd iterations of k-means on (`xCol`, `yCol`)
-    * (both integral) and returns the FINAL assignment, one row per
-    * input row: (idCol, xCol, yCol, cluster).
-    *
-    * A cluster that goes empty keeps its previous centroid (both this
-    * and the SQL oracle coalesce to the prior round's value).
-    */
+  private def longProjection(points: DataFrame, idCol: String, featureCols: Seq[String]) =
+    points.select(col(idCol) +: featureCols.map(c => col(c).cast("long").as(c)): _*)
+
   /** Trains the centroids alone (init + `iters` Lloyd updates) — the
-    * bounded driver-side model behind [[kmeansAssign]] and the at-rest
-    * [[writeModel]]/[[assignFromModel]] pair.
+    * bounded driver-side model behind the assignment entry points and
+    * the at-rest [[writeModel]]/[[assignFromModel]] pair.
     */
+  def kmeansCentroidsND(
+      points: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      k: Int,
+      iters: Int
+  ): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    // Pinned: init + every iteration re-reads this projection — without
+    // the pin each of the iters+1 jobs re-scans the source.
+    val p = Materialize(longProjection(points, idCol, featureCols), eager = false)
+    val fCols = featureCols.map(col)
+    // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
+    val init: Seq[(Int, Seq[Double])] = p
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(fCols.map(_.cast("double")): _*)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, featureCols.indices.map(r.getDouble)) }
+      .toSeq
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      // One job per iteration: assign (map-side) + k-row groupBy.
+      val aggs = featureCols.map(c => sum(col(c)).as(s"s_$c")) :+ count(lit(1)).as("cnt")
+      val sums = p
+        .select(assignExprND(cents, fCols).as("cid") +: fCols: _*)
+        .groupBy("cid")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          r.getInt(0) -> ((featureCols.indices.map(i => r.getLong(i + 1)),
+            r.getLong(featureCols.size + 1)))
+        }
+        .toMap
+      cents.map { case (cid, cs) =>
+        sums.get(cid) match {
+          case Some((ss, n)) => (cid, ss.map(_.toDouble / n.toDouble))
+          case None          => (cid, cs) // empty cluster: keep centroid
+        }
+      }
+    }
+  }
+
+  /** Runs `iters` Lloyd iterations over `featureCols` (all integral)
+    * and returns the FINAL assignment, one row per input row:
+    * (idCol, features..., cluster). A cluster that goes empty keeps its
+    * previous centroid (the SQL oracle coalesces identically).
+    */
+  def kmeansAssignND(
+      points: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    val finalCents = kmeansCentroidsND(points, idCol, featureCols, k, iters)
+    val p = longProjection(points, idCol, featureCols)
+    p.withColumn("cluster", assignExprND(finalCents, featureCols.map(col)))
+  }
+
   def kmeansCentroids(
       points: DataFrame,
       idCol: String,
@@ -58,40 +126,9 @@ object Cluster {
       yCol: String,
       k: Int,
       iters: Int
-  ): Seq[(Int, Double, Double)] = {
-    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
-    // Pinned: init + every iteration re-reads this projection — without
-    // the pin each of the iters+1 jobs re-scans the source.
-    val p = Materialize(
-      points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol)),
-      eager = false
-    )
-    // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
-    val init: Seq[(Int, Double, Double)] = p
-      .orderBy(col(idCol))
-      .limit(k)
-      .select(col(xCol).cast("double"), col(yCol).cast("double"))
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getDouble(0), r.getDouble(1)) }
-      .toSeq
-    (1 to iters).foldLeft(init) { (cents, _) =>
-      // One job per iteration: assign (map-side) + k-row groupBy.
-      val sums = p
-        .select(assignExpr(cents, col(xCol), col(yCol)).as("cid"), col(xCol), col(yCol))
-        .groupBy("cid")
-        .agg(sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
-      cents.map { case (cid, cx, cy) =>
-        sums.get(cid) match {
-          case Some((sx, sy, n)) => (cid, sx.toDouble / n.toDouble, sy.toDouble / n.toDouble)
-          case None              => (cid, cx, cy) // empty cluster: keep centroid
-        }
-      }
-    }
-  }
+  ): Seq[(Int, Double, Double)] =
+    kmeansCentroidsND(points, idCol, Seq(xCol, yCol), k, iters)
+      .map { case (cid, cs) => (cid, cs(0), cs(1)) }
 
   def kmeansAssign(
       points: DataFrame,
@@ -100,18 +137,40 @@ object Cluster {
       yCol: String,
       k: Int,
       iters: Int
-  ): DataFrame = {
-    val finalCents = kmeansCentroids(points, idCol, xCol, yCol, k, iters)
-    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
-    p.withColumn("cluster", assignExpr(finalCents, col(xCol), col(yCol)))
-  }
+  ): DataFrame =
+    kmeansAssignND(points, idCol, Seq(xCol, yCol), k, iters)
 
-  /** Persists trained centroids as a k-row parquet model — train once
-    * on a sample/snapshot, then [[assignFromModel]] scores any later
-    * corpus (or stream micro-batch) map-side without re-training: the
-    * same at-rest-model discipline as `Dsir`'s surprisal models and
+  /** Persists trained centroids as a k-row parquet model (cid +
+    * `c_<feature>` columns) — train once on a sample/snapshot, then
+    * [[assignFromModel]] scores any later corpus (or stream
+    * micro-batch) map-side without re-training: the same at-rest-model
+    * discipline as `Dsir`'s surprisal models and
     * `Sketches.writeSketch`.
     */
+  def writeModelND(
+      points: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      k: Int,
+      iters: Int,
+      path: String
+  ): Unit = {
+    val spark = points.sparkSession
+    val cents = kmeansCentroidsND(points, idCol, featureCols, k, iters)
+    val rows = cents.map { case (cid, cs) => org.apache.spark.sql.Row.fromSeq(cid +: cs) }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType) +:
+        featureCols.map(c =>
+          org.apache.spark.sql.types.StructField(s"c_$c", org.apache.spark.sql.types.DoubleType))
+    )
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   def writeModel(
       points: DataFrame,
       idCol: String,
@@ -121,6 +180,7 @@ object Cluster {
       iters: Int,
       path: String
   ): Unit = {
+    // 2-D legacy layout (cid, cx, cy) — kept stable for existing models
     val spark = points.sparkSession
     import spark.implicits._
     kmeansCentroids(points, idCol, xCol, yCol, k, iters)
@@ -131,13 +191,32 @@ object Cluster {
       .parquet(path)
   }
 
-  /** Assignment against an at-rest model: reads the k-row centroid
-    * table (bounded collect), folds it into the same literal argmin
-    * expression as the inline path — the plan is a pure map-side
-    * projection, no join, no shuffle. Bit-identical to
-    * [[kmeansAssign]] when the model was written from the same
+  /** Assignment against an at-rest [[writeModelND]] model: reads the
+    * k-row centroid table (bounded collect), folds it into the same
+    * literal argmin expression as the inline path — the plan is a pure
+    * map-side projection, no join, no shuffle. Bit-identical to
+    * [[kmeansAssignND]] when the model was written from the same
     * training run (spec-pinned).
     */
+  def assignFromModelND(
+      points: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      path: String
+  ): DataFrame = {
+    val cents = points.sparkSession.read
+      .parquet(path)
+      .select(col("cid") +: featureCols.map(c => col(s"c_$c")): _*)
+      .collect()
+      .map(r => (r.getInt(0), featureCols.indices.map(i => r.getDouble(i + 1)).toSeq))
+      .toSeq
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"empty k-means model at $path")
+    val p = longProjection(points, idCol, featureCols)
+    p.withColumn("cluster", assignExprND(cents, featureCols.map(col)))
+  }
+
+  /** 2-D form over the legacy (cid, cx, cy) model layout. */
   def assignFromModel(
       points: DataFrame,
       idCol: String,
@@ -149,12 +228,12 @@ object Cluster {
       .parquet(path)
       .select(col("cid"), col("cx"), col("cy"))
       .collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .map(r => (r.getInt(0), Seq(r.getDouble(1), r.getDouble(2))))
       .toSeq
       .sortBy(_._1)
     require(cents.nonEmpty, s"empty k-means model at $path")
-    val p = points.select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
-    p.withColumn("cluster", assignExpr(cents, col(xCol), col(yCol)))
+    val p = longProjection(points, idCol, Seq(xCol, yCol))
+    p.withColumn("cluster", assignExprND(cents, Seq(col(xCol), col(yCol))))
   }
 
   /** Cluster-balanced corpus sample: run [[kmeansAssign]], then keep

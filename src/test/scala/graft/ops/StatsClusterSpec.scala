@@ -85,6 +85,30 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(prof.map(_.getLong(3)).sum === (1L to 100L).map(_ % 7).sum)
   }
 
+  test("N-D kmeans: 3-feature assignment separates blobs, matches 2-D on shared features, " +
+    "ND at-rest model round-trips") {
+    // two 3-D blobs
+    val pts = ((1L to 20L).map(i => (i, i % 3, i % 5, i % 2)) ++
+      (21L to 40L).map(i => (i, 500 + i % 3, 500 + i % 5, 500 + i % 2))).toDF("id", "x", "y", "z")
+    val nd = Cluster.kmeansAssignND(pts, "id", Seq("x", "y", "z"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert((1L to 20L).map(nd).toSet.size === 1)
+    assert((21L to 40L).map(nd).toSet.size === 1)
+    assert(nd(1L) !== nd(21L))
+    // 2-D wrapper == ND core on the same two features
+    val via2d = Cluster.kmeansAssign(pts, "id", "x", "y", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val viaNd = Cluster.kmeansAssignND(pts, "id", Seq("x", "y"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(via2d === viaNd)
+    // ND model write/read == inline, join-free plan
+    val path = java.nio.file.Files.createTempDirectory("kmnd").toString + "/m"
+    Cluster.writeModelND(pts, "id", Seq("x", "y", "z"), k = 2, iters = 3, path)
+    val fromModel = Cluster.assignFromModelND(pts, "id", Seq("x", "y", "z"), path)
+    assert(fromModel.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap === nd)
+    assert(!fromModel.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("assignFromModel == inline kmeansAssign bit-for-bit; model plan is map-side") {
     val pts = (1L to 80L).map(i => (i, (i % 13) * 3, (i % 7) * 5)).toDF("id", "x", "y")
     val path = java.nio.file.Files.createTempDirectory("kmmodel").toString + "/model"
