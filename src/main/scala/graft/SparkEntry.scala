@@ -1551,6 +1551,26 @@ object SparkEntry {
           sum(round(col("n_chars_winsor") * 10000).cast("long")).as("sum_winsor_q")
         )
     }),
+    // 3-feature k-means profile over the N-D core: (n_chars, spaces,
+    // 'e'-count), k=3, 2 iterations — same map-side literal-centroid
+    // assignment, exact-long profile output.
+    "q112_kmeans_3d" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars").as("x"),
+        (length(col("text")) - length(translate(col("text"), " ", ""))).cast("long").as("y"),
+        (length(col("text")) - length(translate(col("text"), "e", ""))).cast("long").as("z")
+      )
+      Cluster
+        .kmeansAssignND(p, "doc_id", Seq("x", "y", "z"), k = 3, iters = 2)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("z")).as("sum_z")
+        )
+    }),
     // Month-over-month revenue growth per priority: lag() on the
     // aggregated month grid (tiny, partitioned by priority — never a
     // window over raw orders). Growth is a fixed-order double ratio of
@@ -3050,6 +3070,17 @@ object SparkEntry {
           |SELECT source, count(*) AS n_docs,
           |  CAST(sum(CAST(round(v * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_winsor_q
           |FROM w GROUP BY 1""".stripMargin,
+      // The parametric k-means chain at 3 features / k=3 / 2 rounds.
+      "q112_kmeans_3d" ->
+        s"""WITH ${kmeansCtes(
+              kmeans2dFeatures :+ ("z" -> "length(text) - length(replace(text, 'e', ''))"),
+              k = 3,
+              iters = 2
+            )}
+           |SELECT cid AS cluster, count(*) AS n,
+           |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+           |  CAST(sum(z) AS BIGINT) AS sum_z
+           |FROM a3 GROUP BY 1""".stripMargin,
       "q111_mom_growth" ->
         """WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
           |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS month_cents
@@ -3295,40 +3326,56 @@ object SparkEntry {
       |              w -> w <> '') AS words
       |FROM documents""".stripMargin
 
-  /** Shared Lloyd's-k-means CTE chain for the q96/q104 oracles: points
-    * `p(id, x, y)` from documents (x = n_chars, y = space count), init
-    * `c0` = the 4 smallest ids, three assign/update rounds, final
-    * assignment `a4` — mirroring `Cluster.kmeansAssign` op for op
-    * (same (dist, cid) tie-break, exact-long centroid sums, empty
-    * clusters keep their previous centroid).
+  /** Shared Lloyd's-k-means CTE chain for the q96/q104/q112 oracles,
+    * parametric in the feature list ((name, SQL expr over documents)),
+    * k, and iteration count: points `p(id, f...)`, init `c0` = the k
+    * smallest ids, `iters` assign/update rounds, final assignment
+    * `a<iters+1>` — mirroring `Cluster.kmeansAssignND` op for op (same
+    * (dist, cid) tie-break with the distance summed left-to-right in
+    * feature order, exact-long centroid sums, empty clusters keep
+    * their previous centroid).
     */
-  private lazy val kmeansCtesSql: String = {
-    def assign(prev: String, out: String) =
-      s"""$out AS (SELECT id, x, y, cid FROM (
-         |    SELECT p.id, p.x, p.y, c.cid, row_number() OVER (PARTITION BY p.id
-         |      ORDER BY (CAST(p.x AS DOUBLE)-c.cx)*(CAST(p.x AS DOUBLE)-c.cx)
-         |             + (CAST(p.y AS DOUBLE)-c.cy)*(CAST(p.y AS DOUBLE)-c.cy), c.cid) AS rn
+  private def kmeansCtes(features: Seq[(String, String)], k: Int, iters: Int): String = {
+    val fs = features.map(_._1)
+    def assign(prev: String, out: String) = {
+      val dist = fs
+        .map(f => s"(CAST(p.$f AS DOUBLE)-c.c$f)*(CAST(p.$f AS DOUBLE)-c.c$f)")
+        .mkString("\n             + ")
+      s"""$out AS (SELECT id, ${fs.mkString(", ")}, cid FROM (
+         |    SELECT p.id, ${fs.map(f => s"p.$f").mkString(", ")}, c.cid,
+         |      row_number() OVER (PARTITION BY p.id
+         |      ORDER BY $dist, c.cid) AS rn
          |    FROM p CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-    def update(asn: String, prev: String, out: String) =
+    }
+    def update(asn: String, prev: String, out: String) = {
+      val coords = fs
+        .map(f => s"coalesce(CAST(s.s$f AS DOUBLE)/CAST(s.n AS DOUBLE), c.c$f) AS c$f")
+        .mkString(",\n    ")
+      val sums = fs.map(f => s"sum($f) AS s$f").mkString(", ")
       s"""$out AS (SELECT c.cid,
-         |    coalesce(CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE), c.cx) AS cx,
-         |    coalesce(CAST(s.sy AS DOUBLE)/CAST(s.n AS DOUBLE), c.cy) AS cy
-         |  FROM $prev c LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
+         |    $coords
+         |  FROM $prev c LEFT JOIN (SELECT cid, $sums,
          |      count(*) AS n FROM $asn GROUP BY 1) s ON s.cid = c.cid)""".stripMargin
-    s"""p AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
-       |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+    }
+    val pCols = features.map { case (f, e) => s"CAST($e AS BIGINT) AS $f" }.mkString(",\n    ")
+    val rounds = (1 to iters)
+      .flatMap(i => Seq(assign(s"c${i - 1}", s"a$i"), update(s"a$i", s"c${i - 1}", s"c$i")))
+    val finalAssign = assign(s"c$iters", s"a${iters + 1}")
+    s"""p AS (SELECT doc_id AS id,
+       |    $pCols
        |  FROM documents),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
-       |    CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
-       |  FROM (SELECT * FROM p ORDER BY id LIMIT 4)),
-       |${assign("c0", "a1")},
-       |${update("a1", "c0", "c1")},
-       |${assign("c1", "a2")},
-       |${update("a2", "c1", "c2")},
-       |${assign("c2", "a3")},
-       |${update("a3", "c2", "c3")},
-       |${assign("c3", "a4")}""".stripMargin
+       |    ${fs.map(f => s"CAST($f AS DOUBLE) AS c$f").mkString(", ")}
+       |  FROM (SELECT * FROM p ORDER BY id LIMIT $k)),
+       |${(rounds :+ finalAssign).mkString(",\n")}""".stripMargin
   }
+
+  private val kmeans2dFeatures = Seq(
+    "x" -> "n_chars",
+    "y" -> "length(text) - length(replace(text, ' ', ''))"
+  )
+
+  private lazy val kmeansCtesSql: String = kmeansCtes(kmeans2dFeatures, k = 4, iters = 3)
 
   /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
     * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.
