@@ -60,7 +60,10 @@ object SparkEntry {
     )
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesBase ++ queriesRound12
+
+  private def queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + A-class: filtered scan with predicate pushdown + exact agg
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1610,6 +1613,365 @@ object SparkEntry {
     })
   )
 
+  /** Round-12 additions: the remaining classic TPC-H join shapes
+    * (Q7/Q8/Q9/Q12/Q13/Q19/Q21/Q22 re-expressed over this schema) and
+    * the distribution window functions (ntile / percent_rank /
+    * cume_dist — always partitioned; the global-window ban holds).
+    * All money math follows the cents/e4 integer conventions; every
+    * threshold that TPC-H states as an average is cross-multiplied
+    * into integer form (no FP compare can flip a boundary row).
+    */
+  private def queriesRound12: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q7 shape: bilateral trade volume — revenue by (supplier
+    // nation, customer nation, year). Dims broadcast; the only big
+    // shuffle is lineitem⋈orders on the order key.
+    "q113_nation_pair_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val cus = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+        )
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q8 shape: market share of NATION_3 suppliers within ASIA
+    // customers, per year. Numerator and denominator are exact e4
+    // integers; the share is the single int/int double division.
+    "q114_market_share" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(
+          broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .select(col("n_nationkey").as("cnk"))
+      val cus = t(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"), "left_semi")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val supN3 = t(s, dir, "supplier")
+        .join(
+          broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select(col("s_suppkey").as("n3_suppkey"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        col("l_shipdate"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+      )
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN3), col("l_suppkey") === col("n3_suppkey"), "left_outer")
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          sum(when(col("n3_suppkey").isNotNull, col("rev")).otherwise(0L)).as("nation_rev_e4"),
+          sum(col("rev")).as("total_rev_e4")
+        )
+        .withColumn(
+          "mkt_share",
+          col("nation_rev_e4").cast("double") / col("total_rev_e4").cast("double")
+        )
+    }),
+    // TPC-H Q9 shape: profit by supplier nation × year, with
+    // p_retailprice·qty as the cost leg (no partsupp table in this
+    // schema). rev and cost are both e4 integers.
+    "q115_profit_by_nation" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("nation"))
+      val prt = t(s, dir, "part").select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+      )
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), col("l_year"))
+        .agg(sum(col("rev") - col("cost_c") * col("qty") * 100L).as("profit_e4"))
+    }),
+    // TPC-H Q12 shape: per line status, how many high- vs low-priority
+    // orders shipped in 1997 — the count-if discipline on a joined
+    // stream (one shuffle on the order key, dims none).
+    "q116_linestatus_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+          ).as("high_line_count"),
+          sum(
+            when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+          ).as("low_line_count")
+        )
+    }),
+    // TPC-H Q13 shape: distribution of orders-per-customer, zero bucket
+    // included via the left outer join. Two shuffles: custkey, then the
+    // tiny count-of-counts grid.
+    "q117_custdist" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .select(col("c_custkey"))
+        .join(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left_outer"
+        )
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates —
+    // three OR'd conjunct groups evaluated in one joined pass (the
+    // filter sits above a single partkey equi-join; no union of scans).
+    "q118_disjunctive_revenue" -> ((s, dir) => {
+      val prt = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+      )
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("qty").between(1, 20)) ||
+            (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) && col("qty").between(10, 30)) ||
+            (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) && col("qty").between(20, 50))
+        )
+        .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q21 shape: among orders drawing on ≥2 distinct suppliers,
+    // find the ones where EXACTLY ONE supplier had a returned line, and
+    // charge that supplier. Pure aggregation — no correlated EXISTS
+    // pair, one (orderkey, suppkey) rollup then an orderkey rollup.
+    "q119_sole_failing_supplier" -> ((s, dir) => {
+      val perOrderSupp = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_ret"))
+      val perOrder = perOrderSupp
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(col("has_ret")).as("n_ret_supp"),
+          max(when(col("has_ret") === 1L, col("l_suppkey"))).as("failing_supp")
+        )
+        .filter(col("n_supp") >= 2L && col("n_ret_supp") === 1L)
+      perOrder
+        .join(
+          broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("failing_supp") === col("s_suppkey")
+        )
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+    // TPC-H Q22 shape: idle rich customers — balance above the global
+    // average of positive balances (cross-multiplied to exact cents ·
+    // count, never an FP threshold) and no orders (anti join).
+    "q120_idle_rich_customers" -> ((s, dir) => {
+      val cus = t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c")
+      )
+      val thr = cus
+        .filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("cnt"))
+      val ord = t(s, dir, "orders").select(col("o_custkey"))
+      cus
+        .crossJoin(broadcast(thr))
+        .filter(col("bal_c") * col("cnt") > col("sum_c"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_cents"))
+    }),
+    // Distribution windows I: decile profile of document length per
+    // source — ntile(10) over a TOTAL order (n_chars, doc_id), then a
+    // per-(source, decile) rollup. Partitioned window; 20 sources ≫ 1
+    // partition each.
+    "q121_length_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("source"), col("decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars")
+        )
+    }),
+    // Distribution windows II: percent_rank / cume_dist of customer
+    // balance within each nation, over a total order (bal, custkey).
+    // Both are single int/int divisions — bit-identical cross-engine.
+    "q122_balance_ranks" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(
+          col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey"),
+          cents(col("c_acctbal")).as("bal_c")
+        )
+      val w = Window.partitionBy(col("nationkey")).orderBy(col("bal_c"), col("c_custkey"))
+      base
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    }),
+    // Markov-chain stationary distribution of the event-type process:
+    // the corpus work is ONE partitioned-window pass + a k² grid; the
+    // k×k matrix collects to the driver and 12 power-method steps run
+    // there with every FP op pinned (see Markov.stationary — mirrored
+    // literally by the generated oracle CTE chain).
+    "q123_markov_stationary" -> ((s, dir) =>
+      Markov.stationary(
+        s,
+        Markov.transitionCounts(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type"),
+        markovStates,
+        iters = 12
+      )),
+    // TPC-H Q2 shape: cheapest-line supplier per part — the argmin
+    // join-back discipline (grouped min, join back on the min, integer
+    // tie-break by min suppkey), then a nation rollup. No window over
+    // parts, no correlated subquery.
+    "q124_min_cost_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), cents(col("l_extendedprice")).as("pc"))
+      val mn = l.groupBy(col("l_partkey").as("pk")).agg(min(col("pc")).as("m"))
+      val cheap = l
+        .join(mn, col("l_partkey") === col("pk") && col("pc") === col("m"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("l_suppkey")).as("cheap_supp"), min(col("pc")).as("min_cents"))
+      cheap
+        .join(
+          broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("cheap_supp") === col("s_suppkey")
+        )
+        .join(
+          broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("min_cents")).as("sum_min_cents"))
+    }),
+    // TPC-H Q11 shape: parts whose revenue exceeds 0.1% of the global
+    // total — the HAVING-above-global-scalar discipline, integer
+    // cross-multiplied (part_e4 · 1000 > total_e4), total as a 1-row
+    // broadcast.
+    "q125_important_parts" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+      )
+      val perPart = l.groupBy(col("l_partkey")).agg(sum(col("rev")).as("value_e4"))
+      val total = perPart.agg(sum(col("value_e4")).as("total_e4"))
+      perPart
+        .crossJoin(broadcast(total))
+        .filter(col("value_e4") * 1000L > col("total_e4"))
+        .select(col("l_partkey"), col("value_e4"))
+    }),
+    // TPC-H Q16 shape: distinct supplier count per (brand, size) for a
+    // size set with one brand excluded — supplier relationships derived
+    // from lineitem (this schema has no partsupp).
+    "q126_part_supplier_counts" -> ((s, dir) => {
+      val prt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#11" && col("p_size").isin(1, 5, 9, 13, 17))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    })
+  )
+
+  /** The explicit state list for the Markov queries — known event
+    * vocabulary; states outside the list are excluded by contract
+    * (both sides pivot on exactly these).
+    */
+  private val markovStates = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Generated oracle for q123: pivot the k×k count grid into one row,
+    * derive p_ij with the same zero-row self-loop rule, then chain
+    * `iters` CTEs each computing x'_j as the SAME left-associated
+    * ((x0·p0j) + x1·p1j) + … expression the Scala fold evaluates.
+    */
+  private def markovSql(states: Seq[String], iters: Int): String = {
+    val ids = states.indices
+    val k = states.size
+    val nCols = ids
+      .flatMap(i =>
+        ids.map(j =>
+          s"CAST(coalesce(max(CASE WHEN cur = '${states(i)}' AND nxt = '${states(j)}' " +
+            s"THEN n END), 0) AS BIGINT) AS n_${i}_$j"
+        )
+      )
+      .mkString(",\n    ")
+    val rCols = ids
+      .map(i => ids.map(j => s"n_${i}_$j").mkString(" + ") + s" AS r_$i")
+      .mkString(",\n    ")
+    val pCols = ids
+      .flatMap(i =>
+        ids.map(j =>
+          s"CASE WHEN r_$i = 0 THEN ${if (i == j) "1.0" else "0.0"} " +
+            s"ELSE CAST(n_${i}_$j AS DOUBLE) / CAST(r_$i AS DOUBLE) END AS p_${i}_$j"
+        )
+      )
+      .mkString(",\n    ")
+    val it0 = ids.map(j => s"CAST(1.0 AS DOUBLE) / $k AS x_$j").mkString(", ")
+    def step(prev: String, cur: String): String = {
+      val xs = ids
+        .map(j => ids.map(i => s"x_$i * p_${i}_$j").reduce((a, b) => s"($a) + $b") + s" AS x_$j")
+        .mkString(",\n    ")
+      s"$cur AS (SELECT $xs FROM $prev, p)"
+    }
+    val steps = (1 to iters).map(n => step(if (n == 1) "it0" else s"it${n - 1}", s"it$n"))
+    val finalRows = ids
+      .map(i =>
+        s"SELECT '${states(i)}' AS state, x_$i AS prob, r_$i AS out_transitions FROM it$iters, r"
+      )
+      .mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |tc AS (SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |m AS (SELECT
+       |    $nCols
+       |  FROM tc),
+       |r AS (SELECT *,
+       |    $rCols
+       |  FROM m),
+       |p AS (SELECT *,
+       |    $pCols
+       |  FROM r),
+       |it0 AS (SELECT $it0),
+       |${steps.mkString(",\n")}
+       |$finalRows""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val snapNew = snapSql(newLo, newHi)
     val snapPrev = snapSql(prevLo, prevHi)
@@ -3127,8 +3489,164 @@ object SparkEntry {
           |    / CAST(sum(month_cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
           |    AS cum_share
           |FROM m""".stripMargin
-    )
+    ) ++ oracleSqlRound12
   }
+
+  /** Oracles for the round-12 TPC-H shapes and distribution windows.
+    * Mirrors the integer-exact conventions: revenue as e4, balances as
+    * cents, the Q22 threshold cross-multiplied (bal·cnt > sum).
+    */
+  private def oracleSqlRound12: Map[String, String] = Map(
+    "q113_nation_pair_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q114_market_share" ->
+      """WITH asia_cust AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |n3_supp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM n3_supp)
+        |    THEN CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)) ELSE 0 END) AS BIGINT)
+        |    AS nation_rev_e4,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS total_rev_e4,
+        |  CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM n3_supp)
+        |    THEN CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+        |GROUP BY 1""".stripMargin,
+    "q115_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+        |    - CAST(round(p_retailprice*100,0) AS BIGINT)
+        |      * CAST(round(l_quantity,0) AS BIGINT) * 100) AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q116_linestatus_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q117_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1""".stripMargin,
+    "q118_disjunctive_revenue" ->
+      """WITH l AS (SELECT l_partkey, CAST(round(l_quantity,0) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS rev
+        |  FROM lineitem)
+        |SELECT CAST(sum(rev) AS BIGINT) AS revenue_e4, count(*) AS n_items
+        |FROM l JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND qty BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND qty BETWEEN 20 AND 50)""".stripMargin,
+    "q119_sole_failing_supplier" ->
+      """WITH per_os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+        |  FROM lineitem GROUP BY 1, 2),
+        |per_o AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret_supp,
+        |    max(CASE WHEN has_ret = 1 THEN l_suppkey END) AS failing_supp
+        |  FROM per_os GROUP BY 1
+        |  HAVING count(*) >= 2 AND sum(has_ret) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per_o JOIN supplier ON failing_supp = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "q120_idle_rich_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer),
+        |thr AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt
+        |  FROM c WHERE bal_c > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+        |FROM c, thr
+        |WHERE bal_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q121_length_deciles" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS decile
+        |  FROM documents)
+        |SELECT source, decile, count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q122_balance_ranks" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+        |  CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_c,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY CAST(round(c_acctbal*100,0) AS BIGINT), c_custkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY CAST(round(c_acctbal*100,0) AS BIGINT), c_custkey) AS cd
+        |FROM customer WHERE c_nationkey < 5""".stripMargin,
+    "q123_markov_stationary" -> markovSql(markovStates, iters = 12),
+    "q124_min_cost_supplier" ->
+      """WITH l AS (SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc FROM lineitem),
+        |mn AS (SELECT l_partkey AS pk, min(pc) AS m FROM l GROUP BY 1),
+        |ch AS (SELECT l_partkey, min(l_suppkey) AS cheap_supp,
+        |    CAST(min(pc) AS BIGINT) AS min_cents
+        |  FROM l JOIN mn ON l_partkey = pk AND pc = m GROUP BY 1)
+        |SELECT n_name AS nation, count(*) AS n_parts,
+        |  CAST(sum(min_cents) AS BIGINT) AS sum_min_cents
+        |FROM ch JOIN supplier ON cheap_supp = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q125_important_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS value_e4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM pp)
+        |SELECT l_partkey, value_e4 FROM pp, tot
+        |WHERE value_e4 * 1000 > total_e4""".stripMargin,
+    "q126_part_supplier_counts" ->
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 9, 13, 17)
+        |GROUP BY 1, 2""".stripMargin
+  )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
     * (q17/q18/q34): distinct word-3-gram shingles, per-doc counts, and

@@ -117,4 +117,31 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!cf.contains("Join"), s"q108 gained a join (label must ride the projection):\n${cf.take(1500)}")
   }
+
+  test("r12 pins: TPC-H shapes keep dims on broadcasts; argmin join-back has no window; " +
+    "the Markov corpus pass is one partitioned window + grid") {
+    val dir = "/root/testdata/sf0.001"
+    // Q7/Q9: nation/supplier/customer/part dims must reach the fact
+    // stream as broadcasts, never shuffling lineitem against a dim
+    Seq("q113_nation_pair_volume", "q115_profit_by_nation", "q118_disjunctive_revenue").foreach {
+      q =>
+        val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), s"$q lost its dim broadcasts:\n${plan.take(1500)}")
+    }
+    // Q2-shape argmin: grouped min + join back — never a window over parts
+    val q2 = SparkEntry.queries("q124_min_cost_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q2.contains("Window"), s"q124 must use join-back-to-min, not a window:\n${q2.take(1500)}")
+    // Q11-shape: the global total is a 1-row broadcast (nested-loop on
+    // bytes), and the per-part rollup never shuffles into a sort-merge
+    val q11 = SparkEntry.queries("q125_important_parts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q11.contains("SortMergeJoin"), s"q125 shuffled against the 1-row total:\n${q11.take(1500)}")
+    // Markov: the distributed side is ONE per-user window + the k² grid
+    // aggregate — the stationary solve itself is a bounded driver step,
+    // so the query's own plan is just the local relation it returns
+    val mk = SparkEntry.queries("q123_markov_stationary")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!mk.contains("Exchange"), s"q123 result must be a bounded local relation:\n${mk.take(800)}")
+  }
 }
