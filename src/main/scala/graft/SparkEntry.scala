@@ -1905,8 +1905,120 @@ object SparkEntry {
         .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    // EWMA of daily event volume with α = 1/2 over a 30-day horizon.
+    // Dyadic weights 2^(29−k) make numerator AND denominator exact
+    // BIGINTs in any summation order (the one FP op is the final
+    // division) — the order-independent-sum discipline, applied to a
+    // decayed moving average. Each observed day scatters to its ≤30
+    // forward targets (an equi-join grid, never a per-row loop).
+    "q127_ewma_daily" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val contrib = daily
+        .withColumn("k", explode(sequence(lit(0), lit(29))))
+        .select(
+          col("event_type").as("et"),
+          date_add(col("d"), col("k").cast("int")).as("td"),
+          expr("n * shiftleft(cast(1 as bigint), 29 - k)").as("wn"),
+          expr("shiftleft(cast(1 as bigint), 29 - k)").as("w")
+        )
+      val agg = contrib
+        .groupBy(col("et"), col("td"))
+        .agg(sum(col("wn")).as("num"), sum(col("w")).as("den"))
+      agg
+        .join(daily, col("et") === col("event_type") && col("td") === col("d"))
+        .select(
+          col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          col("num"),
+          col("den"),
+          (col("num").cast("double") / col("den").cast("double")).as("ewma")
+        )
+    }),
+    // Day-of-week seasonality profile: per (type, weekday) mean daily
+    // volume plus spike/quiet day counts — thresholds cross-multiplied
+    // to exact integers (n·nd > 2·tt), never an FP compare.
+    "q128_dow_seasonality" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          to_date(col("ts")).as("d")
+        )
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("d")).cast("long"))
+      val stats = daily
+        .groupBy(col("event_type").as("et"), col("dow").as("sdow"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tt"))
+      daily
+        .join(broadcast(stats), col("event_type") === col("et") && col("dow") === col("sdow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(
+          max(col("nd")).as("n_days"),
+          max(col("tt")).as("total"),
+          sum(when(col("n") * col("nd") > col("tt") * 2L, 1L).otherwise(0L)).as("spike_days"),
+          sum(when(col("n") * col("nd") * 2L < col("tt"), 1L).otherwise(0L)).as("quiet_days"),
+          (max(col("tt")).cast("double") / max(col("nd")).cast("double")).as("avg_n")
+        )
+    }),
+    // Top-component PCA projection of the embedding corpus: one
+    // Gram-aggregator pass (d² longs per PARTITION, additive merge),
+    // driver power iteration with every FP op pinned and every sum an
+    // exact integer (see Pca), then a map-side integer dot-product
+    // projection — top 50 by (score, id). The oracle replays the
+    // identical quantized iteration as a generated CTE chain.
+    "q129_pca_projection" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = Pca.fitTopComponent(emb, "embedding", d = 64, iters = 30, scale = 16384.0)
+      emb
+        .select(
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          Pca.projectionScore(col("embedding"), p, 16384.0).as("score_q")
+        )
+        .orderBy(col("score_q").desc, col("vec_id"))
+        .limit(50)
     })
   )
+
+  /** Generated oracle for q129: quantize → exact Gram/sums → centered
+    * covariance n·G − s_i·s_j → max-normalize → `iters` quantized power
+    * steps → quantized projection, mirroring Pca.fitTopComponent op for
+    * op (see its scaladoc for the bound analysis).
+    */
+  private def pcaSql(d: Int, iters: Int): String = {
+    def step(prev: String, k: Int): String =
+      s"""t$k AS (SELECT cn.i AS i,
+         |    CAST(floor(cn.c * x.v * 1099511627776.0) AS BIGINT) AS tt
+         |  FROM cn JOIN $prev x ON x.i = cn.j),
+         |y$k AS MATERIALIZED (SELECT i, CAST(sum(tt) AS BIGINT) AS y FROM t$k GROUP BY 1),
+         |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+         |x$k AS MATERIALIZED (SELECT i, CAST(y AS DOUBLE) / CAST(m AS DOUBLE) AS v
+         |  FROM y$k CROSS JOIN m$k)""".stripMargin
+    val steps = (1 to iters).map(k => step(if (k == 1) "x0" else s"x${k - 1}", k))
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, ii.i,
+       |    CAST(floor(CAST(embedding[CAST(ii.i AS INTEGER)] AS DOUBLE) * 16384.0) AS BIGINT) AS qv
+       |  FROM embeddings, (SELECT unnest(range(1, ${d + 1})) AS i) ii),
+       |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gg
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |sm AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |cov AS (SELECT g.i, g.j, CAST(nn.n * g.gg - si.s * sj.s AS BIGINT) AS c
+       |  FROM g JOIN sm si ON si.i = g.i JOIN sm sj ON sj.i = g.j CROSS JOIN nn),
+       |cm AS (SELECT max(abs(c)) AS m FROM cov),
+       |cn AS MATERIALIZED (SELECT i, j, CAST(c AS DOUBLE) / CAST(m AS DOUBLE) AS c
+       |  FROM cov CROSS JOIN cm),
+       |x0 AS (SELECT unnest(range(1, ${d + 1})) AS i, CAST(1.0 AS DOUBLE) AS v),
+       |${steps.mkString(",\n")},
+       |pv AS (SELECT i, CAST(floor(v * 1048576.0) AS BIGINT) AS p FROM x$iters),
+       |sc AS (SELECT q.vec_id, CAST(sum(q.qv * pv.p) AS BIGINT) AS score_q
+       |  FROM q JOIN pv ON q.i = pv.i GROUP BY 1)
+       |SELECT sc.vec_id, CAST(label AS BIGINT) AS label, score_q
+       |FROM sc JOIN embeddings ON sc.vec_id = embeddings.vec_id
+       |ORDER BY score_q DESC, sc.vec_id LIMIT 50""".stripMargin
+  }
 
   /** The explicit state list for the Markov queries — known event
     * vocabulary; states outside the list are excluded by contract
@@ -3645,7 +3757,34 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 9, 13, 17)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q127_ewma_daily" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |con AS (SELECT event_type AS et, d + CAST(k AS INTEGER) AS td,
+        |    n * (CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER)) AS wn,
+        |    CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER) AS w
+        |  FROM daily, (SELECT unnest(range(0, 30)) AS k) ks),
+        |agg AS (SELECT et, td, CAST(sum(wn) AS BIGINT) AS num,
+        |    CAST(sum(w) AS BIGINT) AS den
+        |  FROM con GROUP BY 1, 2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n, num, den,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+        |FROM agg JOIN daily ON et = event_type AND td = d""".stripMargin,
+    "q128_dow_seasonality" ->
+      """WITH daily0 AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT *, CAST(dayofweek(d) + 1 AS BIGINT) AS dow FROM daily0),
+        |st AS (SELECT event_type AS et, dow AS sdow, count(*) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS tt
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT event_type, dow, max(nd) AS n_days, max(tt) AS total,
+        |  CAST(sum(CASE WHEN n * nd > tt * 2 THEN 1 ELSE 0 END) AS BIGINT) AS spike_days,
+        |  CAST(sum(CASE WHEN n * nd * 2 < tt THEN 1 ELSE 0 END) AS BIGINT) AS quiet_days,
+        |  CAST(max(tt) AS DOUBLE) / CAST(max(nd) AS DOUBLE) AS avg_n
+        |FROM daily JOIN st ON event_type = et AND dow = sdow
+        |GROUP BY 1, 2""".stripMargin,
+    "q129_pca_projection" -> pcaSql(d = 64, iters = 30)
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic top-component PCA over an embedding column — the
+  * dimensionality-reduction half of an embedding curation pipeline
+  * (project corpus vectors onto their principal direction for
+  * binning, diversity sampling, or 1-D indexing).
+  *
+  * Scale shape: the ONLY corpus-sized work is (a) one pass building the
+  * d×d Gram matrix + column sums via an additive `Aggregator` (partial
+  * buffers merge map-side; d² longs per partition, NOT per row), and
+  * (b) one map-side projection pass. The d×d covariance (d = 64 here)
+  * collects to the driver where the power iteration runs — the same
+  * bounded-model discipline as Markov.stationary and the k-means
+  * centroid loop.
+  *
+  * Determinism (bit-identical vs the mirrored SQL oracle): inputs are
+  * quantized to integers (q = floor(x·S)), so Gram sums, column sums,
+  * and the centered covariance n·G − s_i·s_j are EXACT BIGINTs in any
+  * summation order. Each power step re-quantizes: t_ij =
+  * floor((c_ij·x_j)·2^40) summed exactly, then one max-normalization
+  * division — every FP op is a single pinned multiply/divide/floor, so
+  * the driver loop and the oracle's CTE chain agree bit-for-bit.
+  *
+  * Integer bounds (documented, asserted): with |x| < 2 and S = 2^14,
+  * q < 2^15; for n rows, n·G_ij ≲ n²·2^30 and s_i·s_j ≲ n²·2^30 — exact
+  * in both long and double for n up to ~2.9M rows per fit. Fitting on
+  * a larger corpus first SAMPLES down to a fit set (standard practice:
+  * the principal direction stabilizes long before millions of rows);
+  * the projection pass itself is unbounded.
+  */
+object Pca {
+
+  /** Quantized integer form of the vector column: floor(x·scale). */
+  def quantized(vecCol: Column, scale: Double): Column =
+    transform(vecCol, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** One-pass Gram + sums + count: buffer = [d² gram | d sums | n]. */
+  private class GramAggregator(d: Int)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]]
+      with Serializable {
+    override def zero: Array[Long] = new Array[Long](d * d + d + 1)
+    override def reduce(buf: Array[Long], q: Seq[Long]): Array[Long] = {
+      val a = q.toArray
+      var i = 0
+      while (i < d) {
+        val qi = a(i)
+        var j = 0
+        val row = i * d
+        while (j < d) { buf(row + j) += qi * a(j); j += 1 }
+        buf(d * d + i) += qi
+        i += 1
+      }
+      buf(d * d + d) += 1L
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  /** Fit the top principal direction of `vecCol` (dimension `d`) and
+    * return its quantized form p_i = floor(v_i·2^20) — the integer
+    * vector the projection pass dot-products against.
+    */
+  def fitTopComponent(
+      df: DataFrame,
+      vecCol: String,
+      d: Int,
+      iters: Int = 30,
+      scale: Double = 16384.0
+  ): Array[Long] = {
+    import df.sparkSession.implicits._
+    val stats = df
+      .select(quantized(col(vecCol), scale).as("q"))
+      .as[Seq[Long]]
+      .select(new GramAggregator(d).toColumn)
+      .head()
+    val n = stats(d * d + d)
+    require(n > 1, s"PCA fit needs >1 rows, got $n")
+    val s = Array.tabulate(d)(i => stats(d * d + i))
+    // centered covariance (×n² scaling — irrelevant under normalization)
+    val cov = Array.tabulate(d, d)((i, j) => n * stats(i * d + j) - s(i) * s(j))
+    var m = 0L
+    cov.foreach(_.foreach(c => if (math.abs(c) > m) m = math.abs(c)))
+    require(m > 0L, "degenerate (zero-variance) input")
+    val cn = Array.tabulate(d, d)((i, j) => cov(i)(j).toDouble / m.toDouble)
+    var x = Array.fill(d)(1.0)
+    var it = 0
+    while (it < iters) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += math.floor(cn(i)(j) * x(j) * 1099511627776.0).toLong; j += 1 }
+        acc
+      }
+      var my = 0L
+      y.foreach(v => if (math.abs(v) > my) my = math.abs(v))
+      require(my > 0L, s"power iteration collapsed at step $it")
+      x = y.map(v => v.toDouble / my.toDouble)
+      it += 1
+    }
+    x.map(v => math.floor(v * 1048576.0).toLong)
+  }
+
+  /** Map-side projection: exact integer dot product of the quantized
+    * vectors against the quantized component (no shuffle, no join —
+    * the component rides as a literal array).
+    */
+  def projectionScore(vecCol: Column, p: Array[Long], scale: Double): Column = {
+    val pLit = array(p.map(lit): _*)
+    aggregate(
+      zip_with(quantized(vecCol, scale), pLit, (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+  }
+}
