@@ -1980,6 +1980,66 @@ object SparkEntry {
         )
         .orderBy(col("score_q").desc, col("vec_id"))
         .limit(50)
+    }),
+    // Explicit GROUPING SETS (beyond the q39 cube / q05 rollup):
+    // (nation), (nation, year), () in ONE aggregation pass with
+    // per-column grouping flags — no union of three scans.
+    "q130_grouping_sets" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(
+          broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey")
+        )
+        .join(
+          broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select(
+          col("nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+        )
+      base
+        .groupingSets(
+          Seq(Seq(col("nation")), Seq(col("nation"), col("l_year")), Seq.empty[Column]),
+          col("nation"),
+          col("l_year")
+        )
+        .agg(
+          sum(col("rev")).as("revenue_e4"),
+          grouping(col("nation")).cast("long").as("g_nation"),
+          grouping(col("l_year")).cast("long").as("g_year")
+        )
+    }),
+    // RANGE-frame trailing window: 7-CALENDAR-day revenue sum per
+    // event type over an integer day index — RANGE (value-based)
+    // semantics, not ROWS: gaps in the calendar shrink the frame.
+    "q131_trailing_week" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("di")
+        )
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("di")).rangeBetween(-6, 0)
+      daily.withColumn("trailing7", sum(col("n")).over(w))
+    }),
+    // Set-op surface: INTERSECT of two order-year customer key sets
+    // (distinct semantics), then a segment rollup.
+    "q132_repeat_customers" -> ((s, dir) => {
+      def buyers(yr: Int) =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey"))
+      buyers(1996)
+        .intersect(buyers(1997))
+        .join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")
+        )
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_repeat"))
     })
   )
 
@@ -3784,7 +3844,34 @@ object SparkEntry {
         |  CAST(max(tt) AS DOUBLE) / CAST(max(nd) AS DOUBLE) AS avg_n
         |FROM daily JOIN st ON event_type = et AND dow = sdow
         |GROUP BY 1, 2""".stripMargin,
-    "q129_pca_projection" -> pcaSql(d = 64, iters = 30)
+    "q129_pca_projection" -> pcaSql(d = 64, iters = 30),
+    "q130_grouping_sets" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |  CAST(GROUPING(EXTRACT(year FROM l_shipdate)) AS BIGINT) AS g_year
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (n_name, EXTRACT(year FROM l_shipdate)), ())""".stripMargin,
+    "q131_trailing_week" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS di, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, di, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY di
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7
+        |FROM daily""".stripMargin,
+    "q132_repeat_customers" ->
+      """WITH rep AS (
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+        |SELECT c_mktsegment, count(*) AS n_repeat
+        |FROM rep JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles

@@ -100,6 +100,27 @@ object SketchIngest {
       keyCols: Seq[String],
       path: String,
       finish: DataFrame => DataFrame = identity
+  ): Boolean =
+    ingestAdditiveBatch(batch, batchId, fold, keyCols, Seq("n"), path, finish)
+
+  /** Multi-measure generalization of [[ingestCountBatch]]: maintain an
+    * at-rest keyed table of ANY set of long measures whose merge is
+    * exact addition — an incrementally-maintained materialized
+    * aggregate (e.g. revenue + line counts per (nation, nation, year),
+    * the q113 trade view, kept live as fact rows stream in). Same
+    * bounded-table contract and swap/marker protocol as the count
+    * form; because every measure merges by exact long addition, the
+    * streamed view equals a batch rebuild bit-identically in any
+    * delivery order (spec-pinned in SketchIngestSpec).
+    */
+  def ingestAdditiveBatch(
+      batch: DataFrame,
+      batchId: Long,
+      fold: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      measureCols: Seq[String],
+      path: String,
+      finish: DataFrame => DataFrame = identity
   ): Boolean = {
     import org.apache.spark.sql.functions.{col, sum}
     val spark = batch.sparkSession
@@ -119,7 +140,10 @@ object SketchIngest {
         current
           .unionByName(batchCounts)
           .groupBy(keyCols.map(col): _*)
-          .agg(sum(col("n")).as("n"))
+          .agg(
+            sum(col(measureCols.head)).as(measureCols.head),
+            measureCols.tail.map(m => sum(col(m)).as(m)): _*
+          )
       } else batchCounts
     )
 
@@ -150,6 +174,25 @@ object SketchIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestCountBatch(batch, batchId, fold, keyCols, path)
+        ()
+      }
+      .start()
+
+  /** Streaming loop over [[ingestAdditiveBatch]] — continuous
+    * maintenance of a multi-measure materialized aggregate.
+    */
+  def additiveIngest(
+      rows: DataFrame,
+      fold: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      measureCols: Seq[String],
+      path: String,
+      checkpoint: String
+  ): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestAdditiveBatch(batch, batchId, fold, keyCols, measureCols, path)
         ()
       }
       .start()

@@ -110,4 +110,47 @@ class SketchIngestSpec extends AnyFunSuite {
     assert(sketchMap(path) === v2)
     assert(v1 !== v2)
   }
+
+  test("additive multi-measure view: streamed fact chunks == batch rebuild, replay no-op") {
+    // the incremental-materialized-aggregate form: a q113-style trade
+    // view (revenue_e4 + n_lines per nation pair) maintained as fact
+    // rows arrive in chunks, against static dims
+    val tmp = Files.createTempDirectory("skadditive").toString
+    val path = s"$tmp/trade"
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables
+      .load(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev")
+      )
+    val sup = graft.sources.Tables.load(spark, dir, "supplier")
+    val nat = graft.sources.Tables.load(spark, dir, "nation")
+    def fold(b: org.apache.spark.sql.DataFrame) = b
+      .join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("supp_nation"))
+      .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+    val chunks = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2)
+    )
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      assert(SketchIngest.ingestAdditiveBatch(
+        c, i.toLong, fold, Seq("supp_nation"), Seq("revenue_e4", "n_lines"), path))
+    }
+    // redelivered last chunk: exact no-op
+    assert(!SketchIngest.ingestAdditiveBatch(
+      chunks.last, 2L, fold, Seq("supp_nation"), Seq("revenue_e4", "n_lines"), path))
+    val streamed = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rebuilt = fold(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === rebuilt)
+  }
 }
