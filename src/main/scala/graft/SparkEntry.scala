@@ -2040,6 +2040,42 @@ object SparkEntry {
         )
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_repeat"))
+    }),
+    // Two-component PCA: second direction via pinned-FP deflation of
+    // the normalized covariance by the quantized first component, then
+    // a label × sign-quadrant rollup of both projections (exact
+    // integer scores; the heavy work is the same one Gram pass + two
+    // map-side projections).
+    "q133_pca_quadrants" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (p1, p2) = Pca.fitTopTwoComponents(emb, "embedding", d = 64, iters = 30, scale = 16384.0)
+      emb
+        .select(
+          col("label").cast("long").as("label"),
+          Pca.projectionScore(col("embedding"), p1, 16384.0).as("s1q"),
+          Pca.projectionScore(col("embedding"), p2, 16384.0).as("s2q")
+        )
+        .groupBy(col("label"), (col("s1q") >= 0L).as("pos1"), (col("s2q") >= 0L).as("pos2"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("s1q")).as("sum1_q"),
+          sum(col("s2q")).as("sum2_q")
+        )
+    }),
+    // Blocked fuzzy matching: Levenshtein ≤ 4 over DISTINCT part names
+    // paired only within a block (the text after the first space) —
+    // distinct-then-block-then-pair, never an all-pairs product.
+    "q134_fuzzy_part_names" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name"))
+        .distinct()
+        .withColumn("blk", expr("substring(p_name, instr(p_name, ' ') + 1)"))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"))
+      a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 4L)
+        .select(col("name_a"), col("name_b"), col("lev"))
     })
   )
 
@@ -2048,17 +2084,8 @@ object SparkEntry {
     * steps → quantized projection, mirroring Pca.fitTopComponent op for
     * op (see its scaladoc for the bound analysis).
     */
-  private def pcaSql(d: Int, iters: Int): String = {
-    def step(prev: String, k: Int): String =
-      s"""t$k AS (SELECT cn.i AS i,
-         |    CAST(floor(cn.c * x.v * 1099511627776.0) AS BIGINT) AS tt
-         |  FROM cn JOIN $prev x ON x.i = cn.j),
-         |y$k AS MATERIALIZED (SELECT i, CAST(sum(tt) AS BIGINT) AS y FROM t$k GROUP BY 1),
-         |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
-         |x$k AS MATERIALIZED (SELECT i, CAST(y AS DOUBLE) / CAST(m AS DOUBLE) AS v
-         |  FROM y$k CROSS JOIN m$k)""".stripMargin
-    val steps = (1 to iters).map(k => step(if (k == 1) "x0" else s"x${k - 1}", k))
-    s"""WITH q AS MATERIALIZED (SELECT vec_id, ii.i,
+  private def pcaPrelude(d: Int): String =
+    s"""q AS MATERIALIZED (SELECT vec_id, ii.i,
        |    CAST(floor(CAST(embedding[CAST(ii.i AS INTEGER)] AS DOUBLE) * 16384.0) AS BIGINT) AS qv
        |  FROM embeddings, (SELECT unnest(range(1, ${d + 1})) AS i) ii),
        |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gg
@@ -2069,16 +2096,66 @@ object SparkEntry {
        |  FROM g JOIN sm si ON si.i = g.i JOIN sm sj ON sj.i = g.j CROSS JOIN nn),
        |cm AS (SELECT max(abs(c)) AS m FROM cov),
        |cn AS MATERIALIZED (SELECT i, j, CAST(c AS DOUBLE) / CAST(m AS DOUBLE) AS c
-       |  FROM cov CROSS JOIN cm),
-       |x0 AS (SELECT unnest(range(1, ${d + 1})) AS i, CAST(1.0 AS DOUBLE) AS v),
-       |${steps.mkString(",\n")},
+       |  FROM cov CROSS JOIN cm)""".stripMargin
+
+  /** One power-method loop as a CTE chain: `matrix` rows dotted against
+    * the previous iterate, per-term floor-quantized, max-normalized.
+    * Every y/x step is MATERIALIZED — each is referenced twice, and
+    * without the hint DuckDB re-inlines the whole upstream chain per
+    * reference (exponential re-evaluation).
+    */
+  private def pcaLoopSql(matrix: String, pfx: String, d: Int, iters: Int): String = {
+    def step(prev: String, k: Int): String =
+      s"""${pfx}t$k AS (SELECT $matrix.i AS i,
+         |    CAST(floor($matrix.c * x.v * 1099511627776.0) AS BIGINT) AS tt
+         |  FROM $matrix JOIN $prev x ON x.i = $matrix.j),
+         |${pfx}y$k AS MATERIALIZED (SELECT i, CAST(sum(tt) AS BIGINT) AS y FROM ${pfx}t$k GROUP BY 1),
+         |${pfx}m$k AS (SELECT max(abs(y)) AS m FROM ${pfx}y$k),
+         |${pfx}x$k AS MATERIALIZED (SELECT i, CAST(y AS DOUBLE) / CAST(m AS DOUBLE) AS v
+         |  FROM ${pfx}y$k CROSS JOIN ${pfx}m$k)""".stripMargin
+    val x0 = s"${pfx}x0 AS (SELECT unnest(range(1, ${d + 1})) AS i, CAST(1.0 AS DOUBLE) AS v)"
+    val steps = (1 to iters).map(k => step(s"${pfx}x${k - 1}", k))
+    (x0 +: steps).mkString(",\n")
+  }
+
+  private def pcaSql(d: Int, iters: Int): String =
+    s"""WITH ${pcaPrelude(d)},
+       |${pcaLoopSql("cn", "", d, iters)},
        |pv AS (SELECT i, CAST(floor(v * 1048576.0) AS BIGINT) AS p FROM x$iters),
        |sc AS (SELECT q.vec_id, CAST(sum(q.qv * pv.p) AS BIGINT) AS score_q
        |  FROM q JOIN pv ON q.i = pv.i GROUP BY 1)
        |SELECT sc.vec_id, CAST(label AS BIGINT) AS label, score_q
        |FROM sc JOIN embeddings ON sc.vec_id = embeddings.vec_id
        |ORDER BY score_q DESC, sc.vec_id LIMIT 50""".stripMargin
-  }
+
+  /** q133: deflate by the quantized first component (λ̂ and the
+    * vvᵀ/vᵀv correction from exact p₁ products — see
+    * Pca.fitTopTwoComponents), run the same loop on cn2, then a
+    * label × sign-quadrant rollup of both projections.
+    */
+  private def pca2Sql(d: Int, iters: Int): String =
+    s"""WITH ${pcaPrelude(d)},
+       |${pcaLoopSql("cn", "", d, iters)},
+       |pv1 AS MATERIALIZED (SELECT i, CAST(floor(v * 1048576.0) AS BIGINT) AS p FROM x$iters),
+       |vtv AS (SELECT CAST(sum(p * p) AS BIGINT) AS s FROM pv1),
+       |lt AS (SELECT CAST(sum(CAST(floor(cn.c * CAST(a.p * b.p AS DOUBLE)) AS BIGINT)) AS BIGINT) AS t
+       |  FROM cn JOIN pv1 a ON a.i = cn.i JOIN pv1 b ON b.i = cn.j),
+       |lam AS (SELECT CAST(t AS DOUBLE) / CAST(s AS DOUBLE) AS l FROM lt CROSS JOIN vtv),
+       |cn2 AS MATERIALIZED (SELECT cn.i, cn.j,
+       |    cn.c - lam.l * (CAST(a.p * b.p AS DOUBLE) / CAST(vtv.s AS DOUBLE)) AS c
+       |  FROM cn JOIN pv1 a ON a.i = cn.i JOIN pv1 b ON b.i = cn.j
+       |  CROSS JOIN lam CROSS JOIN vtv),
+       |${pcaLoopSql("cn2", "z", d, iters)},
+       |pv2 AS (SELECT i, CAST(floor(v * 1048576.0) AS BIGINT) AS p FROM zx$iters),
+       |s1 AS (SELECT q.vec_id, CAST(sum(q.qv * pv1.p) AS BIGINT) AS s1q
+       |  FROM q JOIN pv1 ON q.i = pv1.i GROUP BY 1),
+       |s2 AS (SELECT q.vec_id, CAST(sum(q.qv * pv2.p) AS BIGINT) AS s2q
+       |  FROM q JOIN pv2 ON q.i = pv2.i GROUP BY 1)
+       |SELECT CAST(label AS BIGINT) AS label, s1q >= 0 AS pos1, s2q >= 0 AS pos2,
+       |  count(*) AS n, CAST(sum(s1q) AS BIGINT) AS sum1_q, CAST(sum(s2q) AS BIGINT) AS sum2_q
+       |FROM s1 JOIN s2 ON s1.vec_id = s2.vec_id
+       |JOIN embeddings ON s1.vec_id = embeddings.vec_id
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** The explicit state list for the Markov queries — known event
     * vocabulary; states outside the list are excluded by contract
@@ -3871,7 +3948,15 @@ object SparkEntry {
         |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
         |SELECT c_mktsegment, count(*) AS n_repeat
         |FROM rep JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q133_pca_quadrants" -> pca2Sql(d = 64, iters = 30),
+    "q134_fuzzy_part_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |nb AS (SELECT p_name, substr(p_name, position(' ' IN p_name) + 1) AS blk FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles

@@ -34,44 +34,51 @@ object Materialize {
   def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(CheckpointDirConf).exists(_.trim.nonEmpty)
 
-  /** Materialize `df` per the session's durability conf. `eager=false`
-    * keeps plan CONSTRUCTION side-effect free in both modes (the first
-    * action materializes; later reads hit the blocks/files).
+  /** Materialize `df` per the session's durability conf.
+    *
+    * ALWAYS eager since round 12, in both modes — the `eager` flag is
+    * accepted for call-site stability but no longer selects a lazy
+    * path. A lazy checkpoint's FIRST materialization happens in
+    * whatever thread first acts on a consuming plan; when the pinned
+    * block is one leg of a diamond whose other leg is a broadcast
+    * build side (this engine's standard model-pin shape), that thread
+    * is an AQE `broadcast-exchange-*` thread, and Spark's
+    * `RDDCheckpointData.checkpoint` (companion lock → RDD lock) can
+    * interleave with `DAGScheduler.getCacheLocs` (RDD lock → companion
+    * lock) on the same RDD — an ABBA deadlock observed in this
+    * environment as a permanent hang of the whole application (jstack:
+    * `broadcast-exchange-107` vs `dag-scheduler-event-loop`, round
+    * 12). Materializing at pin time runs the checkpoint's one job from
+    * the controlled caller thread with no concurrent stage sharing the
+    * RDD; every later access sees an already-checkpointed block and
+    * takes neither lock in a nested order.
     */
-  def apply(df: DataFrame, eager: Boolean): DataFrame = {
+  def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val key = spark.sparkContext.applicationId
         if (applied.put(key, dir) != dir) spark.sparkContext.setCheckpointDir(dir)
-        if (eager) {
-          // Eager reliable checkpoint runs TWO jobs over the plan: the
-          // eager count, then the ReliableRDDCheckpointData write, which
-          // re-executes the (un-persisted) RDD. A TRANSIENT cache makes
-          // the count populate it and the checkpoint write read from it —
-          // one plan execution + one cache read instead of two
-          // executions, and `observe` metrics inside the plan fire once,
-          // preserving clusters()' one-materializing-job-per-round
-          // convergence accounting in reliable mode too. Unpersisted
-          // immediately: the returned frame reads the checkpoint FILES,
-          // never this cache. If the CALLER already cached this plan
-          // (storageLevel consults the shared CacheManager), both jobs
-          // read their cache and the transient persist/unpersist pair is
-          // skipped — re-persisting would be a no-op but the paired
-          // unpersist would silently drop the caller's cache entry.
-          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try df.checkpoint(eager = true)
-            finally df.unpersist(blocking = false)
-          } else df.checkpoint(eager = true)
-        } else {
-          // Lazy reliable mode keeps construction side-effect free, at
-          // the documented cost that whichever LATER action first
-          // materializes it pays the compute-twice trade (no safe point
-          // to drop a transient cache from here).
-          df.checkpoint(eager = false)
-        }
-      case None => df.localCheckpoint(eager)
+        // Eager reliable checkpoint runs TWO jobs over the plan: the
+        // eager count, then the ReliableRDDCheckpointData write, which
+        // re-executes the (un-persisted) RDD. A TRANSIENT cache makes
+        // the count populate it and the checkpoint write read from it —
+        // one plan execution + one cache read instead of two
+        // executions, and `observe` metrics inside the plan fire once,
+        // preserving clusters()' one-materializing-job-per-round
+        // convergence accounting in reliable mode too. Unpersisted
+        // immediately: the returned frame reads the checkpoint FILES,
+        // never this cache. If the CALLER already cached this plan
+        // (storageLevel consults the shared CacheManager), both jobs
+        // read their cache and the transient persist/unpersist pair is
+        // skipped — re-persisting would be a no-op but the paired
+        // unpersist would silently drop the caller's cache entry.
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try df.checkpoint(eager = true)
+          finally df.unpersist(blocking = false)
+        } else df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
     }
   }
 }

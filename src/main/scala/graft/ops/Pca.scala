@@ -78,6 +78,52 @@ object Pca {
       iters: Int = 30,
       scale: Double = 16384.0
   ): Array[Long] = {
+    val cn = normalizedCovariance(df, vecCol, d, scale)
+    quantizeComponent(powerLoop(cn, d, iters))
+  }
+
+  /** Top TWO principal directions: the second via deflation of the
+    * normalized covariance by the QUANTIZED first component — λ̂ and
+    * the outer-product correction are built from exact-integer p₁
+    * products (every per-term floor/divide/multiply pinned), so the
+    * oracle replays the deflation bit-for-bit, same as the first
+    * component's loop.
+    */
+  def fitTopTwoComponents(
+      df: DataFrame,
+      vecCol: String,
+      d: Int,
+      iters: Int = 30,
+      scale: Double = 16384.0
+  ): (Array[Long], Array[Long]) = {
+    val cn = normalizedCovariance(df, vecCol, d, scale)
+    val p1 = quantizeComponent(powerLoop(cn, d, iters))
+    // vᵀv and vᵀCv from quantized p₁: exact longs / per-term floors
+    var vtv = 0L
+    p1.foreach(p => vtv += p * p)
+    var t = 0L
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        t += math.floor(cn(i)(j) * (p1(i) * p1(j)).toDouble).toLong
+        j += 1
+      }
+      i += 1
+    }
+    val lambda = t.toDouble / vtv.toDouble
+    val cn2 = Array.tabulate(d, d) { (i, j) =>
+      cn(i)(j) - lambda * ((p1(i) * p1(j)).toDouble / vtv.toDouble)
+    }
+    (p1, quantizeComponent(powerLoop(cn2, d, iters)))
+  }
+
+  private def normalizedCovariance(
+      df: DataFrame,
+      vecCol: String,
+      d: Int,
+      scale: Double
+  ): Array[Array[Double]] = {
     import df.sparkSession.implicits._
     val stats = df
       .select(quantized(col(vecCol), scale).as("q"))
@@ -92,7 +138,10 @@ object Pca {
     var m = 0L
     cov.foreach(_.foreach(c => if (math.abs(c) > m) m = math.abs(c)))
     require(m > 0L, "degenerate (zero-variance) input")
-    val cn = Array.tabulate(d, d)((i, j) => cov(i)(j).toDouble / m.toDouble)
+    Array.tabulate(d, d)((i, j) => cov(i)(j).toDouble / m.toDouble)
+  }
+
+  private def powerLoop(cn: Array[Array[Double]], d: Int, iters: Int): Array[Double] = {
     var x = Array.fill(d)(1.0)
     var it = 0
     while (it < iters) {
@@ -108,8 +157,11 @@ object Pca {
       x = y.map(v => v.toDouble / my.toDouble)
       it += 1
     }
-    x.map(v => math.floor(v * 1048576.0).toLong)
+    x
   }
+
+  private def quantizeComponent(x: Array[Double]): Array[Long] =
+    x.map(v => math.floor(v * 1048576.0).toLong)
 
   /** Map-side projection: exact integer dot product of the quantized
     * vectors against the quantized component (no shuffle, no join —

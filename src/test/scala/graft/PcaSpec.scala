@@ -53,6 +53,16 @@ class PcaSpec extends AnyFunSuite {
       s"component variance ${scores / pNorm2} not above axis-0 ${axisVar / axisNorm2}")
   }
 
+  test("second component is near-orthogonal to the first and the first is unchanged") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (p1, p2) = Pca.fitTopTwoComponents(emb, "embedding", d = 64, iters = 30)
+    assert(p1.sameElements(Pca.fitTopComponent(emb, "embedding", d = 64, iters = 30)))
+    val n1 = math.sqrt(p1.map(v => v.toDouble * v).sum)
+    val n2 = math.sqrt(p2.map(v => v.toDouble * v).sum)
+    val cos = p1.zip(p2).map { case (a, b) => a.toDouble * b }.sum / (n1 * n2)
+    assert(math.abs(cos) < 0.05, s"components not near-orthogonal: cos=$cos")
+  }
+
   test("degenerate zero-variance input is rejected") {
     val rows = Seq.fill(5)(Array(0.25f, 0.25f, 0.25f))
     assertThrows[IllegalArgumentException] {
