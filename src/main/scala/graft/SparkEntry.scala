@@ -2076,6 +2076,62 @@ object SparkEntry {
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("lev") <= 4L)
         .select(col("name_a"), col("name_b"), col("lev"))
+    }),
+    // GLOBAL cumulative sum without a global window: the two-phase
+    // scan (bucketed partitioned cumsum + driver prefix of the bounded
+    // bucket-total vector + broadcast offsets) — bit-identical to the
+    // single-window oracle because every sum is long addition.
+    "q135_cumulative_daily" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("di"))
+        .agg(count(lit(1)).as("n"))
+      PrefixSum
+        .cumsum(daily, "di", Seq("n"), bucketWidth = 32L)
+        .select(col("di"), col("n"), col("cum_n"))
+    }),
+    // Exact two-sample Kolmogorov–Smirnov distance between two
+    // sources' length distributions: D·n₁·n₂ maximized as an INTEGER
+    // before the one division — no FP inside the max.
+    "q136_ks_lengths" -> ((s, dir) =>
+      PrefixSum.ksTest(
+        t(s, dir, "documents"),
+        "n_chars",
+        col("source") === "src0",
+        col("source") === "src1",
+        bucketWidth = 256L
+      )),
+    // Theil–Sen robust trend per event type: median of all pairwise
+    // slopes on the (day, count) grid — pairs are grid², not rows²,
+    // and the median is the same interpolated exact percentile the
+    // engine's anomaly stack already pins against quantile_cont.
+    "q137_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x")
+        )
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type").as("et"), col("x").as("x1"), col("y").as("y1"))
+      val bb = daily.select(col("event_type").as("et2"), col("x").as("x2"), col("y").as("y2"))
+      val slopes = a
+        .join(bb, col("et") === col("et2") && col("x1") < col("x2"))
+        .select(
+          col("et").as("event_type"),
+          ((col("y2") - col("y1")).cast("double") / (col("x2") - col("x1")).cast("double"))
+            .as("slope")
+        )
+      val med = slopes
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"), expr("percentile(slope, 0.5)").as("median_slope"))
+      daily
+        .join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n_pairs")).as("n_pairs"),
+          max(col("median_slope")).as("median_slope"),
+          expr("percentile(cast(y as double) - median_slope * cast(x as double), 0.5)")
+            .as("median_intercept")
+        )
     })
   )
 
@@ -3956,7 +4012,39 @@ object SparkEntry {
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
         |FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "q135_cumulative_daily" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS di,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT di, n, CAST(sum(n) OVER (ORDER BY di) AS BIGINT) AS cum_n
+        |FROM daily""".stripMargin,
+    "q136_ks_lengths" ->
+      """WITH grid AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |c AS (SELECT v, CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS k1,
+        |    CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS k2 FROM grid),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM grid)
+        |SELECT CAST(max(abs(k1*n2 - k2*n1)) AS BIGINT) AS ks_num,
+        |  max(n1) AS n1, max(n2) AS n2,
+        |  CAST(max(abs(k1*n2 - k2*n1)) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks
+        |FROM c, t""".stripMargin,
+    "q137_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x),
+        |med AS (SELECT event_type, count(*) AS n_pairs,
+        |    quantile_cont(slope, 0.5) AS m FROM sl GROUP BY 1)
+        |SELECT d.event_type, max(n_pairs) AS n_pairs, max(m) AS median_slope,
+        |  quantile_cont(CAST(y AS DOUBLE) - m * CAST(x AS DOUBLE), 0.5) AS median_intercept
+        |FROM daily d JOIN med ON d.event_type = med.event_type
+        |GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
