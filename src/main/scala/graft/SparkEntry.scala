@@ -2132,6 +2132,85 @@ object SparkEntry {
           expr("percentile(cast(y as double) - median_slope * cast(x as double), 0.5)")
             .as("median_intercept")
         )
+    }),
+    // Chi-squared independence of event type × weekday: per-cell
+    // O·N − R·C is an EXACT long; the cell term (diff²/den, two pinned
+    // FP ops) is floor-quantized to e-6 so the statistic is an
+    // order-independent long sum — no FP Σ across shuffled cells.
+    "q138_chi2_independence" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = grid.groupBy(col("event_type").as("et")).agg(sum(col("o")).as("r"))
+      val ct = grid.groupBy(col("dow").as("dw")).agg(sum(col("o")).as("c"))
+      val tot = grid.agg(sum(col("o")).as("n"))
+      val cells = grid
+        .join(broadcast(rt), col("event_type") === col("et"))
+        .join(broadcast(ct), col("dow") === col("dw"))
+        .crossJoin(broadcast(tot))
+        .withColumn("diff", col("o") * col("n") - col("r") * col("c"))
+        .withColumn("den", col("n") * col("r") * col("c"))
+        .withColumn(
+          "term_q",
+          floor(
+            col("diff").cast("double") * col("diff").cast("double") /
+              col("den").cast("double") * 1000000.0
+          ).cast("long")
+        )
+      cells.agg(
+        max(col("n")).as("n"),
+        ((countDistinct(col("event_type")) - 1L) * (countDistinct(col("dow")) - 1L)).as("dof"),
+        sum(col("term_q")).as("chi2_q"),
+        (sum(col("term_q")).cast("double") / 1000000.0).as("chi2")
+      )
+    }),
+    // Benford leading-digit profile of order totals: expected counts
+    // from glog (the engine's IEEE-exact cross-engine ln), deviation
+    // floor-quantized — digit-grid math is 9 rows, map-side.
+    "q139_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_d"))
+      val tot = digits.agg(sum(col("n_d")).as("n"))
+      digits
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "expected",
+          col("n").cast("double") *
+            ((Dsir.glog(col("digit") + 1) - Dsir.glog(col("digit"))) / Dsir.glog(lit(10)))
+        )
+        .withColumn(
+          "dev_q",
+          floor((col("n_d").cast("double") - col("expected")) * 1000000.0).cast("long")
+        )
+        .select(col("digit"), col("n_d"), col("n"), col("expected"), col("dev_q"))
+    }),
+    // Bitwise-aggregate surface: per-user weekday activity mask via
+    // bit_or(1 << dow), then a histogram of masks with bit_count.
+    "q140_activity_bitmaps" -> ((s, dir) => {
+      val masks = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          expr("bit_or(shiftleft(cast(1 as bigint), dayofweek(to_date(ts)) - 1))").as("mask")
+        )
+      masks
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("days_active", bit_count(col("mask")).cast("long"))
+    }),
+    // Multiset difference (EXCEPT ALL): 1996 shipment suppliers minus
+    // 1997's, multiplicity-aware — the occurrences a plain EXCEPT
+    // (distinct) silently collapses.
+    "q141_supplier_except_all" -> ((s, dir) => {
+      def ships(yr: Int) =
+        t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === yr)
+          .select(col("l_suppkey"))
+      ships(1996)
+        .exceptAll(ships(1997))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("surplus"))
     })
   )
 
@@ -4044,7 +4123,54 @@ object SparkEntry {
         |SELECT d.event_type, max(n_pairs) AS n_pairs, max(m) AS median_slope,
         |  quantile_cont(CAST(y AS DOUBLE) - m * CAST(x AS DOUBLE), 0.5) AS median_intercept
         |FROM daily d JOIN med ON d.event_type = med.event_type
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q138_chi2_independence" ->
+      """WITH grid AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type AS et, CAST(sum(o) AS BIGINT) AS r FROM grid GROUP BY 1),
+        |ct AS (SELECT dow AS dw, CAST(sum(o) AS BIGINT) AS c FROM grid GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid),
+        |cells AS (SELECT event_type, dow, n, o*n - r*c AS diff, n*r*c AS den
+        |  FROM grid JOIN rt ON event_type = et JOIN ct ON dow = dw CROSS JOIN tot)
+        |SELECT max(n) AS n,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+        |  CAST(sum(CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+        |    / CAST(den AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_q,
+        |  CAST(sum(CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+        |    / CAST(den AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM cells""".stripMargin,
+    "q139_benford" ->
+      s"""WITH digits AS (SELECT
+         |    CAST(substr(CAST(CAST(round(o_totalprice*100,0) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit,
+         |    count(*) AS n_d
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM digits),
+         |vals AS (SELECT unnest(range(1, 12)) AS v),
+         |$glogChainSql
+         |SELECT d.digit, d.n_d, tot.n,
+         |  CAST(tot.n AS DOUBLE) * ((g1.glog - g0.glog) / g10.glog) AS expected,
+         |  CAST(floor((CAST(d.n_d AS DOUBLE)
+         |    - CAST(tot.n AS DOUBLE) * ((g1.glog - g0.glog) / g10.glog)) * 1000000.0)
+         |    AS BIGINT) AS dev_q
+         |FROM digits d CROSS JOIN tot
+         |JOIN gl g0 ON g0.v = d.digit
+         |JOIN gl g1 ON g1.v = d.digit + 1
+         |JOIN gl g10 ON g10.v = 10""".stripMargin,
+    "q140_activity_bitmaps" ->
+      """WITH masks AS (SELECT user_id,
+        |    bit_or(CAST(1 AS BIGINT) << dayofweek(CAST(ts AS DATE))) AS mask
+        |  FROM events GROUP BY 1)
+        |SELECT mask, count(*) AS n_users,
+        |  CAST(bit_count(mask) AS BIGINT) AS days_active
+        |FROM masks GROUP BY 1""".stripMargin,
+    "q141_supplier_except_all" ->
+      """WITH a AS (
+        |  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1997)
+        |SELECT l_suppkey, count(*) AS surplus FROM a GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
