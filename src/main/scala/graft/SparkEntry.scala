@@ -2211,6 +2211,34 @@ object SparkEntry {
         .exceptAll(ships(1997))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("surplus"))
+    }),
+    // Ordered string aggregation: per supplier nation, the sorted CSV
+    // of distinct brands shipped — distinct BEFORE the collect (the
+    // list is vocabulary-bounded, never row-bounded), sort inside the
+    // engine for a deterministic concatenation.
+    "q142_brand_signature" -> ((s, dir) => {
+      val distinctPairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"))
+        .join(
+          broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(
+          broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey")
+        )
+        .join(
+          broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select(col("nation"), col("p_brand"))
+        .distinct()
+      distinctPairs
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n_brands"),
+          concat_ws(",", sort_array(collect_list(col("p_brand")))).as("brand_csv")
+        )
     })
   )
 
@@ -4170,7 +4198,15 @@ object SparkEntry {
         |  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996
         |  EXCEPT ALL
         |  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1997)
-        |SELECT l_suppkey, count(*) AS surplus FROM a GROUP BY 1""".stripMargin
+        |SELECT l_suppkey, count(*) AS surplus FROM a GROUP BY 1""".stripMargin,
+    "q142_brand_signature" ->
+      """WITH b AS (SELECT DISTINCT n_name AS nation, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, count(*) AS n_brands,
+        |  string_agg(p_brand, ',' ORDER BY p_brand) AS brand_csv
+        |FROM b GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles

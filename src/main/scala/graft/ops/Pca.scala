@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Exact-arithmetic top-component PCA over an embedding column — the
   * dimensionality-reduction half of an embedding curation pipeline
@@ -118,18 +119,62 @@ object Pca {
     (p1, quantizeComponent(powerLoop(cn2, d, iters)))
   }
 
+  /** The model's at-rest row form: one (i, j, n) row per Gram cell,
+    * (i, −1, n) per column sum, (−1, −1, n) for the count — a single
+    * keyed LONG-count table whose merge is exact addition, so
+    * [[graft.streaming.SketchIngest.countIngest]] maintains it
+    * exactly-once from streamed vector batches and a fit from the
+    * at-rest table equals a batch fit BIT-IDENTICALLY (spec-pinned).
+    */
+  def gramTable(df: DataFrame, vecCol: String, d: Int, scale: Double = 16384.0): DataFrame = {
+    val stats = gramStats(df, vecCol, d, scale)
+    val rows = (for { i <- 0 until d; j <- 0 until d } yield Row(i.toLong, j.toLong, stats(i * d + j))) ++
+      (0 until d).map(i => Row(i.toLong, -1L, stats(d * d + i))) :+
+      Row(-1L, -1L, stats(d * d + d))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(
+        Seq(
+          StructField("i", LongType, nullable = false),
+          StructField("j", LongType, nullable = false),
+          StructField("n", LongType, nullable = false)
+        )
+      )
+    )
+  }
+
+  /** Fit the top component from an at-rest [[gramTable]] (batch-built,
+    * streamed-maintained, or compacted — all equal under exact
+    * addition). Same pinned arithmetic as [[fitTopComponent]].
+    */
+  def fitTopComponentFromTable(table: DataFrame, d: Int, iters: Int = 30): Array[Long] = {
+    val stats = new Array[Long](d * d + d + 1)
+    table.select(col("i"), col("j"), col("n").cast("long")).collect().foreach { r =>
+      val (i, j, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (i < 0) stats(d * d + d) = v
+      else if (j < 0) stats(d * d + i.toInt) = v
+      else stats(i.toInt * d + j.toInt) = v
+    }
+    quantizeComponent(powerLoop(normalizedFromStats(stats, d), d, iters))
+  }
+
+  private def gramStats(df: DataFrame, vecCol: String, d: Int, scale: Double): Array[Long] = {
+    import df.sparkSession.implicits._
+    df.select(quantized(col(vecCol), scale).as("q"))
+      .as[Seq[Long]]
+      .select(new GramAggregator(d).toColumn)
+      .head()
+  }
+
   private def normalizedCovariance(
       df: DataFrame,
       vecCol: String,
       d: Int,
       scale: Double
-  ): Array[Array[Double]] = {
-    import df.sparkSession.implicits._
-    val stats = df
-      .select(quantized(col(vecCol), scale).as("q"))
-      .as[Seq[Long]]
-      .select(new GramAggregator(d).toColumn)
-      .head()
+  ): Array[Array[Double]] =
+    normalizedFromStats(gramStats(df, vecCol, d, scale), d)
+
+  private def normalizedFromStats(stats: Array[Long], d: Int): Array[Array[Double]] = {
     val n = stats(d * d + d)
     require(n > 1, s"PCA fit needs >1 rows, got $n")
     val s = Array.tabulate(d)(i => stats(d * d + i))

@@ -63,6 +63,27 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(cos) < 0.05, s"components not near-orthogonal: cos=$cos")
   }
 
+  test("streamed at-rest gram table: chunked countIngest == batch fit, bit-identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcagram").toString
+    val path = s"$tmp/gram"
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val chunks = Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)
+    )
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      assert(graft.streaming.SketchIngest.ingestCountBatch(
+        c, i.toLong, b => Pca.gramTable(b, "embedding", d = 64), Seq("i", "j"), path))
+    }
+    // replay of the last chunk: exact no-op
+    assert(!graft.streaming.SketchIngest.ingestCountBatch(
+      chunks.last, 2L, b => Pca.gramTable(b, "embedding", d = 64), Seq("i", "j"), path))
+    val streamed = Pca.fitTopComponentFromTable(spark.read.parquet(path), d = 64, iters = 30)
+    val batch = Pca.fitTopComponent(emb, "embedding", d = 64, iters = 30)
+    assert(streamed.sameElements(batch))
+  }
+
   test("degenerate zero-variance input is rejected") {
     val rows = Seq.fill(5)(Array(0.25f, 0.25f, 0.25f))
     assertThrows[IllegalArgumentException] {
