@@ -2239,7 +2239,56 @@ object SparkEntry {
           count(lit(1)).as("n_brands"),
           concat_ws(",", sort_array(collect_list(col("p_brand")))).as("brand_csv")
         )
-    })
+    }),
+    // Array set-op surface: brand overlap between ADJACENT nations
+    // (nationkey n vs n+1) via array_intersect over vocabulary-bounded
+    // collect_set arrays, sorted for a deterministic CSV.
+    "q143_common_brands" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"))
+        .join(
+          broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(
+          broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey")
+        )
+        .select(col("s_nationkey").cast("long").as("nk"), col("p_brand"))
+        .distinct()
+      val sets = pairs
+        .groupBy(col("nk"))
+        .agg(collect_set(col("p_brand")).as("brands"))
+      val a = sets.select(col("nk"), col("brands").as("b1"))
+      val b = sets.select((col("nk") - 1L).as("nk2"), col("brands").as("b2"))
+      a.join(b, col("nk") === col("nk2"))
+        .filter(col("nk") < 6L)
+        .select(
+          col("nk"),
+          size(array_intersect(col("b1"), col("b2"))).cast("long").as("n_common"),
+          concat_ws(",", array_sort(array_intersect(col("b1"), col("b2")))).as("common_csv")
+        )
+    }),
+    // Regex extraction surface: capitalized-token counts per source
+    // (simple char-class pattern — identical across regex dialects).
+    "q144_capitalized_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0))).cast("long"))
+            .as("n_caps"),
+          count(lit(1)).as("n_docs")
+        )),
+    // Date-arithmetic surface: orders landing within 3 days of their
+    // month end, by priority — last_day + integer day difference.
+    "q145_month_end_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(datediff(last_day(col("o_orderdate")), to_date(col("o_orderdate"))) <= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents")
+        ))
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4206,7 +4255,34 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT nation, count(*) AS n_brands,
         |  string_agg(p_brand, ',' ORDER BY p_brand) AS brand_csv
-        |FROM b GROUP BY 1""".stripMargin
+        |FROM b GROUP BY 1""".stripMargin,
+    "q143_common_brands" ->
+      """WITH p AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |x AS (SELECT a.nk,
+        |    (SELECT count(*) FROM p c WHERE c.nk = a.nk
+        |       AND c.p_brand IN (SELECT p_brand FROM p d WHERE d.nk = a.nk + 1))
+        |      AS n_common,
+        |    (SELECT coalesce(string_agg(c.p_brand, ',' ORDER BY c.p_brand), '')
+        |       FROM p c WHERE c.nk = a.nk
+        |       AND c.p_brand IN (SELECT p_brand FROM p d WHERE d.nk = a.nk + 1))
+        |      AS common_csv
+        |  FROM (SELECT DISTINCT nk FROM p) a
+        |  WHERE a.nk < 6 AND EXISTS (SELECT 1 FROM p e WHERE e.nk = a.nk + 1))
+        |SELECT nk, CAST(n_common AS BIGINT) AS n_common, common_csv FROM x""".stripMargin,
+    "q144_capitalized_tokens" ->
+      """SELECT source,
+        |  CAST(sum(length(regexp_extract_all(text, '[A-Z][a-z]+'))) AS BIGINT) AS n_caps,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q145_month_end_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+        |    - CAST(o_orderdate AS DATE) <= 3
+        |GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
