@@ -93,9 +93,20 @@ object Curation {
       .select(col("doc_id"))
     val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
 
+    // 3+5 share ONE explode+hash pass: the position table (per-token
+    // unigram bucket + right-bigram bucket) is pinned once over the
+    // post-quality corpus; the perplexity gate reads its pair view and
+    // the DSIR stage reads its gram-multiset view (semi-joined to the
+    // dedup survivors). Halves the md5 work vs two independent passes
+    // and — at 100 TB — removes a full corpus re-tokenization.
+    val posQ = Materialize(
+      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096, Seq("_tgt" -> col("_tgt"))),
+      eager = false
+    )
+
     // 3. perplexity gate, model fitted on the post-quality corpus
     val pplIds = Dsir
-      .bigramSurprisal(afterQual, "text", "doc_id")
+      .bigramSurprisalFromPairs(Dsir.pairsFromPositions(posQ))
       .filter(col("avg_nll") <= maxAvgNll)
       .select(col("doc_id"))
     val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
@@ -104,9 +115,16 @@ object Curation {
     val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
     val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
 
-    // 5. DSIR selection against the labeled target subset
+    // 5. DSIR selection against the labeled target subset — gram
+    // multiset from the shared position pin, restricted to survivors
+    val gDedup = Materialize(
+      Dsir
+        .gramsFromPositions(posQ, Seq("_tgt"))
+        .join(afterDedup.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      eager = false
+    )
     val weighted = Dsir
-      .importanceWeightsWithin(afterDedup, col("_tgt"), "text", "doc_id")
+      .importanceWeightsFromGramTable(gDedup)
       .select(col("doc_id"), col("logw_q"))
     val scored = afterDedup.join(weighted, Seq("doc_id"))
     val kept = Materialize(

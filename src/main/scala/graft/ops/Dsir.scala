@@ -276,6 +276,21 @@ object Dsir {
       gramsOf(raw, textCol, idCol, nBuckets, Seq("_tgt" -> targetCond)),
       eager = false
     )
+    importanceWeightsFromGramTable(g, nBuckets, scale)
+  }
+
+  /** [[importanceWeightsWithin]] from an already-built (and
+    * caller-pinned) gram table carrying a boolean `_tgt` flag per gram
+    * occurrence — e.g. [[gramsFromPositions]] over a shared
+    * [[positionBuckets]] pin, optionally semi-joined to a surviving-doc
+    * set. Bit-identical to the text form over the same multiset.
+    */
+  def importanceWeightsFromGramTable(
+      g: DataFrame,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
     val lr = ratiosFromGrams(g, g.filter(col("_tgt")), nBuckets, scale)
     scoreGrams(g.drop("_tgt"), lr, scale)
   }
@@ -302,6 +317,68 @@ object Dsir {
     * buckets — the shared position pass behind [[bigramSurprisal]] and
     * the streaming model folds.
     */
+  /** One row per token POSITION with the position's unigram bucket
+    * (`ub`) and — for non-final positions — the bigram bucket to its
+    * right (`bb`, else null): the SHARED explode+hash pass from which
+    * both gram views derive. [[gramsFromPositions]] rebuilds the DSIR
+    * unigram+bigram multiset (== [[gramBuckets]]); [[pairsFromPositions]]
+    * rebuilds the surprisal (ctx, bigram) pairs (== [[bigramPairBuckets]],
+    * since a pair's context bucket IS its left token's unigram bucket).
+    * A pipeline needing both (Curation stages 3+5) hashes n + (n−1)
+    * grams here instead of (2n−1) + (2n−2) across two passes.
+    */
+  def positionBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      extra: Seq[(String, Column)] = Nil
+  ): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    val keep = col(idCol).as("doc_id") +: extra.map { case (n, c) => c.as(n) }
+    val keepNames = col("doc_id") +: extra.map(e => col(e._1))
+    df.select(keep :+ toks.as("_toks"): _*)
+      .filter(size(col("_toks")) >= 1)
+      .select(
+        keepNames :+ explode(
+          transform(
+            sequence(lit(1), size(col("_toks"))),
+            i =>
+              struct(
+                element_at(col("_toks"), i).as("u"),
+                when(
+                  i < size(col("_toks")),
+                  concat(element_at(col("_toks"), i), lit(" "), element_at(col("_toks"), i + 1))
+                ).as("b")
+              )
+          )
+        ).as("p"): _*
+      )
+      .select(
+        keepNames :+
+          gramBucket(col("p.u"), nBuckets).as("ub") :+
+          when(col("p.b").isNotNull, gramBucket(col("p.b"), nBuckets)).as("bb"): _*
+      )
+  }
+
+  /** The [[gramBuckets]]-equivalent multiset from a [[positionBuckets]]
+    * table: all unigram buckets plus the non-null bigram buckets.
+    */
+  def gramsFromPositions(pos: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: extraCols.map(col)
+    pos
+      .select(keep :+ col("ub").as("bucket"): _*)
+      .unionByName(
+        pos.filter(col("bb").isNotNull).select(keep :+ col("bb").as("bucket"): _*)
+      )
+  }
+
+  /** The [[bigramPairBuckets]]-equivalent pair table from a
+    * [[positionBuckets]] table.
+    */
+  def pairsFromPositions(pos: DataFrame): DataFrame =
+    pos.filter(col("bb").isNotNull).select(col("doc_id"), col("ub").as("cb"), col("bb"))
+
   def bigramPairBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     df.select(col(idCol).as("doc_id"), toks.as("_toks"))
@@ -386,6 +463,20 @@ object Dsir {
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
     val pinned = Materialize(bigramPairBuckets(df, textCol, idCol, nBuckets), eager = false)
+    bigramSurprisalFromPairs(pinned, nBuckets, scale)
+  }
+
+  /** [[bigramSurprisal]] from an already-built (and caller-pinned)
+    * (doc_id, cb, bb) pair table — e.g. [[pairsFromPositions]] over a
+    * shared [[positionBuckets]] pin. Bit-identical to the text form.
+    */
+  def bigramSurprisalFromPairs(
+      pairs: DataFrame,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    val pinned = pairs
     val ctxT = pinned
       .groupBy(col("cb"))
       .agg(count(lit(1)).as("cu"))

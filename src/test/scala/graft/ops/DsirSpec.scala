@@ -203,4 +203,38 @@ class DsirSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("positionBuckets views reproduce gramBuckets and bigramPairBuckets exactly") {
+    // includes the edge shapes: empty text, single token, two tokens
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),
+      (3L, "one"),
+      (4L, "two tokens"),
+      (5L, "a b a b a repeated structure a b a")
+    ).toDF("doc_id", "text")
+    val pos = Dsir.positionBuckets(docs, "text", "doc_id", 512)
+
+    def multiset(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(
+      multiset(Dsir.gramsFromPositions(pos)) ===
+        multiset(Dsir.gramBuckets(docs, "text", "doc_id", 512))
+    )
+
+    def pairset(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "cb", "bb").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(
+      pairset(Dsir.pairsFromPositions(pos)) ===
+        pairset(Dsir.bigramPairBuckets(docs, "text", "doc_id", 512))
+    )
+    // and the composed scorers agree bit-for-bit with the text forms
+    val viaPairs = Dsir.bigramSurprisalFromPairs(Dsir.pairsFromPositions(pos), 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Dsir.bigramSurprisal(docs, "text", "doc_id", 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaPairs === direct)
+  }
 }
