@@ -213,8 +213,19 @@ object Curation {
       .select(col("doc_id"))
     val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
 
+    // same shared explode+hash pass as curate(): one position pin
+    // feeds the surprisal pair view and the DSIR gram view
+    val posQ = Materialize(
+      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096),
+      eager = false
+    )
+
     val pplIds = Dsir
-      .bigramSurprisalFromModel(afterQual, surprisalModel, "text", "doc_id")
+      .bigramSurprisalFromModelsOverPairs(
+        Dsir.pairsFromPositions(posQ),
+        surprisalModel.filter(col("kind") === "ctx").select(col("bucket"), col("n")),
+        surprisalModel.filter(col("kind") === "big").select(col("bucket"), col("n"))
+      )
       .filter(col("avg_nll") <= maxAvgNll)
       .select(col("doc_id"))
     val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
@@ -223,7 +234,13 @@ object Curation {
     val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
 
     val weighted = Dsir
-      .importanceWeightsFromModels(afterDedup, dsirRaw, dsirTgt, "text", "doc_id")
+      .importanceWeightsFromModelsOverGrams(
+        Dsir
+          .gramsFromPositions(posQ)
+          .join(afterDedup.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        dsirRaw,
+        dsirTgt
+      )
       .select(col("doc_id"), col("logw_q"))
     val scored = afterDedup.join(weighted, Seq("doc_id"))
     val kept = Materialize(

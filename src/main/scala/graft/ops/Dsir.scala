@@ -209,6 +209,22 @@ object Dsir {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    importanceWeightsFromModelsOverGrams(
+      gramBuckets(docs, textCol, idCol, nBuckets), rawCounts, tgtCounts, nBuckets, scale)
+  }
+
+  /** [[importanceWeightsFromModels]] over an already-built
+    * (doc_id, bucket) gram table — e.g. [[gramsFromPositions]] from a
+    * shared pin. Bit-identical to the text form over the same multiset.
+    */
+  def importanceWeightsFromModelsOverGrams(
+      grams: DataFrame,
+      rawCounts: DataFrame,
+      tgtCounts: DataFrame,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
     // buckets unseen by EITHER model (brand-new vocabulary) fall back to
     // the smoothed prior ratio glog(1)−glog(1)−C = −C, so every gram of
     // a scored doc counts — an inner join would silently drop them
@@ -221,7 +237,7 @@ object Dsir {
             (glog(col("bigT") + nBuckets) - glog(col("bigR") + nBuckets))) * scale
         ).cast("long").as("lrq0")
       )
-    gramBuckets(docs, textCol, idCol, nBuckets)
+    grams
       .join(broadcast(ratiosFromCounts(rawCounts, tgtCounts, nBuckets, scale)), Seq("bucket"), "left")
       .crossJoin(broadcast(dflt))
       .withColumn("_lrq", coalesce(col("lrq"), col("lrq0")))
@@ -519,6 +535,27 @@ object Dsir {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
+    bigramSurprisalFromModelsOverPairs(
+      bigramPairBuckets(docs, textCol, idCol, nBuckets),
+      ctxCounts,
+      bigCounts,
+      nBuckets,
+      scale
+    )
+  }
+
+  /** [[bigramSurprisalFromModels]] over an already-built (doc_id, cb,
+    * bb) pair table — e.g. [[pairsFromPositions]] from a shared pin.
+    * Bit-identical to the text form.
+    */
+  def bigramSurprisalFromModelsOverPairs(
+      pairs: DataFrame,
+      ctxCounts: DataFrame,
+      bigCounts: DataFrame,
+      nBuckets: Int = 4096,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
     val ctxT = ctxCounts.select(
       col("bucket").as("cb"),
       round(glog(col("n") + nBuckets) * scale).cast("long").as("glq_u")
@@ -528,7 +565,7 @@ object Dsir {
       round(glog(col("n") + 1) * scale).cast("long").as("glq_b")
     )
     val dfltU = math.round(glogD(nBuckets.toLong) * scale)
-    bigramPairBuckets(docs, textCol, idCol, nBuckets)
+    pairs
       .join(broadcast(ctxT), Seq("cb"), "left")
       .join(broadcast(bigT), Seq("bb"), "left")
       .withColumn("_u", coalesce(col("glq_u"), lit(dfltU)))
