@@ -2288,7 +2288,28 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("revenue_cents")
-        ))
+        )),
+    // Deterministic mode-per-group: the most common language per
+    // source via max(struct(cnt, lang)) over the count grid — a total
+    // order (count, then lang desc as the tie-break), never the
+    // engine-defined tie of a native mode().
+    "q146_mode_lang" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy(col("source"))
+        .agg(
+          max(struct(col("cnt"), col("lang"))).as("_m"),
+          sum(col("cnt")).as("n_docs")
+        )
+        .select(
+          col("source"),
+          col("_m.lang").as("top_lang"),
+          col("_m.cnt").as("top_cnt"),
+          col("n_docs")
+        )
+    })
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4282,7 +4303,16 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
         |    - CAST(o_orderdate AS DATE) <= 3
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q146_mode_lang" ->
+      """WITH c AS (SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rn,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM c)
+        |SELECT source, lang AS top_lang, cnt AS top_cnt, n_docs
+        |FROM r WHERE rn = 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
