@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -17,12 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical to [[graft.functions.Fns.cosine]] — asserted in
   * PlansSpec.
   *
-  * Interpreted eval (CodegenFallback): the per-row loop IS the hot
-  * loop; codegen would inline the same arithmetic. Null if either side
-  * is null, mismatched lengths raise.
+  * Native codegen (round 12): `doGenCode` emits a static call into
+  * [[CosineSimilarity.compute]] — the same primitive loop the
+  * interpreted path runs, but WITHOUT CodegenFallback's per-row
+  * InternalRow boxing, and the enclosing Project/Filter stage stays
+  * fused in WholeStageCodegen instead of falling out (plan-pinned in
+  * PlansSpec). Null if either side is null, mismatched lengths raise.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -40,30 +43,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       )
   }
 
-  @inline private def valueAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  private def leftIsFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    require(b.numElements() == n, s"cosine_sim: length mismatch $n vs ${b.numElements()}")
-    val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = valueAt(a, i, af)
-      val y = valueAt(b, i, bf)
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSimilarity.compute(
+      l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData],
+      leftIsFloat,
+      rightIsFloat
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) =>
+        s"${ev.value} = graft.plans.CosineSimilarity$$.MODULE$$" +
+          s".compute($a, $b, $leftIsFloat, $rightIsFloat);"
+    )
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
@@ -72,6 +70,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+
+  /** The shared primitive loop — called by BOTH the interpreted path
+    * and the generated code (one implementation, bit-identical).
+    */
+  def compute(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"cosine_sim: length mismatch $n vs ${b.numElements()}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Column-API entry point. */
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(

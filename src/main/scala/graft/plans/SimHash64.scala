@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -20,8 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Null elements are skipped; an empty input yields 0L (all votes tie
   * at 0, and `sum > 0` is false — same as the composed form).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -36,8 +35,29 @@ case class SimHash64(child: Expression)
         )
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  // native codegen (round 12): a static call into the shared loop —
+  // no CodegenFallback row boxing, and the enclosing stage stays in
+  // WholeStageCodegen (plan-pinned in PlansSpec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.plans.SimHash64$$.MODULE$$.compute($c);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** The shared primitive loop — called by BOTH the interpreted path
+    * and the generated code (one implementation, bit-identical).
+    */
+  def compute(hs: ArrayData): Long = {
     val n = hs.numElements()
     val votes = new Array[Int](64)
     var e = 0
@@ -63,11 +83,6 @@ case class SimHash64(child: Expression)
     sim
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** Column-API entry point. */
   def simhash64(hashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(hashes)))

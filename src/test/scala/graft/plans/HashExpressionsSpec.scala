@@ -248,6 +248,41 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(edge(2L).isEmpty)
   }
 
+  test("native codegen: simhash64/cosine_sim projects stay inside WholeStageCodegen") {
+    // CodegenFallback expressions force the enclosing Project out of
+    // whole-stage codegen; the doGenCode static-call forms (round 12)
+    // must keep the stage fused
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+
+    def fusedProject(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan
+        .collect { case w: WholeStageCodegenExec => w }
+        .exists(_.toString.contains("Project"))
+
+    // input must be a real scan: a local relation constant-folds the
+    // whole project at plan time (interpreted, no codegen at all), and
+    // a HOF-producing child like transform() is itself CodegenFallback
+    // and would collapse into the project
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(
+      fusedProject(
+        emb.select(SimHash64.simhash64(col("embedding").cast("array<bigint>")).as("s"))
+      ),
+      "simhash64 project fell out of WholeStageCodegen"
+    )
+    assert(
+      fusedProject(
+        emb.select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("cs"))
+      ),
+      "cosine_sim project fell out of WholeStageCodegen"
+    )
+    // and the generated path computes the same values as interpreted
+    val viaCodegen = emb
+      .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("cs"))
+      .as[Double].collect()
+    assert(viaCodegen.nonEmpty && viaCodegen.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
   test("SimHash64 edge cases: empty input -> 0, null -> null") {
     val df = Seq(
       (1L, Some(Seq.empty[Long])),
