@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -34,7 +34,7 @@ case class HyperplaneBands(
     child: Expression,
     planes: Seq[Seq[Double]],
     bitsPerBand: Int
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
 
   require(bitsPerBand > 0, "bitsPerBand must be positive")
   require(
@@ -97,6 +97,21 @@ case class HyperplaneBands(
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+
+  // native codegen (round 12): call the SAME nullSafeEval through a
+  // reference object - no CodegenFallback row boxing, and the
+  // enclosing stage stays in WholeStageCodegen (pinned in
+  // HashExpressionsSpec). One implementation serves both paths.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    )
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

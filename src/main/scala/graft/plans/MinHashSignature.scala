@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * loop; codegen would inline the same arithmetic.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
@@ -84,6 +84,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       e += 1
     }
     new GenericArrayData(mins)
+  }
+
+
+  // native codegen (round 12): call the SAME nullSafeEval through a
+  // reference object - no CodegenFallback row boxing, and the
+  // enclosing stage stays in WholeStageCodegen (pinned in
+  // HashExpressionsSpec). One implementation serves both paths.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    )
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

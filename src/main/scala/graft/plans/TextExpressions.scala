@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~5 s at sf0.1).
   */
 case class Tokenize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -62,6 +62,21 @@ case class Tokenize(child: Expression)
     new GenericArrayData(out.toArray)
   }
 
+
+  // native codegen (round 12): call the SAME nullSafeEval through a
+  // reference object - no CodegenFallback row boxing, and the
+  // enclosing stage stays in WholeStageCodegen (pinned in
+  // HashExpressionsSpec). One implementation serves both paths.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    )
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -74,7 +89,7 @@ case class Tokenize(child: Expression)
   * in-order gram sequence (pinned in TextExpressionsSpec).
   */
 case class DistinctShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -111,6 +126,21 @@ case class DistinctShingles(child: Expression, n: Int)
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+
+  // native codegen (round 12): call the SAME nullSafeEval through a
+  // reference object - no CodegenFallback row boxing, and the
+  // enclosing stage stays in WholeStageCodegen (pinned in
+  // HashExpressionsSpec). One implementation serves both paths.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    )
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

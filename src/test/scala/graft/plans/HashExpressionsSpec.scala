@@ -281,6 +281,24 @@ class HashExpressionsSpec extends AnyFunSuite {
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("cs"))
       .as[Double].collect()
     assert(viaCodegen.nonEmpty && viaCodegen.forall(v => math.abs(v - 1.0) < 1e-12))
+    // every remaining native expression also fuses (reference-object
+    // call into the shared nullSafeEval) — and executes, over a scan
+    val all = docs.select(
+      TextExpressions.tokenize(col("text")).as("toks"),
+      GramHashes.gramHashes(TextExpressions.tokenize(col("text")), 3).as("gh")
+    )
+    assert(fusedProject(all), "tokenize/gramHashes project fell out of WholeStageCodegen")
+    assert(all.count() > 0)
+    val planes = Seq.tabulate(16)(p => Seq.tabulate(64)(d => ((p * 64 + d) % 7 - 3) / 3.0))
+    val sig = emb.select(
+      MinHashSignature
+        .minhashSignature(col("embedding").cast("array<bigint>"), 8).as("mh"),
+      XorMinSignature
+        .xorMinSignature(col("embedding").cast("array<bigint>"), Seq(3L, 5L, 7L)).as("xm"),
+      HyperplaneBands.hyperplaneBands(col("embedding"), planes, bitsPerBand = 4).as("hb")
+    )
+    assert(fusedProject(sig), "signature project fell out of WholeStageCodegen")
+    assert(sig.count() > 0)
   }
 
   test("SimHash64 edge cases: empty input -> 0, null -> null") {
