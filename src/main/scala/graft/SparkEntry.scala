@@ -2309,6 +2309,29 @@ object SparkEntry {
           col("_m.cnt").as("top_cnt"),
           col("n_docs")
         )
+    }),
+    // Fulfillment-latency distribution: ship date minus order date in
+    // integer days, per priority — exact integer moments (sum, min,
+    // max; the mean is one int/int division) plus the pinned
+    // interpolated exact median.
+    "q147_ship_delay" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long").as("delay")
+        )
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("delay")).as("min_d"),
+          max(col("delay")).as("max_d"),
+          sum(col("delay")).as("sum_d"),
+          (sum(col("delay")).cast("double") / count(lit(1)).cast("double")).as("avg_d"),
+          expr("percentile(delay, 0.5)").as("median_d")
+        )
     })
   )
 
@@ -4312,7 +4335,17 @@ object SparkEntry {
         |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
         |  FROM c)
         |SELECT source, lang AS top_lang, cnt AS top_cnt, n_docs
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q147_ship_delay" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  min(delay) AS min_d, max(delay) AS max_d,
+        |  CAST(sum(delay) AS BIGINT) AS sum_d,
+        |  CAST(sum(delay) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_d,
+        |  quantile_cont(delay, 0.5) AS median_d
+        |FROM d GROUP BY 1""".stripMargin
   )
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
