@@ -75,7 +75,7 @@ object Bpe {
       minCount: Long = 2L,
       checkpointEvery: Int = 8
   ): Seq[(String, String)] = {
-    var vocab = Materialize(vocabulary(df, textCol), eager = true)
+    var vocab = Materialize(vocabulary(df, textCol))
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
@@ -92,7 +92,7 @@ object Bpe {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         merges += ((a, b))
         vocab = vocab.withColumn("syms", mergeAdjacent(col("syms"), a, b))
-        if ((i + 1) % checkpointEvery == 0) vocab = Materialize(vocab, eager = true)
+        if ((i + 1) % checkpointEvery == 0) vocab = Materialize(vocab)
       }
       i += 1
     }

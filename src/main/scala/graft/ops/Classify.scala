@@ -102,7 +102,7 @@ object Classify {
     // doc counts, corpus total) — pin it so an inline-fitted model's
     // gram explode doesn't re-run per subtree (measured 3.4 s -> well
     // under half on q88; an at-rest model is already a cheap scan)
-    val m = Materialize(model, eager = false)
+    val m = Materialize(model)
     val pc = m.filter(col("kind") === "pair").select("label", "bucket", "n")
     val lt = pc.groupBy("label").agg(sum("n").as("tot"))
     val ld = m.filter(col("kind") === "docs").select(col("label"), col("n").as("docs_l"))
@@ -129,7 +129,7 @@ object Classify {
 
     // grams feed both the per-doc totals and the model join — one
     // tokenize+hash pass, not two (the q79 diamond-fix shape)
-    val grams = Materialize(Dsir.gramBuckets(df, textCol, idCol, nBuckets), eager = false)
+    val grams = Materialize(Dsir.gramBuckets(df, textCol, idCol, nBuckets))
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val found = grams
       .join(broadcast(llq), "bucket")

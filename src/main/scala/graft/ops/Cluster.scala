@@ -69,7 +69,7 @@ object Cluster {
     require(featureCols.nonEmpty, "need at least one feature column")
     // Pinned: init + every iteration re-reads this projection — without
     // the pin each of the iters+1 jobs re-scans the source.
-    val p = Materialize(longProjection(points, idCol, featureCols), eager = false)
+    val p = Materialize(longProjection(points, idCol, featureCols))
     val fCols = featureCols.map(col)
     // Init: the k smallest ids, cid by id order. Bounded collect (k rows).
     val init: Seq[(Int, Seq[Double])] = p

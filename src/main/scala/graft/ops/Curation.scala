@@ -84,14 +84,14 @@ object Curation {
       .filter(col("clean_text").isNotNull)
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(base.select(col("doc_id"), col("_tgt")), Seq("doc_id"))
-    val afterBoiler = Materialize(stripped, eager = false)
+    val afterBoiler = Materialize(stripped)
 
     // 2. heuristic quality gate
     val qualIds = TextAnalysis
       .quality(afterBoiler, "text", "doc_id")
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
+    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")))
 
     // 3+5 share ONE explode+hash pass: the position table (per-token
     // unigram bucket + right-bigram bucket) is pinned once over the
@@ -100,8 +100,7 @@ object Curation {
     // dedup survivors). Halves the md5 work vs two independent passes
     // and — at 100 TB — removes a full corpus re-tokenization.
     val posQ = Materialize(
-      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096, Seq("_tgt" -> col("_tgt"))),
-      eager = false
+      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096, Seq("_tgt" -> col("_tgt")))
     )
 
     // 3. perplexity gate, model fitted on the post-quality corpus
@@ -109,19 +108,18 @@ object Curation {
       .bigramSurprisalFromPairs(Dsir.pairsFromPositions(posQ))
       .filter(col("avg_nll") <= maxAvgNll)
       .select(col("doc_id"))
-    val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
+    val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")))
 
     // 4. exact dedup: keep each fingerprint's min-id doc
     val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
-    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
+    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")))
 
     // 5. DSIR selection against the labeled target subset — gram
     // multiset from the shared position pin, restricted to survivors
     val gDedup = Materialize(
       Dsir
         .gramsFromPositions(posQ, Seq("_tgt"))
-        .join(afterDedup.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      eager = false
+        .join(afterDedup.select(col("doc_id")), Seq("doc_id"), "left_semi")
     )
     val weighted = Dsir
       .importanceWeightsFromGramTable(gDedup)
@@ -129,8 +127,7 @@ object Curation {
     val scored = afterDedup.join(weighted, Seq("doc_id"))
     val kept = Materialize(
       selectTop(scored, keepFraction, exactRank)
-        .select(col("doc_id"), col("text"), col("logw_q")),
-      eager = false
+        .select(col("doc_id"), col("text"), col("logw_q"))
     )
 
     // Stage report in ONE job: every stage frame above is pinned, so
@@ -203,21 +200,19 @@ object Curation {
       TextAnalysis
         .stripBoilerplateFromModel(base, "text", "doc_id", segTokens, minDocsBoiler, boilerModel)
         .filter(col("clean_text").isNotNull)
-        .select(col("doc_id"), col("clean_text").as("text")),
-      eager = false
+        .select(col("doc_id"), col("clean_text").as("text"))
     )
 
     val qualIds = TextAnalysis
       .quality(afterBoiler, "text", "doc_id")
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")), eager = false)
+    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")))
 
     // same shared explode+hash pass as curate(): one position pin
     // feeds the surprisal pair view and the DSIR gram view
     val posQ = Materialize(
-      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096),
-      eager = false
+      Dsir.positionBuckets(afterQual, "text", "doc_id", 4096)
     )
 
     val pplIds = Dsir
@@ -228,10 +223,10 @@ object Curation {
       )
       .filter(col("avg_nll") <= maxAvgNll)
       .select(col("doc_id"))
-    val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")), eager = false)
+    val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")))
 
     val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
-    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")), eager = false)
+    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")))
 
     val weighted = Dsir
       .importanceWeightsFromModelsOverGrams(
@@ -245,8 +240,7 @@ object Curation {
     val scored = afterDedup.join(weighted, Seq("doc_id"))
     val kept = Materialize(
       selectTop(scored, keepFraction, exactRank)
-        .select(col("doc_id"), col("text"), col("logw_q")),
-      eager = false
+        .select(col("doc_id"), col("text"), col("logw_q"))
     )
 
     def flagged(df: DataFrame, name: String) =

@@ -211,7 +211,7 @@ object Dedup {
     // executor failure; set [[Materialize.CheckpointDirConf]] to route
     // this (and every other engine intermediate) through reliable
     // checkpoints on preemptible clusters.
-    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize), eager = false)
+    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize))
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket, dropMetrics)
     verifyJaccard(cand, shingled).filter(col("jaccard") >= threshold)
@@ -242,7 +242,7 @@ object Dedup {
   ): DataFrame = {
     // materialized once (lazily — see minHashLshPairs), read twice
     // (inverted index + per-doc counts)
-    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize), eager = false)
+    val shingled = Materialize(shingleSets(df, textCol, idCol, shingleSize))
     val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // duplicated input ids must not double-count intersections or
     // duplicate output rows: posting lists are SETS (same shuffle as the
@@ -317,8 +317,7 @@ object Dedup {
       df
         .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
         .filter(size(col("words")) >= shingleSize)
-        .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words")),
-      eager = false
+        .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words"))
     )
     val sh = toks.select(
       col("doc_id"),
@@ -328,8 +327,7 @@ object Dedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val bounded = Materialize(
-      boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles"),
-      eager = false
+      boundedPostings(postings, maxDocFreq, dropMetrics, "dropped_shingles")
     ) // probed twice: dfreq argmin + candidate join
     // each doc's probe = its rarest surviving gram (ties by gram text)
     val probe = sh
@@ -395,8 +393,7 @@ object Dedup {
       pairs
         .select(col("i").as("id"), col("j").as("nb"))
         .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
-        .distinct(),
-      eager = false
+        .distinct()
     )
     var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
     var iter = 0
@@ -429,8 +426,7 @@ object Dedup {
             col("prev")
           )
           .select(col("id"), col("cluster"), (col("cluster") < col("prev")).as("chg"))
-          .observe(obs, count_if(col("chg")).as("n_changed")),
-        eager = true // the round's ONE job: pins blocks + delivers the metric
+          .observe(obs, count_if(col("chg")).as("n_changed")) // the round's ONE job: pins blocks + delivers the metric
       )
       changed = obs.get.get("n_changed").collect { case n: Long => n }.getOrElse(0L) > 0L
       labels = next.drop("chg")
@@ -702,8 +698,7 @@ object Dedup {
         col(idCol).as("doc_id"),
         fp.as("fingerprint"),
         bloomProbe(bloomBytes, xxhash64(col(textCol))).as("maybe")
-      ),
-      eager = true
+      )
     ) // feeds both branches: scan + hashes once
     val definiteNew = tagged.filter(!col("maybe")).select(col("doc_id"), col("fingerprint"))
     val confirmedNew = tagged
@@ -985,8 +980,7 @@ object Dedup {
           col("bk.band").as("band"),
           col("bk.bhash").as("bhash"),
           pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
-        ),
-      eager = true
+        )
     ) // probed twice: bkey collect + bucket join
     val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
     if (bkeys.isEmpty) {
@@ -1121,7 +1115,7 @@ object Dedup {
     val k = gramTokens
     // (doc_id, pos, gram) — one row per window position; materialized
     // once (read by the count agg AND the semi join probe side)
-    val grams = Materialize(gramPositions(df, textCol, idCol, k, hashGrams), eager = false)
+    val grams = Materialize(gramPositions(df, textCol, idCol, k, hashGrams))
     val dupGrams = grams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -1329,8 +1323,7 @@ object Dedup {
       docSig
         .filter(col("x").isNotNull) // shingle-less docs contribute nothing
         .groupBy(col("source"), col("slot"))
-        .agg(min(col("x")).as("v")),
-      eager = false
+        .agg(min(col("x")).as("v"))
     )
     val matched = slots
       .as("a")
@@ -1603,7 +1596,7 @@ object Dedup {
     // data dir — heal restore-only before the scan
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val k = gramIndexTokens(spark, table)
-    val pos = Materialize(gramPositions(newBatch, textCol, idCol, k, hashGrams = true), eager = false)
+    val pos = Materialize(gramPositions(newBatch, textCol, idCol, k, hashGrams = true))
     val inBatch = pos.groupBy(col("gram")).agg(count(lit(1)).as("bcnt"))
     // sum-on-read over per-append partial counts; bucketed agg — no
     // exchange on the index side

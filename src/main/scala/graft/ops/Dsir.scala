@@ -268,7 +268,7 @@ object Dsir {
     // the raw gram table feeds BOTH the model fit and the per-doc score
     // join — pin it once (two longs per gram occurrence) instead of
     // re-running tokenize+md5 over the corpus for each branch
-    val rawG = Materialize(gramBuckets(raw, textCol, idCol, nBuckets), eager = false)
+    val rawG = Materialize(gramBuckets(raw, textCol, idCol, nBuckets))
     val lr = ratiosFromGrams(rawG, gramBuckets(target, textCol, idCol, nBuckets), nBuckets, scale)
     scoreGrams(rawG, lr, scale)
   }
@@ -289,8 +289,7 @@ object Dsir {
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
     val g = Materialize(
-      gramsOf(raw, textCol, idCol, nBuckets, Seq("_tgt" -> targetCond)),
-      eager = false
+      gramsOf(raw, textCol, idCol, nBuckets, Seq("_tgt" -> targetCond))
     )
     importanceWeightsFromGramTable(g, nBuckets, scale)
   }
@@ -478,7 +477,7 @@ object Dsir {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
-    val pinned = Materialize(bigramPairBuckets(df, textCol, idCol, nBuckets), eager = false)
+    val pinned = Materialize(bigramPairBuckets(df, textCol, idCol, nBuckets))
     bigramSurprisalFromPairs(pinned, nBuckets, scale)
   }
 

@@ -36,9 +36,10 @@ object Materialize {
 
   /** Materialize `df` per the session's durability conf.
     *
-    * ALWAYS eager since round 12, in both modes — the `eager` flag is
-    * accepted for call-site stability but no longer selects a lazy
-    * path. A lazy checkpoint's FIRST materialization happens in
+    * ALWAYS eager, in both modes — there is deliberately no `eager`
+    * knob (it was removed once always-eager became load-bearing, so a
+    * call site can't read as construction-side-effect free when it
+    * isn't). A lazy checkpoint's FIRST materialization happens in
     * whatever thread first acts on a consuming plan; when the pinned
     * block is one leg of a diamond whose other leg is a broadcast
     * build side (this engine's standard model-pin shape), that thread
@@ -53,7 +54,7 @@ object Materialize {
     * RDD; every later access sees an already-checkpointed block and
     * takes neither lock in a nested order.
     */
-  def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
+  def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>

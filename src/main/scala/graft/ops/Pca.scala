@@ -27,11 +27,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * the driver loop and the oracle's CTE chain agree bit-for-bit.
   *
   * Integer bounds (documented, asserted): with |x| < 2 and S = 2^14,
-  * q < 2^15; for n rows, n·G_ij ≲ n²·2^30 and s_i·s_j ≲ n²·2^30 — exact
-  * in both long and double for n up to ~2.9M rows per fit. Fitting on
-  * a larger corpus first SAMPLES down to a fit set (standard practice:
-  * the principal direction stabilizes long before millions of rows);
-  * the projection pass itself is unbounded.
+  * q < 2^15; for n rows, n·G_ij ≲ n²·2^30 and s_i·s_j ≲ n²·2^30 — so
+  * the centered-covariance longs stay exact only for n up to ~92k rows
+  * per fit (n²·2^30 < 2^63). `normalizedFromStats` enforces this at
+  * runtime with overflow-checked arithmetic (`multiplyExact`/
+  * `subtractExact`) rather than an a-priori row bound, so looser
+  * actual magnitudes get the full headroom and a genuine overflow
+  * fails loudly instead of silently wrapping. Fitting on a larger
+  * corpus first SAMPLES down to a fit set (standard practice: the
+  * principal direction stabilizes long before millions of rows); the
+  * projection pass itself is unbounded.
   */
 object Pca {
 
@@ -178,8 +183,24 @@ object Pca {
     val n = stats(d * d + d)
     require(n > 1, s"PCA fit needs >1 rows, got $n")
     val s = Array.tabulate(d)(i => stats(d * d + i))
-    // centered covariance (×n² scaling — irrelevant under normalization)
-    val cov = Array.tabulate(d, d)((i, j) => n * stats(i * d + j) - s(i) * s(j))
+    // centered covariance (×n² scaling — irrelevant under normalization).
+    // Overflow-CHECKED: n·G_ij and s_i·s_j wrap int64 near n ~ 92k rows
+    // (see the class doc bound); a fit on an unsampled corpus must fail
+    // loudly here, not silently produce a wrapped covariance.
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      try
+        Math.subtractExact(
+          Math.multiplyExact(n, stats(i * d + j)),
+          Math.multiplyExact(s(i), s(j))
+        )
+      catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"PCA covariance overflow at cell ($i,$j) with n=$n: the exact-long " +
+              "bound (~92k rows at the default scale) is exceeded — sample the fit set down"
+          )
+      }
+    }
     var m = 0L
     cov.foreach(_.foreach(c => if (math.abs(c) > m) m = math.abs(c)))
     require(m > 0L, "degenerate (zero-variance) input")

@@ -104,7 +104,7 @@ object Retrieval {
     // with no precomputed stats the postings plan feeds both the stats
     // agg and the candidate prune — pin an inline-built index so its
     // corpus explode runs once (an at-rest index is already a scan)
-    val post = if (stats.isEmpty) Materialize(postings, eager = false) else postings
+    val post = if (stats.isEmpty) Materialize(postings) else postings
     val st = stats.getOrElse(indexStats(post))
 
     // Candidate postings: only the query's tokens survive. df on this

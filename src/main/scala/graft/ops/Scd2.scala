@@ -89,7 +89,7 @@ object Scd2 {
       payloadCol: String = "new_values",
       broadcastKeyLimit: Long = 4000000L
   ): DataFrame = {
-    val touched = Materialize(batch.select(keys.map(col): _*).distinct(), eager = true)
+    val touched = Materialize(batch.select(keys.map(col): _*).distinct())
     // limit() takes an Int — clamp so an over-Int limit can neither make
     // it negative (AnalysisException) nor wrap and falsely pass the guard
     val probe = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt

@@ -631,7 +631,7 @@ object Similarity {
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // computed ONCE (the cell scoring is the query-side hot projection),
     // reused for both the distinct-cell collect and the bucket join
-    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
+    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe))
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val assigned = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     searchCells(assigned, probes, k)
@@ -976,7 +976,7 @@ object Similarity {
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val cbs = readPqCodebooks(spark, table)
     val cents = readIvfCentroids(spark, table)
-    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe), eager = true)
+    val probes = Materialize(probeCells(queries, cents, vecCol, idCol, nProbe))
     val probedCells = probes.select(col("cent_id")).distinct().as[Long].collect().sorted
     val codes = spark.table(table).filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     searchCellsCompressed(codes, probes, cbs, corpus, vecCol, idCol, k, rerank,

@@ -318,8 +318,7 @@ object Sketches {
           }
           counters.iterator.map { case (k, _) => (k, 0L) } ++ Iterator((null: String, np))
         }
-        .toDF("item", "np"),
-      eager = false
+        .toDF("item", "np")
     )
     val total =
       summaries.filter(col("item").isNull).agg(sum(col("np"))).as[Option[Long]].head().getOrElse(0L)

@@ -32,22 +32,25 @@ object Stats {
   def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // cast EACH FACTOR to decimal before multiplying: a native int/long
+    // product can silently wrap before the decimal cast sees it, while
+    // decimal(38,0)*decimal(38,0) promotes (matching DuckDB's integer
+    // promotion) — the moment discipline has to start at the factor.
     val singles = cols.flatMap { c =>
       Seq(
         sum(dec(col(c))).as(s"s_$c"),
-        sum(dec(col(c) * col(c))).as(s"ss_$c")
+        sum(dec(col(c)) * dec(col(c))).as(s"ss_$c")
       )
     }
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val crosses = pairs.map { case (a, b) => sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") }
+    val crosses = pairs.map { case (a, b) => sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }
     // Pin the 1-row moments frame: the per-pair branches below each
     // reference it, and without the pin every union branch would
     // re-run the full scan.
     val moments = Materialize(
-      df.agg(count(lit(1)).as("n"), (singles ++ crosses): _*),
-      eager = false
+      df.agg(count(lit(1)).as("n"), (singles ++ crosses): _*)
     )
     // One row in, C(C-1)/2 rows out: a tiny per-pair projection +
     // union over the single moments row.
@@ -99,8 +102,9 @@ object Stats {
         count(lit(1)).as("n"),
         sum(dec(x)).as("sx"),
         sum(dec(y)).as("sy"),
-        sum(dec(x * x)).as("sxx"),
-        sum(dec(x * y)).as("sxy")
+        // decimal factors BEFORE the product — see pearsonMatrix
+        sum(dec(x) * dec(x)).as("sxx"),
+        sum(dec(x) * dec(y)).as("sxy")
       )
     val nd = col("n").cast("double")
     val sx = col("sx").cast("double")
@@ -184,7 +188,7 @@ object Stats {
     * (spec-pinned).
     */
   def pmiFromCounts(counts: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cxy = Materialize(counts, eager = false)
+    val cxy = Materialize(counts)
     val cx = cxy.groupBy(col(xCol)).agg(sum(col("n")).as("n_x"))
     val cy = cxy.groupBy(col(yCol)).agg(sum(col("n")).as("n_y"))
     val tot = cxy.agg(sum(col("n")).as("n_total"))

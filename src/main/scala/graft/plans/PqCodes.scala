@@ -108,7 +108,14 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       ctx,
       ev,
       c =>
-        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+        // nullSafeEval returns null for a too-short vector (the documented
+        // null-on-degenerate contract behind the nullable=true override);
+        // propagate that into ev.isNull or fused stages would dereference a
+        // null ArrayData with isNull=false.
+        s"""
+           |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
     )
   }
 

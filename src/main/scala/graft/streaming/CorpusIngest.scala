@@ -104,7 +104,7 @@ object CorpusIngest {
         definite.unionByName(confirmed).select(col("doc_id"), col("fingerprint"), col("text"))
     }
     // survivors feed two jobs (bloom delta + append); pin the plan result
-    val survivors = graft.ops.Materialize(candidates, eager = true)
+    val survivors = graft.ops.Materialize(candidates)
     // the delta MUST match the stored filter's sizing or mergeInPlace
     // throws (IncompatibleMergeException): the bloom file records its
     // own (items, bits) header, so deltas are always built to the
@@ -227,8 +227,7 @@ object CorpusIngest {
       Dedup.minHashLshPairs(exactKept, "text", "doc_id", shingleSize, numHashes, bands, threshold)
     val inBatchDrops = inBatchPairs.select(col("j").as("doc_id")).distinct()
     val batchKept = graft.ops.Materialize(
-      exactKept.join(inBatchDrops, Seq("doc_id"), "left_anti"),
-      eager = true
+      exactKept.join(inBatchDrops, Seq("doc_id"), "left_anti")
     ) // feeds probe + two appends: compute once
     // (2) probe the at-rest index; same-id hits are replays, not near-dups
     val (nearDupIds, replayIds) =
@@ -236,8 +235,7 @@ object CorpusIngest {
         val hits = graft.ops.Materialize(
           Dedup.incrementalNearDups(
             spark, batchKept, indexTable, "text", "doc_id",
-            shingleSize, numHashes, bands, threshold, dropSameId = false),
-          eager = true
+            shingleSize, numHashes, bands, threshold, dropSameId = false)
         )
         (
           hits.filter(col("i") =!= col("j")).select(col("j").as("doc_id")).distinct(),
@@ -250,8 +248,7 @@ object CorpusIngest {
     val fresh = graft.ops.Materialize(
       batchKept
         .join(nearDupIds, Seq("doc_id"), "left_anti")
-        .join(replayIds, Seq("doc_id"), "left_anti"),
-      eager = true
+        .join(replayIds, Seq("doc_id"), "left_anti")
     )
     val freshCnt = fresh.count()
     // (3) index append FIRST (the over-claiming membership structure —
@@ -271,8 +268,7 @@ object CorpusIngest {
             "left_anti"
           )
         else replayed
-      },
-      eager = true
+      }
     )
     val toCorpus = fresh.unionByName(orphans)
     if (freshCnt + orphans.count() > 0)
@@ -517,7 +513,7 @@ object CorpusIngest {
       case None =>
         // bloomless batch mode: every batch anti-joins the full index
         // id column — O(index) read bytes per batch
-        (graft.ops.Materialize(unique.join(indexIds, Seq(idCol), "left_anti"), eager = true),
+        (graft.ops.Materialize(unique.join(indexIds, Seq(idCol), "left_anti")),
           None)
       case Some(bp) =>
         val fs = graft.sinks.Dfs.fs(spark, bp)
@@ -539,8 +535,7 @@ object CorpusIngest {
           StoredBloom(items, bits, bytes)
         }
         val tagged = graft.ops.Materialize(
-          unique.withColumn("__maybe", Dedup.bloomProbe(stored.filter, xxhash64(col(idCol)))),
-          eager = true
+          unique.withColumn("__maybe", Dedup.bloomProbe(stored.filter, xxhash64(col(idCol))))
         ) // feeds both branches + the suspect count: hash and scan once
         val definite = tagged.filter(!col("__maybe")).drop("__maybe")
         val suspects = tagged.filter(col("__maybe")).drop("__maybe")
@@ -549,7 +544,7 @@ object CorpusIngest {
           // replay; the common all-fresh batch never touches the index
           if (suspects.isEmpty) suspects
           else suspects.join(indexIds, Seq(idCol), "left_anti")
-        (graft.ops.Materialize(definite.unionByName(confirmed), eager = true),
+        (graft.ops.Materialize(definite.unionByName(confirmed)),
           Some((fs, bp, stored)))
     }
     val appended = fresh.count()
@@ -624,8 +619,7 @@ object CorpusIngest {
           Seq("fingerprint"),
           "left_anti"
         )
-      else withFp,
-      eager = true
+      else withFp
     )
     val freshCnt = fresh.count()
     val replays = withFp.count() - freshCnt
@@ -646,8 +640,7 @@ object CorpusIngest {
           col("dup_tokens").isNull || col("__n") === 0L ||
             col("dup_tokens").cast("double") / col("__n") <= maxDupFrac
         )
-        .select(col("doc_id"), col("fingerprint"), col("text")),
-      eager = true
+        .select(col("doc_id"), col("fingerprint"), col("text"))
     )
     val keptCnt = kept.count()
     // (3) corpus, then (4) the kept docs' grams — see the ordering contract
@@ -797,8 +790,7 @@ object CorpusIngest {
       .partitionBy(md5(col("text")))
       .orderBy(col("doc_id"))
     val uniq = graft.ops.Materialize(
-      base.withColumn("__rn", row_number().over(wFp)).filter(col("__rn") === 1).drop("__rn"),
-      eager = false
+      base.withColumn("__rn", row_number().over(wFp)).filter(col("__rn") === 1).drop("__rn")
     )
     val nInput = uniq.count()
 
@@ -833,8 +825,7 @@ object CorpusIngest {
     val clean = graft.ops.Materialize(
       stripped
         .filter(col("clean_text").isNotNull)
-        .select(col("doc_id"), col("clean_text").as("text")),
-      eager = false
+        .select(col("doc_id"), col("clean_text").as("text"))
     )
     val nBoiler = clean.count()
 
@@ -842,7 +833,7 @@ object CorpusIngest {
       .quality(clean, "text", "doc_id")
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    val qualityPass = graft.ops.Materialize(clean.join(qualIds, Seq("doc_id")), eager = false)
+    val qualityPass = graft.ops.Materialize(clean.join(qualIds, Seq("doc_id")))
     val nQual = qualityPass.count()
 
     val modelWarm = modelExists && {
@@ -860,7 +851,7 @@ object CorpusIngest {
             qualityPass, spark.read.parquet(modelPath), "text", "doc_id", nBuckets)
           .filter(col("avg_nll") <= maxAvgNll)
           .select(col("doc_id"))
-        graft.ops.Materialize(qualityPass.join(keepIds, Seq("doc_id")), eager = false)
+        graft.ops.Materialize(qualityPass.join(keepIds, Seq("doc_id")))
       }
     val nGated = gated.count()
 

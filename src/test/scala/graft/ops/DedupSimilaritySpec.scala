@@ -187,7 +187,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val df = Seq((1L, 2L), (3L, 4L)).toDF("i", "j").filter($"i" > 0L)
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val out = Materialize(df, eager = true)
+      val out = Materialize(df)
       assert(out.count() === 2L)
       // the transient-cache bridge must not drop the CALLER's entry: the
       // old persist/unpersist pair no-op'ed on the persist (already

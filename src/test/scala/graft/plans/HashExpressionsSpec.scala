@@ -299,6 +299,33 @@ class HashExpressionsSpec extends AnyFunSuite {
     )
     assert(fusedProject(sig), "signature project fell out of WholeStageCodegen")
     assert(sig.count() > 0)
+    // PqCodes fuses too, and — critically — its generated code must SET
+    // ev.isNull for the documented null-on-short-vector contract (a
+    // fused consumer would otherwise dereference a null ArrayData with
+    // isNull=false). Exercise through a real parquet scan so the
+    // project actually code-gens instead of constant-folding.
+    val m = 4; val sub = 2
+    val cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => (0 until 3).map(c => Seq.tabulate(sub)(d => (s + c + d).toDouble)))
+    val pqDir = java.nio.file.Files.createTempDirectory("pq_codegen").toString
+    Seq(
+      (1L, Some(Seq.tabulate(m * sub)(_.toDouble))), // well-formed
+      (2L, Some(Seq(0.5, 1.5, 2.5))),                // too short -> null
+      (3L, Option.empty[Seq[Double]])                // null input -> null
+    ).toDF("id", "v").write.mode("overwrite").parquet(pqDir)
+    val pqScan = spark.read.parquet(pqDir)
+      .select(col("id"), PqCodes.pqCodes(col("v"), cbs).as("c"))
+    assert(fusedProject(pqScan), "pq_codes project fell out of WholeStageCodegen")
+    val pqGot = pqScan.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(pqGot(1L).exists(_.asInstanceOf[scala.collection.Seq[_]].size == m))
+    assert(pqGot(2L).isEmpty, "short vector must be null through codegen, not a live ArrayData")
+    assert(pqGot(3L).isEmpty)
+    // and a fused CONSUMER of the possibly-null result survives the
+    // short-vector row (the exact shape the isNull fix protects)
+    val consumed = spark.read.parquet(pqDir)
+      .select(col("id"), coalesce(size(PqCodes.pqCodes(col("v"), cbs)), lit(-1)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(consumed === Map(1L -> m, 2L -> -1, 3L -> -1))
   }
 
   test("SimHash64 edge cases: empty input -> 0, null -> null") {
