@@ -246,10 +246,14 @@ object Bench {
     // 72 queries → front-truncated → `parsed: null` in the round record),
     // so the machine-parsed line must stay short no matter how many
     // queries the suite grows to.
+    // calibration_sec rides on BOTH machine-parsed lines (round 12 —
+    // VERDICT r11 #5): the driver's BENCH_rNN.json records the short
+    // line, and without the field there, cross-round host-drift
+    // normalization needed manual forensics in bench_detail.json.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"queries":$qs,"sf":"$sfDir"}"""
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"sf":"$sfDir"}"""
     val detail = results
       .map { case (k, med, mn, all, disc) =>
         val runsJson = all.map(r => f"$r%.3f").mkString("[", ",", "]")

@@ -49,18 +49,74 @@ object Chatbot {
     Analytics.eventHistogram(recent)
   }
 
-  /** Route a question to its query. Anomaly/prediction return the
-    * reference's canned-stub shape (`chatbot.py:168-191`) as one-row
-    * frames; historical runs the real aggregation.
+  /** `anomaly` readback — REAL results where the reference returns a
+    * canned placeholder (`chatbot.py:168-179` answers "No anomalies
+    * detected" unconditionally): daily error-count series → rolling
+    * z-score (the W3/W4 composition driver query q08 pins) → the top-k
+    * anomalies by score with the O2 sort-limit, ties to the earlier
+    * date. Deterministic: the series is the log's own calendar, no wall
+    * clock.
     */
-  def query(spark: SparkSession, eventLog: DataFrame, question: String): DataFrame = {
-    import spark.implicits._
-    classify(question) match {
-      case Historical => historical(eventLog)
-      case AnomalyIntent =>
-        Seq(("anomaly", "see Pipeline.anomalyScan results")).toDF("intent", "answer")
-      case Prediction =>
-        Seq(("prediction", "forecasting is not implemented")).toDF("intent", "answer")
-    }
+  def anomalies(
+      eventLog: DataFrame,
+      k: Int = 5,
+      lookback: Int = 7,
+      threshold: Double = 2.0
+  ): DataFrame = {
+    val daily =
+      Analytics.dailyCounts(eventLog, filterExpr = col("event_type") === "error")
+    val scored = graft.ops.Anomaly
+      .score(daily, Seq.empty, lookback = lookback, threshold = threshold)
+      .filter(col("is_anomaly"))
+    Analytics
+      .topK(scored, "score", "date", k)
+      .select(col("date"), col("value"), col("expected_value"), col("score"))
   }
+
+  /** `prediction` — a real linear forecast where the reference returns
+    * a hard-coded stub (`chatbot.py:181-191`: "12 maintenance needs
+    * predicted", constant): OLS trend over the daily event counts
+    * (exact-moment discipline, [[graft.ops.Stats.trendPerGroup]])
+    * extrapolated `horizon` days past the newest day in the log.
+    * One scan to daily counts; the fit and the anchor are 1-row
+    * broadcasts — no driver round trip, fully deterministic.
+    */
+  def forecast(eventLog: DataFrame, horizon: Int = 30): DataFrame = {
+    val pts = Analytics
+      .dailyCounts(eventLog)
+      .select(
+        lit(1).as("g"),
+        datediff(col("date"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("value").cast("long").as("y")
+      )
+    val fit = graft.ops.Stats.trendPerGroup(pts, Seq("g"), "x", "y")
+    val anchor = pts.agg(max(col("x")).as("x_max"))
+    fit
+      .crossJoin(broadcast(anchor))
+      .select(
+        col("n").as("n_days"),
+        col("slope"),
+        col("intercept"),
+        (col("slope") * (col("x_max") + lit(horizon)).cast("double") + col("intercept"))
+          .as("predicted_daily_value"),
+        lit(horizon).as("horizon_days")
+      )
+  }
+
+  /** Route a question to its query — the reference's
+    * `intent_handlers` dispatch (`chatbot.py:128-134`), with all three
+    * intents backed by real queries (the reference only ever
+    * implemented `historical`; its other two handlers return canned
+    * placeholders).
+    */
+  def route(spark: SparkSession, eventLog: DataFrame, question: String): DataFrame =
+    classify(question) match {
+      case Historical    => historical(eventLog)
+      case AnomalyIntent => anomalies(eventLog)
+      case Prediction    => forecast(eventLog)
+    }
+
+  /** Pre-round-12 name for [[route]]. */
+  def query(spark: SparkSession, eventLog: DataFrame, question: String): DataFrame =
+    route(spark, eventLog, question)
 }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Dedup, Similarity}
+
+/** Empirical scale soak (round 12 — VERDICT r11 #2): measure the
+  * heaviest operator families at 1× and 10× of the sf0.1 workload and
+  * report the scaling exponent log10(t10/t1) per family. All prior
+  * 100×-claims rested on plan shape alone; this main turns them into
+  * measured numbers (recorded in BENCH_NOTES.md).
+  *
+  * The corpus is SYNTHETIC and deterministic (hash-derived tokens /
+  * vector coordinates — no RNG state, regeneration is bit-identical),
+  * sized to match sf0.1's shape at 1× (5k docs of ~150 tokens, 2k
+  * 64-dim vectors) and DESIGNED so per-row duplication structure stays
+  * CONSTANT across scales — naive replication of real docs would make
+  * every n-gram a corpus-wide duplicate at 10× and measure a semantic
+  * explosion, not the engine:
+  *  - 5% of docs are exact copies of another doc (a constant-rate
+  *    exact-dedup load);
+  *  - 10% share one 24-token boilerplate block (constant-rate span-
+  *    dedup load with linear output);
+  *  - 5% of vectors are near-copies of another vector (constant-rate
+  *    semantic-dedup pair load); the rest are hash-uniform (mostly
+  *    orthogonal, as real embedding tails are).
+  *
+  * Families measured (the r11 verdict's list):
+  *  - `Curation.curate` — the composed five-stage pipeline;
+  *  - `Dedup.duplicateSpans` — corpus-wide duplicated token runs;
+  *  - `Dedup.semanticDedup` — LSH pairs → connected components;
+  *  - `Similarity.writeIvfPqIndex` + `ivfPqTopKIndexed` — at-rest ANN
+  *    build and probe (probe timed separately: at scale the build is
+  *    one-off, the probe is the steady-state cost).
+  *
+  * Protocol: per family per scale, 1 warmup + `SOAK_ITERS` (default 2)
+  * measured runs, MIN reported (the soak question is capacity, not
+  * latency jitter — min is the least host-noise-polluted run). Output:
+  * one JSON line with per-family seconds and exponents.
+  */
+object Soak {
+
+  private def word(src: Column, p: Column): Column = {
+    val pick = xxhash64(src, p, lit(1L))
+    val head = pmod(xxhash64(src, p, lit(2L)), lit(100L))
+    val tail = pmod(xxhash64(src, p, lit(3L)), lit(20000L))
+    // 30% of positions draw from a 100-word head (stopword-ish mass),
+    // the rest from a 20k vocabulary — keeps quality/statistics stages
+    // exercised without vocabulary blowup
+    concat(lit("w"), when(pmod(pick, lit(10L)) < 3, head).otherwise(tail))
+  }
+
+  private val boiler: String =
+    (0 until 24).map(i => s"boil$i").mkString(" ")
+
+  /** n synthetic documents at `out` (idempotent: skipped if present). */
+  def genDocs(spark: SparkSession, n: Long, out: String): Unit = {
+    if (new java.io.File(s"$out/_SUCCESS").exists()) return
+    val id = col("id")
+    // 5% exact duplicates: doc 20k+7 regenerates doc 20k's text
+    val src = when(pmod(id, lit(20L)) === 7L, id - 7L).otherwise(id)
+    val len = (lit(50L) + pmod(xxhash64(src, lit(0L)), lit(200L))).cast("int")
+    val text = concat_ws(
+      " ",
+      transform(sequence(lit(0), len - 1), p => word(src, p.cast("long")))
+    )
+    // 10% share one boilerplate block (constant-rate span-dedup load)
+    val withBoiler =
+      when(pmod(id, lit(10L)) === 3L, concat(text, lit(" " + boiler))).otherwise(text)
+    spark
+      .range(n)
+      .select(
+        id.as("doc_id"),
+        withBoiler.as("text"),
+        concat(lit("s"), pmod(xxhash64(id, lit(9L)), lit(5L))).as("source")
+      )
+      .write
+      .mode("overwrite")
+      .parquet(out)
+  }
+
+  /** n synthetic 64-dim embeddings at `out` (idempotent). */
+  def genEmbeddings(spark: SparkSession, n: Long, out: String): Unit = {
+    if (new java.io.File(s"$out/_SUCCESS").exists()) return
+    val id = col("id")
+    // 5% near-duplicates: vector 20k+3 = vector 20k plus a tiny
+    // deterministic jitter (cosine ~0.9999 — well above any threshold)
+    val src = when(pmod(id, lit(20L)) === 3L, id - 3L).otherwise(id)
+    val jitter = when(pmod(id, lit(20L)) === 3L, lit(1.0)).otherwise(lit(0.0))
+    val vec = transform(
+      sequence(lit(0), lit(63)),
+      d =>
+        ((pmod(xxhash64(src, d.cast("long"), lit(5L)), lit(2000001L)).cast("double") /
+          lit(1000000.0) - lit(1.0)) +
+          jitter * pmod(xxhash64(id, d.cast("long"), lit(6L)), lit(1000L)).cast("double") /
+          lit(100000.0)).cast("float")
+    )
+    spark
+      .range(n)
+      .select(id.as("vec_id"), vec.as("embedding"), pmod(id, lit(10L)).cast("int").as("label"))
+      .write
+      .mode("overwrite")
+      .parquet(out)
+  }
+
+  private def timed(iters: Int)(body: => Long): (Double, Long) = {
+    var rows = body // warmup
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      rows = body
+      (System.nanoTime() - t0) / 1e9
+    }
+    (times.min, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SOAK_ITERS", "2").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val scales = Seq(1 -> (5000L, 2000L), 10 -> (50000L, 20000L))
+    scales.foreach { case (m, (nd, ne)) =>
+      genDocs(spark, nd, s"$base/x$m/documents")
+      genEmbeddings(spark, ne, s"$base/x$m/embeddings")
+    }
+
+    def docs(m: Int) = spark.read.parquet(s"$base/x$m/documents")
+    def emb(m: Int) = spark.read.parquet(s"$base/x$m/embeddings")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, (Double, Long)]]()
+
+    results("curate") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        val (kept, _) = Curation.curate(
+          docs(m), "text", "doc_id",
+          targetCond = col("source") === "s1",
+          minDocsBoiler = 50 * m // constant boilerplate RATE across scales
+        )
+        kept.count()
+      }
+    }.toMap
+
+    results("duplicate_spans") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        Dedup.duplicateSpans(docs(m), "text", "doc_id", gramTokens = 8, minCount = 2).count()
+      }
+    }.toMap
+
+    results("semantic_dedup") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        Dedup.semanticDedup(emb(m), "embedding", "vec_id", dim = 64, threshold = 0.9).count()
+      }
+    }.toMap
+
+    // at-rest IVF-PQ: build once per scale (timed as its own family),
+    // then the steady-state probe (20 queries)
+    results("ivfpq_build") = scales.map { case (m, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS soak_ivfpq_x$m")
+      m -> timed(1) {
+        Similarity.writeIvfPqIndex(
+          emb(m), "embedding", "vec_id", s"soak_ivfpq_x$m",
+          dim = 64, nCells = 16 * m, m = 8, kCodes = 256)
+        spark.table(s"soak_ivfpq_x$m").count()
+      }
+    }.toMap
+
+    results("ivfpq_probe") = scales.map { case (m, _) =>
+      val queries = emb(m).filter(col("vec_id") < 20)
+      m -> timed(iters) {
+        Similarity
+          .ivfPqTopKIndexed(spark, s"soak_ivfpq_x$m", queries, "embedding", "vec_id",
+            k = 5, nProbe = 8, rerank = 16, corpus = Some(emb(m)))
+          .count()
+      }
+    }.toMap
+
+    val fams = results.map { case (fam, byScale) =>
+      val (t1, r1) = byScale(1)
+      val (t10, r10) = byScale(10)
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      f""""$fam":{"t1_sec":$t1%.2f,"t10_sec":$t10%.2f,"rows1":$r1,"rows10":$r10,"exponent":$exp%.2f}"""
+    }
+    // teardown before the parse line (the Bench discipline)
+    val line = fams.mkString("""{"metric":"soak","scales":[1,10],"families":{""", ",", "}}")
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.stop()
+    } catch { case _: Throwable => () }
+    System.err.flush()
+    println(line)
+  }
+}

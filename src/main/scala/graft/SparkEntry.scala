@@ -50,6 +50,34 @@ object SparkEntry {
   private val newLo = "2024-01-20 00:00:00"
   private val newHi = "2024-01-20 06:00:00"
 
+  /** Shared recall-gate tail of the ANN driver queries (q40/q71/q73/
+    * q75): per-query hits against the exact top-5, plus corpus recall
+    * computed EXACTLY — CAST(Σ hits AS DOUBLE) / (5.0 · CAST(n_queries
+    * AS DOUBLE)), integer window sums and one fixed IEEE expression, so
+    * the SQL oracle replays every bit (the earlier avg() over per-query
+    * recall doubles was summation-order-dependent). Rows survive only
+    * when the corpus bound holds, so a recall collapse still fails the
+    * driver's rows>0 check loudly.
+    */
+  private def annRecallGate(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    exact
+      .join(
+        approx.select(col("qid"), col("cid"), lit(1L).as("_hit")),
+        Seq("qid", "cid"),
+        "left"
+      )
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
+      .withColumn(
+        "corpus_recall",
+        sum(col("hits")).over(w).cast("double") /
+          (lit(5.0) * count(lit(1)).over(w).cast("double"))
+      )
+      .filter(col("corpus_recall") >= 0.9)
+  }
+
   /** Flagship: CDC snapshot diff on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -323,31 +351,20 @@ object SparkEntry {
     }),
 
     // Similarity: IVF ANN (Lloyd k-means cells, nProbe probing) measured
-    // as recall against the exact brute-force top-5. Rows-only check:
-    // k-means isn't SQL-expressible; DedupSimilaritySpec asserts
-    // recall@5 >= 0.9 on this corpus.
+    // as recall against the exact brute-force top-5. HASH-EXACT as of
+    // round 12: training is quantized-integer Lloyd (order-independent
+    // means, exact-integer assignment cosines), so the oracle replays
+    // the full training loop as a CTE chain; the in-query recall gate
+    // stays as the operational collapse alarm.
     "q40_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val exact = Similarity
-        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
-        .select(col("qid"), col("cid"))
-      val approx = Similarity
-        .ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8)
-        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
-      // q40 is the one remaining rows-only driver check (no SQL oracle
-      // can score an approximate index), so the recall gate lives IN the
-      // query: rows only survive when the corpus-level recall@5 bound
-      // holds, turning a recall collapse into an empty result that the
-      // driver's rows>0 check fails loudly. Per-query recall_at_5 stays
-      // a visible column; DedupSimilaritySpec asserts the row-level bound.
-      exact
-        .join(approx, Seq("qid", "cid"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
-        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
-        .filter(col("corpus_recall") >= 0.9)
+      annRecallGate(
+        Similarity
+          .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+          .select(col("qid"), col("cid")),
+        Similarity.ivfTopK(emb, qs, "embedding", "vec_id", 5, nCells = 16, nProbe = 8)
+      )
     }),
 
     // Similarity: random-hyperplane LSH candidate pairs above cosine 0.3
@@ -547,19 +564,13 @@ object SparkEntry {
     "q71_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val exact = Similarity
-        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
-        .select(col("qid"), col("cid"))
-      val approx = Similarity
-        .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 256, rerank = 16)
-        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
-      exact
-        .join(approx, Seq("qid", "cid"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
-        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
-        .filter(col("corpus_recall") >= 0.9)
+      annRecallGate(
+        Similarity
+          .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+          .select(col("qid"), col("cid")),
+        Similarity
+          .pqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64, m = 8, kCodes = 256, rerank = 16)
+      )
     }),
 
     // IVF-PQ composition — the real 100 TB ANN shape: IVF prunes WHICH
@@ -571,20 +582,13 @@ object SparkEntry {
     "q73_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val exact = Similarity
-        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
-        .select(col("qid"), col("cid"))
-      val approx = Similarity
-        .ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
+      annRecallGate(
+        Similarity
+          .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+          .select(col("qid"), col("cid")),
+        Similarity.ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
           nCells = 16, nProbe = 8, m = 8, kCodes = 256, rerank = 16)
-        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
-      exact
-        .join(approx, Seq("qid", "cid"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
-        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
-        .filter(col("corpus_recall") >= 0.9)
+      )
     }),
 
     // Residual IVF-PQ (Jégou §IV opt-in): the PQ codes quantize
@@ -597,20 +601,13 @@ object SparkEntry {
     "q75_ivfpq_residual_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val exact = Similarity
-        .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
-        .select(col("qid"), col("cid"))
-      val approx = Similarity
-        .ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
+      annRecallGate(
+        Similarity
+          .bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+          .select(col("qid"), col("cid")),
+        Similarity.ivfPqTopK(emb, qs, "embedding", "vec_id", 5, dim = 64,
           nCells = 16, nProbe = 8, m = 8, kCodes = 256, rerank = 16, residual = true)
-        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
-      exact
-        .join(approx, Seq("qid", "cid"), "left")
-        .groupBy(col("qid"))
-        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
-        .select(col("qid"), col("hits"), (col("hits") / 5.0).as("recall_at_5"))
-        .withColumn("corpus_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
-        .filter(col("corpus_recall") >= 0.9)
+      )
     }),
 
     // JL random projection 64 -> 16 dims, long format for the compare
@@ -3994,7 +3991,7 @@ object SparkEntry {
           |    / CAST(sum(month_cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
           |    AS cum_share
           |FROM m""".stripMargin
-    ) ++ oracleSqlRound12
+    ) ++ oracleSqlRound12 ++ annOracleSql
   }
 
   /** Oracles for the round-12 TPC-H shapes and distribution windows.
@@ -4594,6 +4591,235 @@ object SparkEntry {
   )
 
   private lazy val kmeansCtesSql: String = kmeansCtes(kmeans2dFeatures, k = 4, iters = 3)
+
+  // ---------------------------------------------------------------
+  // ANN oracles (q40/q71/q73/q75): replay the QUANTIZED training loops
+  // (`Similarity.kmeansCentroids` / `pqTrain` — floor(x·2^20) inputs,
+  // exact BIGINT cross-row sums, floor(sum/n) Lloyd means) as CTE
+  // chains over long-format embeddings, then the probe + exact-rerank
+  // + recall-gate pipeline. Every cross-row aggregate is an exact
+  // integer sum (summation-order-free), every FP op a single pinned
+  // IEEE expression mirrored from the Spark side, so the DuckDB result
+  // hash-matches bit-for-bit — the same generated-oracle discipline as
+  // the k-means (q96/q112), PCA (q129), and Markov (q123) chains.
+  // ---------------------------------------------------------------
+
+  /** Raw-vector cosine for the exact ranking stages: left fold over 64
+    * products, mirroring CosineSimilarity.compute (q20's proven form).
+    */
+  private def annRawCos(x: String, y: String): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (a, b) -> a + b)"
+    s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+  }
+
+  /** Long-format quantized embeddings (pos 1..64, xq = floor(x·2^20))
+    * plus per-vector quantized norms (constant across Lloyd rounds).
+    */
+  private val annBaseCtes =
+    """eq AS (SELECT vec_id AS id, t.pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, 65) t(pos)),
+      |nv AS (SELECT id, sum(xq * xq) AS n2 FROM eq GROUP BY id)""".stripMargin
+
+  /** The quantized Lloyd k-means chain (`Similarity.kmeansCentroids`):
+    * c0 = first-nCells-by-id seeds, then `iters` assign/update rounds,
+    * then one final scored ranking rk{iters+1} whose rn=1 rows are the
+    * corpus assignment (a{iters+1}) and whose rn<=nProbe rows at
+    * id<20 are the query probes. Assignment ranks round(cos, 6) DESC
+    * with ties to the smallest cent id; empty cells keep their
+    * previous centroid; means are floor(sum/n).
+    */
+  private def ivfChain(nCells: Int, iters: Int): String = {
+    def assign(i: Int): String =
+      s"""cn$i AS (SELECT cid, sum(cq * cq) AS n2 FROM c${i - 1} GROUP BY cid),
+         |sc$i AS (SELECT e.id, c.cid, sum(e.xq * c.cq) AS dot
+         |  FROM eq e JOIN c${i - 1} c ON c.pos = e.pos GROUP BY e.id, c.cid),
+         |rk$i AS (SELECT s.id, s.cid, row_number() OVER (PARTITION BY s.id
+         |    ORDER BY round(CAST(s.dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))), 6) DESC,
+         |    s.cid) AS rn
+         |  FROM sc$i s JOIN nv n ON n.id = s.id JOIN cn$i cn ON cn.cid = s.cid),
+         |a$i AS (SELECT id, cid FROM rk$i WHERE rn = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""c$i AS (SELECT c.cid, c.pos,
+         |    coalesce(CAST(floor(CAST(u.sx AS DOUBLE) / CAST(u.n AS DOUBLE)) AS BIGINT), c.cq) AS cq
+         |  FROM c${i - 1} c LEFT JOIN (SELECT a.cid, e.pos, sum(e.xq) AS sx, count(*) AS n
+         |      FROM a$i a JOIN eq e ON e.id = a.id GROUP BY a.cid, e.pos) u
+         |    ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
+    val c0 =
+      s"""c0 AS (SELECT e.id AS cid, e.pos, e.xq AS cq FROM eq e
+         |  WHERE e.id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nCells))""".stripMargin
+    val rounds = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
+    (c0 +: rounds :+ assign(iters + 1)).mkString(",\n")
+  }
+
+  /** Query probes (top nProbe cells per query by the same scored-cell
+    * ordering) and the probed candidate set (each corpus vector sits in
+    * exactly one cell, so the join yields each (qid, cid) at most once).
+    */
+  private def ivfProbeCtes(iters: Int, nProbe: Int): String =
+    s"""pr AS (SELECT id AS qid, cid FROM rk${iters + 1} WHERE id < 20 AND rn <= $nProbe),
+       |cand AS (SELECT p.qid, a.id AS cid FROM pr p JOIN a${iters + 1} a ON a.cid = p.cid
+       |  WHERE a.id <> p.qid)""".stripMargin
+
+  /** Subspace long format for the PQ chains: sub = (pos-1)/subDim,
+    * spos = (pos-1)%subDim — PqCodes' contiguous-slice layout.
+    */
+  private def pqSubspaceCte(src: String, from: String, subDim: Int): String =
+    s"""$src AS (SELECT id, CAST((pos - 1) // $subDim AS INTEGER) AS sub,
+       |    CAST((pos - 1) % $subDim AS INTEGER) AS spos, xq FROM $from)""".stripMargin
+
+  /** The quantized PQ Lloyd chain (`Similarity.pqTrain` +
+    * `pqEncode`) over `$src(id, sub, spos, xq)`: cb0 = sub-slices of
+    * the first kCodes vectors by id (code = dense 0-based index in that
+    * order), `iters` assign/update rounds (argmin of the exact-integer
+    * L2, ties to the smallest code; floor(sum/n) means; empty codes
+    * keep their centroid), then the final encode pass `pe`.
+    */
+  private def pqChain(src: String, kCodes: Int, iters: Int): String = {
+    def assign(i: Int, out: String): String =
+      s"""d$i AS (SELECT s.id, s.sub, c.code, sum((s.xq - c.cq) * (s.xq - c.cq)) AS d2
+         |  FROM $src s JOIN cb${i - 1} c ON c.sub = s.sub AND c.spos = s.spos
+         |  GROUP BY s.id, s.sub, c.code),
+         |$out AS (SELECT id, sub, code FROM (SELECT id, sub, code,
+         |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d$i)
+         |  WHERE rn = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""cb$i AS (SELECT c.sub, c.code, c.spos,
+         |    coalesce(CAST(floor(CAST(u.sx AS DOUBLE) / CAST(u.n AS DOUBLE)) AS BIGINT), c.cq) AS cq
+         |  FROM cb${i - 1} c LEFT JOIN (SELECT p.sub, p.code, s.spos, sum(s.xq) AS sx, count(*) AS n
+         |      FROM p$i p JOIN $src s ON s.id = p.id AND s.sub = p.sub
+         |      GROUP BY p.sub, p.code, s.spos) u
+         |    ON u.sub = c.sub AND u.code = c.code AND u.spos = c.spos)""".stripMargin
+    val cb0 =
+      s"""sd AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS code
+         |  FROM (SELECT DISTINCT id FROM $src ORDER BY id LIMIT $kCodes)),
+         |cb0 AS (SELECT s.sub, sd.code, s.spos, s.xq AS cq
+         |  FROM sd JOIN $src s ON s.id = sd.id)""".stripMargin
+    val rounds = (1 to iters).flatMap(i => Seq(assign(i, s"p$i"), update(i)))
+    (cb0 +: rounds :+ assign(iters + 1, "pe")).mkString(",\n")
+  }
+
+  /** Residual-free reconstruction (`pqDecode`): codes -> codebook
+    * centroids, back in (id, pos) long format, plus per-vector norms.
+    */
+  private def pqReconCtes(iters: Int, subDim: Int): String =
+    s"""rv AS (SELECT p.id, (c.sub * $subDim + c.spos + 1) AS pos, c.cq
+       |  FROM pe p JOIN cb$iters c ON c.sub = p.sub AND c.code = p.code),
+       |rn2 AS (SELECT id, sum(cq * cq) AS n2 FROM rv GROUP BY id)""".stripMargin
+
+  /** Stage 1 of the compressed search: exact-integer cosine of the
+    * QUANTIZED query against the reconstructed corpus over the `cand`
+    * set, shortlist k*rerank per query (round(cos,6) DESC, cid).
+    */
+  private def pqStage1Ctes(kTimesRerank: Int): String =
+    s"""st AS (SELECT cd.qid, cd.cid, sum(q.xq * r.cq) AS dot
+       |  FROM cand cd JOIN eq q ON q.id = cd.qid JOIN rv r ON r.id = cd.cid AND r.pos = q.pos
+       |  GROUP BY cd.qid, cd.cid),
+       |sl AS (SELECT qid, cid FROM (SELECT s.qid, s.cid,
+       |    row_number() OVER (PARTITION BY s.qid
+       |      ORDER BY round(CAST(s.dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(r2.n2 AS DOUBLE))), 6) DESC,
+       |      s.cid) AS rn
+       |  FROM st s JOIN nv n ON n.id = s.qid JOIN rn2 r2 ON r2.id = s.cid) WHERE rn <= $kTimesRerank)""".stripMargin
+
+  /** Exact rescore of a candidate/shortlist CTE with raw-vector cosine,
+    * top k per query — `bruteForceTopK`'s ranking over `$candSrc`.
+    */
+  private def annApxCtes(candSrc: String, k: Int): String =
+    s"""aps AS (SELECT cd.qid, cd.cid, ${annRawCos("q.embedding", "c.embedding")} AS cosine
+       |  FROM $candSrc cd JOIN embeddings q ON q.vec_id = cd.qid
+       |  JOIN embeddings c ON c.vec_id = cd.cid),
+       |apx AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, cid) AS rn
+       |  FROM aps) WHERE rn <= $k)""".stripMargin
+
+  /** Exact brute-force top-5 per query (q20's CTE, projected to ids). */
+  private lazy val annExactCtes =
+    s"""exs AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${annRawCos("q.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings q, embeddings c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, cid) AS rn
+       |  FROM exs) WHERE rn <= 5)""".stripMargin
+
+  /** The recall-gate tail (`annRecallGate`): per-query hits, exact
+    * corpus recall = CAST(Σhits AS DOUBLE) / (5.0 · CAST(n AS DOUBLE)).
+    */
+  private val annRecallTailSql =
+    """hits AS (SELECT e.qid,
+      |    CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      |  FROM ex e LEFT JOIN apx a ON a.qid = e.qid AND a.cid = e.cid GROUP BY e.qid),
+      |tot AS (SELECT CAST(sum(hits) AS BIGINT) AS th, count(*) AS nq FROM hits)
+      |SELECT h.qid, h.hits, h.hits / 5.0 AS recall_at_5,
+      |  CAST(t.th AS DOUBLE) / (5.0 * CAST(t.nq AS DOUBLE)) AS corpus_recall
+      |FROM hits h CROSS JOIN tot t
+      |WHERE CAST(t.th AS DOUBLE) / (5.0 * CAST(t.nq AS DOUBLE)) >= 0.9""".stripMargin
+
+  /** DuckDB 1.0 INLINES every CTE reference (no auto-materialization),
+    * so a chained training loop whose round CTEs each reference the
+    * previous round 2-3 times re-expands the whole prefix per reference
+    * — exponential plan blowup that exhausts file handles re-opening
+    * the parquet scan. Every CTE in the ANN oracles is therefore
+    * MATERIALIZED (each " AS (" here opens a CTE definition — window
+    * frames use OVER, so the rewrite is unambiguous).
+    */
+  private def annMaterialized(sql: String): String =
+    sql.replace(" AS (", " AS MATERIALIZED (")
+
+  private lazy val annOracleSql: Map[String, String] = Map(
+    // IVF: train 16 cells (3 Lloyd rounds), probe 8, exact-rank probed
+    "q40_ivf_recall" -> annMaterialized(
+      s"""WITH $annBaseCtes,
+         |${ivfChain(16, 3)},
+         |${ivfProbeCtes(3, 8)},
+         |${annApxCtes("cand", 5)},
+         |$annExactCtes,
+         |$annRecallTailSql""".stripMargin),
+    // flat PQ: m=8 codebooks of 256 (3 rounds), compressed scan over
+    // the whole corpus, shortlist 5*16, exact rerank
+    "q71_pq_recall" -> annMaterialized(
+      s"""WITH $annBaseCtes,
+         |${pqSubspaceCte("sq", "eq", 8)},
+         |${pqChain("sq", 256, 3)},
+         |${pqReconCtes(3, 8)},
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |${pqStage1Ctes(80)},
+         |${annApxCtes("sl", 5)},
+         |$annExactCtes,
+         |$annRecallTailSql""".stripMargin),
+    // IVF-PQ: both quantizers, compressed scan over probed cells only
+    "q73_ivfpq_recall" -> annMaterialized(
+      s"""WITH $annBaseCtes,
+         |${ivfChain(16, 3)},
+         |${pqSubspaceCte("sq", "eq", 8)},
+         |${pqChain("sq", 256, 3)},
+         |${pqReconCtes(3, 8)},
+         |${ivfProbeCtes(3, 8)},
+         |${pqStage1Ctes(80)},
+         |${annApxCtes("sl", 5)},
+         |$annExactCtes,
+         |$annRecallTailSql""".stripMargin),
+    // residual IVF-PQ: codebooks train on and codes quantize the exact
+    // integer residual v_q - centroid(cell); decode adds the cell back
+    "q75_ivfpq_residual_recall" -> annMaterialized(
+      s"""WITH $annBaseCtes,
+         |${ivfChain(16, 3)},
+         |req AS (SELECT e.id, e.pos, e.xq - c.cq AS xq
+         |  FROM eq e JOIN a4 a ON a.id = e.id JOIN c3 c ON c.cid = a.cid AND c.pos = e.pos),
+         |${pqSubspaceCte("sq", "req", 8)},
+         |${pqChain("sq", 256, 3)},
+         |rv AS (SELECT p.id, (cb.sub * 8 + cb.spos + 1) AS pos, ct.cq + cb.cq AS cq
+         |  FROM pe p JOIN cb3 cb ON cb.sub = p.sub AND cb.code = p.code
+         |  JOIN a4 a ON a.id = p.id
+         |  JOIN c3 ct ON ct.cid = a.cid AND ct.pos = (cb.sub * 8 + cb.spos + 1)),
+         |rn2 AS (SELECT id, sum(cq * cq) AS n2 FROM rv GROUP BY id),
+         |${ivfProbeCtes(3, 8)},
+         |${pqStage1Ctes(80)},
+         |${annApxCtes("sl", 5)},
+         |$annExactCtes,
+         |$annRecallTailSql""".stripMargin)
+  )
 
   /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
     * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.

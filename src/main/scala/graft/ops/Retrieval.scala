@@ -141,10 +141,10 @@ object Retrieval {
   }
 
   /** Build and persist the index at `path`: postings under
-    * `path/postings` (parquet), stats under `path/stats`. At real
-    * scale, write the postings via [[graft.sinks.Sinks.writeBucketed]]
-    * on `token` instead so query-time candidate pruning is a
-    * bucket-pruned scan; plain parquet keeps this self-contained.
+    * `path/postings` (parquet), stats under `path/stats` — the
+    * catalog-free self-contained variant. At real scale use
+    * [[writeBm25Index]]: postings bucketed by `token`, so query-time
+    * candidate pruning is a bucket-pruned scan.
     */
   def buildIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit = {
     val postings = invertedIndex(corpus, textCol, idCol)
@@ -189,4 +189,108 @@ object Retrieval {
   /** Load an at-rest index: (postings, stats). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"))
+
+  // ---------------------------------------------------------------
+  // Bucketed at-rest index — the 100 TB layout the class doc promises:
+  // postings bucketed (and sorted) by `token`, so a probe's candidate
+  // prune is a BUCKET-PRUNED scan (the IVF `SelectedBucketsCount`
+  // discipline) instead of a full postings read, and the only data a
+  // query touches is ~numTokens/numBuckets of the index. The path-based
+  // [[buildIndex]] family stays as the catalog-free self-contained
+  // variant (and the streaming `IndexIngest` store).
+  // ---------------------------------------------------------------
+
+  private def statsTable(table: String): String = s"${table}__stats"
+
+  /** Build the bucketed index: postings via
+    * [[graft.sinks.Sinks.writeBucketed]] on `token` in `table`, the
+    * 1-row stats in a sibling `table__stats`. One corpus explode feeds
+    * both writes (pinned).
+    */
+  def writeBm25Index(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    val postings = Materialize(invertedIndex(corpus, textCol, idCol))
+    graft.sinks.Sinks.writeBucketed(postings, table, Seq("token"), numBuckets)
+    indexStats(postings).write.mode("overwrite").saveAsTable(statsTable(table))
+  }
+
+  /** Append NEW documents to a bucketed index: same pure-append
+    * contract as [[appendToIndex]] (distinct doc_ids never collide;
+    * caller owns id uniqueness), but the postings land in their token's
+    * bucket ([[graft.sinks.Sinks.appendBucketed]] — bucket count read
+    * from the catalog, so a mismatch cannot happen) and probe pruning
+    * keeps working across appends. Stats merge by exact addition
+    * BEFORE the postings append (same stale-read ordering as
+    * [[appendToIndex]]); appended == rebuilt bit-identically
+    * (spec-pinned). Compact per-append file sets on the usual
+    * [[graft.sinks.Sinks.compactBucketed]] cadence.
+    */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(
+        throw new IllegalArgumentException(s"$table is not a bucketed graft BM25 index")
+      )
+    val newPost = Materialize(invertedIndex(newDocs, textCol, idCol))
+    val merged = spark
+      .table(statsTable(table))
+      .unionByName(indexStats(newPost))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()
+    graft.sinks.Sinks.appendBucketed(newPost, table, Seq("token"), numBuckets)
+    merged
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+      .toDF("n_docs", "sum_dl")
+      .write
+      .mode("overwrite")
+      .saveAsTable(statsTable(table))
+  }
+
+  /** BM25 top-k over the bucketed index. The query's distinct tokens
+    * are collected (bounded by the query text itself — the same
+    * driver-safe collect as the IVF probe's cell set) and become an
+    * `IN` filter on the bucket column, so the postings scan reads ONLY
+    * the buckets holding the query's tokens (`SelectedBucketsCount` in
+    * the plan; spec-pinned). Scores are identical to [[bm25TopK]] over
+    * the full postings: the prune keeps every posting of a kept token,
+    * so tf/df/dl and the exact quantized sums are unchanged.
+    */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    // heal a compaction crash before the scan (bucketed-index contract)
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val tokens = queries
+      .select(explode(array_distinct(Fns.tokens(col(queryTextCol)))).as("token"))
+      .distinct()
+      .as[String]
+      .collect()
+      .sorted
+    val pruned = spark.table(table).filter(col("token").isin(tokens.toIndexedSeq: _*))
+    bm25TopK(pruned, queries, queryIdCol, queryTextCol, k, k1, b,
+      stats = Some(spark.table(statsTable(table))))
+  }
 }

@@ -96,6 +96,35 @@ object Similarity {
   // the ranking path.
   // ---------------------------------------------------------------
 
+  /** Quantization scale (2^20) behind every trainable quantizer here.
+    *
+    * Determinism contract (round 12 — the q40/q71/q73/q75 oracles replay
+    * the full training loops in SQL): vectors are quantized to
+    * integer-valued doubles q = floor(x·2^20) before ANY cross-row
+    * accumulation, so
+    *   - Lloyd means are floor(exact-long-sum / count) — one IEEE
+    *     division + one floor, order-independent (shuffle/merge order
+    *     cannot move a bit, unlike the double `avg` this replaces, which
+    *     was only deterministic run-to-run by partition-layout luck);
+    *   - assignment distances/cosines accumulate exact-integer terms
+    *     (|q| < 2^22 on unit-scale embeddings ⇒ products < 2^44, 64-term
+    *     sums < 2^50 < 2^53 — every partial sum exactly representable,
+    *     so the expression's left fold == any order == the oracle's
+    *     GROUP BY SUM of BIGINTs).
+    * Training quality is unaffected (error 2^-20 per coordinate); the
+    * final ranking stages still score RAW vectors (exact cosine), so the
+    * approximation budget stays entirely in the quantizers.
+    */
+  private[graft] val TrainScale = 1048576.0
+
+  /** floor(x·2^20) as integer-valued doubles — exact in every op the
+    * training/assignment paths perform on them (see [[TrainScale]]).
+    */
+  private[graft] def quantizeVec(vec: Column): Column =
+    // floor() returns LONG; cast back so the cosine/PQ expressions (which
+    // take array<double>) consume it — the values stay exact integers
+    transform(vec.cast("array<double>"), x => floor(x * lit(TrainScale)).cast("double"))
+
   /** Squared L2 distance to a literal centroid (left fold, map-side). */
   private def l2sq(a: Column, cent: Seq[Double]): Column =
     aggregate(
@@ -124,7 +153,9 @@ object Similarity {
     * same number of jobs as one. Seeded deterministically with the
     * sub-slices of the first `kCodes` vectors by id (the
     * [[kmeansCentroids]] convention); empty codes keep their previous
-    * centroid. Returns codebooks(sub)(code) = centroid of dim/m.
+    * centroid. Returns codebooks(sub)(code) = centroid of dim/m, in
+    * QUANTIZED units ([[TrainScale]]) — exact integer arithmetic
+    * end-to-end, so training is order-independent and SQL-replayable.
     */
   def pqTrain(
       corpus: DataFrame,
@@ -134,6 +165,31 @@ object Similarity {
       m: Int = 8,
       kCodes: Int = 16,
       lloydIters: Int = 3
+  ): Seq[Seq[Seq[Double]]] =
+    pqTrainQuantized(
+      corpus.select(col(idCol).as("__pq_id"), quantizeVec(col(vecCol)).as("__pq_v")),
+      "__pq_v",
+      "__pq_id",
+      dim,
+      m,
+      kCodes,
+      lloydIters
+    )
+
+  /** The core Lloyd loop over ALREADY-quantized (integer-valued double)
+    * vectors — the residual path feeds quantized-space residuals in
+    * directly, everything else arrives via [[pqTrain]]'s quantization.
+    * Means are floor(exact-long-sum / count): one IEEE division + one
+    * floor per coordinate, no order-dependent double accumulation.
+    */
+  private def pqTrainQuantized(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      m: Int,
+      kCodes: Int,
+      lloydIters: Int
   ): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -159,7 +215,10 @@ object Similarity {
           posexplode(slice(col("v"), col("sub") * sub + 1, lit(sub))).as(Seq("pos", "x"))
         )
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mn"))
+        .agg(
+          floor(sum(col("x").cast("long")).cast("double") / count(lit(1)).cast("double"))
+            .as("mn")
+        )
         .groupBy(col("sub"), col("code"))
         .agg(
           transform(
@@ -189,7 +248,9 @@ object Similarity {
   ): DataFrame =
     df.select(
       col(idCol).as("cid"),
-      graft.plans.PqCodes.pqCodes(col(vecCol).cast("array<double>"), codebooks).as("codes")
+      // codebooks live in quantized units (pqTrain) — quantize the
+      // vector the same way so the argmin distances are exact integers
+      graft.plans.PqCodes.pqCodes(quantizeVec(col(vecCol)), codebooks).as("codes")
     )
 
   /** Reconstruct the quantized vector from its codes: concat of the m
@@ -274,15 +335,22 @@ object Similarity {
       rerank: Int,
       corpus: Option[DataFrame]
   ): DataFrame = {
-    // cv is reconstructed as array<double>; cast the query side to match
-    // the native cosine expression's element type
+    // cv is reconstructed in QUANTIZED units; quantize the query side the
+    // same way so the stage-1 cosine accumulates exact-integer terms
+    // (order-free, oracle-replayable — cosine is scale-invariant, so the
+    // quantized score ranks the same space the raw score would)
     val q = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     )
     val shortlist = q
       .crossJoin(enc)
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .select(
+        col("qid"),
+        col("qv"),
+        col("cid"),
+        Fns.cosine(quantizeVec(col("qv")), col("cv")).as("cosine")
+      )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)
     rerankStage(shortlist, corpus, vecCol, idCol, k, rerank)
@@ -472,13 +540,17 @@ object Similarity {
     }: _*)
 
   /** Nearest-centroid assignment, map-side (one projection, zero
-    * shuffles): argmax over the literal centroid array.
+    * shuffles): argmax over the literal centroid array. Scoring runs in
+    * quantized space (centroids are quantized — [[kmeansCentroids]] —
+    * and the vector is quantized inline), so the assignment cosine is
+    * exact-integer arithmetic; the RAW vector rides along untouched for
+    * the full-precision ranking stages.
     */
   private def assignCells(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
     vecs.select(
       col("cid"),
       col("cv"),
-      (-array_max(scoredCells(col("cv"), cents)).getField("negid")).as("cent_id")
+      (-array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")).as("cent_id")
     )
 
   /** Lloyd k-means over the corpus, seeded with the first `nCells`
@@ -487,6 +559,13 @@ object Similarity {
     * each round is ONE map-side assignment pass plus ONE (cent_id, pos)
     * mean aggregation; no per-row driver loops. Cells that go empty keep
     * their previous centroid (keeps cell count stable and deterministic).
+    *
+    * Centroids are returned in QUANTIZED units ([[TrainScale]]): seeds
+    * are floor(x·2^20) and each Lloyd mean is floor(exact-long-sum /
+    * count) — order-independent in any shuffle/merge layout and exactly
+    * replayable by the q40/q73/q75 SQL oracles (cosine is
+    * scale-invariant, so cell shapes match the raw-space clustering up
+    * to the 2^-20 quantization).
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -500,16 +579,19 @@ object Similarity {
     var cents: Seq[(Long, Seq[Double])] = corpus
       .orderBy(col(idCol))
       .limit(nCells)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long"), quantizeVec(col(vecCol)))
       .as[(Long, Seq[Double])]
       .collect()
       .toSeq
     val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     for (_ <- 0 until lloydIters) {
       val means = assignCells(vecs, cents)
-        .select(col("cent_id"), posexplode(col("cv").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("cent_id"), posexplode(quantizeVec(col("cv"))).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(
+          floor(sum(col("x").cast("long")).cast("double") / count(lit(1)).cast("double"))
+            .as("m")
+        )
         .groupBy(col("cent_id"))
         .agg(
           transform(
@@ -564,7 +646,11 @@ object Similarity {
       .select(
         col("qid"),
         col("qv"),
-        explode(slice(reverse(array_sort(scoredCells(col("qv"), cents))), 1, nProbe)).as("cell")
+        // quantized scoring against the quantized centroids (exact
+        // integers, oracle-replayable); raw qv rides on for ranking
+        explode(
+          slice(reverse(array_sort(scoredCells(quantizeVec(col("qv")), cents))), 1, nProbe)
+        ).as("cell")
       )
       .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
 
@@ -661,9 +747,13 @@ object Similarity {
     * residuals concentrate around 0 far more tightly than raw vectors,
     * so the same (m, kCodes) budget spends its codes on a smaller
     * region = less quantization error = better recall per byte).
+    * Computed in QUANTIZED space — both the vector and the centroids
+    * are integer-valued ([[TrainScale]]), so the residual is an exact
+    * integer difference (oracle-replayable); downstream PQ consumes it
+    * WITHOUT re-quantizing.
     */
   private def residualCol(vec: Column, centId: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    zip_with(vec.cast("array<double>"), element_at(centMapLit(cents), centId), (x, c) => x - c)
+    zip_with(quantizeVec(vec), element_at(centMapLit(cents), centId), (x, c) => x - c)
 
   /** Coarse-assign + PQ-encode in ONE map-side projection: (cid,
     * cent_id, codes). Residual-free default (codes quantize the raw
@@ -684,9 +774,11 @@ object Similarity {
       residual: Boolean = false
   ): DataFrame = {
     val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+    // both arms feed PqCodes quantized-space inputs: the codebooks are
+    // trained in quantized units, so distances stay exact integers
     val toQuantize =
       if (residual) residualCol(col("cv"), col("cent_id"), cents)
-      else col("cv").cast("array<double>")
+      else quantizeVec(col("cv"))
     assigned.select(
       col("cid"),
       col("cent_id"),
@@ -711,10 +803,12 @@ object Similarity {
   ): Seq[Seq[Seq[Double]]] =
     if (!residual) pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
     else {
+      // residuals are ALREADY in quantized space (residualCol) — feed
+      // the core loop directly; pqTrain would double-quantize them
       val residuals = assignCells(
         corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
         .select(col("cid"), residualCol(col("cv"), col("cent_id"), cents).as("rv"))
-      pqTrain(residuals, "rv", "cid", dim, m, kCodes, lloydIters)
+      pqTrainQuantized(residuals, "rv", "cid", dim, m, kCodes, lloydIters)
     }
 
   /** The IVF-PQ rank pipeline shared by the inline and at-rest paths:
@@ -752,7 +846,10 @@ object Similarity {
         col("qid"),
         col("qv").cast("array<double>").as("qv"),
         col("cid"),
-        Fns.cosine(col("qv").cast("array<double>"), recon).as("cosine")
+        // recon is in quantized units — quantize the query the same way
+        // so the stage-1 score is exact-integer (oracle-replayable);
+        // cosine's scale-invariance keeps the ranking equivalent
+        Fns.cosine(quantizeVec(col("qv")), recon).as("cosine")
       )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)

@@ -25,11 +25,19 @@ import graft.functions.Fns
   */
 object Stats {
 
-  /** All pairwise Pearson correlations between `cols` (pre-projected
-    * integral columns of `df`). Output: (col_a, col_b, n, corr) for
-    * every unordered pair a < b in the given order.
+  private def unorderedPairs(cols: Seq[String]): Seq[(String, String)] =
+    for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+
+  /** The 1-row moment frame behind [[pearsonMatrix]] — n plus per-col
+    * `s_<c>`/`ss_<c>` and per-pair `sp_<a>_<b>` decimal sums. Exposed
+    * so the moments can live AT REST: every measure merges by exact
+    * addition (count + decimal(38,0) sums), so
+    * `SketchIngest.ingestAdditiveBatch` with this as the fold keeps the
+    * table live from streamed rows and [[pearsonFromMoments]] over the
+    * streamed table equals [[pearsonMatrix]] over the raw rows
+    * bit-identically (spec-pinned, the entropy/PMI at-rest discipline).
     */
-  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def pearsonMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // cast EACH FACTOR to decimal before multiplying: a native int/long
@@ -42,19 +50,19 @@ object Stats {
         sum(dec(col(c)) * dec(col(c))).as(s"ss_$c")
       )
     }
-    val pairs = for {
-      i <- cols.indices; j <- (i + 1) until cols.size
-    } yield (cols(i), cols(j))
-    val crosses = pairs.map { case (a, b) => sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }
-    // Pin the 1-row moments frame: the per-pair branches below each
-    // reference it, and without the pin every union branch would
-    // re-run the full scan.
-    val moments = Materialize(
-      df.agg(count(lit(1)).as("n"), (singles ++ crosses): _*)
-    )
-    // One row in, C(C-1)/2 rows out: a tiny per-pair projection +
-    // union over the single moments row.
-    val outs = pairs.map { case (a, b) =>
+    val crosses = unorderedPairs(cols).map { case (a, b) =>
+      sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b")
+    }
+    df.agg(count(lit(1)).as("n"), (singles ++ crosses): _*)
+  }
+
+  /** The correlation grid from a 1-row [[pearsonMoments]] frame
+    * (inline, at-rest, or streamed-maintained — all equal under exact
+    * addition). One row in, C(C-1)/2 rows out: a tiny per-pair
+    * projection + union, never touching the raw data.
+    */
+  def pearsonFromMoments(moments: DataFrame, cols: Seq[String]): DataFrame = {
+    val outs = unorderedPairs(cols).map { case (a, b) =>
       val nd = col("n").cast("double")
       val sa = col(s"s_$a").cast("double")
       val sb = col(s"s_$b").cast("double")
@@ -74,6 +82,15 @@ object Stats {
     outs.reduce(_ unionByName _)
   }
 
+  /** All pairwise Pearson correlations between `cols` (pre-projected
+    * integral columns of `df`). Output: (col_a, col_b, n, corr) for
+    * every unordered pair a < b in the given order.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    // Pin the 1-row moments frame: every per-pair branch references it,
+    // and without the pin each union branch would re-run the full scan.
+    pearsonFromMoments(Materialize(pearsonMoments(df, cols)), cols)
+
   /** Per-group least-squares trend line of integral `yCol` over
     * integral `xCol` — the "is this source's daily volume drifting"
     * monitoring fit. Same exact-moment discipline as [[pearsonMatrix]]:
@@ -92,27 +109,48 @@ object Stats {
       groupCols: Seq[String],
       xCol: String,
       yCol: String
+  ): DataFrame =
+    trendFromMoments(trendMoments(df, groupCols, xCol, yCol), groupCols)
+
+  /** The per-group OLS moment table behind [[trendPerGroup]] —
+    * (groupCols..., n, sx, sy, sxx, sxy), every measure an exact count
+    * or decimal(38,0) sum. Addition-mergeable, so
+    * `SketchIngest.ingestAdditiveBatch` with this as the fold maintains
+    * it from streamed rows and [[trendFromMoments]] over the streamed
+    * table equals the batch fit bit-identically (spec-pinned).
+    */
+  def trendMoments(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String
   ): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val x = col(xCol)
     val y = col(yCol)
-    val m = df
-      .groupBy(groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(dec(x)).as("sx"),
         sum(dec(y)).as("sy"),
-        // decimal factors BEFORE the product — see pearsonMatrix
+        // decimal factors BEFORE the product — see pearsonMoments
         sum(dec(x) * dec(x)).as("sxx"),
         sum(dec(x) * dec(y)).as("sxy")
       )
+  }
+
+  /** The least-squares fit from a [[trendMoments]] table (inline,
+    * at-rest, or streamed-maintained): a pure projection of the tiny
+    * moments table, one fixed IEEE expression per group.
+    */
+  def trendFromMoments(moments: DataFrame, groupCols: Seq[String]): DataFrame = {
     val nd = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
     val sxx = col("sxx").cast("double")
     val sxy = col("sxy").cast("double")
     val den = nd * sxx - sx * sx
-    m.select(
+    moments.select(
       groupCols.map(col) ++ Seq(
         col("n"),
         when(den =!= lit(0.0), (nd * sxy - sx * sy) / den).as("slope"),

@@ -117,14 +117,39 @@ class SurfaceSpec extends AnyFunSuite {
     assert(got.columns.toSet === Set("Company", "Date", "2024", "2023"))
   }
 
-  test("chatbot intent routing") {
+  test("chatbot intent routing: all three routes run real queries") {
     assert(Chatbot.classify("how many changes last week") === Chatbot.Historical)
     assert(Chatbot.classify("any anomalies today?") === Chatbot.AnomalyIntent)
     assert(Chatbot.classify("predict next quarter") === Chatbot.Prediction)
-    val log = Seq(("e1", "insert", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-      .toDF("event_id", "event_type", "ts")
-    val canned = Chatbot.query(spark, log, "forecast revenue")
-    assert(canned.select("intent").as[String].head() === "prediction")
+
+    // a 40-day log: constant 2 error events/day, one 12-event spike day,
+    // plus a linearly growing insert stream for the forecast to fit
+    val rows = (0 until 40).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(s"2024-0${1 + d / 28}-${f"${1 + d % 28}%02d"} 10:00:00")
+      val errs = if (d == 30) 12 else 2
+      (0 until errs).map(i => (s"err$d-$i", "error", ts)) ++
+        (0 until (d + 1)).map(i => (s"ins$d-$i", "insert", ts))
+    }
+    val log = rows.toDF("event_id", "event_type", "ts")
+
+    // anomaly route: the spike day surfaces, top-k shape
+    val anom = Chatbot.route(spark, log, "any unusual activity?")
+    val got = anom.collect()
+    assert(got.nonEmpty, "spike day not detected")
+    assert(got.head.getAs[Double]("value") === 12.0)
+    assert(anom.columns.toSeq === Seq("date", "value", "expected_value", "score"))
+
+    // prediction route: positive slope on the growing stream, horizon
+    // extrapolation strictly above the fitted intercept end
+    val fc = Chatbot.route(spark, log, "forecast next month").collect().head
+    assert(fc.getAs[Double]("slope") > 0.0, "growing stream must fit a positive slope")
+    assert(fc.getAs[Int]("horizon_days") === 30)
+    assert(fc.getAs[Double]("predicted_daily_value") > fc.getAs[Double]("intercept"))
+
+    // historical route still the A1 histogram shape (rollup total rides)
+    val hist = Chatbot.historicalAsOf(log, days = 365)
+    assert(hist.columns.contains("event_type"))
+    assert(hist.count() > 0)
   }
 
   test("native cosine expression is bit-identical to the fold-based column") {

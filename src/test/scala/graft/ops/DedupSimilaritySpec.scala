@@ -119,9 +119,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("q40 gates its rows on the corpus recall bound; per-query recall_at_5 stays bounded") {
-    // the driver's q40 check is rows-only, so the collapse guard lives in
-    // the query itself — this spec pins both levels: rows survive (the
-    // corpus-level avg >= 0.9 filter held) and no single query collapses
+    // q40 is hash-checked against a full training replay since round 12,
+    // but the in-query collapse guard stays — this spec pins both levels:
+    // rows survive (the corpus recall >= 0.9 filter held) and no single
+    // query collapses
     val got = graft.SparkEntry.queries("q40_ivf_recall")(spark, "/root/testdata/sf0.001")
     val rows = got.collect()
     assert(rows.length === 20, s"corpus recall gate dropped rows: ${rows.length}/20")
@@ -747,7 +748,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val codes = enc.collect().map(_.getSeq[Int](1))
     assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
     // reconstruction must beat the trivial one-centroid quantizer
-    val recon = enc.select($"cid", Similarity.pqDecode($"codes", cbs).as("rv"))
+    // (decode yields QUANTIZED units — descale by 2^20, an exact
+    // power-of-two division, to compare against the raw vectors)
+    val recon = enc.select(
+      $"cid",
+      transform(Similarity.pqDecode($"codes", cbs), x => x / lit(Similarity.TrainScale)).as("rv")
+    )
     val joined = emb.select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("v"))
       .join(recon, "cid")
       .select(aggregate(zip_with($"v", $"rv", (x, y) => (x - y) * (x - y)),

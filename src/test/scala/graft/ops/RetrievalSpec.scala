@@ -84,6 +84,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fromAtRest.orderBy("rank").collect().toSeq === fromScratch.orderBy("rank").collect().toSeq)
   }
 
+  test("bucketed index: probe bucket-prunes, append preserves bucketing, == inline scores") {
+    spark.sql("DROP TABLE IF EXISTS bm25_bk_idx")
+    spark.sql("DROP TABLE IF EXISTS bm25_bk_idx__stats")
+    val half1 = corpus.filter($"doc_id" <= 3)
+    val half2 = corpus.filter($"doc_id" > 3)
+    Retrieval.writeBm25Index(half1, "text", "doc_id", "bm25_bk_idx", numBuckets = 16)
+    Retrieval.appendToBm25Index(half2, "text", "doc_id", "bm25_bk_idx")
+    // append == rebuild: postings set and stats identical
+    val full = Retrieval.invertedIndex(corpus, "text", "doc_id")
+    assert(spark.table("bm25_bk_idx").orderBy("token", "doc_id").collect().toSeq ===
+      full.orderBy("token", "doc_id").collect().toSeq)
+    assert(spark.table("bm25_bk_idx__stats").collect().toSeq ===
+      Retrieval.indexStats(full).collect().toSeq)
+    // probe == the inline full-postings scores (exact quantized longs)
+    val qs = Seq((1L, "spark join window")).toDF("query_id", "qtext")
+    val indexed = Retrieval.bm25TopKIndexed(spark, "bm25_bk_idx", qs, "query_id", "qtext", 5)
+    val inline = Retrieval.bm25TopK(full, qs, "query_id", "qtext", 5)
+    assert(indexed.orderBy("rank").collect().toSeq === inline.orderBy("rank").collect().toSeq)
+    // plan-pinned bucket pruning: the postings scan reads only the
+    // buckets of the query's 3 tokens (<= 3 of 16)
+    indexed.collect() // finalize AQE so the executed plan is inspectable
+    val plan = indexed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+    assert(sel.get.group(1).toInt <= 3 && sel.get.group(2).toInt === 16,
+      s"expected <=3 of 16 buckets, got ${sel.get.matched}")
+    spark.sql("DROP TABLE IF EXISTS bm25_bk_idx")
+    spark.sql("DROP TABLE IF EXISTS bm25_bk_idx__stats")
+  }
+
   test("plan: candidate prune and model sides are broadcast; no cartesian on the postings side") {
     val post = Retrieval.invertedIndex(corpus, "text", "doc_id")
     val qs = Seq((1L, "spark join")).toDF("query_id", "qtext")

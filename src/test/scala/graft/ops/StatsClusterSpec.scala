@@ -324,6 +324,65 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq) // bit-exact: quantized-long sums
   }
 
+  test("pearson/trend from a SketchIngest-maintained moment table == batch, bit-for-bit") {
+    import graft.streaming.SketchIngest
+    val rows = (1 to 150).map(i => (s"g${i % 3}", i.toLong, (i * 3 % 17).toLong, (i * 7 % 13).toLong))
+    val (b1, b2) = rows.splitAt(60)
+    val all = rows.toDF("g", "x", "y", "z")
+    val tmp = java.nio.file.Files.createTempDirectory("momentingest").toString
+    val cols = Seq("x", "y", "z")
+
+    // from-moments == from-raw on the same frame (pure refactor pin)
+    val viaMoments = Stats
+      .pearsonFromMoments(Stats.pearsonMoments(all, cols), cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val direct = Stats.pearsonMatrix(all, cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(viaMoments.sortBy(t => (t._1, t._2)).toSeq === direct.sortBy(t => (t._1, t._2)).toSeq)
+
+    // pearson moments maintained over two micro-batches (keyless 1-row
+    // additive table: count + decimal sums merge exactly)
+    val pPath = s"$tmp/pearson"
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      SketchIngest.ingestAdditiveBatch(
+        b.toDF("g", "x", "y", "z"), i.toLong,
+        (d: org.apache.spark.sql.DataFrame) => Stats.pearsonMoments(d, cols),
+        Seq.empty,
+        Seq("n", "s_x", "ss_x", "s_y", "ss_y", "s_z", "ss_z", "sp_x_y", "sp_x_z", "sp_y_z"),
+        pPath)
+    }
+    val streamedP = Stats
+      .pearsonFromMoments(spark.read.parquet(pPath), cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamedP.sortBy(t => (t._1, t._2)).toSeq === direct.sortBy(t => (t._1, t._2)).toSeq)
+    // replay of an applied batch is recognized and skipped
+    assert(!SketchIngest.ingestAdditiveBatch(
+      b2.toDF("g", "x", "y", "z"), 1L,
+      (d: org.apache.spark.sql.DataFrame) => Stats.pearsonMoments(d, cols),
+      Seq.empty,
+      Seq("n", "s_x", "ss_x", "s_y", "ss_y", "s_z", "ss_z", "sp_x_y", "sp_x_z", "sp_y_z"),
+      pPath))
+
+    // per-group OLS moments likewise
+    val tPath = s"$tmp/trend"
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      SketchIngest.ingestAdditiveBatch(
+        b.toDF("g", "x", "y", "z"), i.toLong,
+        (d: org.apache.spark.sql.DataFrame) => Stats.trendMoments(d, Seq("g"), "x", "y"),
+        Seq("g"),
+        Seq("n", "sx", "sy", "sxx", "sxy"),
+        tPath)
+    }
+    def fitRow(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+    val streamedT = Stats.trendFromMoments(spark.read.parquet(tPath), Seq("g"))
+      .collect().map(fitRow).sortBy(_._1)
+    val batchT = Stats.trendPerGroup(all, Seq("g"), "x", "y")
+      .collect().map(fitRow).sortBy(_._1)
+    assert(streamedT.toSeq === batchT.toSeq)
+  }
+
   test("entropy/PMI from a SketchIngest-maintained count table == batch, bit-for-bit") {
     import graft.streaming.SketchIngest
     val docs = (1 to 120).map(i => (s"s${i % 3}", s"l${i % 2}", s"tok${i % 7} tok${i % 4}"))
