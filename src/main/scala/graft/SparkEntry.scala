@@ -2329,6 +2329,21 @@ object SparkEntry {
           (sum(col("delay")).cast("double") / count(lit(1)).cast("double")).as("avg_d"),
           expr("percentile(delay, 0.5)").as("median_d")
         )
+    }),
+    // Incremental semantic dedup: today's embedding batch (vec_id % 5
+    // == 0) finds its near-dups in the at-rest corpus (the rest) —
+    // the inline two-frame form, spec-pinned bit-identical to the
+    // bucket-pruned index probe (Dedup.incrementalSemanticNearDups /
+    // EmbeddingLshIndexSpec), which is what makes the at-rest path's
+    // results oracle-checkable here.
+    "q148_incremental_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup
+        .semanticNearDupsAgainst(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0),
+          "embedding", "vec_id", dim = 64, threshold = 0.3)
+        .select(col("i"), col("j"), round(col("cosine"), 4).as("cs4"))
     })
   )
 
@@ -4342,8 +4357,51 @@ object SparkEntry {
         |  CAST(sum(delay) AS BIGINT) AS sum_d,
         |  CAST(sum(delay) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_d,
         |  quantile_cont(delay, 0.5) AS median_d
-        |FROM d GROUP BY 1""".stripMargin
+        |FROM d GROUP BY 1""".stripMargin,
+    "q148_incremental_semantic" -> incrementalSemanticSql
   )
+
+  /** Oracle for q148: replays
+    * [[graft.ops.Dedup.semanticNearDupsAgainst]] — the q21 hyperplane
+    * band-key replay (same seeded planes as double literals, same
+    * left-associated `list_reduce` dot fold), cross-pair candidates
+    * from the (band, bhash) equi-join restricted to the history/batch
+    * split, and the exact-cosine verify over the raw vectors. The
+    * band-key CTE is MATERIALIZED: DuckDB inlines plain CTE references,
+    * and `k` is referenced twice with 16 × 64-term plane folds inside.
+    */
+  private lazy val incrementalSemanticSql: String = {
+    val bands = 4
+    val bitsPerBand = 4
+    val dim = 64
+    val rnd = new scala.util.Random(42L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
+    def dotPlane(p: Seq[Double]): String = {
+      val lit = p.map(dlit).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (a, b) -> a + b)"
+    }
+    def bandKey(b: Int): String =
+      (0 until bitsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"($acc * 2 + CASE WHEN ${dotPlane(planes(b * bitsPerBand + k))} > 0 THEN 1 ELSE 0 END)"
+      }
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandKey(b)} AS bhash FROM embeddings")
+      .mkString("\nUNION ALL ")
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+    s"""WITH k AS MATERIALIZED ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
+       |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0),
+       |v AS (SELECT i, j,
+       |   ${dot("ei.embedding", "ej.embedding")} /
+       |     (sqrt(${dot("ei.embedding", "ei.embedding")}) * sqrt(${dot("ej.embedding", "ej.embedding")})) AS cosine
+       | FROM cand
+       | JOIN embeddings ei ON ei.vec_id = cand.i
+       | JOIN embeddings ej ON ej.vec_id = cand.j)
+       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
+  }
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
     * (q17/q18/q34): distinct word-3-gram shingles, per-doc counts, and

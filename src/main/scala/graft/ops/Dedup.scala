@@ -556,6 +556,19 @@ object Dedup {
     * fold ([[composedBandKeys]], pinned bit-identical in
     * HashExpressionsSpec) and the DuckDB oracle's `list_reduce` replay
     * (q21's hash-exact check depends on it).
+    *
+    * SIZING (both failure modes MEASURED, Soak round 12): the band-key
+    * width must keep the expected bucket size CONSTANT as the corpus
+    * grows — bitsPerBand ≈ log2(N / targetBucketSize), target a few
+    * tens. A key too narrow for the corpus fails one of two ways:
+    * saturated buckets trip the `maxBucket` guard and the operator
+    * silently returns zero pairs (4 bits at 200k vectors, soak run 1);
+    * or, under the cap, bucket size — and with it candidate PAIRS —
+    * grows linearly with N, which is quadratic total work (a fixed 10
+    * bits measured exponent 1.94 in the 10×→100× decade, soak run 2;
+    * log-scaled keys with ~20-vector buckets restore the linear pair
+    * stage). Recall for high-threshold near-dups is unaffected by key
+    * width (near-identical vectors collide per-band regardless).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -1012,6 +1025,320 @@ object Dedup {
         ).cast("double") / numHashes).as("est_jaccard")
       )
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // At-rest embedding-LSH index — the semantic analogue of the MinHash
+  // index block above, completing the dedup at-rest/streaming matrix:
+  // exact has the Bloom incremental, substring has the gram index,
+  // MinHash has writeMinHashIndex — this gives hyperplane-LSH semantic
+  // dedup the same "dedup today's embeddings against the whole corpus
+  // without touching most of it" shape.
+  // ------------------------------------------------------------------
+
+  /** The hyperplane parameters an embedding-LSH index was WRITTEN with,
+    * recorded as table properties (the [[writeMinHashIndex]]
+    * discipline). All four matter: probing with different planes
+    * (dim/bands/bitsPerBand/seed) computes different band keys and
+    * silently misses near-dups. Unlike MinHash — where the data pins
+    * both parameters — only `dim` (signature length) and `bands`
+    * (max(band)+1) are data-pinnable here; `bitsPerBand` and `seed`
+    * exist ONLY in the properties, so the no-props fallback of
+    * [[validateEmbIndexParams]] is honest about adopting the caller's
+    * values for those two.
+    */
+  private val EmbDimProp = "graft.emblsh.dim"
+  private val EmbBandsProp = "graft.emblsh.bands"
+  private val EmbBitsProp = "graft.emblsh.bitsPerBand"
+  private val EmbSeedProp = "graft.emblsh.seed"
+
+  private def setEmbIndexProps(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long
+  ): Unit =
+    spark.sql(
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$EmbDimProp'='$dim', '$EmbBandsProp'='$bands', " +
+        s"'$EmbBitsProp'='$bitsPerBand', '$EmbSeedProp'='$seed')"
+    )
+
+  /** Fail fast when the caller's plane parameters disagree with the
+    * index contract. No-props indexes (legacy build, or a first append
+    * that crashed between table creation and ALTER TABLE) validate
+    * `dim`/`bands` against the DATA and then backfill — including the
+    * data-unpinnable `bitsPerBand`/`seed` from the caller, which is
+    * sound for the crash window (the same caller's parameters were in
+    * flight) and documented as the residual trust for legacy tables.
+    */
+  private def validateEmbIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long
+  ): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    (props.get(EmbDimProp), props.get(EmbBandsProp), props.get(EmbBitsProp),
+      props.get(EmbSeedProp)) match {
+      case (Some(d), Some(b), Some(bits), Some(s)) =>
+        require(
+          d.toInt == dim && b.toInt == bands && bits.toInt == bitsPerBand && s.toLong == seed,
+          s"index $table was written with (dim=$d, bands=$b, bitsPerBand=$bits, seed=$s); " +
+            s"caller asked for ($dim, $bands, $bitsPerBand, $seed)"
+        )
+      case _ =>
+        val r = spark
+          .table(table)
+          .agg(
+            min(size(col("embedding"))).as("mn"),
+            max(size(col("embedding"))).as("mx"),
+            max(col("band")).as("mb")
+          )
+          .head()
+        if (!r.isNullAt(0)) {
+          require(
+            r.getInt(0) == dim && r.getInt(1) == dim,
+            s"index $table holds ${r.getInt(0)}..${r.getInt(1)}-dim embeddings; " +
+              s"caller asked for $dim"
+          )
+          require(
+            r.getInt(2) == bands - 1,
+            s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
+          )
+          setEmbIndexProps(spark, table, dim, bands, bitsPerBand, seed)
+        }
+    }
+  }
+
+  /** One (vec_id, embedding, band, bhash, bkey) row per band per vector
+    * — the embedding rides on every band row (bands× duplication, the
+    * price of a single-join probe; MinHash's index carries its full
+    * signature per band row for the same reason). `bkey` folds the
+    * (band, bhash) key into the bucket modulus so the probe can prune
+    * the scan to matched buckets.
+    */
+  private def embeddingLshIndexRows(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long,
+      nBuckets: Int
+  ): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    corpus
+      .select(
+        col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"),
+        posexplode(
+          graft.plans.HyperplaneBands.hyperplaneBands(col(vecCol), planes, bitsPerBand)
+        ).as(Seq("band", "bhash"))
+      )
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("band"),
+        col("bhash"),
+        pmod(xxhash64(col("band"), col("bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
+  }
+
+  /** Build the at-rest embedding-LSH index: band rows bucketed on
+    * `bkey` (probes prune to matched buckets — the
+    * [[writeMinHashIndex]] layout), plane parameters recorded as table
+    * properties. SIZING: `bitsPerBand` must scale with the corpus —
+    * 2^bitsPerBand ≳ N / targetBucketSize (the [[embeddingNearDupPairs]]
+    * lesson, measured in the round-12 soak); an undersized band key
+    * makes every posting bucket huge and the probe join quadratic in
+    * the bucket.
+    */
+  def writeEmbeddingLshIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      nBuckets: Int = 64
+  ): Unit = {
+    graft.sinks.Sinks.writeBucketed(
+      embeddingLshIndexRows(corpus, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
+      table,
+      Seq("bkey"),
+      nBuckets
+    )
+    setEmbIndexProps(corpus.sparkSession, table, dim, bands, bitsPerBand, seed)
+  }
+
+  /** Append a new batch's band rows — the steady-state ingest path:
+    * indexing the day's embeddings is O(batch), never a corpus rewrite.
+    * Heals a crashed compaction swap first, validates the plane
+    * contract, and records it when this append CREATES the table.
+    */
+  def appendToEmbeddingLshIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      nBuckets: Int = 64
+  ): Unit = {
+    val spark = batch.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    if (existed) validateEmbIndexParams(spark, table, dim, bands, bitsPerBand, seed)
+    graft.sinks.Sinks.appendBucketed(
+      embeddingLshIndexRows(batch, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
+      table,
+      Seq("bkey"),
+      nBuckets
+    )
+    if (!existed) setEmbIndexProps(spark, table, dim, bands, bitsPerBand, seed)
+  }
+
+  /** The cross-frame candidate+verify core shared by the at-rest probe
+    * ([[incrementalSemanticNearDups]]) and the inline two-frame form
+    * ([[semanticNearDupsAgainst]]): join history band rows to batch
+    * band rows on (band, bhash), de-dup multi-band matches, verify with
+    * the native exact cosine, filter to `>= threshold`. The batch side
+    * broadcasts under `broadcastRowLimit` band rows (size-guarded, the
+    * [[incrementalNearDups]] pattern) so the history side never
+    * shuffles.
+    */
+  private def crossEmbeddingNearDups(
+      histBands: DataFrame, // (vec_id, embedding, band, bhash)
+      batchBands: DataFrame, // (j, v_j, band, bhash)
+      threshold: Double,
+      broadcastRowLimit: Long,
+      dropSameId: Boolean
+  ): DataFrame = {
+    val probe = math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt
+    val fits = batchBands.limit(probe).count() <= broadcastRowLimit
+    val batchHinted = if (fits) broadcast(batchBands) else batchBands
+    val joined = histBands.join(batchHinted, Seq("band", "bhash"))
+    val selfFiltered = if (dropSameId) joined.filter(col("vec_id") =!= col("j")) else joined
+    selfFiltered
+      .select(col("vec_id").as("i"), col("j"), col("embedding").as("v_i"), col("v_j"))
+      .distinct() // a pair can match in several bands
+      .select(col("i"), col("j"), Fns.cosine(col("v_i"), col("v_j")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Near-dups of a NEW embedding batch against the at-rest index
+    * ([[writeEmbeddingLshIndex]]) — "dedup today's embeddings against
+    * the whole corpus" without touching most of it. The batch's band
+    * keys map to at most nBuckets distinct `bkey`s (driver-safe to
+    * collect — bounded by the bucket count, not the batch), which prune
+    * the index scan to matching buckets; the batch side broadcasts into
+    * the bucket join. Verification is the EXACT cosine of the stored
+    * vectors (the index carries them — no second corpus join, unlike
+    * MinHash whose in-index check is the signature estimate). Returns
+    * (i = history id, j = batch id, cosine >= threshold).
+    *
+    * Plane parameters are read from the table contract
+    * ([[validateEmbIndexParams]]); `dropSameId = false` turns same-id
+    * matches into replay detection, the [[incrementalNearDups]]
+    * convention the streaming ingest relies on.
+    */
+  def incrementalSemanticNearDups(
+      spark: org.apache.spark.sql.SparkSession,
+      newBatch: DataFrame,
+      table: String,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      threshold: Double = 0.9,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
+    validateEmbIndexParams(spark, table, dim, bands, bitsPerBand, seed)
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val batchBands = Materialize(
+      newBatch
+        .select(
+          col(idCol).as("j"),
+          col(vecCol).as("v_j"),
+          posexplode(
+            graft.plans.HyperplaneBands.hyperplaneBands(col(vecCol), planes, bitsPerBand)
+          ).as(Seq("band", "bhash"))
+        )
+        .withColumn("bkey", pmod(xxhash64(col("band"), col("bhash")), lit(nBuckets.toLong)))
+    ) // probed twice: bkey collect + bucket join
+    val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
+    if (bkeys.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0.0).as("cosine"))
+        .limit(0)
+    }
+    val pruned = spark
+      .table(table)
+      .filter(col("bkey").isin(bkeys.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"), col("band"), col("bhash"))
+    crossEmbeddingNearDups(
+      pruned, batchBands.drop("bkey"), threshold, broadcastRowLimit, dropSameId)
+  }
+
+  /** Inline two-frame form of the index probe: band `history` on the
+    * fly and find its near-dups of `batch` — semantically IDENTICAL to
+    * [[incrementalSemanticNearDups]] over an index built from `history`
+    * (spec-pinned), which is what makes the at-rest path's results
+    * oracle-checkable (driver q148 replays this in DuckDB). Use the
+    * index form in production; this form costs a full history banding
+    * pass per call.
+    */
+  def semanticNearDupsAgainst(
+      history: DataFrame,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      threshold: Double = 0.9,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    def bandRows(df: DataFrame, id: String, vec: String) =
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(vec),
+        posexplode(
+          graft.plans.HyperplaneBands.hyperplaneBands(col(vecCol), planes, bitsPerBand)
+        ).as(Seq("band", "bhash"))
+      )
+    crossEmbeddingNearDups(
+      bandRows(history, "vec_id", "embedding"),
+      bandRows(batch, "j", "v_j"),
+      threshold,
+      broadcastRowLimit,
+      dropSameId
+    )
   }
 
   /** Map-side membership probe against a serialized bloom filter. */

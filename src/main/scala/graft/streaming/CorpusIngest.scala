@@ -286,6 +286,137 @@ object CorpusIngest {
     )
   }
 
+  /** Streaming SEMANTIC-dedup ingest — [[nearDupIngest]]'s embedding
+    * analogue, completing the at-rest/streaming matrix for the last
+    * dedup modality: each micro-batch of (vec_id, embedding) rows is
+    * (1) near-deduped within itself (hyperplane-LSH pairs + greedy
+    * min-id keeper — covers exact copies too, cosine 1), (2) probed
+    * against the at-rest embedding-LSH index
+    * ([[Dedup.incrementalSemanticNearDups]] — reads only the band
+    * buckets the batch hashes into, verification is the EXACT cosine of
+    * the stored vectors), and (3) survivors are appended to BOTH the
+    * index ([[Dedup.appendToEmbeddingLshIndex]], O(batch)) and the
+    * vector corpus.
+    *
+    * Replay safety is the [[nearDupIngest]] protocol verbatim:
+    * index-before-corpus ordering makes the index over-claim, a
+    * replayed vector finds its own indexed copy as a same-id hit
+    * (`dropSameId = false`) and is confirmed against the corpus —
+    * present → dropped, absent (crash window) → corpus-only append,
+    * never re-indexed.
+    *
+    * SIZING: `bitsPerBand` follows the constant-bucket rule
+    * ([[Dedup.embeddingNearDupPairs]] scaladoc) against the CORPUS the
+    * index will grow to, not the batch.
+    */
+  def semanticDedupIngest(
+      vecs: DataFrame,
+      corpusPath: String,
+      indexTable: String,
+      checkpoint: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      threshold: Double = 0.9,
+      nBuckets: Int = 64,
+      compactFanout: Int = 16
+  ): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestSemanticBatch(
+          batch, corpusPath, indexTable, dim, bands, bitsPerBand, seed, threshold,
+          nBuckets, compactFanout)
+        ()
+      }
+      .start()
+
+  /** One semantic-ingest micro-batch (see [[semanticDedupIngest]]).
+    * Exposed for batch-mode reuse and the spec's streamed==batch
+    * comparison. `compactFanout` is the same cadence-guarded index
+    * compaction as [[ingestNearDupBatch]]'s.
+    */
+  def ingestSemanticBatch(
+      batch: DataFrame,
+      corpusPath: String,
+      indexTable: String,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L,
+      threshold: Double = 0.9,
+      nBuckets: Int = 64,
+      compactFanout: Int = 16
+  ): NearDupIngestStats = {
+    val spark = batch.sparkSession
+    // (1a) in-batch id dedup (a batch can carry the same vec_id twice —
+    // deterministic keeper: first by id, then any one row; ids are the
+    // identity here, unlike text where the fingerprint is)
+    val idKept = batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    // (1b) in-batch near-dup: greedy min-id keeper over LSH pairs
+    val inBatchPairs = Dedup.embeddingNearDupPairs(
+      idKept, "embedding", "vec_id", dim, bands, bitsPerBand, threshold, seed)
+    val inBatchDrops = inBatchPairs.select(col("j").as("vec_id")).distinct()
+    val batchKept = graft.ops.Materialize(
+      idKept.join(inBatchDrops, Seq("vec_id"), "left_anti")
+    ) // feeds probe + two appends: compute once
+    // (2) probe the at-rest index; same-id hits are replays
+    val (nearDupIds, replayIds) =
+      if (spark.catalog.tableExists(indexTable)) {
+        val hits = graft.ops.Materialize(
+          Dedup.incrementalSemanticNearDups(
+            spark, batchKept, indexTable, "embedding", "vec_id",
+            dim, bands, bitsPerBand, seed, threshold, dropSameId = false)
+        )
+        (
+          hits.filter(col("i") =!= col("j")).select(col("j").as("vec_id")).distinct(),
+          hits.filter(col("i") === col("j")).select(col("j").as("vec_id")).distinct()
+        )
+      } else {
+        val none = batchKept.select(col("vec_id")).limit(0)
+        (none, none)
+      }
+    val fresh = graft.ops.Materialize(
+      batchKept
+        .join(nearDupIds, Seq("vec_id"), "left_anti")
+        .join(replayIds, Seq("vec_id"), "left_anti")
+    )
+    val freshCnt = fresh.count()
+    // (3) index append FIRST (the over-claiming membership structure)
+    if (freshCnt > 0)
+      Dedup.appendToEmbeddingLshIndex(
+        fresh, "embedding", "vec_id", indexTable, dim, bands, bitsPerBand, seed, nBuckets)
+    // (4) corpus append: fresh vectors + crash-window orphans
+    val orphans = graft.ops.Materialize(
+      {
+        val replayed = batchKept.join(replayIds, Seq("vec_id"), "left_semi")
+        if (pathExists(spark, corpusPath))
+          replayed.join(
+            spark.read.parquet(corpusPath).select(col("vec_id")),
+            Seq("vec_id"),
+            "left_anti"
+          )
+        else replayed
+      }
+    )
+    val toCorpus = fresh.unionByName(orphans)
+    if (freshCnt + orphans.count() > 0)
+      toCorpus
+        .select(col("vec_id"), col("embedding"))
+        .write.mode(SaveMode.Append).parquet(corpusPath)
+    // (5) cadence-guarded index compaction
+    if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
+      graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
+      graft.sinks.Sinks.compactBucketed(spark, indexTable)
+    val replayCnt = replayIds.count()
+    NearDupIngestStats(
+      kept = freshCnt,
+      nearDups = batch.count() - freshCnt - replayCnt,
+      replays = replayCnt
+    )
+  }
+
   /** Existence through Hadoop's FileSystem API — resolves against
     * whatever filesystem the path's scheme names (HDFS/S3A/local), the
     * same way Spark's own readers do. A driver-local `java.nio`

@@ -157,6 +157,84 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.table(idx).count() === idxRows)
   }
 
+  test("semantic ingest: streamed == batch, index == rebuild over kept corpus, crash heals") {
+    val tmp = Files.createTempDirectory("semcorpus").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val corpus = s"$tmp/corpus"
+    val idx = "graft_sem_stream_idx"
+
+    val v1 = Seq(1.0, 0.2, -0.3, 0.5, 0.1, -0.7, 0.4, 0.9)
+    val v2 = v1.updated(0, 1.000001) // near-copy of v1 (in-batch dup)
+    val v3 = Seq(-0.8, 0.6, 0.9, -0.2, 0.3, 0.5, -0.4, 0.1)
+    val v4 = v1.updated(1, 0.200002) // near-copy of v1 (cross-batch dup)
+    val v5 = Seq(0.05, -0.9, 0.2, 0.8, -0.6, 0.3, 0.7, -0.1)
+    val semBatch1 = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val semBatch2 = Seq((4L, v4), (5L, v5)).toDF("vec_id", "embedding")
+
+    semBatch1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = CorpusIngest.semanticDedupIngest(
+      CorpusIngest.fileVecStream(spark, srcDir), corpus, idx, s"$tmp/ckpt",
+      dim = 8, nBuckets = 8)
+    q.processAllAvailable()
+    q.stop()
+    // restart: a NEW query on the SAME checkpoint picks up batch 2 only
+    semBatch2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = CorpusIngest.semanticDedupIngest(
+      CorpusIngest.fileVecStream(spark, srcDir), corpus, idx, s"$tmp/ckpt",
+      dim = 8, nBuckets = 8)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSet
+    assert(streamed === Set(1L, 3L, 5L))
+    assert(spark.table(idx).select("vec_id").distinct().as[Long].collect().toSet
+      === Set(1L, 3L, 5L))
+
+    // batch mode: same batches through ingestSemanticBatch directly
+    val corpusB = s"$tmp/corpusB"
+    val idxB = "graft_sem_batch_idx"
+    val s1 = CorpusIngest.ingestSemanticBatch(semBatch1, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert(s1 === CorpusIngest.NearDupIngestStats(kept = 2, nearDups = 1, replays = 0))
+    val s2 = CorpusIngest.ingestSemanticBatch(semBatch2, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert(s2 === CorpusIngest.NearDupIngestStats(kept = 1, nearDups = 1, replays = 0))
+    assert(spark.read.parquet(corpusB).select("vec_id").as[Long].collect().toSet === streamed)
+
+    // invariant: the index always equals a rebuild over the KEPT corpus
+    graft.ops.Dedup.writeEmbeddingLshIndex(
+      spark.read.parquet(corpus), "embedding", "vec_id", "graft_sem_rebuild_idx",
+      dim = 8, nBuckets = 8)
+    def rows(t: String) = spark.table(t)
+      .select($"vec_id", $"band", $"bhash", $"bkey", $"embedding")
+      .as[(Long, Int, Long, Long, Seq[Double])].collect().toSet
+    assert(rows(idx) === rows("graft_sem_rebuild_idx"))
+
+    // at-least-once: a fresh checkpoint redelivers EVERY file — replayed
+    // survivors hit their own index entries and confirm against the
+    // corpus; nothing appends anywhere
+    val idxRows = spark.table(idx).count()
+    val q3 = CorpusIngest.semanticDedupIngest(
+      CorpusIngest.fileVecStream(spark, srcDir), corpus, idx, s"$tmp/ckpt2",
+      dim = 8, nBuckets = 8)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(corpus).count() === 3)
+    assert(spark.table(idx).count() === idxRows)
+
+    // crash between index append and corpus append: replay heals the
+    // corpus only, the index is not double-appended
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(corpusB))
+    val idxRowsB = spark.table(idxB).count()
+    val s3 = CorpusIngest.ingestSemanticBatch(semBatch1, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert(s3.replays === 2 && s3.kept === 0)
+    assert(spark.read.parquet(corpusB).select("vec_id").as[Long].collect().toSet
+      === Set(1L, 3L))
+    assert(spark.table(idxB).count() === idxRowsB)
+  }
+
   test("minhash index records its params; mismatched append or probe fails fast") {
     import graft.ops.Dedup
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
