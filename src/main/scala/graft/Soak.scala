@@ -36,8 +36,18 @@ import graft.ops.{Curation, Dedup, Similarity}
   *
   * Protocol: per family per scale, 1 warmup + `SOAK_ITERS` (default 2)
   * measured runs, MIN reported (the soak question is capacity, not
-  * latency jitter — min is the least host-noise-polluted run). Output:
-  * one JSON line with per-family seconds and exponents.
+  * latency jitter — min is the least host-noise-polluted run). Scales
+  * via `SOAK_SCALES` (default "1,10"; "1,10,100" adds a decade where
+  * the data term dominates the fixed overhead). Output: one JSON line
+  * with per-family seconds and per-adjacent-decade exponents.
+  *
+  * IVF sizing note: nCells grows as ~sqrt(N) across scales (16 at 1×),
+  * the standard IVF density — cell COUNT and cell SIZE then both grow
+  * ~sqrt(N). This is also an honest engine limit surfaced by the soak:
+  * the map-side literal-centroid assignment folds nCells×dim doubles
+  * into one expression, which is the right call for O(10²-10³) cells
+  * and the wrong one for O(10⁵) (expression/codegen size) — at that
+  * density assignment becomes a broadcast join, a different plan shape.
   */
 object Soak {
 
@@ -104,13 +114,24 @@ object Soak {
       .parquet(out)
   }
 
+  private var session: SparkSession = _
+
   private def timed(iters: Int)(body: => Long): (Double, Long) = {
+    // drop every pinned block between runs (the Bench discipline):
+    // Materialize localCheckpoints are never unpersisted by the
+    // operators, and letting them accrete across families measures
+    // block-eviction/GC thrash, not the operator (first soak run:
+    // a 7 s index build degraded to 180 s under accreted pins)
+    def clear(): Unit =
+      session.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     var rows = body // warmup
     val times = (1 to iters).map { _ =>
+      clear()
       val t0 = System.nanoTime()
       rows = body
       (System.nanoTime() - t0) / 1e9
     }
+    clear()
     (times.min, rows)
   }
 
@@ -119,10 +140,18 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SOAK_ITERS", "2").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    session = spark
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val scales = Seq(1 -> (5000L, 2000L), 10 -> (50000L, 20000L))
+    val multipliers =
+      sys.env.getOrElse("SOAK_SCALES", "1,10").split(',').map(_.trim.toInt).toSeq
+    // re-measure a subset without paying for the rest (e.g.
+    // SOAK_FAMILIES=semantic_dedup after a geometry fix)
+    val famFilter = sys.env.get("SOAK_FAMILIES").map(_.split(',').map(_.trim).toSet)
+    def wanted(fam: String): Boolean = famFilter.forall(_.contains(fam))
+    val scales = multipliers.map(m => m -> (5000L * m, 2000L * m))
+    def nCellsAt(m: Int): Int = (16 * math.sqrt(m.toDouble)).toInt
     scales.foreach { case (m, (nd, ne)) =>
       genDocs(spark, nd, s"$base/x$m/documents")
       genEmbeddings(spark, ne, s"$base/x$m/embeddings")
@@ -133,7 +162,7 @@ object Soak {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, (Double, Long)]]()
 
-    results("curate") = scales.map { case (m, _) =>
+    if (wanted("curate")) results("curate") = scales.map { case (m, _) =>
       m -> timed(iters) {
         val (kept, _) = Curation.curate(
           docs(m), "text", "doc_id",
@@ -144,31 +173,59 @@ object Soak {
       }
     }.toMap
 
-    results("duplicate_spans") = scales.map { case (m, _) =>
+    if (wanted("duplicate_spans")) results("duplicate_spans") = scales.map { case (m, _) =>
       m -> timed(iters) {
         Dedup.duplicateSpans(docs(m), "text", "doc_id", gramTokens = 8, minCount = 2).count()
       }
     }.toMap
 
-    results("semantic_dedup") = scales.map { case (m, _) =>
+    if (wanted("semantic_dedup")) results("semantic_dedup") = scales.map { case (m, (_, ne)) =>
+      // LSH geometry must SCALE with the corpus — keeping expected
+      // bucket size CONSTANT, i.e. bits ≈ log2(N / targetBucketSize).
+      // Both failure modes were MEASURED by this soak before the rule
+      // went in: a FIXED 4-bit key at 200k vectors saturates every
+      // bucket past the cap guard and the operator silently finds
+      // nothing (run 1); a FIXED 10-bit key keeps buckets under the cap
+      // but bucket size — and so candidate pairs — grows linearly with
+      // N, which is QUADRATIC total work (run 2: exponent 1.94 in the
+      // top decade, 293 s at 100×). Constant ~20-vector buckets hold
+      // the pair stage linear; recall for high-threshold near-dups is
+      // unaffected (near-identical vectors collide per-band at any key
+      // width).
+      val bits = math.ceil(math.log(ne / 20.0) / math.log(2.0)).toInt
       m -> timed(iters) {
-        Dedup.semanticDedup(emb(m), "embedding", "vec_id", dim = 64, threshold = 0.9).count()
+        Dedup
+          .semanticDedup(emb(m), "embedding", "vec_id", dim = 64,
+            bitsPerBand = bits, threshold = 0.9)
+          .count()
       }
     }.toMap
 
     // at-rest IVF-PQ: build once per scale (timed as its own family),
     // then the steady-state probe (20 queries)
-    results("ivfpq_build") = scales.map { case (m, _) =>
-      spark.sql(s"DROP TABLE IF EXISTS soak_ivfpq_x$m")
+    def dropSoakIndex(name: String): Unit =
+      Seq(name, s"${name}__codebooks", s"${name}__centroids").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a previous soak PROCESS leaves warehouse dirs a fresh
+        // session's catalog doesn't know about — clear them or the
+        // bucketed write fails with LOCATION_ALREADY_EXISTS
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    if (wanted("ivfpq_build") || wanted("ivfpq_probe"))
+      results("ivfpq_build") = scales.map { case (m, _) =>
+      dropSoakIndex(s"soak_ivfpq_x$m")
       m -> timed(1) {
         Similarity.writeIvfPqIndex(
           emb(m), "embedding", "vec_id", s"soak_ivfpq_x$m",
-          dim = 64, nCells = 16 * m, m = 8, kCodes = 256)
+          dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256)
         spark.table(s"soak_ivfpq_x$m").count()
       }
     }.toMap
 
-    results("ivfpq_probe") = scales.map { case (m, _) =>
+    if (wanted("ivfpq_probe")) results("ivfpq_probe") = scales.map { case (m, _) =>
       val queries = emb(m).filter(col("vec_id") < 20)
       m -> timed(iters) {
         Similarity
@@ -178,14 +235,55 @@ object Soak {
       }
     }.toMap
 
+    // at-rest embedding-LSH semantic index: build once per scale, then
+    // the steady-state probe (a 500-vector "daily batch" re-keyed so
+    // every probe row is a planted exact near-dup — constant hit rate
+    // across scales). Band keys follow the constant-bucket rule the
+    // semantic_dedup family measured out (log2(N/20)).
+    def semBitsAt(ne: Long): Int = math.ceil(math.log(ne / 20.0) / math.log(2.0)).toInt
+    if (wanted("semlsh_build") || wanted("semlsh_probe"))
+      results("semlsh_build") = scales.map { case (m, (_, ne)) =>
+        dropSoakIndex(s"soak_semlsh_x$m")
+        m -> timed(1) {
+          Dedup.writeEmbeddingLshIndex(
+            emb(m), "embedding", "vec_id", s"soak_semlsh_x$m",
+            dim = 64, bitsPerBand = semBitsAt(ne), nBuckets = 64)
+          spark.table(s"soak_semlsh_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("semlsh_probe")) results("semlsh_probe") = scales.map { case (m, (_, ne)) =>
+      val batch = emb(m)
+        .filter(col("vec_id") < 500)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      m -> timed(iters) {
+        Dedup
+          .incrementalSemanticNearDups(
+            spark, batch, s"soak_semlsh_x$m", "embedding", "vec_id",
+            dim = 64, bitsPerBand = semBitsAt(ne), threshold = 0.99)
+          .count()
+      }
+    }.toMap
+
     val fams = results.map { case (fam, byScale) =>
-      val (t1, r1) = byScale(1)
-      val (t10, r10) = byScale(10)
-      val exp = math.log(t10 / t1) / math.log(10.0)
-      f""""$fam":{"t1_sec":$t1%.2f,"t10_sec":$t10%.2f,"rows1":$r1,"rows10":$r10,"exponent":$exp%.2f}"""
+      val times = multipliers
+        .map(m => f""""t${m}_sec":${byScale(m)._1}%.2f,"rows$m":${byScale(m)._2}""")
+        .mkString(",")
+      val exps = multipliers
+        .sliding(2)
+        .collect { case Seq(a, b) =>
+          val e = math.log(byScale(b)._1 / byScale(a)._1) / math.log(b.toDouble / a.toDouble)
+          f""""exp_${a}_$b":$e%.2f"""
+        }
+        .mkString(",")
+      s""""$fam":{$times,$exps}"""
     }
     // teardown before the parse line (the Bench discipline)
-    val line = fams.mkString("""{"metric":"soak","scales":[1,10],"families":{""", ",", "}}")
+    val line = fams.mkString(
+      s"""{"metric":"soak","scales":[${multipliers.mkString(",")}],"families":{""",
+      ",",
+      "}}"
+    )
     try {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()

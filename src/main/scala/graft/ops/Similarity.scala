@@ -539,19 +539,82 @@ object Similarity {
       struct(round(Fns.cosine(vec, typedLit(v)), 6).as("cs"), lit(-id).as("negid"))
     }: _*)
 
-  /** Nearest-centroid assignment, map-side (one projection, zero
-    * shuffles): argmax over the literal centroid array. Scoring runs in
-    * quantized space (centroids are quantized — [[kmeansCentroids]] —
-    * and the vector is quantized inline), so the assignment cosine is
-    * exact-integer arithmetic; the RAW vector rides along untouched for
-    * the full-precision ranking stages.
+  /** Above this cell count, nearest-centroid assignment switches from
+    * the literal-folded expression to the broadcast-join plan: the
+    * literal form folds nCells×dim doubles into ONE expression tree,
+    * which is the right call for O(10²–10³) cells (zero shuffles, fully
+    * fused) and the wrong one beyond (expression build/codegen cost
+    * grows with every cell, and far past this the generated method
+    * would stop fitting). Both paths are exact-integer arithmetic on
+    * the same quantized inputs, so they are BIT-IDENTICAL
+    * (spec-pinned); only the plan shape changes.
     */
-  private def assignCells(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
-    vecs.select(
-      col("cid"),
-      col("cv"),
-      (-array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")).as("cent_id")
-    )
+  private[graft] val LiteralAssignMaxCells = 1024
+
+  /** Nearest-centroid assignment. At ≤ [[LiteralAssignMaxCells]] cells:
+    * map-side (one projection, zero shuffles), argmax over the literal
+    * centroid array. Beyond: the broadcast-join plan
+    * ([[assignCellsViaJoin]]). Scoring runs in quantized space
+    * (centroids are quantized — [[kmeansCentroids]] — and the vector is
+    * quantized inline), so the assignment cosine is exact-integer
+    * arithmetic; the RAW vector rides along untouched for the
+    * full-precision ranking stages.
+    */
+  private[graft] def assignCells(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size > LiteralAssignMaxCells) assignCellsViaJoin(vecs, cents)
+    else
+      vecs.select(
+        col("cid"),
+        col("cv"),
+        (-array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")).as("cent_id")
+      )
+
+  /** The high-cell-count assignment plan: centroids as a BROADCAST
+    * long-format frame, vectors exploded to (cid, pos, xq), one
+    * (cid, cent_id) partial-aggregated shuffle for the exact-integer
+    * dot/norm sums, then a per-vector argmax. Every sum's terms are
+    * exact integers (all partials < 2^53 — see [[TrainScale]]), so any
+    * aggregation order gives the literal path's bits: the same
+    * round(cos, 6) scores, the same (score, smallest-cent-id) argmax.
+    * Costs one shuffle of |corpus|·nCells score rows — the price of a
+    * cell count no single expression should hold; at that density this
+    * is the standard IVF assignment shape.
+    */
+  private[graft] def assignCellsViaJoin(
+      vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])]
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centRows = cents.flatMap { case (id, v) =>
+      // exact: centroid coords are integer-valued, squares < 2^44,
+      // 64-term sums < 2^53 — the same bound the expression path rides
+      val n2 = v.foldLeft(0.0)((acc, x) => acc + x * x)
+      v.zipWithIndex.map { case (cq, p) => (id, p, cq, n2) }
+    }
+    val c = broadcast(centRows.toDF("cent_id", "pos", "cq", "cn2"))
+    val q = vecs.select(col("cid"), posexplode(quantizeVec(col("cv"))).as(Seq("pos", "xq")))
+    val scored = q
+      .join(c, "pos")
+      .groupBy(col("cid"), col("cent_id"))
+      .agg(
+        sum(col("xq") * col("cq")).as("dot"),
+        sum(col("xq") * col("xq")).as("vn2"),
+        first(col("cn2")).as("cn2")
+      )
+      .select(
+        col("cid"),
+        col("cent_id"),
+        // same op order as CosineSimilarity.compute: dot/(sqrt·sqrt)
+        round(col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))), 6).as("cs")
+      )
+    val best = scored
+      .groupBy(col("cid"))
+      .agg(max(struct(col("cs"), (-col("cent_id")).as("negid"))).as("best"))
+      .select(col("cid"), (-col("best").getField("negid")).as("cent_id"))
+    vecs.join(best, "cid")
+      .select(col("cid"), col("cv"), col("cent_id"))
+  }
 
   /** Lloyd k-means over the corpus, seeded with the first `nCells`
     * vectors by id (deterministic). Centroids are driver-held metadata —
@@ -632,7 +695,10 @@ object Similarity {
 
   /** nProbe best cells per query, map-side: sort the scored-cell array
     * descending, take nProbe, explode — one (qid, qv, cent_id) row per
-    * probe. Shared by the inline and at-rest IVF paths.
+    * probe. Shared by the inline and at-rest IVF paths. Beyond
+    * [[LiteralAssignMaxCells]] cells the literal array is the wrong
+    * vehicle (same bound as [[assignCells]]) and the scoring runs as a
+    * broadcast join + rank — bit-identical scores, different plan.
     */
   private def probeCells(
       queries: DataFrame,
@@ -641,18 +707,48 @@ object Similarity {
       idCol: String,
       nProbe: Int
   ): DataFrame =
-    queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .select(
-        col("qid"),
-        col("qv"),
-        // quantized scoring against the quantized centroids (exact
-        // integers, oracle-replayable); raw qv rides on for ranking
-        explode(
-          slice(reverse(array_sort(scoredCells(quantizeVec(col("qv")), cents))), 1, nProbe)
-        ).as("cell")
+    if (cents.size > LiteralAssignMaxCells) {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val centRows = cents.flatMap { case (id, v) =>
+        val n2 = v.foldLeft(0.0)((acc, x) => acc + x * x)
+        v.zipWithIndex.map { case (cq, p) => (id, p, cq, n2) }
+      }
+      val c = broadcast(centRows.toDF("cent_id", "pos", "cq", "cn2"))
+      val base = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      val scored = base
+        .select(col("qid"), posexplode(quantizeVec(col("qv"))).as(Seq("pos", "xq")))
+        .join(c, "pos")
+        .groupBy(col("qid"), col("cent_id"))
+        .agg(
+          sum(col("xq") * col("cq")).as("dot"),
+          sum(col("xq") * col("xq")).as("vn2"),
+          first(col("cn2")).as("cn2")
+        )
+        .select(
+          col("qid"),
+          col("cent_id"),
+          round(col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))), 6).as("cs")
+        )
+      val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cent_id").asc)
+      base.join(
+        scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nProbe)
+          .select(col("qid"), col("cent_id")),
+        "qid"
       )
-      .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
+    } else
+      queries
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .select(
+          col("qid"),
+          col("qv"),
+          // quantized scoring against the quantized centroids (exact
+          // integers, oracle-replayable); raw qv rides on for ranking
+          explode(
+            slice(reverse(array_sort(scoredCells(quantizeVec(col("qv")), cents))), 1, nProbe)
+          ).as("cell")
+        )
+        .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
 
   /** The rank stage shared by the inline and at-rest IVF paths: join the
     * probes onto the assigned corpus by cent_id (probes are small -> AQE

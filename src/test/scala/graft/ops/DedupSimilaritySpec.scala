@@ -131,6 +131,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("corpus_recall") >= 0.9)
   }
 
+  test("assignCellsViaJoin == literal assignment bit-identically (the >1024-cell plan)") {
+    // the broadcast-join assignment is the plan shape the engine
+    // switches to past LiteralAssignMaxCells; both paths run the same
+    // exact-integer arithmetic, so the assignment must be IDENTICAL —
+    // pin it on the real corpus with the literal path still in range
+    val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 16, lloydIters = 2)
+    val vecs = emb.select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val viaLiteral = Similarity.assignCells(vecs, cents)
+      .select($"cid", $"cent_id").as[(Long, Long)].collect().toMap
+    val viaJoin = Similarity.assignCellsViaJoin(vecs, cents)
+      .select($"cid", $"cent_id").as[(Long, Long)].collect().toMap
+    assert(viaJoin.size === viaLiteral.size)
+    assert(viaJoin === viaLiteral)
+  }
+
   test("kmeans centroids move toward cluster means and keep cell count") {
     val cents0 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 0)
     val cents3 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 3)
