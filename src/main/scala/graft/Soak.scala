@@ -192,7 +192,7 @@ object Soak {
       // the pair stage linear; recall for high-threshold near-dups is
       // unaffected (near-identical vectors collide per-band at any key
       // width).
-      val bits = math.ceil(math.log(ne / 20.0) / math.log(2.0)).toInt
+      val bits = Dedup.autoBandBits(ne)
       m -> timed(iters) {
         Dedup
           .semanticDedup(emb(m), "embedding", "vec_id", dim = 64,
@@ -240,7 +240,7 @@ object Soak {
     // every probe row is a planted exact near-dup — constant hit rate
     // across scales). Band keys follow the constant-bucket rule the
     // semantic_dedup family measured out (log2(N/20)).
-    def semBitsAt(ne: Long): Int = math.ceil(math.log(ne / 20.0) / math.log(2.0)).toInt
+    def semBitsAt(ne: Long): Int = Dedup.autoBandBits(ne)
     if (wanted("semlsh_build") || wanted("semlsh_probe"))
       results("semlsh_build") = scales.map { case (m, (_, ne)) =>
         dropSoakIndex(s"soak_semlsh_x$m")

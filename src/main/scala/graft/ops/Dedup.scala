@@ -570,6 +570,15 @@ object Dedup {
     * stage). Recall for high-threshold near-dups is unaffected by key
     * width (near-identical vectors collide per-band regardless).
     */
+  /** The band-key width the SIZING rule above prescribes for an
+    * n-vector corpus: smallest bits with expected bucket size ≤
+    * `targetBucket` (soak-measured sweet spot ~20; floor 1 bit). Use
+    * the corpus the structure will GROW TO, not today's batch — for an
+    * at-rest index the width is frozen into the table contract.
+    */
+  def autoBandBits(n: Long, targetBucket: Int = 20): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   def embeddingNearDupPairs(
       df: DataFrame,
       vecCol: String,

@@ -99,6 +99,14 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
     assert(eNotBucketed.getMessage.contains("bucketed"))
   }
 
+  test("autoBandBits: smallest width holding expected bucket size under target") {
+    assert(Dedup.autoBandBits(2000) === 7) // 2000/20=100 -> 2^7
+    assert(Dedup.autoBandBits(20000) === 10)
+    assert(Dedup.autoBandBits(200000) === 14)
+    assert(Dedup.autoBandBits(10) === 1) // floor: never zero-width keys
+    assert(Dedup.autoBandBits(1000000000L) === 26) // 1B vectors -> 64M buckets/band
+  }
+
   test("replay detection: dropSameId=false surfaces same-id hits; default drops them") {
     Dedup.writeEmbeddingLshIndex(hist, "embedding", "vec_id", "emb_lsh_rep", dim = 64,
       nBuckets = 16)
