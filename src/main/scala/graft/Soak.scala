@@ -203,17 +203,18 @@ object Soak {
 
     // at-rest IVF-PQ: build once per scale (timed as its own family),
     // then the steady-state probe (20 queries)
+    def dropSoakTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous soak PROCESS leaves warehouse dirs a fresh
+      // session's catalog doesn't know about — clear them or the
+      // bucketed write fails with LOCATION_ALREADY_EXISTS
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     def dropSoakIndex(name: String): Unit =
-      Seq(name, s"${name}__codebooks", s"${name}__centroids").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        // a previous soak PROCESS leaves warehouse dirs a fresh
-        // session's catalog doesn't know about — clear them or the
-        // bucketed write fails with LOCATION_ALREADY_EXISTS
-        val p = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      Seq(name, s"${name}__codebooks", s"${name}__centroids").foreach(dropSoakTable)
     if (wanted("ivfpq_build") || wanted("ivfpq_probe"))
       results("ivfpq_build") = scales.map { case (m, _) =>
       dropSoakIndex(s"soak_ivfpq_x$m")
@@ -232,6 +233,37 @@ object Soak {
           .ivfPqTopKIndexed(spark, s"soak_ivfpq_x$m", queries, "embedding", "vec_id",
             k = 5, nProbe = 8, rerank = 16, corpus = Some(emb(m)))
           .count()
+      }
+    }.toMap
+
+    // at-rest BM25: build once per scale, then the steady-state probe —
+    // 20 3-token queries over the head vocabulary, constant across
+    // scales (the probe prunes to the queries' token buckets, so it
+    // should track df growth, not corpus size)
+    if (wanted("bm25_build") || wanted("bm25_probe"))
+      results("bm25_build") = scales.map { case (m, _) =>
+        Seq(s"soak_bm25_x$m", s"soak_bm25_x${m}__stats").foreach(dropSoakTable)
+        m -> timed(1) {
+          graft.ops.Retrieval.writeBm25Index(docs(m), "text", "doc_id", s"soak_bm25_x$m")
+          spark.table(s"soak_bm25_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("bm25_probe")) results("bm25_probe") = scales.map { case (m, _) =>
+      val qs = (0 until 20).map(i => (i.toLong, s"w$i w${i + 1} w${i + 2}"))
+        .toDF("qid", "qtext")
+      m -> timed(iters) {
+        graft.ops.Retrieval
+          .bm25TopKIndexed(spark, s"soak_bm25_x$m", qs, "qid", "qtext", k = 5)
+          .count()
+      }
+    }.toMap
+
+    // Naive Bayes fit: one gram pass over the corpus into the bounded
+    // (labels × 4096) model table
+    if (wanted("nb_fit")) results("nb_fit") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        graft.ops.Classify.nbFit(docs(m), "text", "doc_id", "source").count()
       }
     }.toMap
 

@@ -2344,6 +2344,22 @@ object SparkEntry {
           e.filter(col("vec_id") % 5 === 0),
           "embedding", "vec_id", dim = 64, threshold = 0.3)
         .select(col("i"), col("j"), round(col("cosine"), 4).as("cs4"))
+    }),
+    // Distributed BPE merge learning, oracle-checked: the first 8
+    // learned merges as (rank, left_sym, right_sym). The result is
+    // bounded metadata (like q96's centroids), but the computation it
+    // pins is the full distributed loop — vocabulary pass, 8 exact
+    // pair-count aggregations, deterministic (cnt desc, l, r) argmaxes
+    // and left-to-right non-overlapping re-segmentations — replayed
+    // merge for merge by the generated oracle (bpeMergesSql).
+    "q149_bpe_merges" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Bpe
+        .fitMerges(t(s, dir, "documents"), "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left_sym", "right_sym")
     })
   )
 
@@ -4358,8 +4374,55 @@ object SparkEntry {
         |  CAST(sum(delay) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_d,
         |  quantile_cont(delay, 0.5) AS median_d
         |FROM d GROUP BY 1""".stripMargin,
-    "q148_incremental_semantic" -> incrementalSemanticSql
+    "q148_incremental_semantic" -> incrementalSemanticSql,
+    "q149_bpe_merges" -> bpeMergesSql
   )
+
+  /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]
+    * merge for merge as a MATERIALIZED CTE chain — the q96/q129
+    * unrolled-loop discipline applied to the last iterative-argmax
+    * family. Per merge k: exact pair counts over vocab v(k−1), the
+    * (cnt desc, l, r) argmax as a 1-row CTE, and the left-to-right
+    * non-overlapping re-segmentation. The re-segmentation replays
+    * Spark's array fold in STRING space (DuckDB's `list_reduce`
+    * accumulator must share the element type): symbols joined by
+    * chr(31) — impossible in the [a-z0-9]+ token alphabet — with
+    * "last symbol == l" as `ends_with(acc, chr(31)||l)`, which is
+    * exact because every symbol is sep-prefixed and sep-free.
+    */
+  private lazy val bpeMergesSql: String = {
+    val nMerges = 8
+    val sep = "chr(31)"
+    def reseg(b: String): String =
+      s"""list_filter(string_split(
+         |      list_reduce(list_prepend('', syms), (acc, e) ->
+         |        CASE WHEN e = $b.r AND ends_with(acc, $sep || $b.l)
+         |             THEN acc[1:len(acc) - len($b.l)] || $b.l || $b.r
+         |             ELSE acc || $sep || e END),
+         |      $sep), s -> s <> '')""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(syms)),
+         |            i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+         |        FROM v${k - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT freq, ${reseg("b")} AS syms
+         |  FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    val ranks = (1 to nMerges)
+      .map(k => s"SELECT ${k - 1} AS rank, l AS left_sym, r AS right_sym FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(words) AS w FROM ($wordsSql)) GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT freq, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+       |  FROM words),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym FROM ($ranks)""".stripMargin
+  }
 
   /** Oracle for q148: replays
     * [[graft.ops.Dedup.semanticNearDupsAgainst]] — the q21 hyperplane

@@ -18,9 +18,12 @@ import graft.functions.Fns
   * against an independent sequential reference implementation and the
   * classic (es, est)-first textbook example.
   *
-  * No oracle query: merge learning is iterative argmax over mutating
-  * state — not SQL-expressible (same class as k-means; see
-  * SparkEntry's q40 note). Evidence is spec-level.
+  * Oracle-checked (q149): the distributed fit is replayed merge for
+  * merge in generated DuckDB SQL (SparkEntry.bpeMergesSql — the
+  * unrolled-CTE discipline that also replays k-means/PCA/IVF training),
+  * with [[mergeAdjacent]]'s array fold mirrored as a string fold.
+  * BpeSpec additionally pins the fit against an independent sequential
+  * reference implementation.
   *
   * The per-iteration argmax is a 1-row collect (like k-means
   * centroids); lineage is cut every `checkpointEvery` merges via

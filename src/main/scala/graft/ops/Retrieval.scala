@@ -72,6 +72,22 @@ object Retrieval {
       .distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
 
+  /** The same one-row stats computed from the CORPUS instead of the
+    * postings: docs with at least one token, total token mass. Exactly
+    * [[indexStats]]∘[[invertedIndex]] under the index family's
+    * documented doc_id-uniqueness contract, but it never touches the
+    * corpus×vocabulary-sized posting rows — the build-time form. (The
+    * round-12 soak measured the difference: stats-via-pinned-postings
+    * made `writeBm25Index` super-linear at 100× — localCheckpointing
+    * 70M posting rows to share one scan — exponent 1.36; corpus-direct
+    * stats restored ≤1.3 with a second NARROW corpus scan.)
+    */
+  def corpusStats(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(size(Fns.tokens(col(textCol))).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+
   /** BM25 top-k per query. `queries` is small (id + text); the corpus
     * side is `postings`. Scores use distinct query terms (qtf = 1 —
     * the common web-query case; a repeated term scores once).
@@ -149,7 +165,7 @@ object Retrieval {
   def buildIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit = {
     val postings = invertedIndex(corpus, textCol, idCol)
     postings.write.mode("overwrite").parquet(s"$path/postings")
-    indexStats(postings).write.mode("overwrite").parquet(s"$path/stats")
+    corpusStats(corpus, textCol).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Append NEW documents to an at-rest index. Postings of distinct
@@ -167,7 +183,7 @@ object Retrieval {
   def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     val newPost = invertedIndex(newDocs, textCol, idCol)
-    val delta = indexStats(newPost)
+    val delta = corpusStats(newDocs, textCol)
     // merge stats BEFORE appending postings so the old stats read can't
     // see the new postings rows (1-row collect; exact long addition)
     val merged = spark.read
@@ -204,8 +220,10 @@ object Retrieval {
 
   /** Build the bucketed index: postings via
     * [[graft.sinks.Sinks.writeBucketed]] on `token` in `table`, the
-    * 1-row stats in a sibling `table__stats`. One corpus explode feeds
-    * both writes (pinned).
+    * 1-row stats in a sibling `table__stats`. Stats come from a second
+    * NARROW corpus scan ([[corpusStats]]) — cheaper at every scale than
+    * pinning the corpus×vocabulary posting rows to share one scan (the
+    * soak-measured super-linear term; see [[corpusStats]]).
     */
   def writeBm25Index(
       corpus: DataFrame,
@@ -214,9 +232,9 @@ object Retrieval {
       table: String,
       numBuckets: Int = 64
   ): Unit = {
-    val postings = Materialize(invertedIndex(corpus, textCol, idCol))
-    graft.sinks.Sinks.writeBucketed(postings, table, Seq("token"), numBuckets)
-    indexStats(postings).write.mode("overwrite").saveAsTable(statsTable(table))
+    graft.sinks.Sinks.writeBucketed(
+      invertedIndex(corpus, textCol, idCol), table, Seq("token"), numBuckets)
+    corpusStats(corpus, textCol).write.mode("overwrite").saveAsTable(statsTable(table))
   }
 
   /** Append NEW documents to a bucketed index: same pure-append
@@ -245,10 +263,10 @@ object Retrieval {
       .getOrElse(
         throw new IllegalArgumentException(s"$table is not a bucketed graft BM25 index")
       )
-    val newPost = Materialize(invertedIndex(newDocs, textCol, idCol))
+    val newPost = invertedIndex(newDocs, textCol, idCol)
     val merged = spark
       .table(statsTable(table))
-      .unionByName(indexStats(newPost))
+      .unionByName(corpusStats(newDocs, textCol))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
       .collect()
     graft.sinks.Sinks.appendBucketed(newPost, table, Seq("token"), numBuckets)
