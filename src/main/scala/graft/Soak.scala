@@ -114,6 +114,55 @@ object Soak {
       .parquet(out)
   }
 
+  /** Two wide snapshots with constant-RATE churn — the reference's CDC
+    * shape at soak scale: 40 string columns keyed by `id`; snapshot B
+    * updates 2% of rows (first 4 columns), deletes 1%, inserts 1% new
+    * ids. Diff output rows stay ~4% of n at every scale.
+    */
+  def genSnapshots(spark: SparkSession, n: Long, out: String): Unit = {
+    if (new java.io.File(s"$out/snapB/_SUCCESS").exists()) return
+    val id = col("id")
+    def cells(version: Column): Seq[Column] = (0 until 40).map { c =>
+      val v = when(version === 1 && lit(c) < 4, lit(1L)).otherwise(lit(0L))
+      concat(lit("v"), pmod(xxhash64(id, lit(c.toLong), v), lit(1000000L))).as(f"c$c%02d")
+    }
+    spark
+      .range(n)
+      .select((id +: cells(lit(0))): _*)
+      .write.mode("overwrite").parquet(s"$out/snapA")
+    val survivors = spark
+      .range(n)
+      .filter(pmod(id, lit(100L)) =!= 3L) // 1% deleted
+      .select((id +: cells(when(pmod(id, lit(50L)) === 1L, 1L).otherwise(0L))): _*)
+    val inserts = spark
+      .range(n, n + n / 100) // 1% inserted
+      .select((id +: cells(lit(0))): _*)
+    survivors.unionByName(inserts).write.mode("overwrite").parquet(s"$out/snapB")
+  }
+
+  /** A synthetic CDC event stream: ~5 versions per key, deterministic
+    * timestamps/payloads — the [[graft.ops.Scd2.apply]] fold input.
+    */
+  def genEvents(spark: SparkSession, n: Long, out: String): Unit = {
+    if (new java.io.File(s"$out/_SUCCESS").exists()) return
+    val id = col("id")
+    spark
+      .range(n)
+      .select(
+        concat(lit("e"), id).as("event_id"),
+        pmod(xxhash64(id, lit(11L)), lit(n / 5)).as("key"),
+        timestamp_seconds(lit(1600000000L) + pmod(xxhash64(id, lit(12L)), lit(31536000L)))
+          .as("ts"),
+        when(pmod(xxhash64(id, lit(13L)), lit(10L)) === 0L, "insert")
+          .otherwise("update").as("event_type"),
+        map(
+          lit("c00"), concat(lit("v"), pmod(xxhash64(id, lit(14L)), lit(1000000L))),
+          lit("c01"), concat(lit("v"), pmod(xxhash64(id, lit(15L)), lit(1000000L)))
+        ).as("new_values")
+      )
+      .write.mode("overwrite").parquet(out)
+  }
+
   private var session: SparkSession = _
 
   private def timed(iters: Int)(body: => Long): (Double, Long) = {
@@ -155,6 +204,8 @@ object Soak {
     scales.foreach { case (m, (nd, ne)) =>
       genDocs(spark, nd, s"$base/x$m/documents")
       genEmbeddings(spark, ne, s"$base/x$m/embeddings")
+      if (wanted("cdc_diff")) genSnapshots(spark, 20000L * m, s"$base/x$m")
+      if (wanted("scd2_fold")) genEvents(spark, 20000L * m, s"$base/x$m/events")
     }
 
     def docs(m: Int) = spark.read.parquet(s"$base/x$m/documents")
@@ -233,6 +284,24 @@ object Soak {
           .ivfPqTopKIndexed(spark, s"soak_ivfpq_x$m", queries, "embedding", "vec_id",
             k = 5, nProbe = 8, rerank = 16, corpus = Some(emb(m)))
           .count()
+      }
+    }.toMap
+
+    // the reference's CDC core at soak scale: snapshot diff over wide
+    // (40-col) snapshots with constant-rate churn, and the SCD2 fold
+    // over a ~5-versions-per-key event stream
+    if (wanted("cdc_diff")) results("cdc_diff") = scales.map { case (m, _) =>
+      val a = spark.read.parquet(s"$base/x$m/snapA")
+      val b = spark.read.parquet(s"$base/x$m/snapB")
+      m -> timed(iters) {
+        graft.ops.SnapshotDiff.diff(b, Some(a), "id").count()
+      }
+    }.toMap
+
+    if (wanted("scd2_fold")) results("scd2_fold") = scales.map { case (m, _) =>
+      val ev = spark.read.parquet(s"$base/x$m/events")
+      m -> timed(iters) {
+        graft.ops.Scd2(ev, Seq("key")).count()
       }
     }.toMap
 

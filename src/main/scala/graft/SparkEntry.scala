@@ -2360,6 +2360,16 @@ object SparkEntry {
         .zipWithIndex
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("rank", "left_sym", "right_sym")
+    }),
+    // BPE tokenizer APPLICATION: per-doc token counts under the 8
+    // learned merges, vocabulary-joined (Bpe.tokenCounts — the merge
+    // fold runs once per DISTINCT word, never per occurrence). The
+    // oracle re-learns the same chain and maps each word through its
+    // final segmentation, so fit AND apply are pinned end-to-end.
+    "q150_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.fitMerges(docs, "text", nMerges = 8)
+      Bpe.tokenCounts(docs, "text", "doc_id", merges)
     })
   )
 
@@ -4375,7 +4385,8 @@ object SparkEntry {
         |  quantile_cont(delay, 0.5) AS median_d
         |FROM d GROUP BY 1""".stripMargin,
     "q148_incremental_semantic" -> incrementalSemanticSql,
-    "q149_bpe_merges" -> bpeMergesSql
+    "q149_bpe_merges" -> bpeMergesSql,
+    "q150_bpe_tokenize" -> bpeTokenizeSql
   )
 
   /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]
@@ -4390,8 +4401,12 @@ object SparkEntry {
     * "last symbol == l" as `ends_with(acc, chr(31)||l)`, which is
     * exact because every symbol is sep-prefixed and sep-free.
     */
-  private lazy val bpeMergesSql: String = {
-    val nMerges = 8
+  /** The shared q149/q150 merge-learning CTE chain (vocabulary → per
+    * merge k: pair counts, argmax, re-segmentation), carrying the WORD
+    * through so q150 can map each word to its final segmentation.
+    */
+  private val BpeNMerges = 8
+  private lazy val bpeChainCtes: String = {
     val sep = "chr(31)"
     def reseg(b: String): String =
       s"""list_filter(string_split(
@@ -4400,7 +4415,7 @@ object SparkEntry {
          |             THEN acc[1:len(acc) - len($b.l)] || $b.l || $b.r
          |             ELSE acc || $sep || e END),
          |      $sep), s -> s <> '')""".stripMargin
-    val stages = (1 to nMerges).map { k =>
+    val stages = (1 to BpeNMerges).map { k =>
       s"""p$k AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq,
          |          unnest(list_transform(range(1, len(syms)),
@@ -4408,21 +4423,39 @@ object SparkEntry {
          |        FROM v${k - 1} WHERE len(syms) >= 2)
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (SELECT freq, ${reseg("b")} AS syms
+         |v$k AS MATERIALIZED (SELECT w, freq, ${reseg("b")} AS syms
          |  FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
     }
-    val ranks = (1 to nMerges)
-      .map(k => s"SELECT ${k - 1} AS rank, l AS left_sym, r AS right_sym FROM b$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(words) AS w FROM ($wordsSql)) GROUP BY w),
        |v0 AS MATERIALIZED (
-       |  SELECT freq, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+       |  SELECT w, freq, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
        |  FROM words),
-       |${stages.mkString(",\n")}
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeMergesSql: String = {
+    val ranks = (1 to BpeNMerges)
+      .map(k => s"SELECT ${k - 1} AS rank, l AS left_sym, r AS right_sym FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeChainCtes
        |SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym FROM ($ranks)""".stripMargin
   }
+
+  /** Oracle for q150: the learned chain's FINAL segmentation (v8) maps
+    * each word to its BPE token count; per-doc counts are one join +
+    * sum, left-joined back to documents so token-less docs keep their
+    * zero (Spark's `size(flatten(...))` of an empty array is 0).
+    */
+  private lazy val bpeTokenizeSql: String =
+    s"""WITH $bpeChainCtes,
+       |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM v$BpeNMerges),
+       |d AS (SELECT doc_id, unnest(words) AS w FROM ($wordsSql)),
+       |cnt AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe
+       |  FROM d JOIN wl USING (w) GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(c.n_bpe, 0) AS n_bpe
+       |FROM documents t LEFT JOIN cnt c ON t.doc_id = c.doc_id""".stripMargin
 
   /** Oracle for q148: replays
     * [[graft.ops.Dedup.semanticNearDupsAgainst]] — the q21 hyperplane

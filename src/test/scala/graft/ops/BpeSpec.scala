@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.size
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -78,6 +79,20 @@ class BpeSpec extends AnyFunSuite {
     }
     // "newest" must contain the merged "est" (es+t) as one token
     assert(toks(3L).contains("est"))
+  }
+
+  test("tokenCounts (vocab-joined) == size of tokenize per doc, zero-word docs keep 0") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((999999L, "!!! ???")).toDF("doc_id", "text")) // no [a-z0-9] tokens
+    val merges = Bpe.fitMerges(docs, "text", nMerges = 4)
+    val direct = Bpe.tokenize(docs, "text", "doc_id", merges)
+      .select($"doc_id", size($"bpe_tokens").cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val joined = Bpe.tokenCounts(docs, "text", "doc_id", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(joined === direct)
+    assert(joined(999999L) === 0L)
   }
 
   test("mergeAdjacent is left-to-right non-overlapping (aaa + (a,a) -> [aa, a])") {
