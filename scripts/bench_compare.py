@@ -63,7 +63,10 @@ def main():
         sys.exit(f"no per-query map found in {'both' if not qa and not qb else args[0] if not qa else args[1]}")
     drift = (cb / ca) if (ca and cb) else None
     print(f"# {args[0]} -> {args[1]}")
-    print(f"totals: {ta:.2f}s -> {tb:.2f}s  calibration: "
+    # a truncated tail can clip the total line — report n/a, don't crash
+    ta = f"{ta:.2f}s" if ta is not None else "n/a"
+    tb = f"{tb:.2f}s" if tb is not None else "n/a"
+    print(f"totals: {ta} -> {tb}  calibration: "
           f"{ca if ca is not None else 'n/a'} -> {cb if cb is not None else 'n/a'}"
           f"  drift ratio: {f'{drift:.3f}' if drift else 'UNKNOWN (raw ratios below)'}")
     shared = sorted(set(qa) & set(qb))
@@ -82,9 +85,12 @@ def main():
     movers = [q for norm, _, q, _, _ in rows if norm > 1.25]
     sa = sum(qa[q] for q in shared)
     sb = sum(qb[q] for q in shared)
-    agg = (sb / sa / drift) if drift else sb / sa
-    print(f"\nshared {len(shared)} queries: {sa:.1f}s -> {sb:.1f}s, "
-          f"drift-normalized ratio {agg:.3f}")
+    if sa > 0:
+        agg = (sb / sa / drift) if drift else sb / sa
+        print(f"\nshared {len(shared)} queries: {sa:.1f}s -> {sb:.1f}s, "
+              f"drift-normalized ratio {agg:.3f}")
+    else:
+        print(f"\nshared queries: none (or zero time) — no aggregate ratio")
     print(f">1.25x drift-normalized movers: {movers if movers else 'none'}")
     if only_a:
         print(f"only in {args[0]}: {only_a}")

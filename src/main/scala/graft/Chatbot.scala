@@ -65,8 +65,21 @@ object Chatbot {
   ): DataFrame = {
     val daily =
       Analytics.dailyCounts(eventLog, filterExpr = col("event_type") === "error")
+    // gap-fill over the LOG's calendar (all event types bound the span,
+    // one-row agg -> executor-side sequence, no wall clock / no driver
+    // round trip). Without it, error-free days vanish from the series:
+    // a sparse-error log never reaches Anomaly.score's minPoints and
+    // answers "no anomalies" unconditionally — the reference's canned
+    // behavior this route exists to replace — and the rolling window
+    // spans the last N days WITH errors instead of N calendar days.
+    val bounds = eventLog
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val filled = bounds
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("date"))
+      .join(daily, Seq("date"), "left")
+      .na.fill(0.0, Seq("value"))
     val scored = graft.ops.Anomaly
-      .score(daily, Seq.empty, lookback = lookback, threshold = threshold)
+      .score(filled, Seq.empty, lookback = lookback, threshold = threshold)
       .filter(col("is_anomaly"))
     Analytics
       .topK(scored, "score", "date", k)

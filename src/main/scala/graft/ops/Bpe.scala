@@ -130,7 +130,11 @@ object Bpe {
       col(idCol).as("doc_id"),
       flatten(
         transform(
-          Fns.tokens(col(textCol)),
+          // null text tokenizes to ZERO tokens, not a null array —
+          // otherwise size(bpe_tokens) reads -1/null for those docs
+          // while tokenCounts' explode-and-coalesce path counts 0,
+          // breaking the documented equivalence between the two
+          coalesce(Fns.tokens(col(textCol)), typedLit(Seq.empty[String])),
           w => applyMerges(filter(split(w, ""), s => s =!= ""), merges)
         )
       ).as("bpe_tokens")

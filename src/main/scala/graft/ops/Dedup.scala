@@ -1298,14 +1298,17 @@ object Dedup {
         .withColumn("bkey", pmod(xxhash64(col("band"), col("bhash")), lit(nBuckets.toLong)))
     ) // probed twice: bkey collect + bucket join
     val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
-    if (bkeys.isEmpty) {
-      return spark.emptyDataFrame
-        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0.0).as("cosine"))
-        .limit(0)
-    }
+    // empty batch (or all-null vectors): prune to nothing with lit(false)
+    // rather than an early return — the result schema then derives from
+    // the SAME plan as every other day (i carries the index's vec_id
+    // type, j the batch's idCol type; a hardcoded empty (long, long)
+    // frame used to make string-keyed callers' unionByName fail only on
+    // empty-batch days)
     val pruned = spark
       .table(table)
-      .filter(col("bkey").isin(bkeys.toIndexedSeq: _*))
+      .filter(
+        if (bkeys.isEmpty) lit(false) else col("bkey").isin(bkeys.toIndexedSeq: _*)
+      )
       .select(col("vec_id"), col("embedding"), col("band"), col("bhash"))
     crossEmbeddingNearDups(
       pruned, batchBands.drop("bkey"), threshold, broadcastRowLimit, dropSameId)
@@ -1343,7 +1346,11 @@ object Dedup {
       )
     crossEmbeddingNearDups(
       bandRows(history, "vec_id", "embedding"),
-      bandRows(batch, "j", "v_j"),
+      // pinned like the index path's batchBands: the broadcast-fit probe
+      // counts these rows, and an unmaterialized plan would re-run the
+      // batch's hyperplane banding once for the count and again for the
+      // join
+      Materialize(bandRows(batch, "j", "v_j")),
       threshold,
       broadcastRowLimit,
       dropSameId

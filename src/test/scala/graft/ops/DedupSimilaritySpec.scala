@@ -146,6 +146,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaJoin === viaLiteral)
   }
 
+  test("assignCells keeps degenerate vectors with null cent_id on BOTH plans (no silent drops)") {
+    // the join plan's old inner join DROPPED null/empty/short vectors
+    // that the literal plan kept — an index built past 1024 cells would
+    // silently lose rows. Pin the contract on a dirty corpus: every row
+    // survives both paths, degenerate rows get cent_id = null, clean
+    // rows agree bit-identically.
+    val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 1)
+    val dirty = emb
+      .limit(20)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      .unionByName(
+        Seq(
+          (900001L, Option.empty[Seq[Float]]),      // null vector
+          (900002L, Some(Seq.empty[Float])),        // empty vector
+          (900003L, Some(Seq(1.0f, 2.0f)))          // wrong width (dim is 64)
+        ).toDF("cid", "cv")
+      )
+    def collectAssign(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select($"cid", $"cent_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    val viaLiteral = collectAssign(Similarity.assignCells(dirty, cents))
+    val viaJoin = collectAssign(Similarity.assignCellsViaJoin(dirty, cents))
+    assert(viaLiteral.size === 23, "literal plan must keep every row")
+    assert(viaJoin.size === 23, "join plan must keep every row")
+    assert(viaLiteral === viaJoin)
+    Seq(900001L, 900002L, 900003L).foreach { id =>
+      assert(viaLiteral(id).isEmpty, s"degenerate vector $id must assign null, not a cell")
+    }
+    assert(viaLiteral.count(_._2.nonEmpty) === 20, "all clean rows must assign")
+  }
+
   test("kmeans centroids move toward cluster means and keep cell count") {
     val cents0 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 0)
     val cents3 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 3)
@@ -832,6 +865,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.readPqCodebooks(spark, "not_pq")
     }
     assert(e2.getMessage.contains("not a graft PQ index"))
+    // contract: an index recording different quantizer UNITS (or none —
+    // one written before quantized-unit training) must be rebuilt, not
+    // probed/appended: geometry props all match across a unit change,
+    // and encoding against differently-scaled codebooks silently
+    // degrades codes, so only an explicit unit property can fail fast
+    spark.sql("ALTER TABLE pq_idx UNSET TBLPROPERTIES ('graft.pq.unitScale')")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, "pq_idx")
+    }
+    assert(e3.getMessage.contains("unitScale") && e3.getMessage.contains("Rebuild"))
+    spark.sql("ALTER TABLE pq_idx SET TBLPROPERTIES ('graft.pq.unitScale'='2048')")
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, "pq_idx")
+    }
+    assert(e4.getMessage.contains("2048"))
+    // restore the true units — don't leave a poisoned table for later tests
+    spark.sql("ALTER TABLE pq_idx SET TBLPROPERTIES ('graft.pq.unitScale'='1048576')")
+    assert(Similarity.readPqCodebooks(spark, "pq_idx") === cbs)
   }
 
   test("randomProject: bit-exact vs declared fold, exactly linear, roughly distance-preserving") {

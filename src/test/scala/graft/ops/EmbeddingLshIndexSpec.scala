@@ -122,4 +122,27 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
       spark, replay, "emb_lsh_rep", "embedding", "vec_id", dim = 64, threshold = 0.9)
     assert(dropped.filter($"i" === $"j").count() === 0)
   }
+
+  test("empty batch returns the non-empty day's schema (id types derive from index + batch)") {
+    // a string-keyed index: the old early return hardcoded (i: long,
+    // j: long), so a caller unioning daily results failed ONLY on
+    // empty-batch days — pin that both sides' id types ride through
+    val sHist = hist.select(concat(lit("doc-"), $"vec_id").as("vec_id"), $"embedding")
+    val sBatch = batch.select(concat(lit("doc-"), $"vec_id").as("vec_id"), $"embedding")
+    Dedup.writeEmbeddingLshIndex(sHist, "embedding", "vec_id", "emb_lsh_str", dim = 64,
+      nBuckets = 16)
+    val full = Dedup.incrementalSemanticNearDups(
+      spark, sBatch, "emb_lsh_str", "embedding", "vec_id", dim = 64, threshold = 0.3)
+    val empty = Dedup.incrementalSemanticNearDups(
+      spark, sBatch.limit(0), "emb_lsh_str", "embedding", "vec_id", dim = 64, threshold = 0.3)
+    assert(empty.count() === 0L)
+    assert(
+      empty.schema.map(f => (f.name, f.dataType)) ===
+        full.schema.map(f => (f.name, f.dataType)),
+      "empty-batch day must union cleanly with every other day"
+    )
+    assert(full.schema("i").dataType === org.apache.spark.sql.types.StringType)
+    // and the two days actually union (the concrete failure mode)
+    assert(full.unionByName(empty).count() === full.count())
+  }
 }
