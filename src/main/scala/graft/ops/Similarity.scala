@@ -195,13 +195,23 @@ object Similarity {
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
+    // seeds skip degenerate vectors (null / wrong width) — a null seed
+    // used to NPE at the subspace slice, a short one silently seeded a
+    // malformed codebook. No-op on clean corpora (training and the SQL
+    // oracle replay are unchanged); degenerate NON-seed rows already
+    // drop out of the Lloyd means naturally (PqCodes nulls their codes).
     val seedVecs = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .orderBy(col(idCol))
       .limit(kCodes)
       .select(col(vecCol).cast("array<double>"))
       .as[Seq[Double]]
       .collect()
       .toSeq
+    require(
+      seedVecs.nonEmpty,
+      s"pqTrain: corpus has no vectors of dim $dim to seed codebooks from"
+    )
     var cbs: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub)))
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
@@ -689,13 +699,26 @@ object Similarity {
   ): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // seeds skip degenerate vectors (null/empty) — a null seed used to
+    // NPE deep in the literal-centroid build; a clean corpus is
+    // unaffected (the filter is a no-op, so trained centroids and the
+    // SQL oracle replay are unchanged). Mixed widths fail fast: cells
+    // of different dims can't share one assignment geometry.
     var cents: Seq[(Long, Seq[Double])] = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .orderBy(col(idCol))
       .limit(nCells)
       .select(col(idCol).cast("long"), quantizeVec(col(vecCol)))
       .as[(Long, Seq[Double])]
       .collect()
       .toSeq
+    require(cents.nonEmpty, "kmeansCentroids: corpus has no non-empty vectors to seed from")
+    val widths = cents.map(_._2.size).distinct
+    require(
+      widths.size == 1,
+      s"kmeansCentroids: seed vectors have mixed widths $widths — clean the corpus to one " +
+        "embedding dim before training"
+    )
     val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     for (_ <- 0 until lloydIters) {
       val means = assignCells(vecs, cents)

@@ -179,6 +179,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaLiteral.count(_._2.nonEmpty) === 20, "all clean rows must assign")
   }
 
+  test("training ignores degenerate vectors: dirty corpus trains == clean subset") {
+    // degenerate rows with the LOWEST ids — exactly where they'd poison
+    // the deterministic first-by-id seeding (a null seed used to NPE,
+    // a short one seeded a malformed codebook); non-seed degenerate
+    // rows drop out of the Lloyd means (null cent_id / null codes)
+    val clean = emb.select($"vec_id", $"embedding")
+    val nullEmpty = Seq(
+      (-1L, Option.empty[Seq[Float]]),
+      (-2L, Some(Seq.empty[Float]))
+    ).toDF("vec_id", "embedding")
+    val dirtyKm = clean.unionByName(nullEmpty)
+    assert(
+      Similarity.kmeansCentroids(dirtyKm, "embedding", "vec_id", 8, lloydIters = 2) ===
+        Similarity.kmeansCentroids(clean, "embedding", "vec_id", 8, lloydIters = 2)
+    )
+    // mixed seed widths are a corpus bug, not a skippable row: fail fast
+    val mixed = clean.unionByName(Seq((-3L, Some(Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(mixed, "embedding", "vec_id", 8, lloydIters = 1)
+    }
+    assert(e.getMessage.contains("mixed widths"))
+    // pqTrain knows dim, so ALL degenerate rows (incl. wrong width) skip
+    val dirtyPq = mixed.unionByName(nullEmpty)
+    assert(
+      Similarity.pqTrain(dirtyPq, "embedding", "vec_id", dim = 64, m = 4, kCodes = 8,
+        lloydIters = 1) ===
+        Similarity.pqTrain(clean, "embedding", "vec_id", dim = 64, m = 4, kCodes = 8,
+          lloydIters = 1)
+    )
+  }
+
   test("kmeans centroids move toward cluster means and keep cell count") {
     val cents0 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 0)
     val cents3 = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8, lloydIters = 3)
