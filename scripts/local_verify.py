@@ -7,8 +7,10 @@ by name, rows sorted by all columns; floats compared with small abs/rel
 tolerance AND exact-repr check reported separately (the driver may be
 stricter than us — aim for exact).
 
-Usage: python3 scripts/local_verify.py [sfdir] [outdir]
-  (run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+Usage: python3 scripts/local_verify.py [sfdir] [outdir] [prefixes]
+  (run `sbt "runMain graft.Verify <sfdir> <outdir> [prefixes]"` first;
+  prefixes = comma-separated query-name prefixes for fast iteration on
+  a subset — mirrors Verify's optional 3rd arg)
 """
 import json
 import math
@@ -78,6 +80,9 @@ def main():
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     n_ok = 0
     names = sorted(set(oracle) | {p.name for p in OUT.iterdir() if p.is_dir()})
+    if len(sys.argv) > 3:
+        prefixes = sys.argv[3].split(",")
+        names = [n for n in names if any(n.startswith(p) for p in prefixes)]
     for name in names:
         spark_dir = OUT / name
         if not spark_dir.is_dir():

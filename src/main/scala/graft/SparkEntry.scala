@@ -2370,6 +2370,35 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val merges = Bpe.fitMerges(docs, "text", nMerges = 8)
       Bpe.tokenCounts(docs, "text", "doc_id", merges)
+    }),
+    // Population stability index of the event-type mix across a fixed
+    // calendar split — the feature/mix drift monitor a pipeline gates a
+    // model refresh on. Laplace-smoothed shares, glog + per-key
+    // quantized-long terms (exact order-independent sum); both count
+    // tables are SketchIngest-maintainable at rest.
+    "q151_psi_drift" -> ((s, dir) => {
+      Stats.psi(
+        sources.Tables.eventsBetween(s, dir, "2023-12-01 00:00:00", "2024-01-15 00:00:00"),
+        sources.Tables.eventsBetween(s, dir, "2024-01-15 00:00:00", "2024-03-01 00:00:00"),
+        "event_type"
+      )
+    }),
+    // Cohen's kappa between the langid heuristic and the gold labels —
+    // chance-corrected agreement over the q108 confusion counts.
+    // Exact-integer moments (decimal products), one final IEEE division.
+    "q152_lang_kappa" -> ((s, dir) =>
+      Stats.cohenKappa(
+        TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id", keep = Seq("lang")),
+        "lang",
+        "pred_lang"
+      )),
+    // Per-doc out-of-vocabulary rate against the corpus's own top-300
+    // vocabulary (count desc, token asc — deterministic) — the
+    // tokenizer-coverage gate; the vocab is an at-rest table input, so
+    // swapping vocabularies never rescans the corpus.
+    "q153_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.oovRate(docs, "text", "doc_id", TextAnalysis.topTokens(docs, "text", 300))
     })
   )
 
@@ -4386,7 +4415,90 @@ object SparkEntry {
         |FROM d GROUP BY 1""".stripMargin,
     "q148_incremental_semantic" -> incrementalSemanticSql,
     "q149_bpe_merges" -> bpeMergesSql,
-    "q150_bpe_tokenize" -> bpeTokenizeSql
+    "q150_bpe_tokenize" -> bpeTokenizeSql,
+    // Mirrors Stats.psiFromCounts exactly: Laplace-smoothed shares over
+    // the full-outer key union, the same glog polynomial for each of the
+    // four ln terms, ((p - q) * lr) * 1e9 in the same association order,
+    // round-then-cast per key, exact BIGINT sum, one final /1e9.
+    "q151_psi_drift" ->
+      s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+         |  GROUP BY 1),
+         |c AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
+         |  GROUP BY 1),
+         |j AS (SELECT coalesce(r.k, c.k) AS k,
+         |    CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
+         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
+         |    CAST(count(*) AS BIGINT) AS k FROM j),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT c + 1 AS v FROM j UNION ALL SELECT r + 1 FROM j
+         |  UNION ALL SELECT bigC + k FROM tot UNION ALL SELECT bigR + k FROM tot)),
+         |$glogChainSql,
+         |terms AS (SELECT
+         |    CAST(round(((CAST(j.c + 1 AS DOUBLE) / CAST(tot.bigC + tot.k AS DOUBLE))
+         |              - (CAST(j.r + 1 AS DOUBLE) / CAST(tot.bigR + tot.k AS DOUBLE)))
+         |      * (gc.glog - gbc.glog - gr.glog + gbr.glog) * 1000000000.0) AS BIGINT) AS tq
+         |  FROM j CROSS JOIN tot
+         |  JOIN gl gc ON gc.v = j.c + 1
+         |  JOIN gl gr ON gr.v = j.r + 1
+         |  JOIN gl gbc ON gbc.v = tot.bigC + tot.k
+         |  JOIN gl gbr ON gbr.v = tot.bigR + tot.k)
+         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
+         |  CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 1000000000.0 AS psi
+         |FROM tot""".stripMargin,
+    // q108's langid CTE -> confusion counts -> kappa from exact integer
+    // moments: (A*N - E) / (N^2 - E), all BIGINT-exact here and
+    // decimal-exact on the Spark side, cast to DOUBLE for the one
+    // division. NULL on a perfect-chance denominator, matching Spark.
+    "q152_lang_kappa" ->
+      s"""WITH t AS ($wordsSql),
+         |s AS (SELECT t.doc_id, d.text, d.lang,
+         |   len(list_filter(words, w -> w IN ('the','a','of','and','is'))) AS s_en,
+         |   len(list_filter(words, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+         |   len(list_filter(words, w -> w IN ('le','la','les','et','est'))) AS s_fr,
+         |   len(list_filter(words, w -> w IN ('el','los','las','es','y'))) AS s_es
+         | FROM t JOIN documents d ON d.doc_id = t.doc_id),
+         |p AS (SELECT doc_id, lang,
+         | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |      WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |      ELSE 'es' END AS pred_lang
+         |FROM s),
+         |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         |na AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS n_a FROM g GROUP BY 1),
+         |nb AS (SELECT pred_lang AS k, CAST(sum(n) AS BIGINT) AS n_b FROM g GROUP BY 1),
+         |e AS (SELECT CAST(coalesce(sum(na.n_a * nb.n_b), 0) AS BIGINT) AS e_num
+         |  FROM na JOIN nb USING (k)),
+         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |  CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) AS BIGINT) AS agree
+         |  FROM g)
+         |SELECT n_total, agree,
+         |  CASE WHEN n_total * n_total <> e_num THEN
+         |    CAST(agree * n_total - e_num AS DOUBLE) /
+         |    CAST(n_total * n_total - e_num AS DOUBLE) END AS kappa
+         |FROM ag CROSS JOIN e""".stripMargin,
+    // Mirrors TextAnalysis.oovRate: top-300 vocab (count desc, token
+    // asc), left join flags, counts per doc, left join back to ALL docs
+    // (token-less docs keep a zero row), floor(n_oov*1e4/n_tokens)/1e4.
+    "q153_oov_rate" ->
+      s"""WITH t AS ($wordsSql),
+         |tok AS (SELECT doc_id, unnest(words) AS token FROM t),
+         |v AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |      ORDER BY n DESC, token ASC LIMIT 300)),
+         |a AS (SELECT tok.doc_id, count(*) AS n_tokens,
+         |      CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
+         |  FROM tok LEFT JOIN v ON v.token = tok.token GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN a.n_tokens > 0
+         |    THEN floor(CAST(a.n_oov AS DOUBLE) * 10000.0 / CAST(a.n_tokens AS DOUBLE)) / 10000.0
+         |    ELSE 0.0 END AS oov_rate
+         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin
   )
 
   /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]

@@ -225,6 +225,133 @@ object Stats {
     * Addition-mergeable counts ⇒ streamed == batch bit-identically
     * (spec-pinned).
     */
+  /** Population stability index between a REFERENCE and a CURRENT
+    * categorical distribution — the standard "did this feature /
+    * source-mix / event-mix drift since the model was fit?" monitor a
+    * training pipeline runs before trusting a refresh (common gates:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act).
+    *
+    * PSI = Σ_k (p_k − q_k)·ln(p_k/q_k) over Laplace-smoothed shares
+    * p_k = (c_k+1)/(C+K), q_k = (r_k+1)/(R+K) (K = union key count —
+    * smoothing keeps keys seen on only ONE side finite instead of ±∞).
+    * House determinism discipline: each ln is integer-argument
+    * [[Dsir.glog]], each per-key term is quantized ONCE to a long
+    * (`round(term·1e9)`), and PSI is the exact long sum of those —
+    * order-independent under any shuffle/merge, replayable in SQL.
+    *
+    * Shape: the count tables are bounded-cardinality (the
+    * `SketchIngest` contract), so this is a full-outer join of two
+    * tiny frames + 1-row total broadcasts — never a corpus scan.
+    */
+  def psi(reference: DataFrame, current: DataFrame, keyCol: String): DataFrame =
+    psiFromCounts(
+      reference.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      current.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      keyCol
+    )
+
+  /** [[psi]] from already-built (`keyCol`, n) count tables — the
+    * at-rest form: both sides can be `SketchIngest.ingestCountBatch`-
+    * maintained tables (addition-mergeable ⇒ streamed == batch), so
+    * drift is monitored from two tiny tables without touching either
+    * corpus.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame, keyCol: String): DataFrame = {
+    val scale = 1000000000L
+    val joined = Materialize(
+      refCounts
+        .select(col(keyCol).as("__k"), col("n").cast("long").as("r"))
+        .join(
+          curCounts.select(col(keyCol).as("__k"), col("n").cast("long").as("c")),
+          Seq("__k"),
+          "full_outer"
+        )
+        .na
+        .fill(0L, Seq("r", "c"))
+    )
+    val tot = joined.agg(
+      sum(col("r")).as("bigR"),
+      sum(col("c")).as("bigC"),
+      count(lit(1)).as("k")
+    )
+    val p = (col("c") + 1).cast("double") / (col("bigC") + col("k")).cast("double")
+    val q = (col("r") + 1).cast("double") / (col("bigR") + col("k")).cast("double")
+    val lr = Dsir.glog(col("c") + 1) - Dsir.glog(col("bigC") + col("k")) -
+      Dsir.glog(col("r") + 1) + Dsir.glog(col("bigR") + col("k"))
+    joined
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bigR"),
+        col("bigC"),
+        col("k"),
+        round((p - q) * lr * lit(scale.toDouble)).cast("long").as("tq")
+      )
+      .groupBy(col("bigR"), col("bigC"), col("k"))
+      .agg(sum(col("tq")).as("sq"))
+      .select(
+        col("k").as("n_keys"),
+        col("bigR").as("ref_n"),
+        col("bigC").as("cur_n"),
+        (col("sq").cast("double") / lit(scale.toDouble)).as("psi")
+      )
+  }
+
+  /** Cohen's kappa between two categorical label columns — chance-
+    * corrected agreement, the label-QA statistic for "does the cheap
+    * heuristic / second annotator / replacement model agree with the
+    * gold labels beyond what marginals alone predict?" (raw accuracy
+    * rewards majority-class collapse; kappa doesn't).
+    *
+    * Exact by construction: with N = Σn, A = Σ_k n_kk (the diagonal)
+    * and E = Σ_k rowSum_k·colSum_k, kappa = (A·N − E)/(N² − E) — every
+    * product runs in decimal(38,0) with decimal FACTORS (the moment
+    * discipline: no silent int64 wrap at any corpus size a 38-digit
+    * value can hold), ONE IEEE division at the end. Perfect-chance
+    * denominators (N² = E, e.g. a single label on both sides) yield
+    * null, not a division artifact.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    kappaFromCounts(
+      df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n")),
+      aCol,
+      bCol
+    )
+
+  /** [[cohenKappa]] from an already-built (`aCol`, `bCol`, n) joint-
+    * count table — the at-rest/streamed form, same contract as
+    * [[pmiFromCounts]]: the grid is addition-mergeable, marginals and
+    * the diagonal derive from the tiny table alone.
+    */
+  def kappaFromCounts(counts: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cab = Materialize(counts)
+    val pe = cab
+      .groupBy(col(aCol)).agg(sum(col("n")).as("n_a"))
+      .select(col(aCol).as("__k"), col("n_a"))
+      .join(
+        cab.groupBy(col(bCol)).agg(sum(col("n")).as("n_b"))
+          .select(col(bCol).as("__k"), col("n_b")),
+        Seq("__k")
+      ) // inner join: a label absent from one side contributes 0 to E
+      .agg(coalesce(sum(dec(col("n_a")) * dec(col("n_b"))), lit(0).cast("decimal(38,0)"))
+        .as("e_num"))
+    val agg = cab.agg(
+      sum(col("n")).as("n_total"),
+      coalesce(sum(when(col(aCol) === col(bCol), col("n"))), lit(0L)).as("agree")
+    )
+    agg
+      .crossJoin(broadcast(pe))
+      .select(
+        col("n_total"),
+        col("agree"),
+        when(
+          dec(col("n_total")) * dec(col("n_total")) =!= col("e_num"),
+          (dec(col("agree")) * dec(col("n_total")) - col("e_num")).cast("double") /
+            (dec(col("n_total")) * dec(col("n_total")) - col("e_num")).cast("double")
+        ).as("kappa")
+      )
+  }
+
   def pmiFromCounts(counts: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cxy = Materialize(counts)
     val cx = cxy.groupBy(col(xCol)).agg(sum(col("n")).as("n_x"))

@@ -97,6 +97,56 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Per-doc out-of-vocabulary rate against an explicit vocabulary
+    * table — the "how much of this document will a fixed tokenizer /
+    * embedding vocab actually cover?" gate run before spending training
+    * compute on it (high OOV ⇒ wrong language, OCR garbage, code in a
+    * prose corpus). The vocabulary is an at-rest (`tokenCol`) table —
+    * [[topTokens]] output, a shipped tokenizer vocab, or a
+    * `SketchIngest`-maintained count table — so swapping tokenizers
+    * never rescans the corpus.
+    *
+    * Shape: the corpus explode is the scan; the vocab (bytes-scale for
+    * any real token alphabet) BROADCASTS into a left join, count + agg
+    * partial-aggregate map-side. Token-less docs (null/empty/no-token
+    * text) keep a (0, 0, 0.0) row — the left join back to `df`, the
+    * [[graft.ops.Bpe.tokenCounts]] convention. `oov_rate` is
+    * `floor(n_oov·10⁴/n_tokens)/10⁴` (the trunc4 discipline — one
+    * exact integer·10⁴ division, no accumulated doubles).
+    */
+  def oovRate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: DataFrame,
+      tokenCol: String = "token"
+  ): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("token"))
+      .join(
+        broadcast(vocab.select(col(tokenCol).as("token"), lit(true).as("__in_vocab"))),
+        Seq("token"),
+        "left"
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in_vocab").isNull, 1L)), lit(0L)).as("n_oov")
+      )
+    df.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(
+          col("n_tokens").isNotNull && col("n_tokens") > 0,
+          floor(col("n_oov").cast("double") * lit(10000.0) / col("n_tokens").cast("double")) /
+            lit(10000.0)
+        ).otherwise(lit(0.0)).as("oov_rate")
+      )
+  }
+
   /** Data-mix drift monitoring: how far each source's token
     * distribution sits from the whole corpus's, over the corpus's
     * top-`topK` tokens — total-variation distance (0.5 * L1) and

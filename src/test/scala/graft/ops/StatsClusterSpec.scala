@@ -440,4 +440,68 @@ class StatsClusterSpec extends AnyFunSuite {
       assert(r.getLong(2) === 10L)
     }
   }
+
+  test("psi: identical distributions give EXACTLY 0; divergence is symmetric and monotone") {
+    def dist(counts: (String, Int)*) =
+      counts.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val base = dist("a" -> 40, "b" -> 30, "c" -> 30)
+    val same = Stats.psi(base, dist("a" -> 40, "b" -> 30, "c" -> 30), "k").head()
+    // p == q per key -> every quantized term is round(0 * lr) = 0: exact
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[Long]("n_keys") === 3L)
+    assert(same.getAs[Long]("ref_n") === 100L && same.getAs[Long]("cur_n") === 100L)
+    val mild = Stats.psi(base, dist("a" -> 30, "b" -> 35, "c" -> 35), "k")
+      .head().getAs[Double]("psi")
+    val wild = Stats.psi(base, dist("a" -> 5, "b" -> 5, "c" -> 90), "k")
+      .head().getAs[Double]("psi")
+    assert(mild > 0.0 && wild > mild, s"monotone drift: $mild vs $wild")
+    assert(wild > 0.25, "a 30/30/40 -> 5/5/90 shift must trip the standard 0.25 act gate")
+    // (p-q)ln(p/q) is symmetric in (p,q): swapping sides moves only the totals' labels
+    val ab = Stats.psi(base, dist("a" -> 5, "b" -> 5, "c" -> 90), "k").head()
+    val ba = Stats.psi(dist("a" -> 5, "b" -> 5, "c" -> 90), base, "k").head()
+    assert(ab.getAs[Double]("psi") === ba.getAs[Double]("psi"))
+    // keys seen on only ONE side stay finite (the Laplace smoothing)
+    val oneSided = Stats.psi(base, dist("d" -> 100), "k").head().getAs[Double]("psi")
+    assert(!oneSided.isInfinite && !oneSided.isNaN && oneSided > 1.0)
+  }
+
+  test("psiFromCounts == psi from raw rows; count tables are addition-mergeable") {
+    def dist(counts: (String, Int)*) =
+      counts.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val ref = dist("a" -> 12, "b" -> 7)
+    val cur = dist("a" -> 3, "b" -> 9, "c" -> 2)
+    val fromRaw = Stats.psi(ref, cur, "k").head()
+    def cnt(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(count(lit(1)).as("n"))
+    val fromCounts = Stats.psiFromCounts(cnt(ref), cnt(cur), "k").head()
+    assert(fromRaw === fromCounts)
+    // merged halves == whole (the SketchIngest additive contract)
+    val h1 = dist("a" -> 6, "b" -> 3)
+    val h2 = dist("a" -> 6, "b" -> 4)
+    val merged = cnt(h1).unionByName(cnt(h2)).groupBy($"k").agg(sum($"n").as("n"))
+    assert(Stats.psiFromCounts(merged, cnt(cur), "k").head() === fromCounts)
+  }
+
+  test("cohenKappa: perfect agreement 1, independence ~0, textbook grid exact") {
+    val perfect = (1 to 30).map(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
+    assert(Stats.cohenKappa(perfect, "a", "b").head().getAs[Double]("kappa") === 1.0)
+    // independent marginals over a SHARED label space: po == pe by
+    // construction -> kappa 0 exactly
+    val ind = (0 until 40).map(i => (s"l${i % 2}", s"l${(i / 2) % 2}")).toDF("a", "b")
+    assert(Stats.cohenKappa(ind, "a", "b").head().getAs[Double]("kappa") === 0.0)
+    // the standard worked example: grid [[20,5],[10,15]] -> N=50, A=35,
+    // E = 30*25 + 20*25 = 1250; kappa = (35*50-1250)/(2500-1250) = 0.4
+    val grid = Seq(("y", "y", 20L), ("y", "n", 5L), ("n", "y", 10L), ("n", "n", 15L))
+      .toDF("a", "b", "n")
+    val k = Stats.kappaFromCounts(grid, "a", "b").head()
+    assert(k.getAs[Long]("n_total") === 50L && k.getAs[Long]("agree") === 35L)
+    assert(k.getAs[Double]("kappa") === 0.4)
+    // degenerate single-label chance: N^2 == E -> null, not an artifact
+    val mono = Seq(("y", "y", 10L)).toDF("a", "b", "n")
+    assert(Stats.kappaFromCounts(mono, "a", "b").head().isNullAt(2))
+    // label present on only one side contributes 0 to E, not a crash
+    val skew = Seq(("y", "z", 4L), ("y", "y", 6L)).toDF("a", "b", "n")
+    val ks = Stats.kappaFromCounts(skew, "a", "b").head()
+    assert(ks.getAs[Long]("agree") === 6L && !ks.isNullAt(2))
+  }
 }

@@ -16,6 +16,29 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe_est") === (17L + 3) / 4)
   }
 
+  test("oovRate: exact per-doc counts; token-less and null docs keep zero rows") {
+    val docs = Seq(
+      (1L, Some("the cat sat on the mat")), // 6 tokens; OOV: cat, sat
+      (2L, Some("zzz qqq")),                // fully OOV
+      (3L, Some("!!! ???")),                // tokenizes to nothing
+      (4L, Option.empty[String])            // null text
+    ).toDF("doc_id", "text")
+    val vocab = Seq("the", "on", "mat").toDF("token")
+    val got = TextAnalysis.oovRate(docs, "text", "doc_id", vocab)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size === 4, "every doc keeps a row")
+    assert(got(1L) === ((6L, 2L, 0.3333)))
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    // the truncation discipline: floor(n_oov*1e4/n_tokens)/1e4
+    val seven = Seq((9L, "a b c d e f g")).toDF("doc_id", "text")
+    val r7 = TextAnalysis.oovRate(seven, "text", "doc_id", Seq("a").toDF("token")).head()
+    assert(r7.getDouble(3) === math.floor(6.0 * 10000.0 / 7.0) / 10000.0)
+  }
+
   test("corpusFrequencyScore: exact df arithmetic, <= rare boundary, tokenless docs absent") {
     // dfs: a=2 (d1,d2), b=c=x=1; n_docs=4 (the empty doc counts toward
     // the corpus size but emits no occurrence rows)
