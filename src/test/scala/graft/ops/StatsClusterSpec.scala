@@ -425,6 +425,20 @@ class StatsClusterSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2))
     assert(streamedP.toSeq === batchP.toSeq)
+
+    // PSI read off the SAME streamed (source, token) table: reference =
+    // the s0 slice, current = s1 — bit-identical to raw-row PSI over
+    // the full docs set (the drift monitor reads two tiny at-rest
+    // tables, never a corpus)
+    val counts = spark.read.parquet(tokPath)
+    def slice(src: String) =
+      counts.filter(col("source") === src).select(col("token"), col("n"))
+    val streamedPsi = Stats.psiFromCounts(slice("s0"), slice("s1"), "token").head()
+    def rawToks(src: String) = docs.toDF("source", "lang", "text")
+      .filter(col("source") === src)
+      .select(explode(graft.functions.Fns.tokens(col("text"))).as("token"))
+    val rawPsi = Stats.psi(rawToks("s0"), rawToks("s1"), "token").head()
+    assert(streamedPsi === rawPsi)
   }
 
   test("pmiGrid: independent columns give pmi 0, perfectly dependent give ln(k)") {
