@@ -2399,7 +2399,13 @@ object SparkEntry {
     "q153_oov_rate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.oovRate(docs, "text", "doc_id", TextAnalysis.topTokens(docs, "text", 300))
-    })
+    }),
+    // WITHIN-doc repeated-segment removal (keep-first) — the crawl
+    // artifact the corpus-frequency strip can't catch; one segment
+    // explode + one (doc_id, seg)-partitioned window, no model.
+    "q154_strip_repeats" -> ((s, dir) =>
+      TextAnalysis.stripRepeatedSegments(t(s, dir, "documents"), "text", "doc_id",
+        segTokens = 2))
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4498,7 +4504,26 @@ object SparkEntry {
          |  CASE WHEN a.n_tokens > 0
          |    THEN floor(CAST(a.n_oov AS DOUBLE) * 10000.0 / CAST(a.n_tokens AS DOUBLE)) / 10000.0
          |    ELSE 0.0 END AS oov_rate
-         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin,
+    // q78's segmentation CTE at segTokens=2, then keep-first repeat
+    // flagging via the same (doc_id, seg)-partitioned row_number and
+    // the q78 rebuild (ordered string_agg, trunc4 fraction).
+    "q154_strip_repeats" ->
+      s"""WITH t AS ($wordsSql),
+         |s AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+         |  SELECT doc_id,
+         |    unnest([{'pos': CAST(i AS BIGINT),
+         |             'seg': array_to_string(words[(i*2+1):(i*2+2)], ' ')}
+         |            for i in range(0, CAST(ceil(len(words)/2.0) AS BIGINT))]) AS u
+         |  FROM t WHERE len(words) > 0)),
+         |f AS (SELECT doc_id, pos, seg,
+         |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) > 1 AS rep FROM s)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |  floor(CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000
+         |    AS frac_repeated,
+         |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT rep) AS clean_text
+         |FROM f GROUP BY doc_id""".stripMargin
   )
 
   /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]

@@ -827,6 +827,38 @@ object TextAnalysis {
       segmentsOf(df, textCol, idCol, segTokens).withColumn("boiler", est >= minDocs))
   }
 
+  /** WITHIN-document repeated-segment removal — the crawl artifact
+    * [[stripBoilerplate]] cannot catch: a page that repeats its own
+    * navigation block / footer / spam phrase dozens of times is
+    * polluted even when no OTHER document shares the segment (Rae et
+    * al. (Gopher) App. A's repetition filters MEASURE this; q62
+    * profiles it — this op REMOVES it). A segment is repeated when the
+    * same normalized text already occurred EARLIER in the same doc;
+    * the first occurrence is kept, so a document always survives with
+    * its content in order. Returns the [[stripBoilerplate]] row shape
+    * with `n_repeated`/`frac_repeated` (trunc4) and `clean_text`.
+    *
+    * Scale shape: one segment explode + ONE window partitioned by
+    * (doc_id, seg) — per-key executor state, no corpus-frequency pass,
+    * no broadcast, no model; composes before/after the corpus-level
+    * strip since both preserve (doc_id, pos) order.
+    */
+  def stripRepeatedSegments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int
+  ): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    val w = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("pos"))
+    rebuildDocs(
+      segmentsOf(df, textCol, idCol, segTokens)
+        .withColumn("boiler", row_number().over(w) > 1)
+    )
+      .withColumnRenamed("n_boiler", "n_repeated")
+      .withColumnRenamed("frac_boiler", "frac_repeated")
+  }
+
   /** Non-overlapping `segTokens`-token segments: (doc_id, pos, seg).
     * Zero-token docs produce no rows, so they vanish from every strip
     * output (the documented empty-doc behavior).

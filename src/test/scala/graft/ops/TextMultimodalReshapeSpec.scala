@@ -39,6 +39,30 @@ class TextMultimodalReshapeSpec extends AnyFunSuite {
     assert(r7.getDouble(3) === math.floor(6.0 * 10000.0 / 7.0) / 10000.0)
   }
 
+  test("stripRepeatedSegments: keep-first within-doc dedup, order preserved, cross-doc untouched") {
+    val docs = Seq(
+      // "buy now" repeats 3x within the doc (2-token segments) — keep the first
+      (1L, "buy now great offer buy now limited buy now"),
+      // the SAME segment in another doc is NOT corpus-boilerplate here: kept
+      (2L, "buy now once only"),
+      (3L, "all unique tokens here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripRepeatedSegments(docs, "text", "doc_id", segTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_repeated"),
+        r.getAs[String]("clean_text"))))
+      .toMap
+    // doc 1 segments: [buy now][great offer][buy now][limited buy][now]
+    // -> only the pos-2 "buy now" is a repeat; order survives the rebuild
+    assert(got(1L) === ((5L, 1L, "buy now great offer limited buy now")))
+    assert(got(2L) === ((2L, 0L, "buy now once only")))
+    assert(got(3L) === ((2L, 0L, "all unique tokens here")))
+    // composes with the corpus-level strip: same (doc_id, pos) discipline
+    val frac = TextAnalysis.stripRepeatedSegments(docs, "text", "doc_id", 2)
+      .filter($"doc_id" === 1L).head().getAs[Double]("frac_repeated")
+    assert(frac === math.floor(1.0 / 5.0 * 10000) / 10000)
+  }
+
   test("corpusFrequencyScore: exact df arithmetic, <= rare boundary, tokenless docs absent") {
     // dfs: a=2 (d1,d2), b=c=x=1; n_docs=4 (the empty doc counts toward
     // the corpus size but emits no occurrence rows)
