@@ -297,7 +297,7 @@ object Similarity {
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
     val enc = pqEncode(corpus, vecCol, idCol, cbs)
       .select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
-    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, Some(corpus))
+    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, Some(corpus), dim)
   }
 
   /** Full-precision (cid, ev) side for the exact rerank pass. */
@@ -334,17 +334,23 @@ object Similarity {
 
   /** Flat compressed scan + rerank shared by the inline and at-rest PQ
     * paths: broadcast queries x reconstructed corpus, per-query top
-    * `k * rerank` shortlist, optional exact rescue.
+    * `k * rerank` shortlist, optional exact rescue. Degenerate queries
+    * (null/empty/wrong-width — the [[assignable]] contract, `dim` from
+    * the codebooks) return no rows instead of an arbitrary null-cosine
+    * shortlist (null query) or a mid-job length-mismatch error (short
+    * query) — the same no-probe rule as [[probeCells]].
     */
   private def pqShortlistRerank(
       enc: DataFrame,
-      queries: DataFrame,
+      rawQueries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int,
       rerank: Int,
-      corpus: Option[DataFrame]
+      corpus: Option[DataFrame],
+      dim: Int
   ): DataFrame = {
+    val queries = rawQueries.filter(assignable(col(vecCol), dim))
     // cv is reconstructed in QUANTIZED units; quantize the query side the
     // same way so the stage-1 cosine accumulates exact-integer terms
     // (order-free, oracle-replayable — cosine is scale-invariant, so the
@@ -516,7 +522,8 @@ object Similarity {
     )
     val cbs = readPqCodebooks(spark, table)
     val enc = spark.table(table).select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
-    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, corpus)
+    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, corpus,
+      cbs.size * cbs.head.head.size)
   }
 
   /** Append a batch to an at-rest PQ index built by [[writePqIndex]]:
@@ -772,14 +779,21 @@ object Similarity {
     * [[LiteralAssignMaxCells]] cells the literal array is the wrong
     * vehicle (same bound as [[assignCells]]) and the scoring runs as a
     * broadcast join + rank — bit-identical scores, different plan.
+    *
+    * Degenerate queries (null/empty/wrong-width vectors — the
+    * [[assignable]] contract) probe NOTHING and so return no neighbor
+    * rows, on both plans: every cosine against them is null, so without
+    * the filter the literal plan would "probe" nProbe arbitrary
+    * (null-scored) cells and emit k arbitrary null-cosine neighbors.
     */
   private def probeCells(
-      queries: DataFrame,
+      rawQueries: DataFrame,
       cents: Seq[(Long, Seq[Double])],
       vecCol: String,
       idCol: String,
       nProbe: Int
-  ): DataFrame =
+  ): DataFrame = {
+    val queries = rawQueries.filter(assignable(col(vecCol), cents.head._2.size))
     if (cents.size > LiteralAssignMaxCells) {
       val spark = queries.sparkSession
       import spark.implicits._
@@ -822,6 +836,7 @@ object Similarity {
           ).as("cell")
         )
         .select(col("qid"), col("qv"), (-col("cell").getField("negid")).as("cent_id"))
+  }
 
   /** The rank stage shared by the inline and at-rest IVF paths: join the
     * probes onto the assigned corpus by cent_id (probes are small -> AQE

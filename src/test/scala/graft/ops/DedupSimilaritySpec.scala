@@ -179,6 +179,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaLiteral.count(_._2.nonEmpty) === 20, "all clean rows must assign")
   }
 
+  test("degenerate QUERY vectors probe nothing: no arbitrary null-cosine neighbors") {
+    // a null query used to "probe" nProbe arbitrary cells (all scores
+    // null -> argmax over ids) and emit k null-cosine neighbors; a
+    // wrong-width query crashed PQ rerank mid-job. Contract now: no
+    // embedding, no neighbors — clean queries' results are unchanged.
+    val clean = emb.select($"vec_id", $"embedding")
+    val cleanQs = clean.filter($"vec_id" < 5)
+    val dirtyQs = cleanQs.unionByName(Seq(
+      (-1L, Option.empty[Seq[Float]]),
+      (-2L, Some(Seq.empty[Float])),
+      (-3L, Some(Seq(1.0f, 2.0f)))
+    ).toDF("vec_id", "embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val ivfClean = Similarity.ivfTopK(clean, cleanQs, "embedding", "vec_id", 3, nCells = 8)
+    val ivfDirty = Similarity.ivfTopK(clean, dirtyQs, "embedding", "vec_id", 3, nCells = 8)
+    assert(ids(ivfDirty) === ids(ivfClean), "IVF: dirty queries add nothing, remove nothing")
+    assert(!ids(ivfDirty).exists(_._1 < 0), "no neighbors for degenerate queries")
+    val pqClean = Similarity.pqTopK(clean, cleanQs, "embedding", "vec_id", 3, dim = 64,
+      m = 4, kCodes = 8, lloydIters = 1, rerank = 2)
+    val pqDirty = Similarity.pqTopK(clean, dirtyQs, "embedding", "vec_id", 3, dim = 64,
+      m = 4, kCodes = 8, lloydIters = 1, rerank = 2)
+    assert(ids(pqDirty) === ids(pqClean), "PQ: dirty queries add nothing, remove nothing")
+  }
+
   test("training ignores degenerate vectors: dirty corpus trains == clean subset") {
     // degenerate rows with the LOWEST ids — exactly where they'd poison
     // the deterministic first-by-id seeding (a null seed used to NPE,
