@@ -366,6 +366,33 @@ object Soak {
       }
     }.toMap
 
+    // within-doc repeated-segment removal: one explode + one
+    // (doc_id, seg)-partitioned window — should hold ~linear
+    if (wanted("strip_repeats")) results("strip_repeats") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        graft.ops.TextAnalysis
+          .stripRepeatedSegments(docs(m), "text", "doc_id", segTokens = 2)
+          .count()
+      }
+    }.toMap
+
+    // per-doc OOV rate with the vocab trained inline (the q153 shape:
+    // topTokens is a second wordcount pass; at-rest vocab halves it).
+    // Measure via sum(n_oov), NOT count(): count() lets Catalyst
+    // ELIMINATE the aggregate-keyed left join and the whole wordcount
+    // with it (measured: flat 0.2 s across 1x..100x — a count of the
+    // doc ids, not the operator)
+    if (wanted("oov_rate")) results("oov_rate") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        val d = docs(m)
+        graft.ops.TextAnalysis
+          .oovRate(d, "text", "doc_id", graft.ops.TextAnalysis.topTokens(d, "text", 300))
+          .agg(sum(col("n_oov")).as("s"), count(lit(1)).as("n"))
+          .head()
+          .getLong(1)
+      }
+    }.toMap
+
     val fams = results.map { case (fam, byScale) =>
       val times = multipliers
         .map(m => f""""t${m}_sec":${byScale(m)._1}%.2f,"rows$m":${byScale(m)._2}""")
