@@ -65,6 +65,30 @@ class CurationSpec extends AnyFunSuite {
     assert(!ids.exists(i => i >= 58 && i <= 60))
   }
 
+  test("stripRepeatedSegments composes BEFORE curate on the shared (doc_id, clean_text) shape") {
+    // a crawl page that repeats its own spam phrase is polluted even
+    // when no other doc shares it — corpus-frequency boilerplate can't
+    // strip it. Run the within-doc pass first, then the pipeline: the
+    // repeats vanish, and curate sees the de-repeated text.
+    val looping = Seq((1001L,
+      header + commonBody(1) + " " + Seq.fill(6)("buy now").mkString(" ")))
+    val all = docs.unionByName(looping.toDF("doc_id", "text"))
+    val deRepeated = TextAnalysis
+      .stripRepeatedSegments(all, "text", "doc_id", segTokens = 2)
+      .filter(col("clean_text").isNotNull)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val loopedClean = deRepeated.filter($"doc_id" === 1001L).head().getAs[String]("text")
+    assert(loopedClean.endsWith("buy now"), loopedClean)
+    assert(loopedClean.sliding(7).count(_ == "buy now") === 1, "repeats collapsed to one")
+    val (kept, counts) = Curation.curate(
+      deRepeated, "text", "doc_id",
+      targetCond = col("doc_id") <= 28,
+      minQuality = 0.5, maxAvgNll = 6.0, segTokens = 2,
+      minDocsBoiler = 70, keepFraction = 0.5, exactRank = true)
+    assert(counts.input === 73L)
+    assert(kept.count() === counts.kept)
+  }
+
   test("sketch-CDF selection path (the default) runs and keeps a top slice") {
     val (kept, counts) = Curation.curate(
       docs,
