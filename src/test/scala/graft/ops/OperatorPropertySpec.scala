@@ -324,4 +324,68 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("psi invariants on random count tables: >= 0, 0 on identical, matches naive") {
+    def glog(x: Long): Double = {
+      // the engine's IEEE-exact ln (Dsir.glog) replayed in plain Scala:
+      // same bin-exponent / two-sqrt / 8-term Horner shape
+      val e = (63 - java.lang.Long.numberOfLeadingZeros(x)).toDouble
+      val m = x.toDouble / math.pow(2.0, e)
+      val r = math.sqrt(math.sqrt(m))
+      val z = (r - 1.0) / (r + 1.0)
+      val w = z * z
+      val horner = 1.0 + w * (1.0 / 3.0 + w * (1.0 / 5.0 + w * (1.0 / 7.0 + w * (1.0 / 9.0 +
+        w * (1.0 / 11.0 + w * (1.0 / 13.0 + w * (1.0 / 15.0)))))))
+      e * 0.6931471805599453 + 8.0 * (z * horner)
+    }
+    for (round <- 1 to 8) {
+      val keys = ('a' to ('a' + 2 + rnd.nextInt(4)).toChar).map(_.toString)
+      val ref = keys.map(k => k -> (rnd.nextInt(40) + 1).toLong)
+      val cur =
+        if (round % 4 == 0) ref // identical counts -> every term exactly 0
+        else keys.map(k => k -> (rnd.nextInt(40) + 1).toLong)
+      def cnts(xs: Seq[(String, Long)]) = xs.toDF("k", "n")
+      val got = Stats.psiFromCounts(cnts(ref), cnts(cur), "k").head().getAs[Double]("psi")
+      assert(got >= 0.0, s"psi must be non-negative, got $got")
+      // NOTE: only IDENTICAL tables give exact 0 — PROPORTIONAL ones
+      // (cur = 3x ref) sit slightly above it because Laplace smoothing
+      // (+1 on different totals) perturbs the shares asymmetrically
+      if (round % 4 == 0) assert(got === 0.0, "identical distributions -> exactly 0")
+      // naive replay with the same smoothing/quantization discipline
+      val (bigR, bigC, kk) = (ref.map(_._2).sum, cur.map(_._2).sum, keys.size.toLong)
+      val want = keys.map { k =>
+        val (r, c) = (ref.toMap.apply(k), cur.toMap.apply(k))
+        val p = (c + 1).toDouble / (bigC + kk).toDouble
+        val q = (r + 1).toDouble / (bigR + kk).toDouble
+        val lr = glog(c + 1) - glog(bigC + kk) - glog(r + 1) + glog(bigR + kk)
+        math.round((p - q) * lr * 1e9)
+      }.sum / 1e9
+      assert(got === want, s"psi $got != naive $want")
+    }
+  }
+
+  test("kappa invariants on random grids: <= 1, == 1 iff all diagonal, matches naive") {
+    for (_ <- 1 to 8) {
+      val labels = Seq("x", "y", "z")
+      val grid = for {
+        a <- labels; b <- labels
+        n = rnd.nextInt(20).toLong if n > 0
+      } yield (a, b, n)
+      if (grid.nonEmpty) {
+        val got = Stats.kappaFromCounts(grid.toDF("a", "b", "n"), "a", "b").head()
+        val n = grid.map(_._3).sum
+        val agree = grid.collect { case (a, b, c) if a == b => c }.sum
+        val e = labels.map { k =>
+          grid.collect { case (`k`, _, c) => c }.sum * grid.collect { case (_, `k`, c) => c }.sum
+        }.sum
+        assert(got.getAs[Long]("n_total") === n && got.getAs[Long]("agree") === agree)
+        if (n * n != e) {
+          val kappa = got.getAs[Double]("kappa")
+          assert(kappa <= 1.0)
+          assert(kappa === (agree * n - e).toDouble / (n * n - e).toDouble)
+          if (agree == n) assert(kappa === 1.0)
+        } else assert(got.isNullAt(2))
+      }
+    }
+  }
 }
