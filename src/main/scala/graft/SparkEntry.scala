@@ -2405,7 +2405,21 @@ object SparkEntry {
     // explode + one (doc_id, seg)-partitioned window, no model.
     "q154_strip_repeats" -> ((s, dir) =>
       TextAnalysis.stripRepeatedSegments(t(s, dir, "documents"), "text", "doc_id",
-        segTokens = 2))
+        segTokens = 2)),
+    // Per-group PSI — "which language's source mix drifted?": one PSI
+    // row per lang over its own source distribution across a fixed
+    // doc_id parity split. The production monitoring shape of q151.
+    "q155_psi_per_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def cnt(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      Stats.psiPerGroup(
+        cnt(col("doc_id") % 2 === 0),
+        cnt(col("doc_id") % 2 === 1),
+        "lang",
+        "source"
+      )
+    })
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4523,7 +4537,36 @@ object SparkEntry {
          |  floor(CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*10000)/10000
          |    AS frac_repeated,
          |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT rep) AS clean_text
-         |FROM f GROUP BY doc_id""".stripMargin
+         |FROM f GROUP BY doc_id""".stripMargin,
+    // The q151 PSI replay with a lang group column: per-lang totals,
+    // smoothing, glog terms, quantized-long sums.
+    "q155_psi_per_lang" ->
+      s"""WITH r AS (SELECT lang, source AS k, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |c AS (SELECT lang, source AS k, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |j AS (SELECT coalesce(r.lang, c.lang) AS lang, coalesce(r.k, c.k) AS k,
+         |    CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
+         |  FROM r FULL OUTER JOIN c ON r.lang = c.lang AND r.k = c.k),
+         |tot AS (SELECT lang, CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
+         |    CAST(count(*) AS BIGINT) AS k FROM j GROUP BY 1),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT c + 1 AS v FROM j UNION ALL SELECT r + 1 FROM j
+         |  UNION ALL SELECT bigC + k FROM tot UNION ALL SELECT bigR + k FROM tot)),
+         |$glogChainSql,
+         |terms AS (SELECT j.lang,
+         |    CAST(round(((CAST(j.c + 1 AS DOUBLE) / CAST(tot.bigC + tot.k AS DOUBLE))
+         |              - (CAST(j.r + 1 AS DOUBLE) / CAST(tot.bigR + tot.k AS DOUBLE)))
+         |      * (gc.glog - gbc.glog - gr.glog + gbr.glog) * 1000000000.0) AS BIGINT) AS tq
+         |  FROM j JOIN tot ON tot.lang = j.lang
+         |  JOIN gl gc ON gc.v = j.c + 1
+         |  JOIN gl gr ON gr.v = j.r + 1
+         |  JOIN gl gbc ON gbc.v = tot.bigC + tot.k
+         |  JOIN gl gbr ON gbr.v = tot.bigR + tot.k)
+         |SELECT tot.lang, tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
+         |  CAST(t.sq AS DOUBLE) / 1000000000.0 AS psi
+         |FROM tot JOIN (SELECT lang, CAST(sum(tq) AS BIGINT) AS sq FROM terms GROUP BY 1) t
+         |  ON t.lang = tot.lang""".stripMargin
   )
 
   /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]

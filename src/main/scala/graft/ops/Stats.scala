@@ -256,43 +256,75 @@ object Stats {
     * drift is monitored from two tiny tables without touching either
     * corpus.
     */
-  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame, keyCol: String): DataFrame = {
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame, keyCol: String): DataFrame =
+    psiCore(refCounts, curCounts, Nil, keyCol)
+      .select(col("n_keys"), col("ref_n"), col("cur_n"), col("psi"))
+
+  /** PSI per group — "WHICH source / language / shard drifted?", the
+    * production monitoring shape: one PSI row per `groupCol` value over
+    * that group's own key distribution, totals, and smoothing. Same
+    * determinism discipline as [[psiFromCounts]]; the count tables stay
+    * bounded (groups × keys), so this is still joins of tiny frames.
+    */
+  def psiPerGroup(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      groupCol: String,
+      keyCol: String
+  ): DataFrame = psiCore(refCounts, curCounts, Seq(groupCol), keyCol)
+
+  private def psiCore(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String
+  ): DataFrame = {
     val scale = 1000000000L
+    val gs = groupCols.map(col)
+    val joinKeys = groupCols :+ "__k"
     val joined = Materialize(
       refCounts
-        .select(col(keyCol).as("__k"), col("n").cast("long").as("r"))
+        .select(gs :+ col(keyCol).as("__k") :+ col("n").cast("long").as("r"): _*)
         .join(
-          curCounts.select(col(keyCol).as("__k"), col("n").cast("long").as("c")),
-          Seq("__k"),
+          curCounts.select(gs :+ col(keyCol).as("__k") :+ col("n").cast("long").as("c"): _*),
+          joinKeys,
           "full_outer"
         )
         .na
         .fill(0L, Seq("r", "c"))
     )
-    val tot = joined.agg(
-      sum(col("r")).as("bigR"),
-      sum(col("c")).as("bigC"),
-      count(lit(1)).as("k")
-    )
+    val tot = joined
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("r")).as("bigR"),
+        sum(col("c")).as("bigC"),
+        count(lit(1)).as("k")
+      )
     val p = (col("c") + 1).cast("double") / (col("bigC") + col("k")).cast("double")
     val q = (col("r") + 1).cast("double") / (col("bigR") + col("k")).cast("double")
     val lr = Dsir.glog(col("c") + 1) - Dsir.glog(col("bigC") + col("k")) -
       Dsir.glog(col("r") + 1) + Dsir.glog(col("bigR") + col("k"))
-    joined
-      .crossJoin(broadcast(tot))
+    val withTot =
+      if (groupCols.isEmpty) joined.crossJoin(broadcast(tot))
+      else joined.join(broadcast(tot), groupCols)
+    withTot
       .select(
-        col("bigR"),
-        col("bigC"),
-        col("k"),
-        round((p - q) * lr * lit(scale.toDouble)).cast("long").as("tq")
+        gs ++ Seq(
+          col("bigR"),
+          col("bigC"),
+          col("k"),
+          round((p - q) * lr * lit(scale.toDouble)).cast("long").as("tq")
+        ): _*
       )
-      .groupBy(col("bigR"), col("bigC"), col("k"))
+      .groupBy(gs ++ Seq(col("bigR"), col("bigC"), col("k")): _*)
       .agg(sum(col("tq")).as("sq"))
       .select(
-        col("k").as("n_keys"),
-        col("bigR").as("ref_n"),
-        col("bigC").as("cur_n"),
-        (col("sq").cast("double") / lit(scale.toDouble)).as("psi")
+        gs ++ Seq(
+          col("k").as("n_keys"),
+          col("bigR").as("ref_n"),
+          col("bigC").as("cur_n"),
+          (col("sq").cast("double") / lit(scale.toDouble)).as("psi")
+        ): _*
       )
   }
 

@@ -496,6 +496,28 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(Stats.psiFromCounts(merged, cnt(cur), "k").head() === fromCounts)
   }
 
+  test("psiPerGroup: each group's row == the ungrouped psi of that group's slice") {
+    val ref = Seq(("g1", "a", 10L), ("g1", "b", 5L), ("g2", "a", 7L), ("g2", "c", 3L))
+      .toDF("g", "k", "n")
+    val cur = Seq(("g1", "a", 2L), ("g1", "b", 9L), ("g2", "a", 7L), ("g2", "c", 3L),
+      ("g3", "z", 4L)).toDF("g", "k", "n")
+    val grouped = Stats.psiPerGroup(ref, cur, "g", "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(grouped.keySet === Set("g1", "g2", "g3"), "groups on either side all report")
+    Seq("g1", "g2", "g3").foreach { g =>
+      def slice(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("g") === g).select(col("k"), col("n"))
+      val single = Stats.psiFromCounts(slice(ref), slice(cur), "k").head()
+      val got = grouped(g)
+      assert(got.getAs[Long]("n_keys") === single.getAs[Long]("n_keys"), g)
+      assert(got.getAs[Double]("psi") === single.getAs[Double]("psi"), g)
+    }
+    // identical group drifts 0, shifted group doesn't, one-sided stays finite
+    assert(grouped("g2").getAs[Double]("psi") === 0.0)
+    assert(grouped("g1").getAs[Double]("psi") > 0.0)
+    assert(!grouped("g3").getAs[Double]("psi").isNaN)
+  }
+
   test("cohenKappa: perfect agreement 1, independence ~0, textbook grid exact") {
     val perfect = (1 to 30).map(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
     assert(Stats.cohenKappa(perfect, "a", "b").head().getAs[Double]("kappa") === 1.0)
