@@ -74,10 +74,7 @@ object Chatbot {
     // spans the last N days WITH errors instead of N calendar days.
     val bounds = eventLog
       .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
-    val filled = bounds
-      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("date"))
-      .join(daily, Seq("date"), "left")
-      .na.fill(0.0, Seq("value"))
+    val filled = Analytics.gapFillToBounds(daily, bounds)
     val scored = graft.ops.Anomaly
       .score(filled, Seq.empty, lookback = lookback, threshold = threshold)
       .filter(col("is_anomaly"))

@@ -4488,7 +4488,8 @@ object SparkEntry {
          |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
          |      ELSE 'es' END AS pred_lang
          |FROM s),
-         |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         |g AS (SELECT lang, pred_lang, count(*) AS n FROM p
+         |  WHERE lang IS NOT NULL AND pred_lang IS NOT NULL GROUP BY 1, 2),
          |na AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS n_a FROM g GROUP BY 1),
          |nb AS (SELECT pred_lang AS k, CAST(sum(n) AS BIGINT) AS n_b FROM g GROUP BY 1),
          |e AS (SELECT CAST(coalesce(sum(na.n_a * nb.n_b), 0) AS BIGINT) AS e_num

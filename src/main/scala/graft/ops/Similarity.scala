@@ -195,13 +195,13 @@ object Similarity {
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    // seeds skip degenerate vectors (null / wrong width) — a null seed
-    // used to NPE at the subspace slice, a short one silently seeded a
-    // malformed codebook. No-op on clean corpora (training and the SQL
-    // oracle replay are unchanged); degenerate NON-seed rows already
-    // drop out of the Lloyd means naturally (PqCodes nulls their codes).
-    val seedVecs = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // degenerate vectors skip TRAINING entirely (null / wrong width —
+    // including LONGER than dim, which PqCodes would silently truncate
+    // into the means): a null seed used to NPE at the subspace slice, a
+    // short one silently seeded a malformed codebook. No-op on clean
+    // corpora (training and the SQL oracle replay are unchanged).
+    val train = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val seedVecs = train
       .orderBy(col(idCol))
       .limit(kCodes)
       .select(col(vecCol).cast("array<double>"))
@@ -214,7 +214,7 @@ object Similarity {
     )
     var cbs: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub)))
-    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val vecs = train.select(col(vecCol).cast("array<double>").as("v"))
     for (_ <- 0 until lloydIters) {
       val means = vecs
         .select(graft.plans.PqCodes.pqCodes(col("v"), cbs).as("codes"), col("v"))
@@ -426,6 +426,7 @@ object Similarity {
       lloydIters: Int = 3
   ): Seq[Seq[Seq[Double]]] = {
     val spark = corpus.sparkSession
+    requireExactDim(corpus, vecCol, dim, "writePqIndex")
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
     pqEncode(corpus, vecCol, idCol, cbs).write.mode("overwrite").saveAsTable(table)
     writeCodebooks(spark, table, cbs)
@@ -558,18 +559,26 @@ object Similarity {
       idCol: String
   ): Unit = {
     val cbs = readPqCodebooks(spark, table)
-    val dim = cbs.size * cbs.head.head.size
-    // explicit isNull arm: under spark.sql.legacy.sizeOfNull=false,
-    // size(null) is NULL and a bare `size =!= dim` predicate would DROP
-    // null-vector rows from the gate — PqCodes would then write a null
-    // codes row into the index
-    val bad = batch.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim).limit(1).count()
+    requireExactDim(batch, vecCol, cbs.size * cbs.head.head.size, "appendToPqIndex")
+    pqEncode(batch, vecCol, idCol, cbs).write.mode("append").saveAsTable(table)
+  }
+
+  /** The degenerate-vector gate every path that ENCODES rows into an
+    * at-rest index runs (write AND append — a writer that accepts what
+    * its appender rejects is a contract hole): one bounded probe job;
+    * a null vector would write a null codes row, a short one nulls in
+    * [[PqCodes]], a LONGER one is silently truncated — all three
+    * poison the index. Explicit isNull arm: under
+    * spark.sql.legacy.sizeOfNull=false, size(null) is NULL and a bare
+    * `size =!= dim` predicate would let null vectors through.
+    */
+  private def requireExactDim(df: DataFrame, vecCol: String, dim: Int, who: String): Unit = {
+    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim).limit(1).count()
     require(
       bad == 0L,
-      s"appendToPqIndex: batch contains null vectors or vectors whose dim != $dim " +
-        "(index geometry) — rebuild the index for a new embedding width instead of appending"
+      s"$who: input contains null vectors or vectors whose dim != $dim " +
+        "(index geometry) — clean the corpus, or rebuild the index for a new embedding width"
     )
-    pqEncode(batch, vecCol, idCol, cbs).write.mode("append").saveAsTable(table)
   }
 
   /** Per-vector scored-cell array against a literal centroid set:
@@ -729,6 +738,11 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     for (_ <- 0 until lloydIters) {
       val means = assignCells(vecs, cents)
+        // degenerate non-seed rows carry cent_id = null ([[assignable]]);
+        // drop them BEFORE the explode — null/empty vectors would fall
+        // out of posexplode on their own, but a wrong-width vector still
+        // explodes and its null key would NPE the typed collect below
+        .filter(col("cent_id").isNotNull)
         .select(col("cent_id"), posexplode(quantizeVec(col("cv"))).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(
@@ -871,6 +885,10 @@ object Similarity {
       lloydIters: Int = 3
   ): Seq[(Long, Seq[Double])] = {
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
+    // same encode-gate as the PQ writers: a degenerate row would land
+    // in a null-cell bucket no probe ever selects — present but
+    // unreachable, a silent row loss
+    requireExactDim(corpus, vecCol, cents.head._2.size, "writeIvfIndex")
     val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
     graft.sinks.Sinks.writeBucketed(assigned, table, Seq("cent_id"), numBuckets = nCells)
     cents
@@ -1123,6 +1141,7 @@ object Similarity {
   ): (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireExactDim(corpus, vecCol, dim, "writeIvfPqIndex")
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
     val cbs = trainIvfPqCodebooks(corpus, vecCol, idCol, cents, dim, m, kCodes, lloydIters,
       residual)
@@ -1215,14 +1234,7 @@ object Similarity {
   ): Unit = {
     val cbs = readPqCodebooks(spark, table)
     val cents = readIvfCentroids(spark, table)
-    val dim = cbs.size * cbs.head.head.size
-    // explicit isNull arm — same sizeOfNull trap as appendToPqIndex
-    val bad = batch.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim).limit(1).count()
-    require(
-      bad == 0L,
-      s"appendToIvfPqIndex: batch contains null vectors or vectors whose dim != $dim " +
-        "(index geometry) — rebuild the index for a new embedding width instead of appending"
-    )
+    requireExactDim(batch, vecCol, cbs.size * cbs.head.head.size, "appendToIvfPqIndex")
     graft.sinks.Sinks.appendBucketed(
       assignAndEncode(batch, vecCol, idCol, cents, cbs, ivfResidualMode(spark, table)),
       table,

@@ -281,17 +281,30 @@ object Stats {
   ): DataFrame = {
     val scale = 1000000000L
     val gs = groupCols.map(col)
-    val joinKeys = groupCols :+ "__k"
+    // NULL-SAFE joins throughout (the SnapshotDiff full-outer
+    // convention): a null key is a legitimate category — a plain
+    // equi-join would carry it as TWO unmatched rows (inflating n_keys
+    // and mis-smoothing both sides), and a null GROUP would silently
+    // vanish from the per-group output at the totals join
+    val ref = refCounts.select(
+      groupCols.map(g => col(g).as(s"__rg_$g")) :+
+        col(keyCol).as("__rk") :+ col("n").cast("long").as("__rn"): _*
+    )
+    val cur = curCounts.select(
+      groupCols.map(g => col(g).as(s"__cg_$g")) :+
+        col(keyCol).as("__ck") :+ col("n").cast("long").as("__cn"): _*
+    )
+    val joinCond = (groupCols.map(g => col(s"__rg_$g") <=> col(s"__cg_$g")) :+
+      (col("__rk") <=> col("__ck"))).reduce(_ && _)
     val joined = Materialize(
-      refCounts
-        .select(gs :+ col(keyCol).as("__k") :+ col("n").cast("long").as("r"): _*)
-        .join(
-          curCounts.select(gs :+ col(keyCol).as("__k") :+ col("n").cast("long").as("c"): _*),
-          joinKeys,
-          "full_outer"
+      ref
+        .join(cur, joinCond, "full_outer")
+        .select(
+          groupCols.map(g => coalesce(col(s"__rg_$g"), col(s"__cg_$g")).as(g)) ++ Seq(
+            coalesce(col("__rn"), lit(0L)).as("r"),
+            coalesce(col("__cn"), lit(0L)).as("c")
+          ): _*
         )
-        .na
-        .fill(0L, Seq("r", "c"))
     )
     val tot = joined
       .groupBy(gs: _*)
@@ -304,28 +317,35 @@ object Stats {
     val q = (col("r") + 1).cast("double") / (col("bigR") + col("k")).cast("double")
     val lr = Dsir.glog(col("c") + 1) - Dsir.glog(col("bigC") + col("k")) -
       Dsir.glog(col("r") + 1) + Dsir.glog(col("bigR") + col("k"))
-    val withTot =
-      if (groupCols.isEmpty) joined.crossJoin(broadcast(tot))
-      else joined.join(broadcast(tot), groupCols)
-    withTot
-      .select(
-        gs ++ Seq(
-          col("bigR"),
-          col("bigC"),
-          col("k"),
-          round((p - q) * lr * lit(scale.toDouble)).cast("long").as("tq")
-        ): _*
+    val tq = round((p - q) * lr * lit(scale.toDouble)).cast("long").as("tq")
+    val out = Seq(
+      col("k").as("n_keys"),
+      col("bigR").as("ref_n"),
+      col("bigC").as("cur_n"),
+      (col("sq").cast("double") / lit(scale.toDouble)).as("psi")
+    )
+    if (groupCols.isEmpty) {
+      // 1-row aggregates on BOTH sides so empty inputs still yield ONE
+      // row — (n_keys 0, nulls) — matching the SQL oracle's global agg
+      joined
+        .crossJoin(broadcast(tot))
+        .select(tq)
+        .agg(sum(col("tq")).as("sq"))
+        .crossJoin(broadcast(tot))
+        .select(out: _*)
+    } else {
+      val totR = tot.select(
+        groupCols.map(g => col(g).as(s"__tg_$g")) ++
+          Seq(col("bigR"), col("bigC"), col("k")): _*
       )
-      .groupBy(gs ++ Seq(col("bigR"), col("bigC"), col("k")): _*)
-      .agg(sum(col("tq")).as("sq"))
-      .select(
-        gs ++ Seq(
-          col("k").as("n_keys"),
-          col("bigR").as("ref_n"),
-          col("bigC").as("cur_n"),
-          (col("sq").cast("double") / lit(scale.toDouble)).as("psi")
-        ): _*
-      )
+      val totCond = groupCols.map(g => col(g) <=> col(s"__tg_$g")).reduce(_ && _)
+      joined
+        .join(broadcast(totR), totCond)
+        .select(gs ++ Seq(col("bigR"), col("bigC"), col("k"), tq): _*)
+        .groupBy(gs ++ Seq(col("bigR"), col("bigC"), col("k")): _*)
+        .agg(sum(col("tq")).as("sq"))
+        .select(gs ++ out: _*)
+    }
   }
 
   /** Cohen's kappa between two categorical label columns — chance-
@@ -353,10 +373,17 @@ object Stats {
     * count table — the at-rest/streamed form, same contract as
     * [[pmiFromCounts]]: the grid is addition-mergeable, marginals and
     * the diagonal derive from the tiny table alone.
+    *
+    * Null-label policy: rows where EITHER label is null are DROPPED
+    * (the standard treatment — agreement against a missing label is
+    * undefined). Counting them would silently bias kappa toward 0:
+    * they'd inflate N while `null === null` can never reach `agree`
+    * and a non-null-safe marginal join excludes them from E. Encode
+    * "missing" as a real category up front if it should participate.
     */
   def kappaFromCounts(counts: DataFrame, aCol: String, bCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val cab = Materialize(counts)
+    val cab = Materialize(counts.filter(col(aCol).isNotNull && col(bCol).isNotNull))
     val pe = cab
       .groupBy(col(aCol)).agg(sum(col("n")).as("n_a"))
       .select(col(aCol).as("__k"), col("n_a"))

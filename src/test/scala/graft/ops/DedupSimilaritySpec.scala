@@ -214,7 +214,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (-1L, Option.empty[Seq[Float]]),
       (-2L, Some(Seq.empty[Float]))
     ).toDF("vec_id", "embedding")
-    val dirtyKm = clean.unionByName(nullEmpty)
+    // a wrong-width NON-seed row (id sorts after every seed): its null
+    // cent_id used to NPE the Lloyd-means typed collect, and its 66
+    // coords must not leak into any mean
+    val wideTail = Seq((999999L, Some(Seq.fill(66)(0.25f)))).toDF("vec_id", "embedding")
+    val dirtyKm = clean.unionByName(nullEmpty).unionByName(wideTail)
     assert(
       Similarity.kmeansCentroids(dirtyKm, "embedding", "vec_id", 8, lloydIters = 2) ===
         Similarity.kmeansCentroids(clean, "embedding", "vec_id", 8, lloydIters = 2)
@@ -225,8 +229,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.kmeansCentroids(mixed, "embedding", "vec_id", 8, lloydIters = 1)
     }
     assert(e.getMessage.contains("mixed widths"))
-    // pqTrain knows dim, so ALL degenerate rows (incl. wrong width) skip
-    val dirtyPq = mixed.unionByName(nullEmpty)
+    // pqTrain knows dim, so ALL degenerate rows skip — including LONGER
+    // than dim, which PqCodes would otherwise silently truncate into
+    // the Lloyd means
+    val dirtyPq = mixed.unionByName(nullEmpty).unionByName(wideTail)
     assert(
       Similarity.pqTrain(dirtyPq, "embedding", "vec_id", dim = 64, m = 4, kCodes = 8,
         lloydIters = 1) ===

@@ -518,6 +518,29 @@ class StatsClusterSpec extends AnyFunSuite {
     assert(!grouped("g3").getAs[Double]("psi").isNaN)
   }
 
+  test("psi null-safety and empty-input contracts") {
+    // a null KEY is one category, not two unmatched rows: n_keys counts
+    // it once and both sides' counts meet in one smoothed term
+    val ref = Seq((Some("a"), 10L), (Option.empty[String], 5L)).toDF("k", "n")
+    val cur = Seq((Some("a"), 10L), (Option.empty[String], 5L)).toDF("k", "n")
+    val same = Stats.psiFromCounts(ref, cur, "k").head()
+    assert(same.getAs[Long]("n_keys") === 2L, "null key counted once per side, matched")
+    assert(same.getAs[Double]("psi") === 0.0)
+    // a null GROUP reports a row, not a silent disappearance
+    val gref = Seq((Option.empty[String], "a", 4L), (Some("g1"), "a", 4L)).toDF("g", "k", "n")
+    val gcur = Seq((Option.empty[String], "a", 7L), (Some("g1"), "a", 4L)).toDF("g", "k", "n")
+    val rows = Stats.psiPerGroup(gref, gcur, "g", "k")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("n_keys")).toMap
+    assert(rows.keySet === Set(None, Some("g1")))
+    assert(rows(None) === 1L)
+    // both inputs empty: ONE row (n_keys 0, psi null) — the SQL
+    // oracle's global-agg shape, so q151 stays row-count-stable
+    val empty = Seq.empty[(String, Long)].toDF("k", "n")
+    val e = Stats.psiFromCounts(empty, empty, "k").head()
+    assert(e.getAs[Long]("n_keys") === 0L)
+    assert(e.isNullAt(e.fieldIndex("psi")))
+  }
+
   test("cohenKappa: perfect agreement 1, independence ~0, textbook grid exact") {
     val perfect = (1 to 30).map(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
     assert(Stats.cohenKappa(perfect, "a", "b").head().getAs[Double]("kappa") === 1.0)
@@ -539,5 +562,15 @@ class StatsClusterSpec extends AnyFunSuite {
     val skew = Seq(("y", "z", 4L), ("y", "y", 6L)).toDF("a", "b", "n")
     val ks = Stats.kappaFromCounts(skew, "a", "b").head()
     assert(ks.getAs[Long]("agree") === 6L && !ks.isNullAt(2))
+    // null-label rows are DROPPED, not silently counted into N only
+    // (they'd bias kappa toward 0: never agree, excluded from E)
+    val withNulls = Seq(
+      (Some("y"), Some("y"), 20L), (Some("y"), Some("n"), 5L),
+      (Some("n"), Some("y"), 10L), (Some("n"), Some("n"), 15L),
+      (Option.empty[String], Some("y"), 50L), (Some("y"), Option.empty[String], 50L)
+    ).toDF("a", "b", "n")
+    val kn = Stats.kappaFromCounts(withNulls, "a", "b").head()
+    assert(kn.getAs[Long]("n_total") === 50L, "null-label rows excluded from N")
+    assert(kn.getAs[Double]("kappa") === 0.4, "kappa unchanged by dropped null labels")
   }
 }
