@@ -629,14 +629,27 @@ object Similarity {
     if (cents.size > LiteralAssignMaxCells) assignCellsViaJoin(vecs, cents)
     else {
       val dim = cents.head._2.size
-      vecs.select(
-        col("cid"),
-        col("cv"),
-        when(
-          assignable(col("cv"), dim),
-          -array_max(scoredCells(quantizeVec(col("cv")), cents)).getField("negid")
-        ).as("cent_id")
-      )
+      // the quantized vector is HOISTED into its own projection: inside
+      // a CaseWhen branch codegen skips common-subexpression
+      // elimination, so an inline quantizeVec would re-run its
+      // 64-element transform once PER CENTROID per row (measured 2x on
+      // q40). As a separate non-cheap alias referenced nCells times,
+      // CollapseProject keeps it materialized once per row.
+      vecs
+        .select(
+          col("cid"),
+          col("cv"),
+          quantizeVec(col("cv")).as("_qv"),
+          assignable(col("cv"), dim).as("_ok")
+        )
+        .select(
+          col("cid"),
+          col("cv"),
+          when(
+            col("_ok"),
+            -array_max(scoredCells(col("_qv"), cents)).getField("negid")
+          ).as("cent_id")
+        )
     }
 
   /** The high-cell-count assignment plan: centroids as a BROADCAST
