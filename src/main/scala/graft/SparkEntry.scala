@@ -2419,7 +2419,108 @@ object SparkEntry {
         "lang",
         "source"
       )
-    })
+    }),
+    // Exact ROC-AUC (Mann–Whitney with half-credit ties) of the
+    // integer-quantized event value "ranking" purchases above the rest
+    // — the classifier-QA headline stat, computed from the bounded
+    // score grid + a distributed prefix sum: no global rank, no corpus
+    // sort, 2·P·N·AUC an exact integer before the one division.
+    "q156_roc_auc" -> ((s, dir) =>
+      Stats
+        .rocAuc(
+          t(s, dir, "events").select(
+            floor(col("value")).cast("long").as("score_i"),
+            col("event_type")
+          ),
+          "score_i",
+          col("event_type") === "purchase",
+          bucketWidth = 64L
+        )
+        .select(
+          col("n_pos"),
+          col("n_neg"),
+          col("auc_num2x").cast("long").as("auc_num2x"),
+          col("auc")
+        )),
+    // Reliability diagram of a claimed-probability score (value/500):
+    // per-bin row/positive counts + exact score sums — all addition-
+    // mergeable longs, so the diagram is SketchIngest-maintainable at
+    // rest; acc/conf are trunc4 readbacks.
+    "q157_calibration_bins" -> ((s, dir) =>
+      Stats.calibrationBins(
+        t(s, dir, "events").select(
+          floor(col("value")).cast("long").as("score_i"),
+          col("event_type")
+        ),
+        "score_i",
+        col("event_type").isin("purchase", "signup"),
+        scale = 500L,
+        nBins = 10
+      )),
+    // Expected calibration error over the q157 bins: the per-bin
+    // n·|acc−conf| telescopes to the INTEGER |n_pos·scale − sum_score|,
+    // so ECE is one exact long sum and one IEEE division.
+    "q158_ece" -> ((s, dir) =>
+      Stats
+        .eceFromBins(
+          Stats.calibrationBins(
+            t(s, dir, "events").select(
+              floor(col("value")).cast("long").as("score_i"),
+              col("event_type")
+            ),
+            "score_i",
+            col("event_type").isin("purchase", "signup"),
+            scale = 500L,
+            nBins = 10
+          ),
+          scale = 500L
+        )
+        .select(col("n"), col("ece_num").cast("long").as("ece_num"), col("ece"))),
+    // Zipf profile: glog-OLS slope/intercept of log-freq vs log-rank
+    // over the top-200 tokens — the "is this natural language?"
+    // corpus fingerprint. TakeOrdered top-k + one bounded-collect rank
+    // grid; quantized-long moments in decimal; two fixed IEEE
+    // expressions.
+    "q159_zipf_profile" -> ((s, dir) =>
+      TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", k = 200)),
+    // Reciprocal-rank fusion of two BM25 parameterizations (the
+    // standard multi-retriever ensemble; rank positions only, so
+    // incomparable score scales fuse without calibration). Each
+    // contribution is the exact integer 10⁹ div (60+rank); fused
+    // scores exact long sums; per-query rank window over the
+    // k·|lists|-row grid.
+    "q160_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val post = graft.ops.Materialize(
+        Retrieval.invertedIndex(t(s, dir, "documents"), "text", "doc_id")
+      )
+      val st = Retrieval.indexStats(post)
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "customer vector data")
+      ).toDF("query_id", "qtext")
+      val lexical = Retrieval.bm25TopK(post, qs, "query_id", "qtext", k = 20, stats = Some(st))
+      val flat = Retrieval.bm25TopK(post, qs, "query_id", "qtext", k = 20,
+        k1 = 0.5, b = 0.5, stats = Some(st))
+      Retrieval.rrfFuse(Seq(lexical, flat), kConst = 60L, topN = 10)
+    }),
+    // Greedy maximal-marginal-relevance selection of 8 diverse
+    // exemplars (rel = quantized self-energy, λ = 0.5): the
+    // iterative-argmax class — each step one map-side projection over
+    // the pinned corpus (selected vectors ride as literals) + a 1-row
+    // TakeOrdered; exact-integer dots, ties by id. Oracle replays the
+    // greedy loop as a generated MATERIALIZED CTE chain.
+    "q161_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(
+        t(s, dir, "embeddings")
+          .withColumn("rel_q", Similarity.quantizedEnergy(col("embedding"))),
+        "vec_id",
+        "embedding",
+        "rel_q",
+        k = 8,
+        dim = 64,
+        lambdaPerMille = 500
+      ))
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4567,8 +4668,197 @@ object SparkEntry {
          |SELECT tot.lang, tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
          |  CAST(t.sq AS DOUBLE) / 1000000000.0 AS psi
          |FROM tot JOIN (SELECT lang, CAST(sum(tq) AS BIGINT) AS sq FROM terms GROUP BY 1) t
-         |  ON t.lang = tot.lang""".stripMargin
+         |  ON t.lang = tot.lang""".stripMargin,
+    // Mirrors Stats.rocAuc: bounded score grid, running negative count
+    // (the single-window oracle of the two-phase prefix sum), decimal-
+    // factor numerator, one final division. Half-credit ties via
+    // 2·negBelow + neg.
+    "q156_roc_auc" ->
+      """WITH g AS (SELECT CAST(floor(value) AS BIGINT) AS score,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+        |c AS (SELECT pos, neg,
+        |    CAST(sum(neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_neg
+        |  FROM g),
+        |a AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+        |    coalesce(sum(CAST(pos AS DECIMAL(38,0)) *
+        |      (CAST(2 AS DECIMAL(38,0)) * CAST(cum_neg - neg AS DECIMAL(38,0))
+        |        + CAST(neg AS DECIMAL(38,0)))), CAST(0 AS DECIMAL(38,0))) AS num2
+        |  FROM c)
+        |SELECT n_pos, n_neg, CAST(num2 AS BIGINT) AS auc_num2x,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(num2 AS DOUBLE) /
+        |    CAST(CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))
+        |      * CAST(n_neg AS DECIMAL(38,0)) AS DOUBLE) END AS auc
+        |FROM a""".stripMargin,
+    // Mirrors Stats.calibrationBins: bin = floor((score·nBins) /
+    // scale) in DOUBLE (the same IEEE shape), clamped to nBins−1;
+    // exact per-bin longs; trunc4 acc/conf readbacks.
+    "q157_calibration_bins" ->
+      """WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS score,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT least(CAST(floor(CAST(score * 10 AS DOUBLE) / 500.0) AS BIGINT), 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  floor(CAST(sum(y) AS DOUBLE) * 10000.0 / CAST(count(*) AS DOUBLE)) / 10000.0 AS acc,
+        |  floor(CAST(sum(score) AS DOUBLE) * 10000.0 /
+        |    (CAST(count(*) AS DOUBLE) * 500.0)) / 10000.0 AS conf
+        |FROM s GROUP BY 1""".stripMargin,
+    // The q157 bins collapsed to ECE: per-bin |n_pos·scale − sum_score|
+    // is an exact integer, one sum, one division by scale·N.
+    "q158_ece" ->
+      """WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS score,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT least(CAST(floor(CAST(score * 10 AS DOUBLE) / 500.0) AS BIGINT), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(score) AS BIGINT) AS sum_score
+        |  FROM s GROUP BY 1),
+        |e AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |    coalesce(sum(abs(CAST(n_pos AS DECIMAL(38,0)) * CAST(500 AS DECIMAL(38,0))
+        |      - CAST(sum_score AS DECIMAL(38,0)))), CAST(0 AS DECIMAL(38,0))) AS ece_num
+        |  FROM b)
+        |SELECT n, CAST(ece_num AS BIGINT) AS ece_num,
+        |  CASE WHEN n > 0 THEN CAST(ece_num AS DOUBLE) /
+        |    CAST(CAST(500 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE) END AS ece
+        |FROM e""".stripMargin,
+    // Mirrors TextAnalysis.zipfProfile: top-200 tokens (count desc,
+    // token asc), glog ranks/counts quantized at 10⁴ (the 2⁵³ bound —
+    // see the op scaladoc), decimal-factor OLS moments, slope and
+    // intercept each one fixed IEEE expression.
+    "q159_zipf_profile" ->
+      s"""WITH t AS ($wordsSql),
+         |tok AS (SELECT unnest(words) AS token FROM t),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |top AS (SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 200),
+         |rk AS (SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, n FROM top),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT CAST(rank AS BIGINT) AS v FROM rk UNION ALL SELECT n FROM rk)),
+         |$glogChainSql,
+         |qd AS (SELECT CAST(round(gx.glog * 10000.0) AS BIGINT) AS xq,
+         |    CAST(round(gy.glog * 10000.0) AS BIGINT) AS yq
+         |  FROM rk JOIN gl gx ON gx.v = rk.rank JOIN gl gy ON gy.v = rk.n),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(xq AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(xq AS DECIMAL(38,0)) * CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+         |  FROM qd)
+         |SELECT k AS n_ranks,
+         |  CASE WHEN CAST(k AS DECIMAL(38,0)) * sxx - sx * sx <> 0 THEN
+         |    CAST(CAST(k AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+         |    CAST(CAST(k AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) END AS slope,
+         |  CASE WHEN CAST(k AS DECIMAL(38,0)) * sxx - sx * sx <> 0 THEN
+         |    CAST(sy AS DOUBLE) / 10000.0 / CAST(k AS DOUBLE) -
+         |    (CAST(CAST(k AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+         |     CAST(CAST(k AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
+         |    (CAST(sx AS DOUBLE) / 10000.0 / CAST(k AS DOUBLE)) END AS intercept
+         |FROM m""".stripMargin,
+    // The q87 BM25 chain twice (k1/b = 1.2/0.75 and the exactly-
+    // representable 0.5/0.5), k=20 each, fused by exact-integer
+    // reciprocal-rank contributions 10⁹ // (60+rank).
+    "q160_rrf_fusion" ->
+      s"""WITH t AS ($wordsSql),
+         |post AS (SELECT token, doc_id, dl, count(*) AS tf FROM (
+         |    SELECT doc_id, len(words) AS dl, unnest(words) AS token FROM t)
+         |  GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+         |  FROM (SELECT DISTINCT doc_id, dl FROM post)),
+         |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES
+         |    (1, 'spark join merge'),
+         |    (2, 'customer vector data')) AS v(query_id, qtext)),
+         |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+         |    string_split(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    w -> w <> ''))) AS token FROM q),
+         |qtok AS (SELECT DISTINCT token FROM qt),
+         |cand AS (SELECT p.* FROM post p JOIN qtok USING (token)),
+         |dft AS (SELECT token, count(*) AS df FROM cand GROUP BY 1),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT 2 * n_docs + 2 AS v FROM st UNION ALL SELECT 2 * df + 1 FROM dft)),
+         |$glogChainSql,
+         |gn AS (SELECT gl.glog AS glog_n FROM st JOIN gl ON gl.v = 2 * st.n_docs + 2),
+         |idf AS (SELECT d.token, gn.glog_n - gl.glog AS idf
+         |  FROM dft d JOIN gl ON gl.v = 2 * d.df + 1 CROSS JOIN gn),
+         |termA AS (SELECT c.token, c.doc_id,
+         |    CAST(round(i.idf * ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 *
+         |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+         |      * 1000000000.0) AS BIGINT) AS term_q
+         |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
+         |termB AS (SELECT c.token, c.doc_id,
+         |    CAST(round(i.idf * ((c.tf * 1.5) / (c.tf + 0.5 * (0.5 + 0.5 *
+         |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+         |      * 1000000000.0) AS BIGINT) AS term_q
+         |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
+         |scA AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
+         |  FROM termA tm JOIN qt USING (token) GROUP BY 1, 2),
+         |scB AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
+         |  FROM termB tm JOIN qt USING (token) GROUP BY 1, 2),
+         |rkA AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM scA),
+         |rkB AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM scB),
+         |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c_q
+         |    FROM rkA WHERE rank <= 20
+         |  UNION ALL SELECT query_id, doc_id, 1000000000 // (60 + rank)
+         |    FROM rkB WHERE rank <= 20),
+         |f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |    CAST(sum(c_q) AS BIGINT) AS rrf_q FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS rank,
+         |    n_lists, rrf_q FROM f)
+         |SELECT query_id, doc_id, rank, n_lists, rrf_q,
+         |  CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "q161_mmr_select" -> mmrOracleSql(k = 8, lamPerMille = 500, dim = 64)
   )
+
+  /** Generated oracle for q161: replays [[graft.ops.Similarity.mmrSelect]]
+    * pick for pick as a MATERIALIZED CTE chain (the q96/q129/q149
+    * unrolled-loop discipline). Vectors quantize to floor(x·2^20)
+    * BIGINTs; rel is the exact self-dot; step i cross-joins the i−1
+    * 1-row previous picks, takes the max dot as msim, and argmaxes
+    * `keep·rel − λ·msim` with id-asc ties — every value an exact BIGINT,
+    * so the chain is bit-identical to the Spark loop.
+    */
+  private def mmrOracleSql(k: Int, lamPerMille: Int, dim: Int): String = {
+    val keep = 1000L - lamPerMille
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val base =
+      s"""base AS MATERIALIZED (SELECT vec_id AS id,
+         |    [CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT)
+         |     for i in range(1, ${dim + 1})] AS qv
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim),
+         |rb AS MATERIALIZED (SELECT id, qv, ${dot("qv", "qv")} AS rel FROM base)""".stripMargin
+    val s1 =
+      s"""s1 AS MATERIALIZED (SELECT id, qv, rel, CAST(0 AS BIGINT) AS msim,
+         |    $keep * rel AS mmr_q
+         |  FROM rb ORDER BY $keep * rel DESC, id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prevs = (1 until i).map(j => s"CROSS JOIN s$j p$j").mkString(" ")
+      val prevIds = (1 until i).map(j => s"p$j.id").mkString(", ")
+      val dots = (1 until i).map(j => dot("b.qv", s"p$j.qv"))
+      val msim = if (dots.size == 1) dots.head else s"greatest(${dots.mkString(", ")})"
+      s"""s$i AS MATERIALIZED (SELECT id, qv, rel, msim,
+         |    $keep * rel - $lamPerMille * msim AS mmr_q FROM (
+         |    SELECT b.id, b.qv, b.rel, $msim AS msim
+         |    FROM rb b $prevs WHERE b.id NOT IN ($prevIds))
+         |  ORDER BY mmr_q DESC, id LIMIT 1)""".stripMargin
+    }
+    val out = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, id, rel, msim AS msim_q, mmr_q FROM s$i")
+      .mkString("\nUNION ALL ")
+    (Seq("WITH " + base, s1) ++ steps).mkString(",\n") + "\n" + out
+  }
 
   /** Generated oracle for q149: replays [[graft.ops.Bpe.fitMerges]]
     * merge for merge as a MATERIALIZED CTE chain — the q96/q129

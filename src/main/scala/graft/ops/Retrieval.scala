@@ -311,4 +311,56 @@ object Retrieval {
     bm25TopK(pruned, queries, queryIdCol, queryTextCol, k, k1, b,
       stats = Some(spark.table(statsTable(table))))
   }
+
+  /** Reciprocal-rank fusion of multiple retriever rankings — the
+    * standard score-free way to combine BM25 with a vector retriever
+    * (or several parameterizations of either): each list contributes
+    * 1/(kConst + rank) per (query, doc), summed across lists. Rank
+    * positions are the only signal, so incomparable score scales fuse
+    * without calibration.
+    *
+    * Inputs are (query_id, doc_id, rank) frames — [[bm25TopK]] /
+    * [[bm25TopKIndexed]] output directly, or any ANN top-k projected to
+    * that shape. Each input is already top-k-bounded per query, so the
+    * union is k·|lists| rows per query: the fusion aggregate and the
+    * per-query rank window are grid-sized, never corpus-sized.
+    *
+    * Determinism: each contribution is the exact integer
+    * `10⁹ div (kConst + rank)` (integral division — no FP anywhere in
+    * the accumulation); fused scores are exact long sums; final ranks
+    * compare the longs, tie-broken by doc_id. `rrf` is the one
+    * readback division.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      kConst: Long = 60L,
+      topN: Int = 10
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 0, "kConst must be non-negative")
+    val contrib = rankings
+      .map(
+        _.select(
+          col("query_id"),
+          col("doc_id"),
+          expr(s"1000000000L div (${kConst}L + rank)").as("c_q")
+        )
+      )
+      .reduce(_ unionAll _)
+    val fused = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("c_q")).as("rrf_q"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_q").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("rank"),
+        col("n_lists"),
+        col("rrf_q"),
+        (col("rrf_q").cast("double") / lit(1e9)).as("rrf")
+      )
+  }
 }

@@ -1496,4 +1496,122 @@ object Similarity {
       labelCol
     )
   }
+
+  /** Exact integer dot product of two quantized (integer-valued double)
+    * vectors: products < 2^44, 64-term partials < 2^53 — the left fold
+    * is exact, so any engine computing the same shape agrees bit-for-bit
+    * (the [[TrainScale]] contract).
+    */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      .cast("long")
+
+  /** Quantized self-energy ‖q‖² = Σ floor(x·2^20)² as an exact long —
+    * the magnitude-based default relevance for [[mmrSelect]] (one
+    * transform+fold, map-side, no second quantization pass).
+    */
+  def quantizedEnergy(vec: Column): Column =
+    aggregate(
+      transform(vec.cast("array<double>"), x => {
+        val q = floor(x * lit(TrainScale)).cast("double")
+        q * q
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    ).cast("long")
+
+  /** Greedy maximal-marginal-relevance selection of `k` diverse
+    * exemplars: step i picks the candidate maximizing
+    * `(1000−λ‰)·rel − λ‰·maxSimToSelected` — the standard dedup-aware
+    * "pick representative but non-redundant documents" selector for
+    * few-shot pools, eval panels, and curation audits (Carbonell &
+    * Goldstein 1998).
+    *
+    * Scale shape: the iterative-argmax class ([[kmeansCentroids]],
+    * `Bpe.fitMerges`) — each of the k steps is ONE map-side projection
+    * over the pinned corpus (the ≤ i already-selected vectors ride as
+    * literals, the broadcast-equivalent) + a 1-row TakeOrdered argmax;
+    * no pairing stage, no global sort, nothing corpus-sized ever
+    * collects. Steps recompute all i dots rather than materializing a
+    * running max per row — k ≤ 64 keeps that k²/2 map-side dots per
+    * row, far cheaper at corpus scale than k localCheckpoint passes.
+    *
+    * Determinism: similarity is the exact-integer [[dotQ]] over
+    * [[quantizeVec]]-quantized vectors; `relCol` must be integral and
+    * in comparable units (e.g. the quantized self-energy
+    * `dotQ(qv, qv)`, or any long-valued relevance); scores are exact
+    * longs (|score| < 2^63 while rel/sims < 2^50·10³); argmax ties
+    * break by id asc. Unscorable rows (null/short/long vectors, null
+    * id or rel) are EXCLUDED — an exemplar must be comparable against
+    * every candidate (contrast [[assignCells]], which keeps degenerate
+    * rows with a null assignment: there the row survives downstream;
+    * here selection IS the output).
+    *
+    * Output: one row per selected exemplar —
+    * (rank, id, rel, msim_q, mmr_q), rank in pick order. Fewer than k
+    * rows when the scorable corpus is smaller than k.
+    */
+  def mmrSelect(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      k: Int,
+      dim: Int,
+      lambdaPerMille: Int = 500
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"mmrSelect: 1 <= k <= 64 (driver-loop bound), got $k")
+    require(
+      lambdaPerMille >= 0 && lambdaPerMille <= 1000,
+      s"lambdaPerMille in [0, 1000], got $lambdaPerMille"
+    )
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val keep = lit((1000 - lambdaPerMille).toLong)
+    val lam = lit(lambdaPerMille.toLong)
+    val base = Materialize(
+      vectors
+        .filter(
+          col(idCol).isNotNull && col(relCol).isNotNull &&
+            col(vecCol).isNotNull && size(col(vecCol)) === dim
+        )
+        .select(
+          col(idCol).cast("long").as("id"),
+          quantizeVec(col(vecCol)).as("qv"),
+          col(relCol).cast("long").as("rel")
+        )
+    )
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Long, Long, Long)]
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val rem =
+        if (picked.isEmpty) base
+        else base.filter(!col("id").isin(picked.map(_._1).toSeq: _*))
+      val msim =
+        if (picked.isEmpty) lit(0L)
+        else picked.map(p => dotQ(col("qv"), typedLit(p._2))).reduce(greatest(_, _))
+      val top = rem
+        .select(col("id"), col("qv"), col("rel"), msim.as("msim"))
+        .withColumn("mmr_q", keep * col("rel") - lam * col("msim"))
+        .orderBy(col("mmr_q").desc, col("id").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        picked += ((
+          r.getLong(0),
+          r.getSeq[Double](1),
+          r.getLong(2),
+          r.getLong(3),
+          r.getLong(4)
+        ))
+      }
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, rel, msim, score), i) => (i + 1L, id, rel, msim, score) }
+      .toSeq
+      .toDF("rank", "id", "rel", "msim_q", "mmr_q")
+  }
 }

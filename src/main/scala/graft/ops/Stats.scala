@@ -411,6 +411,156 @@ object Stats {
       )
   }
 
+  /** Per-score positive/negative counts behind [[rocAuc]] — the
+    * addition-mergeable (score, pos, neg) grid. `score` must be
+    * integer-valued (quantize upstream; the grid is bounded by the
+    * score alphabet, not the corpus). Rows with a null score or null
+    * label are dropped (a rank for "no score" is undefined — encode a
+    * sentinel score up front if unscored rows should participate).
+    * Both measures merge by exact addition, so
+    * `SketchIngest.ingestAdditiveBatch` with this as the fold keeps the
+    * grid live from streamed rows and [[aucFromCounts]] over the
+    * streamed table equals [[rocAuc]] over raw rows bit-identically.
+    */
+  def scoreCounts(df: DataFrame, scoreCol: String, label: Column): DataFrame =
+    df.filter(col(scoreCol).isNotNull && label.isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(when(label, 1L).otherwise(0L)).as("pos"),
+        sum(when(label, 0L).otherwise(1L)).as("neg")
+      )
+
+  /** Exact ROC-AUC of an integer-valued score against a boolean label —
+    * the classifier-QA headline ("does the quality score actually rank
+    * positives above negatives?"). AUC here is the exact
+    * Mann–Whitney form P(s⁺ > s⁻) + ½·P(s⁺ = s⁻): over the score grid,
+    * 2·P·N·AUC = Σ_s pos_s · (2·negBelow_s + neg_s) — an integer.
+    *
+    * Scale shape: ONE corpus scan collapses to the bounded score grid
+    * (map-side partial agg); the running negative count comes from
+    * [[PrefixSum.cumsum]] over that grid — never a global window, never
+    * a corpus sort (the textbook AUC-by-ranks needs a global rank; this
+    * form never ranks raw rows at all).
+    *
+    * Exactness: the numerator accumulates in decimal(38,0) with decimal
+    * FACTORS (the moment discipline); ONE IEEE division at the end.
+    * Cross-engine bit-equality holds while 2·P·N < 2⁵³ (the q98
+    * int→double exactness bound); beyond that the decimal math is still
+    * exact and only the final quotient's last bit is engine-dependent.
+    */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      label: Column,
+      bucketWidth: Long = 1024L
+  ): DataFrame =
+    aucFromCounts(scoreCounts(df, scoreCol, label), bucketWidth)
+
+  /** [[rocAuc]] from an already-built (score, pos, neg) grid — the
+    * at-rest/streamed form. Returns 1 row
+    * (n_pos, n_neg, auc_num2x, auc): `auc_num2x` = 2·P·N·AUC exactly;
+    * `auc` null when either class is empty (ranking one class against
+    * nothing is undefined, not 0.5).
+    */
+  def aucFromCounts(counts: DataFrame, bucketWidth: Long = 1024L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = PrefixSum.cumsum(counts, "score", Seq("neg"), bucketWidth)
+    cum
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(
+          sum(
+            dec(col("pos")) *
+              (lit(2).cast("decimal(38,0)") * dec(col("cum_neg") - col("neg")) +
+                dec(col("neg")))
+          ),
+          lit(0).cast("decimal(38,0)")
+        ).as("auc_num2x")
+      )
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        col("auc_num2x"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2x").cast("double") /
+            (lit(2).cast("decimal(38,0)") * dec(col("n_pos")) * dec(col("n_neg")))
+              .cast("double")
+        ).as("auc")
+      )
+  }
+
+  /** Per-bin calibration counts behind [[eceFromBins]] — the
+    * reliability-diagram table for a score that CLAIMS to be a
+    * probability (score/`scale` ∈ [0,1]). Bin = floor(score·nBins/scale)
+    * clamped to nBins−1; per bin: row count, positive count, exact
+    * score sum — all addition-mergeable longs (the
+    * `SketchIngest.ingestAdditiveBatch` shape), so the diagram is
+    * maintainable at rest and never rescans the corpus. `acc`/`conf`
+    * are floor(·10⁴)/10⁴ readbacks (the trunc4 discipline).
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      label: Column,
+      scale: Long,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(scale > 0, "scale must be positive")
+    val s = col(scoreCol).cast("long")
+    df.filter(col(scoreCol).isNotNull && label.isNotNull)
+      .groupBy(
+        least(floor(s * nBins / scale.toDouble).cast("long"), lit(nBins - 1L)).as("bin")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(s).as("sum_score")
+      )
+      .select(
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        col("sum_score"),
+        (floor(col("n_pos").cast("double") * 10000.0 / col("n").cast("double")) / 10000.0)
+          .as("acc"),
+        (floor(
+          col("sum_score").cast("double") * 10000.0 /
+            (col("n").cast("double") * scale.toDouble)
+        ) / 10000.0).as("conf")
+      )
+  }
+
+  /** Expected calibration error from a [[calibrationBins]] table:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| — which telescopes per bin to
+    * the INTEGER |n_pos_b·scale − sum_score_b|, so the numerator is an
+    * exact long sum and the whole statistic is one IEEE division:
+    * ece = ece_num / (scale·N). 1 row (n, ece_num, ece); ece null on an
+    * empty table.
+    */
+  def eceFromBins(bins: DataFrame, scale: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    bins
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(
+          sum(abs(dec(col("n_pos")) * lit(scale).cast("decimal(38,0)") - dec(col("sum_score")))),
+          lit(0).cast("decimal(38,0)")
+        ).as("ece_num")
+      )
+      .select(
+        col("n"),
+        col("ece_num"),
+        when(
+          col("n") > 0,
+          col("ece_num").cast("double") /
+            (lit(scale).cast("decimal(38,0)") * dec(col("n"))).cast("double")
+        ).as("ece")
+      )
+  }
+
   def pmiFromCounts(counts: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cxy = Materialize(counts)
     val cx = cxy.groupBy(col(xCol)).agg(sum(col("n")).as("n_x"))

@@ -97,6 +97,73 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf profile of the corpus token distribution: the least-squares
+    * slope of glog(freq) against glog(rank) over the top-`k` tokens —
+    * the "is this a natural-language corpus?" fingerprint (prose sits
+    * near −1; templated/generated text flattens, OCR noise steepens
+    * then collapses into a singleton tail).
+    *
+    * Shape: one corpus explode collapses to token counts (map-side
+    * partial agg); [[topTokens]] is a TakeOrdered over the bounded
+    * vocabulary (never a global window); ranks come from ONE
+    * sort_array/posexplode over the collected ≤ k-row grid (the q142
+    * bounded-collect discipline). The regression runs on the k-row
+    * grid alone.
+    *
+    * Determinism: glog values are quantized to longs at 10⁴ (NOT the
+    * usual 10⁹ — the OLS cross-moments square the scale, and 10⁴ keeps
+    * `k·Σxy − Σx·Σy` under 2⁵³ for any k ≤ 1000 with counts up to
+    * 10¹², so the one decimal→double cast per coefficient is exact
+    * cross-engine); sums accumulate in decimal(38,0) with decimal
+    * factors; slope and intercept are each one fixed IEEE expression.
+    */
+  def zipfProfile(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "zipfProfile needs 2 <= k <= 1000 (bounded rank grid)")
+    zipfFromCounts(topTokens(df, textCol, k))
+  }
+
+  /** [[zipfProfile]] from an already-built (token, n) frequency table
+    * (e.g. a `SketchIngest`-maintained vocabulary) — ranks are assigned
+    * (n desc, token asc) over the WHOLE input, so pre-limit it to the
+    * intended grid.
+    */
+  def zipfFromCounts(counts: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ranked = counts
+      .agg(
+        sort_array(collect_list(struct((-col("n")).as("negn"), col("token").as("token"))))
+          .as("g")
+      )
+      .select(posexplode(col("g")).as(Seq("i", "s")))
+      .select(
+        (col("i") + 1).cast("long").as("rank"),
+        (-col("s.negn")).cast("long").as("n")
+      )
+      .select(
+        round(Dsir.glog(col("rank")) * 10000.0).cast("long").as("xq"),
+        round(Dsir.glog(col("n")) * 10000.0).cast("long").as("yq")
+      )
+    val m = ranked.agg(
+      count(lit(1)).as("k"),
+      sum(dec(col("xq"))).as("sx"),
+      sum(dec(col("yq"))).as("sy"),
+      sum(dec(col("xq")) * dec(col("xq"))).as("sxx"),
+      sum(dec(col("xq")) * dec(col("yq"))).as("sxy")
+    )
+    val den = dec(col("k")) * col("sxx") - col("sx") * col("sx")
+    val slope = (dec(col("k")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+      den.cast("double")
+    m.select(
+      col("k").as("n_ranks"),
+      when(den =!= lit(0).cast("decimal(38,0)"), slope).as("slope"),
+      when(
+        den =!= lit(0).cast("decimal(38,0)"),
+        col("sy").cast("double") / 10000.0 / col("k").cast("double") -
+          slope * (col("sx").cast("double") / 10000.0 / col("k").cast("double"))
+      ).as("intercept")
+    )
+  }
+
   /** Per-doc out-of-vocabulary rate against an explicit vocabulary
     * table — the "how much of this document will a fixed tokenizer /
     * embedding vocab actually cover?" gate run before spending training
