@@ -2520,7 +2520,44 @@ object SparkEntry {
         k = 8,
         dim = 64,
         lambdaPerMille = 500
-      ))
+      )),
+    // Stratified ROC-AUC: one exact AUC per source of n_chars
+    // "predicting" lang='en' — which shard does a score rank well on?
+    // Running negative counts via a window PARTITIONED BY source over
+    // the bounded per-source score grid.
+    "q162_auc_per_source" -> ((s, dir) =>
+      Stats
+        .aucPerGroup(t(s, dir, "documents"), "source", "n_chars", col("lang") === "en")
+        .select(
+          col("source"),
+          col("n_pos"),
+          col("n_neg"),
+          col("auc_num2x").cast("long").as("auc_num2x"),
+          col("auc")
+        )),
+    // Gini concentration of per-user event counts — activity
+    // inequality. Raw rows never sort: the distinct-count grid +
+    // distributed prefix sum + the closed-form rank-sum expansion.
+    "q163_gini_activity" -> ((s, dir) =>
+      Stats.gini(
+        t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+        "n_events",
+        bucketWidth = 16L
+      )),
+    // Per-doc 3-gram novelty of odd-id docs against the even-id
+    // reference corpus — the memorization/freshness QA stat; shuffle
+    // gram equi-join (the reference side is corpus-sized), trunc4 rate,
+    // shingle-less docs keep a (0, 0, null) row.
+    "q164_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.novelty(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text",
+        "doc_id",
+        n = 3
+      )
+    })
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4817,7 +4854,77 @@ object SparkEntry {
          |SELECT query_id, doc_id, rank, n_lists, rrf_q,
          |  CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
          |FROM r WHERE rank <= 10""".stripMargin,
-    "q161_mmr_select" -> mmrOracleSql(k = 8, lamPerMille = 500, dim = 64)
+    "q161_mmr_select" -> mmrOracleSql(k = 8, lamPerMille = 500, dim = 64),
+    // The q156 replay with a source partition: per-source grids,
+    // PARTITION BY in the running negative count, per-source moments.
+    "q162_auc_per_source" ->
+      """WITH g AS (SELECT source, CAST(n_chars AS BIGINT) AS score,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT source, pos, neg,
+        |    CAST(sum(neg) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_neg
+        |  FROM g),
+        |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    coalesce(sum(CAST(pos AS DECIMAL(38,0)) *
+        |      (CAST(2 AS DECIMAL(38,0)) * CAST(cum_neg - neg AS DECIMAL(38,0))
+        |        + CAST(neg AS DECIMAL(38,0)))), CAST(0 AS DECIMAL(38,0))) AS num2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_pos, n_neg, CAST(num2 AS BIGINT) AS auc_num2x,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(num2 AS DOUBLE) /
+        |    CAST(CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))
+        |      * CAST(n_neg AS DECIMAL(38,0)) AS DOUBLE) END AS auc
+        |FROM a""".stripMargin,
+    // Mirrors Stats.gini: per-user counts -> value grid -> running
+    // count -> the division-free rank-sum expansion
+    // v·(2·c·nBelow + c·(c+1)), num = t2 − (n+1)·S, den = n·S.
+    "q163_gini_activity" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |c2 AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c FROM g),
+        |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+        |    coalesce(sum(CAST(v AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS s,
+        |    coalesce(sum(CAST(v AS DECIMAL(38,0)) *
+        |      (CAST(2 AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+        |         * CAST(cum_c - c AS DECIMAL(38,0))
+        |       + CAST(c AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0))
+        |         + CAST(1 AS DECIMAL(38,0))))), CAST(0 AS DECIMAL(38,0))) AS t2
+        |  FROM c2)
+        |SELECT n, CAST(s AS BIGINT) AS sum_v,
+        |  CASE WHEN n > 0 AND s <> 0 THEN
+        |    CAST(t2 - (CAST(n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))) * s AS DOUBLE) /
+        |    CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE) END AS gini
+        |FROM a""".stripMargin,
+    // q84's 3-gram shingle shape: odd-id docs left-join the even-id
+    // reference's distinct grams; trunc4 novelty, shingle-less docs
+    // keep a zero row with null novelty.
+    "q164_novelty" ->
+      s"""WITH t AS ($wordsSql),
+         |s AS (SELECT DISTINCT doc_id,
+         |   unnest(list_transform(range(1, len(words) - 1),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+         | FROM t WHERE len(words) >= 3),
+         |ref AS (SELECT DISTINCT sh FROM s WHERE doc_id % 2 = 0),
+         |d AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(coalesce(sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_seen
+         |  FROM s LEFT JOIN ref ON ref.sh = s.sh
+         |  WHERE s.doc_id % 2 <> 0 GROUP BY 1)
+         |SELECT doc.doc_id,
+         |  CAST(coalesce(d.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(d.n_seen, 0) AS BIGINT) AS n_seen,
+         |  CASE WHEN d.n_shingles > 0 THEN
+         |    floor(CAST(d.n_shingles - d.n_seen AS DOUBLE) * 10000.0 /
+         |      CAST(d.n_shingles AS DOUBLE)) / 10000.0 END AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) doc
+         |LEFT JOIN d USING (doc_id)""".stripMargin
   )
 
   /** Generated oracle for q161: replays [[graft.ops.Similarity.mmrSelect]]

@@ -491,6 +491,133 @@ object Stats {
       )
   }
 
+  /** Per-group [[scoreCounts]] — the (group, score, pos, neg) grid
+    * behind [[aucPerGroup]]; same mergeability/null contract.
+    */
+  def scoreCountsPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      label: Column
+  ): DataFrame =
+    df.filter(col(scoreCol).isNotNull && label.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(when(label, 1L).otherwise(0L)).as("pos"),
+        sum(when(label, 0L).otherwise(1L)).as("neg")
+      )
+
+  /** Stratified ROC-AUC — one exact AUC row per `groupCol` value
+    * ("which source / language / shard does the score actually rank
+    * well on?" — the q155-per-group pattern applied to [[rocAuc]]).
+    * The running negative count is a window PARTITIONED BY the group
+    * over the bounded per-group score grid — grid-sized, never a
+    * global window, never a corpus sort.
+    */
+  def aucPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      label: Column
+  ): DataFrame =
+    aucPerGroupFromCounts(scoreCountsPerGroup(df, groupCol, scoreCol, label), groupCol)
+
+  /** [[aucPerGroup]] from an already-built (`groupCol`, score, pos,
+    * neg) grid — the at-rest/streamed form.
+    */
+  def aucPerGroupFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cum_neg", sum(col("neg")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        coalesce(
+          sum(
+            dec(col("pos")) *
+              (lit(2).cast("decimal(38,0)") * dec(col("cum_neg") - col("neg")) +
+                dec(col("neg")))
+          ),
+          lit(0).cast("decimal(38,0)")
+        ).as("auc_num2x")
+      )
+      .select(
+        col(groupCol),
+        col("n_pos"),
+        col("n_neg"),
+        col("auc_num2x"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2x").cast("double") /
+            (lit(2).cast("decimal(38,0)") * dec(col("n_pos")) * dec(col("n_neg")))
+              .cast("double")
+        ).as("auc")
+      )
+  }
+
+  /** Gini concentration of a non-negative integer-valued column — the
+    * inequality profile ("is 1% of users/sources/tokens producing 90%
+    * of the volume?") a pipeline reads before trusting per-entity
+    * aggregates. Sample form G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx).
+    *
+    * Never sorts raw rows: collapse to the bounded distinct-value grid
+    * (map-side partial agg), take the running count from
+    * [[PrefixSum.cumsum]], and expand each value's rank-sum in closed
+    * form — the c copies of value v occupy ranks nBelow+1..nBelow+c, so
+    * Σ i·x over them = v·(c·nBelow + c·(c+1)/2), an exact integer.
+    * Numerator/denominator accumulate in decimal(38,0); one IEEE
+    * division (exact cross-engine under the 2⁵³ cast bound — q98 note).
+    * Returns 1 row (n, sum_v, gini); gini null when n = 0 or Σx = 0.
+    */
+  def gini(df: DataFrame, valueCol: String, bucketWidth: Long = 1024L): DataFrame =
+    giniFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("c")),
+      bucketWidth
+    )
+
+  /** [[gini]] from an already-built (v, c) value-count grid — the
+    * at-rest/streamed form (the grid is addition-mergeable).
+    */
+  def giniFromCounts(counts: DataFrame, bucketWidth: Long = 1024L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = PrefixSum.cumsum(counts, "v", Seq("c"), bucketWidth)
+    val below = dec(col("cum_c") - col("c"))
+    // 2·Σ i·x expanded per grid value WITHOUT any division: the c
+    // copies of v contribute v·(2·c·nBelow + c·(c+1)) — c·(c+1) is
+    // always even, so this is exactly 2·(rank-sum) in pure integer
+    // products; the /2 cancels against the numerator's 2.
+    cum
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(dec(col("v")) * dec(col("c"))), lit(0).cast("decimal(38,0)")).as("s"),
+        coalesce(
+          sum(
+            dec(col("v")) *
+              (lit(2).cast("decimal(38,0)") * dec(col("c")) * below +
+                dec(col("c")) * (dec(col("c")) + lit(1).cast("decimal(38,0)")))
+          ),
+          lit(0).cast("decimal(38,0)")
+        ).as("t2")
+      )
+      .select(
+        col("n"),
+        col("s").cast("long").as("sum_v"),
+        when(
+          col("n") > 0 && col("s") =!= lit(0).cast("decimal(38,0)"),
+          (col("t2") -
+            (dec(col("n")) + lit(1).cast("decimal(38,0)")) * col("s")).cast("double") /
+            (dec(col("n")) * col("s")).cast("double")
+        ).as("gini")
+      )
+  }
+
   /** Per-bin calibration counts behind [[eceFromBins]] — the
     * reliability-diagram table for a score that CLAIMS to be a
     * probability (score/`scale` ∈ [0,1]). Bin = floor(score·nBins/scale)

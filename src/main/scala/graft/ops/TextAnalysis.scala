@@ -675,6 +675,60 @@ object TextAnalysis {
       )
   }
 
+  /** Per-doc n-gram novelty against a REFERENCE corpus — the
+    * memorization/freshness QA stat: what fraction of a document's
+    * distinct n-token shingles has the reference corpus never seen?
+    * (novelty ≈ 0 ⇒ the doc is recombined reference text — dedup/
+    * decontaminate territory; novelty ≈ 1 ⇒ genuinely new content or
+    * noise — route to quality scoring.) [[decontaminate]] answers
+    * "does this doc overlap a SMALL eval set" with a broadcast;
+    * here the reference is corpus-sized, so the gram join is a
+    * shuffle equi-join on the shingle — the [[splitLeakage]] shape.
+    *
+    * Output: one row per input doc — (doc_id, n_shingles, n_seen,
+    * novelty). Docs with fewer than n tokens have no shingles:
+    * n_shingles = 0 and novelty null (undefined, not 0 or 1).
+    * `novelty` is the trunc4 rate floor((n_shingles−n_seen)·10⁴ /
+    * n_shingles)/10⁴.
+    */
+  def novelty(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val refSh = Dedup
+      .shingleSets(reference, textCol, idCol, n)
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+      .withColumn("_seen", lit(true))
+    val perDoc = Dedup
+      .shingleSets(docs, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(refSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"), // shingles are distinct per doc
+        coalesce(sum(when(col("_seen"), 1L).otherwise(0L)), lit(0L)).as("n_seen")
+      )
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(
+          col("n_shingles") > 0,
+          floor(
+            (col("n_shingles") - col("n_seen")).cast("double") * 10000.0 /
+              col("n_shingles").cast("double")
+          ) / 10000.0
+        ).as("novelty")
+      )
+  }
+
   /** Split-leakage report — the QA artifact a train/val/test carve
     * ships with: after [[Sampling.assignSplit]]'s deterministic
     * md5-bucket assignment, how many documents of each held-out split

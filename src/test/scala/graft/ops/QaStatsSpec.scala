@@ -84,6 +84,81 @@ class QaStatsSpec extends AnyFunSuite {
     assert(streamed === direct)
   }
 
+  test("aucPerGroup equals rocAuc computed per slice") {
+    val df = Seq(
+      ("a", 3L, true), ("a", 1L, false), ("a", 2L, true), ("a", 2L, false),
+      ("b", 5L, false), ("b", 9L, true), ("b", 9L, false)
+    ).toDF("g", "s", "y")
+    val grouped = Stats.aucPerGroup(df, "g", "s", col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    val slices = Seq("a", "b").map { g =>
+      val r = Stats.rocAuc(df.filter(col("g") === g), "s", col("y")).collect().head
+      (g, r.getLong(0), r.getLong(1), r.getDouble(3))
+    }
+    assert(grouped.toSeq === slices)
+  }
+
+  // ---- gini ---------------------------------------------------------------
+
+  test("gini: all-equal is 0, full concentration approaches (n-1)/n, naive parity") {
+    val equal = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Stats.gini(equal, "v").collect().head.getDouble(2) === 0.0)
+
+    // one holder of everything: G = (2*n*X - (n+1)X)/(nX) = (n-1)/n
+    val conc = Seq(0L, 0L, 0L, 100L).toDF("v")
+    assert(Stats.gini(conc, "v").collect().head.getDouble(2) === 0.75)
+
+    // naive sorted-rank formula parity on an arbitrary multiset
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val sorted = vals.sorted
+    val n = vals.size
+    val s = vals.sum
+    val t = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val expected = (2.0 * t - (n + 1.0) * s) / (n.toDouble * s)
+    val got = Stats.gini(vals.toDF("v"), "v", bucketWidth = 4L).collect().head
+    assert(got.getLong(0) === n.toLong && got.getLong(1) === s)
+    assert(got.getDouble(2) === expected)
+  }
+
+  test("giniFromCounts over a merged grid == gini over raw; null/empty handling") {
+    val b1 = Seq(1L, 2L, 2L)
+    val b2 = Seq(3L, 1L, 7L)
+    val direct = Stats.gini((b1 ++ b2).toDF("v"), "v").collect().head
+    val grid = (b1 ++ b2).groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+    val viaCounts = Stats.giniFromCounts(grid.toSeq.toDF("v", "c")).collect().head
+    assert(viaCounts === direct)
+
+    val empty = Stats.gini(Seq.empty[Long].toDF("v"), "v").collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(2))
+    // all-zero values: sum 0 -> undefined, null
+    assert(Stats.gini(Seq(0L, 0L).toDF("v"), "v").collect().head.isNullAt(2))
+  }
+
+  // ---- novelty ------------------------------------------------------------
+
+  test("novelty: unseen grams rate against a reference corpus, trunc4, null on short docs") {
+    val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // all 3 shingles seen -> 0.0
+      (2L, "a completely different sentence here"), // nothing seen -> 1.0
+      (3L, "the quick brown cat sits still"), // 1 of 4 seen -> 0.75
+      (4L, "too short") // no shingles -> (0, 0, null)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs, ref, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 0.0),
+      (2L, 3L, 0L, 1.0),
+      (3L, 4L, 1L, 0.75),
+      (4L, 0L, 0L, null)
+    ))
+  }
+
   // ---- calibration ------------------------------------------------------
 
   test("calibrationBins + eceFromBins match the hand case; bin clamps at scale") {
