@@ -2557,7 +2557,34 @@ object SparkEntry {
         "doc_id",
         n = 3
       )
-    })
+    }),
+    // Jensen–Shannon divergence of the event-type mix across the q151
+    // calendar split — PSI's bounded symmetric sibling (no smoothing
+    // needed: JSD is finite on one-sided keys). glog over integer
+    // count·total products, quantized-long term sums.
+    "q165_jsd_drift" -> ((s, dir) =>
+      Stats.jsd(
+        sources.Tables.eventsBetween(s, dir, "2023-12-01 00:00:00", "2024-01-15 00:00:00"),
+        sources.Tables.eventsBetween(s, dir, "2024-01-15 00:00:00", "2024-03-01 00:00:00"),
+        "event_type"
+      )),
+    // Spearman rank correlation of quantity vs extended price over one
+    // ship-month — monotone dependence without ranking raw rows:
+    // bounded joint grid, doubled midranks from marginal prefix sums,
+    // decimal moments. The one-month slice keeps every cast operand
+    // under 2^64, the cross-engine decimal->double parity bound.
+    "q166_spearman" -> ((s, dir) =>
+      Stats.spearman(
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-02-01"))
+          .select(
+            col("l_quantity").cast("long").as("qty"),
+            cents(col("l_extendedprice")).as("price_c")
+          ),
+        "qty",
+        "price_c",
+        bucketWidth = 4096L
+      ))
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4924,7 +4951,78 @@ object SparkEntry {
          |    floor(CAST(d.n_shingles - d.n_seen AS DOUBLE) * 10000.0 /
          |      CAST(d.n_shingles AS DOUBLE)) / 10000.0 END AS novelty
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) doc
-         |LEFT JOIN d USING (doc_id)""".stripMargin
+         |LEFT JOIN d USING (doc_id)""".stripMargin,
+    // Mirrors Stats.jsdFromCounts: full-outer count join, per-key
+    // p/m = 2cR/(cR+rC) via ln2 + glog(cR) − glog(cR+rC), the paired
+    // q-side term, ONE round-to-long per key, exact sum, /2e9.
+    "q165_jsd_drift" ->
+      s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+         |  GROUP BY 1),
+         |c AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
+         |  GROUP BY 1),
+         |j AS (SELECT CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
+         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
+         |    CAST(count(*) AS BIGINT) AS k FROM j),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT j.c * tot.bigR AS v FROM j CROSS JOIN tot WHERE j.c > 0
+         |  UNION ALL SELECT j.r * tot.bigC FROM j CROSS JOIN tot WHERE j.r > 0
+         |  UNION ALL SELECT j.c * tot.bigR + j.r * tot.bigC FROM j CROSS JOIN tot)),
+         |$glogChainSql,
+         |terms AS (SELECT CAST(round((
+         |    CASE WHEN j.c > 0 THEN (CAST(j.c AS DOUBLE) / CAST(tot.bigC AS DOUBLE)) *
+         |      (0.6931471805599453 + gp.glog - gd.glog) ELSE 0.0 END
+         |  + CASE WHEN j.r > 0 THEN (CAST(j.r AS DOUBLE) / CAST(tot.bigR AS DOUBLE)) *
+         |      (0.6931471805599453 + gq.glog - gd.glog) ELSE 0.0 END
+         |  ) * 1000000000.0) AS BIGINT) AS tq
+         |  FROM j CROSS JOIN tot
+         |  LEFT JOIN gl gp ON gp.v = j.c * tot.bigR
+         |  LEFT JOIN gl gq ON gq.v = j.r * tot.bigC
+         |  LEFT JOIN gl gd ON gd.v = j.c * tot.bigR + j.r * tot.bigC)
+         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
+         |  CASE WHEN tot.bigR > 0 AND tot.bigC > 0 THEN
+         |    CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 2000000000.0 END AS jsd
+         |FROM tot""".stripMargin,
+    // Mirrors Stats.spearman: joint grid, doubled midranks
+    // 2·nBelow + c + 1 from marginal running counts, decimal-factor
+    // moments, one fixed IEEE expression with two exact sqrt calls.
+    "q166_spearman" ->
+      """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS vx,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS vy
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |j AS (SELECT vx, vy, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |mx AS (SELECT vx, CAST(sum(c) AS BIGINT) AS mc FROM j GROUP BY 1),
+        |rx AS (SELECT vx, 2 * (CAST(sum(mc) OVER (ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - mc) + mc + 1
+        |    AS r_vx FROM mx),
+        |my AS (SELECT vy, CAST(sum(c) AS BIGINT) AS mc FROM j GROUP BY 1),
+        |ry AS (SELECT vy, 2 * (CAST(sum(mc) OVER (ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - mc) + mc + 1
+        |    AS r_vy FROM my),
+        |m AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+        |    coalesce(sum(CAST(c AS DECIMAL(38,0)) * CAST(r_vx AS DECIMAL(38,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS sx,
+        |    coalesce(sum(CAST(c AS DECIMAL(38,0)) * CAST(r_vy AS DECIMAL(38,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS sy,
+        |    coalesce(sum(CAST(c AS DECIMAL(38,0)) * CAST(r_vx AS DECIMAL(38,0))
+        |      * CAST(r_vx AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS sxx,
+        |    coalesce(sum(CAST(c AS DECIMAL(38,0)) * CAST(r_vy AS DECIMAL(38,0))
+        |      * CAST(r_vy AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS syy,
+        |    coalesce(sum(CAST(c AS DECIMAL(38,0)) * CAST(r_vx AS DECIMAL(38,0))
+        |      * CAST(r_vy AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS sxy
+        |  FROM j JOIN rx USING (vx) JOIN ry USING (vy))
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0
+        |        AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))) END AS rho
+        |FROM m""".stripMargin
   )
 
   /** Generated oracle for q161: replays [[graft.ops.Similarity.mmrSelect]]

@@ -348,6 +348,153 @@ object Stats {
     }
   }
 
+  /** Jensen–Shannon divergence between a REFERENCE and a CURRENT
+    * categorical distribution — [[psi]]'s bounded, symmetric sibling
+    * (JSD ∈ [0, ln 2] even with disjoint supports, so it needs NO
+    * Laplace smoothing and never saturates the way PSI's smoothed
+    * log-ratios can on one-sided keys).
+    *
+    * JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2. With integer
+    * counts c/C and r/R, p/m = 2·c·R/(c·R + r·C), so each ln is
+    * `ln 2 + glog(c·R) − glog(c·R + r·C)` — integer-argument glog, the
+    * house discipline; per-key terms quantize once to longs, the sum
+    * is exact, one readback division. Exact cross-engine while the
+    * count·total products stay under 2⁶² (downscale both count tables
+    * proportionally beyond — JSD is scale-invariant).
+    *
+    * Returns 1 row (n_keys, ref_n, cur_n, jsd); jsd null when either
+    * side is empty (divergence from nothing is undefined).
+    */
+  def jsd(reference: DataFrame, current: DataFrame, keyCol: String): DataFrame =
+    jsdFromCounts(
+      reference.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      current.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      keyCol
+    )
+
+  /** [[jsd]] from already-built (`keyCol`, n) count tables — the
+    * at-rest/streamed form (same contract as [[psiFromCounts]]).
+    */
+  def jsdFromCounts(refCounts: DataFrame, curCounts: DataFrame, keyCol: String): DataFrame = {
+    val ref = refCounts.select(col(keyCol).as("__rk"), col("n").cast("long").as("__rn"))
+    val cur = curCounts.select(col(keyCol).as("__ck"), col("n").cast("long").as("__cn"))
+    val joined = Materialize(
+      ref
+        .join(cur, col("__rk") <=> col("__ck"), "full_outer")
+        .select(
+          coalesce(col("__rn"), lit(0L)).as("r"),
+          coalesce(col("__cn"), lit(0L)).as("c")
+        )
+    )
+    val tot = joined.agg(
+      sum(col("r")).as("bigR"),
+      sum(col("c")).as("bigC"),
+      count(lit(1)).as("k")
+    )
+    val ln2 = lit(0.6931471805599453)
+    val den = col("c") * col("bigR") + col("r") * col("bigC")
+    val termP = when(
+      col("c") > 0,
+      (col("c").cast("double") / col("bigC").cast("double")) *
+        (ln2 + Dsir.glog(col("c") * col("bigR")) - Dsir.glog(den))
+    ).otherwise(lit(0.0))
+    val termQ = when(
+      col("r") > 0,
+      (col("r").cast("double") / col("bigR").cast("double")) *
+        (ln2 + Dsir.glog(col("r") * col("bigC")) - Dsir.glog(den))
+    ).otherwise(lit(0.0))
+    joined
+      .crossJoin(broadcast(tot))
+      .select(round((termP + termQ) * lit(1e9)).cast("long").as("tq"))
+      .agg(sum(col("tq")).as("sq"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("k").as("n_keys"),
+        col("bigR").as("ref_n"),
+        col("bigC").as("cur_n"),
+        when(
+          col("bigR") > 0 && col("bigC") > 0,
+          col("sq").cast("double") / lit(2000000000.0)
+        ).as("jsd")
+      )
+  }
+
+  /** Spearman rank correlation between two integer-valued columns —
+    * monotone dependence where [[pearsonMatrix]] sees only linear; the
+    * robust "does quality rise with length at all?" profiling question.
+    *
+    * Never ranks raw rows: collapse to the bounded joint value grid,
+    * take each marginal's running count from ONE partitioned-window
+    * pass over its own (bounded) marginal grid, and use DOUBLED
+    * midranks 2·rank(v) = 2·nBelow(v) + c(v) + 1 — integers, so tied
+    * ranks stay exact. ρ is then Pearson over the doubled ranks
+    * weighted by the joint counts: decimal(38,0) moments, one fixed
+    * IEEE expression (the two sqrt calls are IEEE-exact ops). The
+    * doubling cancels between numerator and denominator.
+    *
+    * Cross-engine exactness: moments grow as n³ — below n ≈ 4·10⁴ every
+    * cast operand stays under 2⁶⁴ where both engines' decimal→double
+    * casts agree bit-for-bit (the q98 hazard note); beyond that ρ is
+    * still deterministic per engine (exact decimals, fixed expression),
+    * only the final quotient's last bit is engine-dependent.
+    *
+    * Returns 1 row (n, rho); rho null when either column is constant.
+    */
+  def spearman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bucketWidth: Long = 1024L
+  ): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val joint = Materialize(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(xCol).cast("long").as("vx"), col(yCol).cast("long").as("vy"))
+        .agg(count(lit(1)).as("c"))
+    )
+    def marginalRanks(vCol: String): DataFrame = {
+      val m = joint.groupBy(col(vCol).as("v")).agg(sum(col("c")).as("mc"))
+      PrefixSum
+        .cumsum(m, "v", Seq("mc"), bucketWidth)
+        .select(
+          col("v").as(vCol),
+          (lit(2L) * (col("cum_mc") - col("mc")) + col("mc") + 1L).as(s"r_$vCol")
+        )
+    }
+    joint
+      .join(broadcast(marginalRanks("vx")), "vx")
+      .join(broadcast(marginalRanks("vy")), "vy")
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(dec(col("c")) * dec(col("r_vx"))), lit(0).cast("decimal(38,0)")).as("sx"),
+        coalesce(sum(dec(col("c")) * dec(col("r_vy"))), lit(0).cast("decimal(38,0)")).as("sy"),
+        coalesce(
+          sum(dec(col("c")) * dec(col("r_vx")) * dec(col("r_vx"))),
+          lit(0).cast("decimal(38,0)")
+        ).as("sxx"),
+        coalesce(
+          sum(dec(col("c")) * dec(col("r_vy")) * dec(col("r_vy"))),
+          lit(0).cast("decimal(38,0)")
+        ).as("syy"),
+        coalesce(
+          sum(dec(col("c")) * dec(col("r_vx")) * dec(col("r_vy"))),
+          lit(0).cast("decimal(38,0)")
+        ).as("sxy")
+      )
+      .select(
+        col("n"),
+        when(
+          dec(col("n")) * col("sxx") - col("sx") * col("sx") >
+            lit(0).cast("decimal(38,0)") &&
+            dec(col("n")) * col("syy") - col("sy") * col("sy") >
+              lit(0).cast("decimal(38,0)"),
+          (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+        ).as("rho")
+      )
+  }
+
   /** Cohen's kappa between two categorical label columns — chance-
     * corrected agreement, the label-QA statistic for "does the cheap
     * heuristic / second annotator / replacement model agree with the

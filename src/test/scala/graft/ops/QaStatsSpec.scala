@@ -136,6 +136,90 @@ class QaStatsSpec extends AnyFunSuite {
     assert(Stats.gini(Seq(0L, 0L).toDF("v"), "v").collect().head.isNullAt(2))
   }
 
+  // ---- jsd ----------------------------------------------------------------
+
+  test("jsd: identical is 0, disjoint is ln 2, symmetric, bounded, empty side null") {
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "x", "y", "z").toDF("k")
+    assert(Stats.jsd(a, b, "k").collect().head.getDouble(3) === 0.0)
+
+    val c = Seq("p", "q", "q").toDF("k")
+    val dis = Stats.jsd(a, c, "k").collect().head.getDouble(3)
+    assert(math.abs(dis - math.log(2.0)) < 1e-6, s"disjoint jsd $dis")
+
+    val d = Seq("x", "y", "y", "y", "w").toDF("k")
+    val ab = Stats.jsd(a, d, "k").collect().head.getDouble(3)
+    val ba = Stats.jsd(d, a, "k").collect().head.getDouble(3)
+    assert(ab === ba)
+    assert(ab > 0.0 && ab < math.log(2.0))
+
+    val empty = Seq.empty[String].toDF("k")
+    assert(Stats.jsd(a, empty, "k").collect().head.isNullAt(3))
+  }
+
+  test("jsdFromCounts == jsd over raw rows and merges by addition") {
+    val a1 = Seq("x", "y")
+    val a2 = Seq("x", "z", "z")
+    val b1 = Seq("y", "y")
+    val b2 = Seq("x", "y")
+    val direct = Stats.jsd((a1 ++ a2).toDF("k"), (b1 ++ b2).toDF("k"), "k").collect().head
+    def grid(xs: Seq[String]) =
+      xs.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }.toSeq.toDF("k", "n")
+    // merged per-batch grids (the SketchIngest addition-merge shape)
+    val refMerged = grid(a1).unionByName(grid(a2))
+      .groupBy("k").agg(sum(col("n")).as("n"))
+    val curMerged = grid(b1).unionByName(grid(b2))
+      .groupBy("k").agg(sum(col("n")).as("n"))
+    val viaCounts = Stats.jsdFromCounts(refMerged, curMerged, "k").collect().head
+    assert(viaCounts === direct)
+  }
+
+  // ---- spearman -----------------------------------------------------------
+
+  test("spearman: perfect monotone is 1, reversed is -1, constant column null") {
+    // num == dx == dy on a perfect monotone, but sqrt(d)*sqrt(d) is d
+    // only to within an ulp — the fixed expression's honest output is
+    // 1.0 up to that one rounding (bit-identical cross-engine, just
+    // not the literal 1.0)
+    val mono = Seq((1L, 10L), (2L, 40L), (3L, 90L), (4L, 160L)).toDF("x", "y")
+    val rMono = Stats.spearman(mono, "x", "y").collect().head.getDouble(1)
+    assert(math.abs(rMono - 1.0) < 1e-14, s"mono rho $rMono")
+    val anti = Seq((1L, 160L), (2L, 90L), (3L, 40L), (4L, 10L)).toDF("x", "y")
+    val rAnti = Stats.spearman(anti, "x", "y").collect().head.getDouble(1)
+    assert(math.abs(rAnti + 1.0) < 1e-14, s"anti rho $rAnti")
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").collect().head.isNullAt(1))
+  }
+
+  test("spearman matches the naive midrank formula with ties; partition-invariant") {
+    val rows = Seq((3L, 7L), (1L, 7L), (3L, 2L), (5L, 9L), (1L, 2L), (3L, 9L), (8L, 1L))
+    // naive doubled midranks: 2*rank(v) = 2*nBelow + c + 1 per value
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = byV.keys.toSeq.sorted
+      var below = 0L
+      sorted.map { v =>
+        val c = byV(v); val r = 2 * below + c + 1; below += c; v -> r
+      }.toMap
+    }
+    val rx = ranks2(rows.map(_._1))
+    val ry = ranks2(rows.map(_._2))
+    val n = BigInt(rows.size)
+    def s(f: ((Long, Long)) => BigInt) = rows.map(f).sum
+    val sx = s(r => BigInt(rx(r._1)))
+    val sy = s(r => BigInt(ry(r._2)))
+    val sxx = s(r => BigInt(rx(r._1)) * BigInt(rx(r._1)))
+    val syy = s(r => BigInt(ry(r._2)) * BigInt(ry(r._2)))
+    val sxy = s(r => BigInt(rx(r._1)) * BigInt(ry(r._2)))
+    val expected = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    val df = rows.toDF("x", "y")
+    val got = Stats.spearman(df, "x", "y").collect().head
+    assert(got.getLong(0) === rows.size.toLong)
+    assert(got.getDouble(1) === expected)
+    assert(Stats.spearman(df.repartition(16), "x", "y").collect().head === got)
+  }
+
   // ---- novelty ------------------------------------------------------------
 
   test("novelty: unseen grams rate against a reference corpus, trunc4, null on short docs") {
