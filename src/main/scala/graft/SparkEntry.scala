@@ -2584,7 +2584,42 @@ object SparkEntry {
         "qty",
         "price_c",
         bucketWidth = 4096L
-      ))
+      )),
+    // Retriever agreement: Jaccard@20 between the two q160 BM25
+    // parameterizations per query — the "do my retrievers even
+    // disagree enough to be worth fusing?" QA readback. Pure
+    // composition over the bounded top-k grids: one full-outer join +
+    // one grid aggregate, trunc4 ratio.
+    "q167_retrieval_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val post = Materialize(
+        Retrieval.invertedIndex(t(s, dir, "documents"), "text", "doc_id")
+      )
+      val st = Retrieval.indexStats(post)
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "customer vector data")
+      ).toDF("query_id", "qtext")
+      val a = Retrieval
+        .bm25TopK(post, qs, "query_id", "qtext", k = 20, stats = Some(st))
+        .select(col("query_id"), col("doc_id"), lit(true).as("in_a"))
+      val b = Retrieval
+        .bm25TopK(post, qs, "query_id", "qtext", k = 20, k1 = 0.5, b = 0.5, stats = Some(st))
+        .select(col("query_id"), col("doc_id"), lit(true).as("in_b"))
+      a.join(b, Seq("query_id", "doc_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union")
+        )
+        .select(
+          col("query_id"),
+          col("n_both"),
+          col("n_union"),
+          (floor(col("n_both").cast("double") * 10000.0 / col("n_union").cast("double")) /
+            10000.0).as("jaccard")
+        )
+    })
   )
 
   /** Generated oracle for q129: quantize → exact Gram/sums → centered
@@ -4828,47 +4863,7 @@ object SparkEntry {
     // representable 0.5/0.5), k=20 each, fused by exact-integer
     // reciprocal-rank contributions 10⁹ // (60+rank).
     "q160_rrf_fusion" ->
-      s"""WITH t AS ($wordsSql),
-         |post AS (SELECT token, doc_id, dl, count(*) AS tf FROM (
-         |    SELECT doc_id, len(words) AS dl, unnest(words) AS token FROM t)
-         |  GROUP BY 1, 2, 3),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
-         |  FROM (SELECT DISTINCT doc_id, dl FROM post)),
-         |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES
-         |    (1, 'spark join merge'),
-         |    (2, 'customer vector data')) AS v(query_id, qtext)),
-         |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
-         |    string_split(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' '),
-         |    w -> w <> ''))) AS token FROM q),
-         |qtok AS (SELECT DISTINCT token FROM qt),
-         |cand AS (SELECT p.* FROM post p JOIN qtok USING (token)),
-         |dft AS (SELECT token, count(*) AS df FROM cand GROUP BY 1),
-         |vals AS (SELECT DISTINCT v FROM (
-         |  SELECT 2 * n_docs + 2 AS v FROM st UNION ALL SELECT 2 * df + 1 FROM dft)),
-         |$glogChainSql,
-         |gn AS (SELECT gl.glog AS glog_n FROM st JOIN gl ON gl.v = 2 * st.n_docs + 2),
-         |idf AS (SELECT d.token, gn.glog_n - gl.glog AS idf
-         |  FROM dft d JOIN gl ON gl.v = 2 * d.df + 1 CROSS JOIN gn),
-         |termA AS (SELECT c.token, c.doc_id,
-         |    CAST(round(i.idf * ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 *
-         |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-         |      * 1000000000.0) AS BIGINT) AS term_q
-         |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
-         |termB AS (SELECT c.token, c.doc_id,
-         |    CAST(round(i.idf * ((c.tf * 1.5) / (c.tf + 0.5 * (0.5 + 0.5 *
-         |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-         |      * 1000000000.0) AS BIGINT) AS term_q
-         |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
-         |scA AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
-         |  FROM termA tm JOIN qt USING (token) GROUP BY 1, 2),
-         |scB AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
-         |  FROM termB tm JOIN qt USING (token) GROUP BY 1, 2),
-         |rkA AS (SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
-         |  FROM scA),
-         |rkB AS (SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
-         |  FROM scB),
+      s"""WITH $bm25PairChainSql,
          |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c_q
          |    FROM rkA WHERE rank <= 20
          |  UNION ALL SELECT query_id, doc_id, 1000000000 // (60 + rank)
@@ -4882,6 +4877,20 @@ object SparkEntry {
          |  CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
          |FROM r WHERE rank <= 10""".stripMargin,
     "q161_mmr_select" -> mmrOracleSql(k = 8, lamPerMille = 500, dim = 64),
+    // The q160 pair chain, read back as per-query top-20 set overlap.
+    "q167_retrieval_agreement" ->
+      s"""WITH $bm25PairChainSql,
+         |ja AS (SELECT query_id, doc_id FROM rkA WHERE rank <= 20),
+         |jb AS (SELECT query_id, doc_id FROM rkB WHERE rank <= 20),
+         |fo AS (SELECT coalesce(ja.query_id, jb.query_id) AS query_id,
+         |    CASE WHEN ja.doc_id IS NOT NULL AND jb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS b
+         |  FROM ja FULL OUTER JOIN jb
+         |    ON ja.query_id = jb.query_id AND ja.doc_id = jb.doc_id)
+         |SELECT query_id, CAST(sum(b) AS BIGINT) AS n_both,
+         |  CAST(count(*) AS BIGINT) AS n_union,
+         |  floor(CAST(sum(b) AS DOUBLE) * 10000.0 / CAST(count(*) AS DOUBLE)) / 10000.0
+         |    AS jaccard
+         |FROM fo GROUP BY 1""".stripMargin,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -5024,6 +5033,54 @@ object SparkEntry {
         |     sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))) END AS rho
         |FROM m""".stripMargin
   )
+
+  /** Shared q160/q167 CTE chain: the q87 BM25 replay run twice over the
+    * same postings/idf — parameterization A (Lucene defaults 1.2/0.75)
+    * and B (the exactly-representable 0.5/0.5) — ending at the ranked
+    * lists rkA/rkB. q160 fuses them; q167 reads their set overlap.
+    */
+  private lazy val bm25PairChainSql: String =
+    s"""t AS ($wordsSql),
+       |post AS (SELECT token, doc_id, dl, count(*) AS tf FROM (
+       |    SELECT doc_id, len(words) AS dl, unnest(words) AS token FROM t)
+       |  GROUP BY 1, 2, 3),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+       |  FROM (SELECT DISTINCT doc_id, dl FROM post)),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES
+       |    (1, 'spark join merge'),
+       |    (2, 'customer vector data')) AS v(query_id, qtext)),
+       |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+       |    string_split(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |    w -> w <> ''))) AS token FROM q),
+       |qtok AS (SELECT DISTINCT token FROM qt),
+       |cand AS (SELECT p.* FROM post p JOIN qtok USING (token)),
+       |dft AS (SELECT token, count(*) AS df FROM cand GROUP BY 1),
+       |vals AS (SELECT DISTINCT v FROM (
+       |  SELECT 2 * n_docs + 2 AS v FROM st UNION ALL SELECT 2 * df + 1 FROM dft)),
+       |$glogChainSql,
+       |gn AS (SELECT gl.glog AS glog_n FROM st JOIN gl ON gl.v = 2 * st.n_docs + 2),
+       |idf AS (SELECT d.token, gn.glog_n - gl.glog AS idf
+       |  FROM dft d JOIN gl ON gl.v = 2 * d.df + 1 CROSS JOIN gn),
+       |termA AS (SELECT c.token, c.doc_id,
+       |    CAST(round(i.idf * ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 *
+       |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+       |      * 1000000000.0) AS BIGINT) AS term_q
+       |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
+       |termB AS (SELECT c.token, c.doc_id,
+       |    CAST(round(i.idf * ((c.tf * 1.5) / (c.tf + 0.5 * (0.5 + 0.5 *
+       |      (c.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+       |      * 1000000000.0) AS BIGINT) AS term_q
+       |  FROM cand c JOIN idf i USING (token) CROSS JOIN st),
+       |scA AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
+       |  FROM termA tm JOIN qt USING (token) GROUP BY 1, 2),
+       |scB AS (SELECT qt.query_id, tm.doc_id, CAST(sum(tm.term_q) AS BIGINT) AS score_q
+       |  FROM termB tm JOIN qt USING (token) GROUP BY 1, 2),
+       |rkA AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+       |  FROM scA),
+       |rkB AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+       |  FROM scB)""".stripMargin
 
   /** Generated oracle for q161: replays [[graft.ops.Similarity.mmrSelect]]
     * pick for pick as a MATERIALIZED CTE chain (the q96/q129/q149

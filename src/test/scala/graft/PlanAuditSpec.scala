@@ -144,4 +144,27 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!mk.contains("Exchange"), s"q123 result must be a bounded local relation:\n${mk.take(800)}")
   }
+
+  test("r13 pins: AUC/gini prefix-sum offsets ride broadcasts; RRF fuses grids " +
+    "without a sort-merge join; spearman marginals broadcast onto the joint grid") {
+    val dir = "/root/testdata/sf0.001"
+    // the two-phase prefix sum's bucket offsets are a bounded driver
+    // vector — they must reach the grid as a broadcast, never a shuffle
+    Seq("q156_roc_auc", "q163_gini_activity").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its offset broadcast:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q shuffled a bounded side:\n${plan.take(1500)}")
+    }
+    // RRF: both retriever rankings are top-k-bounded grids; the fusion
+    // aggregate and per-query window must never plan a sort-merge join
+    val rrf = SparkEntry.queries("q160_rrf_fusion")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!rrf.contains("SortMergeJoin"), s"q160 shuffled a bounded side:\n${rrf.take(1500)}")
+    // spearman: both marginal rank tables are bounded grids riding
+    // broadcasts onto the joint grid
+    val sp = SparkEntry.queries("q166_spearman")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"q166 lost its marginal broadcasts:\n${sp.take(1500)}")
+    assert(!sp.contains("SortMergeJoin"), s"q166 shuffled a bounded marginal:\n${sp.take(1500)}")
+  }
 }
