@@ -629,27 +629,29 @@ object Similarity {
     if (cents.size > LiteralAssignMaxCells) assignCellsViaJoin(vecs, cents)
     else {
       val dim = cents.head._2.size
-      // the quantized vector is HOISTED into its own projection: inside
-      // a CaseWhen branch codegen skips common-subexpression
-      // elimination, so an inline quantizeVec would re-run its
-      // 64-element transform once PER CENTROID per row (measured 2x on
-      // q40). As a separate non-cheap alias referenced nCells times,
-      // CollapseProject keeps it materialized once per row.
-      vecs
-        .select(
-          col("cid"),
-          col("cv"),
-          quantizeVec(col("cv")).as("_qv"),
-          assignable(col("cv"), dim).as("_ok")
-        )
-        .select(
-          col("cid"),
-          col("cv"),
-          when(
-            col("_ok"),
-            -array_max(scoredCells(col("_qv"), cents)).getField("negid")
-          ).as("cent_id")
-        )
+      // ONE projection with the nCells-way argmax OUTSIDE any CaseWhen
+      // branch — the null-on-degenerate contract costs 2x when it
+      // branches the hot expression (q40 1.27 s -> 2.8 s, bisected to
+      // the when(assignable, argmax) form; codegen disables
+      // common-subexpression elimination inside conditional branches,
+      // so the shared quantizeVec re-ran per centroid, and splitting
+      // projections to hoist it materialized the array between stages
+      // instead — also 2x). The branch-free form:
+      //  - degenerate inputs are SANITIZED to a right-width zero vector
+      //    (a cheap attribute-level when; a null/short vector would
+      //    raise or garbage inside the cosines),
+      //  - the argmax runs unconditionally and fused,
+      //  - `+ when(ok, 0)` nulls degenerate OUTPUTS by arithmetic null
+      //    propagation — no branch ever wraps the expensive subtree.
+      val zeros = Seq.fill(dim)(0.0)
+      val ok = assignable(col("cv"), dim)
+      val safe = when(ok, col("cv")).otherwise(typedLit(zeros))
+      vecs.select(
+        col("cid"),
+        col("cv"),
+        ((-array_max(scoredCells(quantizeVec(safe), cents)).getField("negid")) +
+          when(ok, lit(0L))).as("cent_id")
+      )
     }
 
   /** The high-cell-count assignment plan: centroids as a BROADCAST
