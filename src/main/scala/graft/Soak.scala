@@ -393,6 +393,38 @@ object Soak {
       }
     }.toMap
 
+    // per-doc n-gram novelty against a same-scale reference half: the
+    // shuffle gram equi-join shape (reference side is corpus-sized).
+    // Measured via sum(n_seen) — count() would let Catalyst eliminate
+    // the unique-keyed left join and the gram join with it (the
+    // oov_rate lesson above).
+    if (wanted("novelty")) results("novelty") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        val d = docs(m)
+        graft.ops.TextAnalysis
+          .novelty(
+            d.filter(col("doc_id") % 2 =!= 0),
+            d.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id", n = 3)
+          .agg(sum(col("n_seen")).as("s"), sum(col("n_shingles")).as("t"))
+          .head()
+          .getLong(1)
+      }
+    }.toMap
+
+    // exact ROC-AUC over a synthetic score/label: one corpus scan
+    // collapsing to the bounded score grid + the two-phase prefix sum —
+    // should hold ~linear in rows with a constant grid
+    if (wanted("roc_auc")) results("roc_auc") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        val d = docs(m).select(
+          length(col("text")).cast("long").as("score"),
+          (col("doc_id") % 3 === 0).as("y")
+        )
+        graft.ops.Stats.rocAuc(d, "score", col("y")).head().getLong(0)
+      }
+    }.toMap
+
     val fams = results.map { case (fam, byScale) =>
       val times = multipliers
         .map(m => f""""t${m}_sec":${byScale(m)._1}%.2f,"rows$m":${byScale(m)._2}""")
