@@ -39,12 +39,19 @@ def load(path):
     # bench_detail.json carries per-query structs instead of flat seconds
     for m in re.finditer(r'"(q\d+\w*)":\{"median":([0-9.]+)', text):
         queries[m.group(1)] = float(m.group(2))
+    # round-13+ detail also stamps each block with the host speed IT ran
+    # under ("cal") — when BOTH sides carry it, per-query normalization
+    # uses the per-block ratio (intra-suite drift) instead of the single
+    # suite-level calibration
+    percal = {}
+    for m in re.finditer(r'"(q\d+\w*)":\{"median":[0-9.]+,"min":[0-9.]+,"cal":([0-9.]+)', text):
+        percal[m.group(1)] = float(m.group(2))
     calib = total = None
     for m in re.finditer(r'"calibration_sec":\s*([0-9.]+)', text):
         calib = float(m.group(1))
     for m in re.finditer(r'\{"metric":"total","value":\s*([0-9.]+)', text):
         total = float(m.group(1))
-    return queries, calib, total
+    return queries, calib, total, percal
 
 
 def main():
@@ -57,8 +64,8 @@ def main():
     args = argv
     if len(args) != 2:
         sys.exit(__doc__)
-    qa, ca, ta = load(args[0])
-    qb, cb, tb = load(args[1])
+    qa, ca, ta, pca = load(args[0])
+    qb, cb, tb, pcb = load(args[1])
     if not qa or not qb:
         sys.exit(f"no per-query map found in {'both' if not qa and not qb else args[0] if not qa else args[1]}")
     drift = (cb / ca) if (ca and cb) else None
@@ -72,9 +79,14 @@ def main():
     shared = sorted(set(qa) & set(qb))
     only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
     rows = []
+    per_block = sum(1 for q in shared if q in pca and q in pcb)
+    if per_block:
+        print(f"per-block calibration on both sides for {per_block}/{len(shared)} "
+              "shared queries (intra-suite drift divided out per query)")
     for q in shared:
         raw = qb[q] / qa[q] if qa[q] else float("inf")
-        norm = raw / drift if drift else raw
+        qdrift = (pcb[q] / pca[q]) if (q in pca and q in pcb and pca[q]) else drift
+        norm = raw / qdrift if qdrift else raw
         rows.append((norm, raw, q, qa[q], qb[q]))
     rows.sort(reverse=True)
     shown = rows[:top] if top else rows

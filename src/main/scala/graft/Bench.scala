@@ -204,6 +204,14 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // Per-BLOCK calibration (round 13): one pre-suite reading cannot see
+    // INTRA-suite host drift — a 25-minute run on a multi-tenant host
+    // measured alphabetically-late queries 2–6x inflated while the
+    // pre-suite calibration read FAST (0.189) and a subset re-run minutes
+    // later read 0.461: the host degraded mid-suite and every late block
+    // paid. One calibrateOnce() per block (~0.2 s wall each, outside the
+    // timers) stamps each query with the host speed IT ran under, so
+    // cross-round per-query normalization divides by the right number.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Between query blocks: force a full GC so the ContextCleaner
       // reclaims the previous block's now-unreferenced broadcasts and
@@ -216,6 +224,7 @@ object Bench {
       // spiked to 68 s mid-suite while being stable solo (BENCH_NOTES).
       // Outside the per-run timer, so it costs wall clock, not medians.
       System.gc()
+      val blockCal = calibrateOnce()
       def timed(): Double = {
         val t = runOnce(name, fn)
         // several operators pin intermediates (localCheckpoint blocks);
@@ -234,10 +243,11 @@ object Bench {
       }
       val warm = (1 to warmups).map(_ => timed())
       val (measured, discarded) = measureBlock(iters, maxReruns, warm, () => timed())
-      (name, median(measured), measured.min, warm ++ measured, discarded)
+      (name, median(measured), measured.min, warm ++ measured, discarded, blockCal)
     }
+    val calibrationEnd = (1 to 3).map(_ => calibrateOnce()).min
     val qs = results
-      .map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full line (with per-query medians) goes to bench_out.json; the
@@ -251,17 +261,17 @@ object Bench {
     // line, and without the field there, cross-round host-drift
     // normalization needed manual forensics in bench_detail.json.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"calibration_end_sec":$calibrationEnd%.3f,"queries":$qs,"sf":"$sfDir"}"""
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"calibration_end_sec":$calibrationEnd%.3f,"sf":"$sfDir"}"""
     val detail = results
-      .map { case (k, med, mn, all, disc) =>
+      .map { case (k, med, mn, all, disc, cal) =>
         val runsJson = all.map(r => f"$r%.3f").mkString("[", ",", "]")
         val discJson = disc.map(r => f"$r%.3f").mkString("[", ",", "]")
-        f""""$k":{"median":$med%.3f,"min":$mn%.3f,"all_runs_incl_warmup":$runsJson,"discarded":$discJson}"""
+        f""""$k":{"median":$med%.3f,"min":$mn%.3f,"cal":$cal%.3f,"all_runs_incl_warmup":$runsJson,"discarded":$discJson}"""
       }
       .mkString(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"max_reruns":$maxReruns,"calibration_sec":$calibration%.3f,"sf":"$sfDir","queries":{""",
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$iters,"warmups":$warmups,"max_reruns":$maxReruns,"calibration_sec":$calibration%.3f,"calibration_end_sec":$calibrationEnd%.3f,"sf":"$sfDir","queries":{""",
         ",",
         "}}"
       )

@@ -773,6 +773,11 @@ object Stats {
     * `SketchIngest.ingestAdditiveBatch` shape), so the diagram is
     * maintainable at rest and never rescans the corpus. `acc`/`conf`
     * are floor(·10⁴)/10⁴ readbacks (the trunc4 discipline).
+    *
+    * Bound: `sum_score` accumulates as a long, so rows-per-bin·scale
+    * must stay under 2⁶³ (~10¹² rows/bin at scale 10⁶) — comfortable
+    * at any real calibration-set size; shard by a group column first
+    * if a single bin could exceed it.
     */
   def calibrationBins(
       df: DataFrame,
