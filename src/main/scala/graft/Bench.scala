@@ -224,7 +224,12 @@ object Bench {
       // spiked to 68 s mid-suite while being stable solo (BENCH_NOTES).
       // Outside the per-run timer, so it costs wall clock, not medians.
       System.gc()
-      val blockCal = calibrateOnce()
+      // MIN of 2 readings, same rationale as the suite-level min-of-3:
+      // a single noisy reading (scheduler preemption inside the ~0.2 s
+      // probe) would scale this block's cross-round normalization in
+      // bench_compare.py by the full noise factor. Two readings' min
+      // bounds that at the cost of ~0.2 s wall per block.
+      val blockCal = math.min(calibrateOnce(), calibrateOnce())
       def timed(): Double = {
         val t = runOnce(name, fn)
         // several operators pin intermediates (localCheckpoint blocks);

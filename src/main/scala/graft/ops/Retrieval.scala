@@ -319,7 +319,8 @@ object Retrieval {
     * positions are the only signal, so incomparable score scales fuse
     * without calibration.
     *
-    * Inputs are (query_id, doc_id, rank) frames — [[bm25TopK]] /
+    * Inputs are (query_id, doc_id, rank) frames with 1-BASED ranks —
+    * [[bm25TopK]] /
     * [[bm25TopKIndexed]] output directly, or any ANN top-k projected to
     * that shape. Each input is already top-k-bounded per query, so the
     * union is k·|lists| rows per query: the fusion aggregate and the
@@ -337,7 +338,12 @@ object Retrieval {
       topN: Int = 10
   ): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    require(kConst >= 0, "kConst must be non-negative")
+    // kConst = 0 with a 0-based ranking (common ANN output) makes the
+    // first contribution `10^9 div 0` — NULL under non-ANSI semantics,
+    // which sum() silently DROPS instead of failing: a quietly wrong
+    // fused score. Ranks are documented 1-based; requiring kConst >= 1
+    // keeps the divisor positive even if a caller slips in rank 0.
+    require(kConst >= 1, s"kConst must be >= 1 (got $kConst); ranks are 1-based")
     val contrib = rankings
       .map(
         _.select(

@@ -1574,7 +1574,12 @@ object Similarity {
       vectors
         .filter(
           col(idCol).isNotNull && col(relCol).isNotNull &&
-            col(vecCol).isNotNull && size(col(vecCol)) === dim
+            col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+            // a right-width vector with a NULL ELEMENT quantizes to a
+            // null element, dotQ then yields null msim/mmr_q, and once
+            // only such rows remain the limit(1) row NPEs at getLong on
+            // the driver — exclude them like every other unscorable row
+            !exists(col(vecCol), v => v.isNull)
         )
         .select(
           col(idCol).cast("long").as("id"),

@@ -392,19 +392,42 @@ object Stats {
       count(lit(1)).as("k")
     )
     val ln2 = lit(0.6931471805599453)
-    val den = col("c") * col("bigR") + col("r") * col("bigC")
+    // Three glog subtrees composed in ONE projection exceed janino's
+    // 64 KB generated-method limit: every run logged `ERROR
+    // CodeGenerator: Failed to compile` and the stage silently fell
+    // back to interpreted execution (r13 ADVICE). Stage each glog in
+    // its OWN projection with a Materialize barrier between them —
+    // consecutive selects would otherwise be re-fused by
+    // CollapseProject, re-inlining the subtrees. The staged frames are
+    // the bounded key grid (n_keys rows × a few longs), so the two
+    // extra pins cost microjobs, and each generated method now holds
+    // one glog. Inputs are floor-guarded to 1 (glog domain) — the
+    // guarded value is only READ when its `when` branch is live, and
+    // on a live branch the guard is a no-op (c>0 ∧ bigR>0 ⇒ c·bigR≥1).
+    val grid = joined
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("bigR"), col("bigC"))
+    val s1 = Materialize(
+      grid.withColumn("gp", Dsir.glog(greatest(col("c") * col("bigR"), lit(1L))))
+    )
+    val s2 = Materialize(
+      s1.withColumn("gq", Dsir.glog(greatest(col("r") * col("bigC"), lit(1L))))
+    )
+    val s3 = s2.withColumn(
+      "gd",
+      Dsir.glog(greatest(col("c") * col("bigR") + col("r") * col("bigC"), lit(1L)))
+    )
     val termP = when(
       col("c") > 0,
       (col("c").cast("double") / col("bigC").cast("double")) *
-        (ln2 + Dsir.glog(col("c") * col("bigR")) - Dsir.glog(den))
+        (ln2 + col("gp") - col("gd"))
     ).otherwise(lit(0.0))
     val termQ = when(
       col("r") > 0,
       (col("r").cast("double") / col("bigR").cast("double")) *
-        (ln2 + Dsir.glog(col("r") * col("bigC")) - Dsir.glog(den))
+        (ln2 + col("gq") - col("gd"))
     ).otherwise(lit(0.0))
-    joined
-      .crossJoin(broadcast(tot))
+    s3
       .select(round((termP + termQ) * lit(1e9)).cast("long").as("tq"))
       .agg(sum(col("tq")).as("sq"))
       .crossJoin(broadcast(tot))

@@ -399,4 +399,29 @@ class QaStatsSpec extends AnyFunSuite {
     assert(fused.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
       Seq((1L, 10L), (2L, 11L)))
   }
+
+  test("rrfFuse rejects kConst 0 (silent null-drop hazard with 0-based ranks)") {
+    val a = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a), kConst = 0L)
+    }
+    assert(e.getMessage.contains("kConst"))
+  }
+
+  test("mmrSelect excludes right-width vectors with null ELEMENTS (driver NPE hazard)") {
+    // Only null-element rows would remain after the first pick if they
+    // were admitted — the limit(1) row would carry null msim/mmr_q and
+    // getLong would NPE on the driver mid-loop.
+    val vecs = Seq(
+      (1L, Seq(Some(1.0f), Some(0f))),
+      (2L, Seq(Some(1.0f), None: Option[Float])),
+      (3L, Seq(None: Option[Float], Some(2.0f)))
+    ).toDF("vec_id", "embedding")
+      .withColumn(
+        "rel_q",
+        coalesce(Similarity.quantizedEnergy(col("embedding")), lit(1L))
+      )
+    val got = Similarity.mmrSelect(vecs, "vec_id", "embedding", "rel_q", k = 3, dim = 2)
+    assert(got.collect().map(_.getLong(1)).toSeq === Seq(1L))
+  }
 }
