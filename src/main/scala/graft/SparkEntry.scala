@@ -2626,6 +2626,20 @@ object SparkEntry {
           (floor(col("n_both").cast("double") * 10000.0 / col("n_union").cast("double")) /
             10000.0).as("jaccard")
         )
+    }),
+    // At-rest BPE tokenizer MODEL (round 14): fit once, persist the
+    // merge list as a versioned table (rank, left_sym, right_sym +
+    // shape/normalization props), then tokenize THROUGH the table —
+    // the fit-once-apply-everywhere path a real pipeline runs (before
+    // this, a fresh session had to refit to tokenize). Same oracle as
+    // q150: the model round-trip must be invisible in the result.
+    // BpeSpec additionally pins from-model == inline in a FRESH
+    // session and the fail-fast read contract (bare table / shape
+    // mismatch / foreign normalization).
+    "q168_bpe_model_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.fitAndWriteModel(docs, "text", "bpe_model_q168", nMerges = 8)
+      Bpe.tokenCountsFromModel(docs, "text", "doc_id", "bpe_model_q168")
     })
   )
 

@@ -2279,6 +2279,10 @@ private[graft] object SparkEntryOracles {
          |  floor(CAST(sum(b) AS DOUBLE) * 10000.0 / CAST(count(*) AS DOUBLE)) / 10000.0
          |    AS jaccard
          |FROM fo GROUP BY 1""".stripMargin,
+    // q168 routes the SAME computation as q150 through the persisted
+    // model table (fit → write → read → tokenize) — the round-trip must
+    // be invisible in the result, so the oracle is q150's replay.
+    "q168_bpe_model_tokenize" -> bpeTokenizeSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->

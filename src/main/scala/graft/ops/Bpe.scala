@@ -171,4 +171,135 @@ object Bpe {
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
+
+  // ------------------------------------------------------------------
+  // At-rest tokenizer model (round 14): fit ONCE, tokenize anywhere.
+  // Before this, the learned merges lived only in the fitting session —
+  // a fresh session had to re-run the full distributed fit to tokenize
+  // a single batch. A real pipeline fits on the training corpus and
+  // applies the frozen tokenizer to every later batch/stream; the model
+  // table is that frozen artifact (the writePqIndex geometry-props
+  // discipline: shape recorded at write time, REQUIRED and validated at
+  // read time, so a half-written or foreign table fails fast instead of
+  // silently mis-tokenizing).
+  // ------------------------------------------------------------------
+
+  /** Merge count recorded at write time; the reader validates the table
+    * holds exactly this many contiguous ranks.
+    */
+  private val NMergesProp = "graft.bpe.nMerges"
+
+  /** The pre-segmentation contract the merges were learned under —
+    * merges are only meaningful against the SAME normalization
+    * ([[Fns.tokens]] word split + character seeding). Recorded so a
+    * model fitted under a future normalization change can't be silently
+    * applied by an engine that segments differently (the unitScale
+    * discipline of the PQ index).
+    */
+  private val NormProp = "graft.bpe.norm"
+  private val NormContract = "fns.tokens/chars/v1"
+
+  /** Persist a learned merge list as an at-rest model table: one row
+    * per merge (rank 0-based, left_sym, right_sym), fit-shape props on
+    * the table. Overwrites — a tokenizer model is a versioned artifact,
+    * not an append target (appending merges would reorder history;
+    * refit and overwrite instead).
+    */
+  def writeModel(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      merges: Seq[(String, String)]
+  ): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+      .write
+      .mode("overwrite")
+      .saveAsTable(table)
+    val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
+    spark.sql(
+      s"ALTER TABLE $ident SET TBLPROPERTIES " +
+        s"('$NMergesProp'='${merges.size}', '$NormProp'='$NormContract')"
+    )
+  }
+
+  /** [[fitMerges]] + [[writeModel]] in one call; returns the merges it
+    * persisted (callers that keep tokenizing in-session skip the read).
+    */
+  def fitAndWriteModel(
+      df: DataFrame,
+      textCol: String,
+      table: String,
+      nMerges: Int,
+      minCount: Long = 2L
+  ): Seq[(String, String)] = {
+    val merges = fitMerges(df, textCol, nMerges, minCount)
+    writeModel(df.sparkSession, table, merges)
+    merges
+  }
+
+  /** Read a model back in rank order, validating the recorded shape:
+    * the props must exist (a bare table is not a model), the
+    * normalization contract must match, and the rows must be exactly
+    * ranks 0..n−1 (a partial overwrite or duplicate rank surfaces here,
+    * not as a silently different tokenizer).
+    */
+  def readModel(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Seq[(String, String)] = {
+    import spark.implicits._
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    val n = props
+      .get(NMergesProp)
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$table does not record $NMergesProp — not a graft BPE model"
+        )
+      )
+    val norm = props.get(NormProp)
+    require(
+      norm.contains(NormContract),
+      s"$table records tokenizer normalization ${norm.getOrElse("<absent>")} but this " +
+        s"engine segments under $NormContract — applying merges across a normalization " +
+        "change silently mis-tokenizes. Refit the model."
+    )
+    val rows = spark
+      .table(table)
+      .select(col("rank").cast("long"), col("left_sym"), col("right_sym"))
+      .as[(Long, String, String)]
+      .collect()
+      .sortBy(_._1)
+    require(
+      rows.length == n && rows.map(_._1).toSeq == (0L until n.toLong),
+      s"$table has ${rows.length} merge rows, shape says $n contiguous ranks"
+    )
+    rows.map { case (_, a, b) => (a, b) }.toSeq
+  }
+
+  /** [[tokenCounts]] against an at-rest model — a FRESH session
+    * tokenizes any corpus without refitting (BpeSpec pins from-model ==
+    * inline bit-identical, and the model read is a bounded-metadata
+    * collect: tens-to-thousands of merge rows, never corpus-scale).
+    */
+  def tokenCountsFromModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String
+  ): DataFrame =
+    tokenCounts(df, textCol, idCol, readModel(df.sparkSession, table))
+
+  /** [[tokenize]] against an at-rest model (per-doc token arrays). */
+  def tokenizeFromModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String
+  ): DataFrame =
+    tokenize(df, textCol, idCol, readModel(df.sparkSession, table))
 }

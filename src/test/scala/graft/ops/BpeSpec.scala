@@ -113,4 +113,55 @@ class BpeSpec extends AnyFunSuite {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Bpe.fitMerges(tiny, "text", 5, minCount = 2L).isEmpty)
   }
+
+  test("at-rest model: from-model tokenization == inline, bit-identical, without refit") {
+    spark.sql("DROP TABLE IF EXISTS bpe_spec_model")
+    val merges = Bpe.fitAndWriteModel(corpus, "text", "bpe_spec_model", nMerges = 8)
+    // round-trip: the table IS the merge list, in rank order
+    assert(Bpe.readModel(spark, "bpe_spec_model") === merges)
+    // a FRESH session (shared catalog, none of this session's in-memory
+    // state) tokenizes from the table alone — fit once, apply anywhere
+    val fresh = spark.newSession()
+    val docs2 = {
+      import fresh.implicits._
+      Seq((10L, "lowest newest low"), (11L, "widest")).toDF("doc_id", "text")
+    }
+    val fromModel = Bpe.tokenCountsFromModel(docs2, "text", "doc_id", "bpe_spec_model")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val inline = Bpe.tokenCounts(docs2, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fromModel === inline)
+    val toksFromModel = Bpe.tokenizeFromModel(docs2, "text", "doc_id", "bpe_spec_model")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val toksInline = Bpe.tokenize(docs2, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    assert(toksFromModel === toksInline)
+    spark.sql("DROP TABLE bpe_spec_model")
+  }
+
+  test("readModel fails fast on a bare table, a foreign norm, and a shape mismatch") {
+    spark.sql("DROP TABLE IF EXISTS bpe_spec_bad")
+    // bare table (no props) is NOT a model
+    Seq((0L, "a", "b")).toDF("rank", "left_sym", "right_sym")
+      .write.mode("overwrite").saveAsTable("bpe_spec_bad")
+    val e1 = intercept[IllegalArgumentException] { Bpe.readModel(spark, "bpe_spec_bad") }
+    assert(e1.getMessage.contains("graft.bpe.nMerges"))
+    // recorded shape must match the rows actually present
+    spark.sql("DROP TABLE IF EXISTS bpe_spec_bad2")
+    Bpe.writeModel(spark, "bpe_spec_bad2", Seq(("a", "b"), ("ab", "c")))
+    spark.sql(
+      "ALTER TABLE bpe_spec_bad2 SET TBLPROPERTIES ('graft.bpe.nMerges'='3')"
+    )
+    val e2 = intercept[IllegalArgumentException] { Bpe.readModel(spark, "bpe_spec_bad2") }
+    assert(e2.getMessage.contains("shape says 3"))
+    // normalization contract change must refuse to apply
+    spark.sql(
+      "ALTER TABLE bpe_spec_bad2 SET TBLPROPERTIES " +
+        "('graft.bpe.nMerges'='2', 'graft.bpe.norm'='other/v9')"
+    )
+    val e3 = intercept[IllegalArgumentException] { Bpe.readModel(spark, "bpe_spec_bad2") }
+    assert(e3.getMessage.contains("normalization"))
+    spark.sql("DROP TABLE bpe_spec_bad")
+    spark.sql("DROP TABLE bpe_spec_bad2")
+  }
 }
