@@ -2640,7 +2640,25 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Bpe.fitAndWriteModel(docs, "text", "bpe_model_q168", nMerges = 8)
       Bpe.tokenCountsFromModel(docs, "text", "doc_id", "bpe_model_q168")
-    })
+    }),
+    // Perceptual image dedup (round 14), oracle-checked END TO END:
+    // deterministic grayscale images synthesized from doc_id
+    // (Multimodal.synthGrayImages — integer pixel function, PNG
+    // lossless), then the PRODUCTION pipeline: ImageIO decode →
+    // exact-integer 9×8 luminance downscale → dHash-64 gradient bits →
+    // 4×16-bit pigeonhole banding → exact bit_count(xor) hamming ≤ 10.
+    // The corpus is contrived (the md5TokenHash trade) but the oracle
+    // replays the pixel math directly, so every stage of the real
+    // dataflow is hash-pinned. Same-class images land at hamming ≤ 1
+    // (brightness shift is gradient-invariant; the spot edit flips one
+    // bit); cross-class hammings are effectively random (0 pairs ≤ 10
+    // simulated at 5000 docs). ImageDedupSpec pins the at-rest bucketed
+    // index probe == this inline form.
+    "q169_image_dhash_pairs" -> ((s, dir) =>
+      Dedup.imageDHashPairs(
+        Multimodal.synthGrayImages(t(s, dir, "documents"), "doc_id"),
+        maxHamming = 10
+      ))
   )
 
   /** Equivalent ANSI-SQL oracles (DuckDB) for every [[queries]] key —

@@ -2283,6 +2283,7 @@ private[graft] object SparkEntryOracles {
     // model table (fit → write → read → tokenize) — the round-trip must
     // be invisible in the result, so the oracle is q150's replay.
     "q168_bpe_model_tokenize" -> bpeTokenizeSql,
+    "q169_image_dhash_pairs" -> imageDHashPairsSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2812,6 +2813,46 @@ private[graft] object SparkEntryOracles {
        |SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(si, sj)) <= 16""".stripMargin
   }
+
+  /** Oracle for q169: replays the whole perceptual-image-dedup
+    * pipeline from the synthesized pixel function — the PNG
+    * encode/decode the Spark side runs is LOSSLESS for 8-bit gray, so
+    * the oracle computes the same bytes the raster stores:
+    * [[graft.ops.Multimodal.synthGrayImages]]'s g(d, x, y), the
+    * exact-integer 9×8 block means (4×4-pixel blocks, floor-div 16),
+    * dHash gradient bits (bit j·8+i = cell(i,j) > cell(i+1,j); bit 63
+    * via the min-long literal — DuckDB refuses `1::BIGINT << 63`),
+    * then q19's banding/hamming tail verbatim. DuckDB sums BIGINT into
+    * HUGEINT, so every aggregate is cast back before shifts/banding.
+    */
+  private lazy val imageDHashPairsSql: String =
+    """WITH g AS (SELECT d.doc_id AS d, t.x, t.y,
+      |    (((3 + ((d.doc_id % 97) * 7) % 13) * t.x
+      |      + (5 + ((d.doc_id % 97) * 11) % 17) * t.y
+      |      + (1 + ((d.doc_id % 97) * 13) % 7) * t.x * t.y
+      |      + (d.doc_id % 97) * 37) % 200
+      |     + d.doc_id % 5
+      |     + CASE WHEN (d.doc_id // 97) % 7 = 0 AND t.x < 4 AND t.y < 4
+      |            THEN 40 ELSE 0 END) AS v
+      |  FROM documents d,
+      |       (SELECT x.range AS x, y.range AS y FROM range(0, 36) x, range(0, 32) y) t),
+      |cl AS (SELECT d, x // 4 AS i, y // 4 AS j, CAST(sum(v) // 16 AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2, 3),
+      |bt AS (SELECT a.d, a.j * 8 + a.i AS pos
+      |  FROM cl a JOIN cl b ON b.d = a.d AND b.j = a.j AND b.i = a.i + 1
+      |  WHERE a.i < 8 AND a.c > b.c),
+      |dh AS (SELECT d.doc_id AS doc_id,
+      |    CAST(coalesce(sum(CASE WHEN pos = 63
+      |        THEN CAST(-9223372036854775808 AS BIGINT)
+      |        ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END), 0) AS BIGINT) AS h
+      |  FROM documents d LEFT JOIN bt ON bt.d = d.doc_id GROUP BY 1),
+      |k AS (SELECT doc_id, h, b.band AS band, (h >> (b.band * 16)) & 65535 AS bhash
+      |  FROM dh, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.h AS hi, b.h AS hj
+      |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
+      |    AND a.doc_id < b.doc_id)
+      |SELECT i, j, CAST(bit_count(xor(hi, hj)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(hi, hj)) <= 10""".stripMargin
 
   /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */
   private val wordsSql =

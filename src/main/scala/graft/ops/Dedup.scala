@@ -506,30 +506,57 @@ object Dedup {
       maxBucket: Option[Int] = Some(DefaultMaxBucket),
       dropMetrics: Option[Observation] = None,
       tokenHash: Column => Column = t => xxhash64(t)
-  ): DataFrame = {
-    val signed = simHashes(df, textCol, idCol, tokenHash)
-    val bandCols = (0 until 4).map { b =>
+  ): DataFrame =
+    hamming64Pairs(
+      simHashes(df, textCol, idCol, tokenHash), "simhash", maxHamming, maxBucket, dropMetrics)
+
+  /** One (band, bhash) struct per 16-bit band of a 64-bit hash column —
+    * shared by in-corpus pair generation ([[hamming64Pairs]]) and the
+    * at-rest dHash index, which must band identically or cross-batch
+    * candidates would be missed ([[bandKeyCols]]'s contract). The mask
+    * after the (arithmetic) shift makes keys sign-agnostic — bit 63 set
+    * means a negative long in both engines.
+    */
+  private def hash64BandCols(hashCol: String): Column =
+    array((0 until 4).map { b =>
       struct(
         lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bhash")
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xffffL).as("bhash")
       )
-    }
+    }: _*)
+
+  /** Near-dup pairs of any 64-bit perceptual/content hash column by
+    * 4×16-bit pigeonhole banding (hamming ≤ 3 GUARANTEES a shared band;
+    * larger `maxHamming` keeps the guarantee only for pairs that still
+    * agree on one band — the documented recall trade of [[simHashPairs]],
+    * which this generalizes) + exact `bit_count(xor)` verify. `signed`
+    * is (doc_id, `hashCol`); rows with a null hash are excluded (an
+    * undecodable image must not bucket with other undecodables).
+    */
+  private[ops] def hamming64Pairs(
+      signed: DataFrame,
+      hashCol: String,
+      maxHamming: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame = {
     // per-bucket posting lists (one shuffle on the band key) rather than
     // a bucket self-join that would scan the signature plan twice
     val exploded = signed
-      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+      .filter(col(hashCol).isNotNull)
+      .select(col("doc_id"), col(hashCol).as("h64"), explode(hash64BandCols(hashCol)).as("bk"))
+      .select(col("doc_id"), col("h64"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
     val postings = exploded
       .groupBy(col("band"), col("bhash"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h64")))).as("ids"))
       .filter(size(col("ids")) >= 2)
     boundedPostings(postings, maxBucket, dropMetrics, "dropped_buckets")
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(
         col("p.i.doc_id").as("i"),
         col("p.j.doc_id").as("j"),
-        col("p.i.simhash").as("sh_i"),
-        col("p.j.simhash").as("sh_j")
+        col("p.i.h64").as("sh_i"),
+        col("p.j.h64").as("sh_j")
       )
       .distinct()
       .select(
@@ -539,6 +566,22 @@ object Dedup {
       )
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Perceptual image dedup: dHash-64 per image
+    * ([[Multimodal.dHash64]] — gradient-sign bits over an exact-integer
+    * 9×8 luminance downscale) + the SimHash pigeonhole banding +
+    * exact-hamming verify. `media` is (doc_id, media binary). dHash ≤ 10
+    * is the conventional near-dup bar (brightness shifts land at 0,
+    * small local edits at 1–8, re-encodes at 0 for lossless formats).
+    * Undecodable/tiny images are excluded, never paired.
+    */
+  def imageDHashPairs(
+      media: DataFrame,
+      maxHamming: Int = 10,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame =
+    hamming64Pairs(Multimodal.dHash64(media), "dhash", maxHamming, maxBucket, dropMetrics)
 
   /** Embedding near-dup: random-hyperplane LSH buckets -> candidate
     * pairs -> exact cosine verify. Hyperplanes are derived from a fixed
@@ -1355,6 +1398,149 @@ object Dedup {
       broadcastRowLimit,
       dropSameId
     )
+  }
+
+  // ------------------------------------------------------------------
+  // At-rest dHash index (round 14) — the image analogue of the MinHash
+  // / embedding-LSH index blocks above, completing the dedup at-rest
+  // matrix for the multimodal column family: "dedup today's image batch
+  // against the whole corpus without touching most of it". Rows are the
+  // 4×16-bit band keys of each image's dHash, bucketed by
+  // pmod(xxhash64(band, bhash), nBuckets) so a batch probe prunes the
+  // index scan to at most nBuckets buckets (the incrementalNearDups
+  // shape, bucket pruning plan-pinned in ImageDedupSpec).
+  // ------------------------------------------------------------------
+
+  /** The banding an index was WRITTEN with. dHash banding is currently
+    * fixed (4×16 bits of a 64-bit hash), but the contract is recorded
+    * anyway: a future wider perceptual hash (pHash-256) would change
+    * the banding, and probing across that change must fail fast, not
+    * silently miss near-dups.
+    */
+  private val DHashBandsProp = "graft.dhash.bands"
+
+  private def setDHashIndexProps(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit =
+    spark.sql(
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$DHashBandsProp'='4')"
+    )
+
+  private def validateDHashIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    props.get(DHashBandsProp) match {
+      case Some(b) =>
+        require(
+          b.toInt == 4,
+          s"index $table was written with $b dHash bands; this engine probes 4×16-bit banding"
+        )
+      case None =>
+        // data-pin like validateIndexParams: every indexed image emits
+        // one row per band, so max(band)+1 pins the banding; backfill
+        // only when data exists to pin it
+        val r = spark.table(table).agg(max(col("band"))).head()
+        if (!r.isNullAt(0)) {
+          require(
+            r.getInt(0) == 3,
+            s"index $table holds bands 0..${r.getInt(0)}; this engine probes 4 bands"
+          )
+          setDHashIndexProps(spark, table)
+        }
+    }
+  }
+
+  private def dHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
+    Multimodal
+      .dHash64(media)
+      .filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"), explode(hash64BandCols("dhash")).as("bk"))
+      .select(
+        col("doc_id"),
+        col("dhash"),
+        col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"),
+        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
+
+  /** Build the at-rest dHash index from an image corpus. */
+  def writeDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
+    graft.sinks.Sinks.writeBucketed(dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
+    setDHashIndexProps(media.sparkSession, table)
+  }
+
+  /** Append a batch's band rows — O(batch) ingest, never a corpus
+    * rewrite; probes see appended images immediately.
+    */
+  def appendToDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
+    val spark = media.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    if (existed) validateDHashIndexParams(spark, table)
+    graft.sinks.Sinks.appendBucketed(dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
+    if (!existed) setDHashIndexProps(spark, table)
+  }
+
+  /** Perceptual near-dups of a NEW image batch against the at-rest
+    * index: the batch's band keys collect to at most nBuckets distinct
+    * `bkey`s (bounded by the bucket count, not the batch), which prune
+    * the index scan to matching buckets only; the batch side broadcasts
+    * into the band equi-join (size-guarded with the
+    * [[incrementalNearDups]] fallback), and only band-matched pairs pay
+    * the exact `bit_count(xor)` hamming verify — which unlike the
+    * MinHash estimate is EXACT from the carried hashes alone, no second
+    * table. Returns (i = indexed image, j = batch image, hamming ≤
+    * `maxHamming`).
+    */
+  def incrementalDHashDups(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      table: String,
+      maxHamming: Int = 10,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
+    validateDHashIndexParams(spark, table)
+    val batchBands = Materialize(
+      dHashIndexRows(batch, nBuckets)
+        .select(col("doc_id").as("j"), col("dhash").as("dh_j"),
+          col("band"), col("bhash"), col("bkey"))
+    ) // probed twice: bkey collect + bucket join
+    val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
+    if (bkeys.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0).as("hamming"))
+        .limit(0)
+    }
+    val pruned = spark.table(table).filter(col("bkey").isin(bkeys.toIndexedSeq: _*))
+    val probe = math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt
+    val fits = batchBands.limit(probe).count() <= broadcastRowLimit
+    val batchHinted =
+      if (fits) broadcast(batchBands.drop("bkey")) else batchBands.drop("bkey")
+    val joined = pruned.join(batchHinted, Seq("band", "bhash"))
+    val selfFiltered = if (dropSameId) joined.filter(col("doc_id") =!= col("j")) else joined
+    selfFiltered
+      .select(col("doc_id").as("i"), col("j"), col("dhash"), col("dh_j"))
+      .distinct() // a pair can match in several bands
+      .select(
+        col("i"),
+        col("j"),
+        bit_count(col("dhash").bitwiseXOR(col("dh_j"))).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Map-side membership probe against a serialized bloom filter. */

@@ -204,6 +204,145 @@ object Multimodal {
     } finally if (iis != null) iis.close()
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (round 14): dHash-64 — the content-level
+  // image dedup the multimodal family was missing (exact byte dedup
+  // falls to any re-encode; dHash survives brightness shifts and
+  // re-encodes because it keeps only the SIGN of adjacent-cell
+  // luminance gradients). Integer-only by construction: grayscale
+  // values are ints, the 9×8 downscale is exact block sums with floor
+  // division, bits compare ints — so a DuckDB oracle can replay the
+  // whole hash from the same pixel function (q169), the q21/q123
+  // generated-oracle discipline.
+  // ------------------------------------------------------------------
+
+  /** dHash-64 of one decoded image: area-downscale the luminance to a
+    * 9×8 grid (cell (i,j) = floor(mean) over the pixel box
+    * [⌊i·w/9⌋, ⌊(i+1)·w/9⌋) × [⌊j·h/8⌋, ⌊(j+1)·h/8⌋) — exact integer
+    * sums), then bit (j·8+i) = cell(i,j) > cell(i+1,j): 8 horizontal
+    * gradient signs per row × 8 rows. Luminance is the raster's own
+    * gray sample for single-band images (NO ColorModel conversion —
+    * getRGB on TYPE_BYTE_GRAY round-trips through sRGB and distorts
+    * values; the raw sample is what the PNG stores, which is what
+    * makes the synth → encode → decode → hash pipeline exactly
+    * replayable), floor((r+g+b)/3) via getRGB otherwise.
+    */
+  private[ops] def dHashOf(im: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val gray = im.getRaster.getNumBands == 1
+    def lum(x: Int, y: Int): Long =
+      if (gray) im.getRaster.getSample(x, y, 0).toLong
+      else {
+        val rgb = im.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong / 3L
+      }
+    val cells = Array.tabulate(9, 8) { (i, j) =>
+      val (x0, x1) = (i * w / 9, (i + 1) * w / 9)
+      val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += lum(x, y); x += 1 }
+        y += 1
+      }
+      s / ((x1 - x0).toLong * (y1 - y0))
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cells(i)(j) > cells(i + 1)(j)) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash-64 over a binary media column: (doc_id, dhash).
+    * Undecodable bytes and images narrower than the 9×8 grid hash to
+    * NULL — a perceptual hash of bytes no reader understands would be
+    * noise, and downstream pair generation must exclude them, not
+    * bucket them together (the mmrSelect unscorable-row contract).
+    * Partition-streaming like every decode path here: one image in
+    * memory at a time, blobs never on the driver.
+    */
+  def dHash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h =
+          try {
+            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (im == null || im.getWidth < 9 || im.getHeight < 8) None
+            else Some(dHashOf(im))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        (id, h)
+      })
+      .toDF("doc_id", "dhash")
+      .select(col("doc_id"), col("dhash").as("dhash"))
+  }
+
+  /** Deterministic synthetic grayscale image corpus — the container
+    * ships no real image data, so the image-dedup pipeline is pinned
+    * against images SYNTHESIZED from doc_id by an integer pixel
+    * function both engines can compute (the md5TokenHash trade: the
+    * corpus is contrived, the DATAFLOW it pins — PNG encode → ImageIO
+    * decode → grayscale → area downscale → gradient bits → banding →
+    * hamming — is the production path; PNG is lossless and the gray
+    * raster sample round-trips exactly).
+    *
+    * Pixel value at (x, y) for doc d, W=36 × H=32 (4×4 pixel blocks per
+    * dHash cell, so the downscale's floor-mean is an exact 16-pixel
+    * block sum the oracle replays):
+    *   cls  = d mod 97                       (97 base images)
+    *   a = 3 + (cls·7) mod 13; b = 5 + (cls·11) mod 17;
+    *   c = 1 + (cls·13) mod 7; e = cls·37
+    *   g = (a·x + b·y + c·x·y + e) mod 200   (class-chaotic gradients;
+    *       200 keeps the max value 199+4+40 = 243 inside the byte —
+    *       a spot pixel past 255 would wrap in the raster and break
+    *       the exact formula replay)
+    *     + d mod 5                           (brightness shift — dHash-invariant)
+    *     + (40 if (d div 97) mod 7 = 0 and x<4 and y<4)   (spot: hamming 1)
+    * Same-class docs are near-dups (hamming ≤ 1); cross-class hammings
+    * are effectively random (simulated: zero cross-class pairs ≤ 10 at
+    * 5000 docs).
+    */
+  def synthGrayImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { d =>
+        val im = new java.awt.image.BufferedImage(
+          36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val cls = d % 97
+        val (a, b, c, e) =
+          (3 + (cls * 7) % 13, 5 + (cls * 11) % 17, 1 + (cls * 13) % 7, cls * 37)
+        val spot = (d / 97) % 7 == 0
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 36) {
+            var v = (a * x + b * y + c * x * y + e) % 200 + d % 5
+            if (spot && x < 4 && y < 4) v += 40
+            im.getRaster.setSample(x, y, 0, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        (d, bos.toByteArray)
+      })
+      .toDF("doc_id", "media")
+  }
+
   /** Frame sampling: keep every `stride`-th frame index per media row —
     * the plumbing for video frame extraction. Frame counts come from the
     * REAL header ([[countFrames]] — no pixel decode) so every emitted
