@@ -2658,7 +2658,22 @@ object SparkEntry {
       Dedup.imageDHashPairs(
         Multimodal.synthGrayImages(t(s, dir, "documents"), "doc_id"),
         maxHamming = 10
-      ))
+      )),
+    // EMBEDDING-level decontamination (round 14): flag corpus vectors
+    // within cosine >= 0.3 of any eval vector (the q148 split) — the
+    // paraphrase-contamination check q55's n-gram overlap cannot see.
+    // Same seeded-plane probe chain as q148 (oracle replays it), then
+    // a per-corpus-doc aggregate with clean docs kept as
+    // (0, NULL, false) rows. SemanticDecontaminateSpec plants a
+    // paraphrased duplicate and pins the at-rest index probe.
+    "q170_semantic_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      TextAnalysis.semanticDecontaminate(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", dim = 64, threshold = 0.3
+      )
+    })
   )
 
   /** Equivalent ANSI-SQL oracles (DuckDB) for every [[queries]] key —

@@ -2284,6 +2284,7 @@ private[graft] object SparkEntryOracles {
     // be invisible in the result, so the oracle is q150's replay.
     "q168_bpe_model_tokenize" -> bpeTokenizeSql,
     "q169_image_dhash_pairs" -> imageDHashPairsSql,
+    "q170_semantic_decontaminate" -> semanticDecontaminateSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2592,7 +2593,7 @@ private[graft] object SparkEntryOracles {
     * band-key CTE is MATERIALIZED: DuckDB inlines plain CTE references,
     * and `k` is referenced twice with 16 × 64-term plane folds inside.
     */
-  private lazy val incrementalSemanticSql: String = {
+  private lazy val semanticProbeCtes: String = {
     val bands = 4
     val bitsPerBand = 4
     val dim = 64
@@ -2612,7 +2613,7 @@ private[graft] object SparkEntryOracles {
       .mkString("\nUNION ALL ")
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
-    s"""WITH k AS MATERIALIZED ($bandSelects),
+    s"""k AS MATERIALIZED ($bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
        |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0),
@@ -2621,9 +2622,30 @@ private[graft] object SparkEntryOracles {
        |     (sqrt(${dot("ei.embedding", "ei.embedding")}) * sqrt(${dot("ej.embedding", "ej.embedding")})) AS cosine
        | FROM cand
        | JOIN embeddings ei ON ei.vec_id = cand.i
-       | JOIN embeddings ej ON ej.vec_id = cand.j)
-       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
+       | JOIN embeddings ej ON ej.vec_id = cand.j)""".stripMargin
   }
+
+  private lazy val incrementalSemanticSql: String =
+    s"""WITH $semanticProbeCtes
+       |SELECT i, j, round(cosine, 4) AS cs4 FROM v WHERE cosine >= 0.3""".stripMargin
+
+  /** Oracle for q170: the q148 probe chain aggregated per corpus doc —
+    * count of matched eval vectors and the max rounded cosine, left-
+    * joined back onto the corpus split so clean docs keep a
+    * (0, NULL, false) row, mirroring
+    * [[graft.ops.TextAnalysis.semanticDecontaminate]].
+    */
+  private lazy val semanticDecontaminateSql: String =
+    s"""WITH $semanticProbeCtes,
+       |f AS (SELECT i, CAST(count(*) AS BIGINT) AS n_matches,
+       |    max(round(cosine, 4)) AS max_cs4
+       |  FROM v WHERE cosine >= 0.3 GROUP BY i)
+       |SELECT e.vec_id AS doc_id,
+       |  CAST(coalesce(f.n_matches, 0) AS BIGINT) AS n_matches,
+       |  f.max_cs4,
+       |  (f.i IS NOT NULL) AS contaminated
+       |FROM embeddings e LEFT JOIN f ON f.i = e.vec_id
+       |WHERE e.vec_id % 5 <> 0""".stripMargin
 
   /** Shared shingle/pair CTE chain for the exact-Jaccard oracles
     * (q17/q18/q34): distinct word-3-gram shingles, per-doc counts, and

@@ -675,6 +675,87 @@ object TextAnalysis {
       )
   }
 
+  /** EMBEDDING-level benchmark decontamination (round 14):
+    * [[decontaminate]]'s n-gram overlap misses PARAPHRASED eval
+    * contamination — a reworded test question shares no 13-gram with
+    * its source but sits at cosine ≈ 1 in embedding space. Probe the
+    * corpus against the eval set via hyperplane-LSH banding + exact-
+    * cosine confirm ([[Dedup.semanticNearDupsAgainst]] — the same
+    * seeded planes, band equi-join, and raw-vector verify the q148
+    * oracle replays bit-exactly), then flag per corpus doc.
+    *
+    * Scale shape: the eval side is benchmark-sized, so its band rows
+    * broadcast and the corpus never shuffles for the match; only
+    * band-collided pairs pay the exact cosine. Returns one row per
+    * corpus doc — (doc_id, n_matches, max_cs4, contaminated) — the
+    * [[decontaminate]] contract, with max_cs4 = max round(cosine, 4)
+    * over matched eval docs (null when clean: "no similarity" is not
+    * similarity 0).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      threshold: Double = 0.85,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val hits = Dedup.semanticNearDupsAgainst(
+      corpus, evalSet, vecCol, idCol, dim,
+      bands = bands, bitsPerBand = bitsPerBand, seed = seed, threshold = threshold)
+    flagCorpus(corpus, idCol, hits)
+  }
+
+  /** [[semanticDecontaminate]] against an at-rest embedding-LSH index
+    * of the CORPUS ([[Dedup.writeEmbeddingLshIndex]]) — decontaminate
+    * 100 TB without rescanning it: the eval probe prunes to matching
+    * buckets only. Returns ONLY flagged docs (doc_id, n_matches,
+    * max_cs4) — emitting a clean-flag row per corpus doc would be a
+    * full index scan, exactly what the at-rest form exists to avoid;
+    * anti-join the result against the corpus to drop contaminated docs.
+    * Spec-pinned equal to the inline form's flagged subset
+    * (SemanticDecontaminateSpec).
+    */
+  def semanticDecontaminateAtRest(
+      spark: org.apache.spark.sql.SparkSession,
+      evalSet: DataFrame,
+      table: String,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      threshold: Double = 0.85,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L
+  ): DataFrame =
+    aggHits(
+      Dedup.incrementalSemanticNearDups(
+        spark, evalSet, table, vecCol, idCol, dim,
+        bands = bands, bitsPerBand = bitsPerBand, seed = seed, threshold = threshold)
+    ).select(col("doc_id"), col("n_matches"), col("max_cs4"))
+
+  private def aggHits(hits: DataFrame): DataFrame =
+    hits
+      .groupBy(col("i").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(round(col("cosine"), 4)).as("max_cs4")
+      )
+
+  private def flagCorpus(corpus: DataFrame, idCol: String, hits: DataFrame): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"))
+      .join(aggHits(hits), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_cs4"),
+        col("n_matches").isNotNull.as("contaminated")
+      )
+
   /** Per-doc n-gram novelty against a REFERENCE corpus — the
     * memorization/freshness QA stat: what fraction of a document's
     * distinct n-token shingles has the reference corpus never seen?
