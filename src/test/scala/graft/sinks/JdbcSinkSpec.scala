@@ -61,6 +61,44 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(e2.getAs[String]("new_values") === """{"v":"2"}""")
   }
 
+  test("chatbot A1 histogram over the JDBC read-back == the parquet path (r13 verdict gap)") {
+    // the reference's chatbot runs its event-type histogram against
+    // Postgres (chatbot.py:150-163); the engine had the idempotent sink
+    // and the A1 shape over parquet (q05), but never the jdbc-source
+    // round-trip of the SAME query. Write a slice of the real event
+    // log through the sink, read it back via the jdbc source, and the
+    // histogram must match the parquet-path result row for row.
+    val url = freshDb()
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE cdc_events (
+        |  event_id VARCHAR(64) PRIMARY KEY,
+        |  event_type VARCHAR(32),
+        |  user_id VARCHAR(64),
+        |  ts TIMESTAMP)""".stripMargin)
+    conn.close()
+
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(
+        $"event_id".cast("string").as("event_id"),
+        $"event_type",
+        $"user_id".cast("string").as("user_id"),
+        $"ts"
+      )
+    JdbcSink.appendDedup(events, url, "cdc_events")
+    // replay the whole upload: at-least-once -> histogram unchanged
+    JdbcSink.appendDedup(events, url, "cdc_events")
+
+    val raw = JdbcSink.read(spark, url, "cdc_events")
+    val back = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    val viaJdbc = graft.ops.Analytics.eventHistogram(back)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val viaParquet = graft.ops.Analytics.eventHistogram(events)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaJdbc === viaParquet)
+    assert(viaJdbc.nonEmpty && viaJdbc.exists(_._1 == "TOTAL"))
+  }
+
   test("composite columns are rejected with a serialize-first message") {
     val url = freshDb()
     val df = Seq(("e1", Map("a" -> "b"))).toDF("event_id", "payload")
