@@ -287,6 +287,76 @@ object Soak {
       }
     }.toMap
 
+    // ANN TRAINING families, separately (round 14 — VERDICT r13 #2):
+    // the composed ivfpq_build above measures the pair, but the three
+    // quantizer trainings have different scaling terms — the coarse
+    // Lloyd loop is nCells(~sqrt N)×N dots per round, flat-PQ is
+    // 256×N subvector L2s per round per subspace, and residual-PQ adds
+    // the per-row centroid subtraction — so each gets its own exponent
+    // row. Probes are the steady-state cost, timed on their own.
+    val ivfCents = scala.collection.mutable.Map[Int, Seq[(Long, Seq[Double])]]()
+    if (wanted("ivf_build") || wanted("ivf_probe"))
+      results("ivf_build") = scales.map { case (m, _) =>
+        dropSoakTable(s"soak_ivf_x$m")
+        m -> timed(1) {
+          ivfCents(m) = Similarity.writeIvfIndex(
+            emb(m), "embedding", "vec_id", s"soak_ivf_x$m", nCells = nCellsAt(m))
+          spark.table(s"soak_ivf_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("ivf_probe")) results("ivf_probe") = scales.map { case (m, _) =>
+      val queries = emb(m).filter(col("vec_id") < 20)
+      m -> timed(iters) {
+        Similarity
+          .ivfTopKIndexed(spark, s"soak_ivf_x$m", ivfCents(m), queries,
+            "embedding", "vec_id", k = 5, nProbe = 8)
+          .count()
+      }
+    }.toMap
+
+    if (wanted("pq_build") || wanted("pq_probe"))
+      results("pq_build") = scales.map { case (m, _) =>
+        dropSoakIndex(s"soak_pq_x$m")
+        m -> timed(1) {
+          Similarity.writePqIndex(
+            emb(m), "embedding", "vec_id", s"soak_pq_x$m", dim = 64, m = 8, kCodes = 256)
+          spark.table(s"soak_pq_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("pq_probe")) results("pq_probe") = scales.map { case (m, _) =>
+      val queries = emb(m).filter(col("vec_id") < 20)
+      m -> timed(iters) {
+        Similarity
+          .pqTopKIndexed(spark, s"soak_pq_x$m", queries, "embedding", "vec_id",
+            k = 5, rerank = 16, corpus = Some(emb(m)))
+          .count()
+      }
+    }.toMap
+
+    if (wanted("ivfpq_residual_build") || wanted("ivfpq_residual_probe"))
+      results("ivfpq_residual_build") = scales.map { case (m, _) =>
+        dropSoakIndex(s"soak_ivfpqr_x$m")
+        m -> timed(1) {
+          Similarity.writeIvfPqIndex(
+            emb(m), "embedding", "vec_id", s"soak_ivfpqr_x$m",
+            dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256, residual = true)
+          spark.table(s"soak_ivfpqr_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("ivfpq_residual_probe")) results("ivfpq_residual_probe") =
+      scales.map { case (m, _) =>
+        val queries = emb(m).filter(col("vec_id") < 20)
+        m -> timed(iters) {
+          Similarity
+            .ivfPqTopKIndexed(spark, s"soak_ivfpqr_x$m", queries, "embedding", "vec_id",
+              k = 5, nProbe = 8, rerank = 16, corpus = Some(emb(m)))
+            .count()
+        }
+      }.toMap
+
     // the reference's CDC core at soak scale: snapshot diff over wide
     // (40-col) snapshots with constant-rate churn, and the SCD2 fold
     // over a ~5-versions-per-key event stream
