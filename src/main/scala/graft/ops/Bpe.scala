@@ -211,6 +211,16 @@ object Bpe {
       merges: Seq[(String, String)]
   ): Unit = {
     import spark.implicits._
+    // a previous PROCESS's warehouse dir that this session's in-memory
+    // catalog doesn't know about fails saveAsTable(overwrite) with
+    // LOCATION_ALREADY_EXISTS — an orphan by definition (no catalog
+    // entry points at it), so clear it (the Soak dropSoakTable rule)
+    if (!spark.catalog.tableExists(table) && !table.contains("/")) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "left_sym", "right_sym")
