@@ -167,4 +167,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sp.contains("BroadcastHashJoin"), s"q166 lost its marginal broadcasts:\n${sp.take(1500)}")
     assert(!sp.contains("SortMergeJoin"), s"q166 shuffled a bounded marginal:\n${sp.take(1500)}")
   }
+
+  test("r14 pins: q169 pairs via posting lists (one band-key shuffle, no hash-plan " +
+    "self-join); q170 probes with broadcast band rows, never shuffling the corpus side") {
+    val dir = "/root/testdata/sf0.001"
+    // dHash pairs: candidates come from per-bucket posting lists — ONE
+    // shuffle on the band key; a bucket self-join would scan and decode
+    // the image plan twice (two ImageIO passes over every blob)
+    val dh = SparkEntry.queries("q169_image_dhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!dh.contains("SortMergeJoin"), s"q169 self-joined the hash plan:\n${dh.take(1500)}")
+    assert(!dh.contains("BroadcastHashJoin"), s"q169 grew a join stage:\n${dh.take(1500)}")
+    // semantic decontamination: the eval side is benchmark-sized — its
+    // band rows and the flagged aggregate must ride broadcasts; the
+    // corpus side must never EXECUTE a sort-merge join. The flag
+    // join-back is statically unsized (an aggregate of matched pairs),
+    // so the broadcast decision is AQE's at runtime — pin the
+    // FINALIZED plan (collect first), like the index-probe specs.
+    val sdq = SparkEntry.queries("q170_semantic_decontaminate")(spark, dir)
+    sdq.collect()
+    // the AdaptiveSparkPlan string appends the pre-AQE "Initial Plan"
+    // (which legitimately names SortMergeJoin) — judge the Final Plan
+    val sd = sdq.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(sd.contains("BroadcastHashJoin"), s"q170 lost its eval-side broadcast:\n${sd.take(1500)}")
+    assert(!sd.contains("SortMergeJoin"), s"q170 shuffled the corpus side:\n${sd.take(1500)}")
+  }
 }
