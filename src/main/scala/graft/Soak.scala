@@ -357,6 +357,25 @@ object Soak {
         }
       }.toMap
 
+    // Perceptual image dedup end to end (round 14): synth → PNG encode
+    // → decode → dHash → band → verified pairs. nClasses scales with
+    // the corpus so class size (~51) — and the per-doc duplicate rate —
+    // stays constant; the per-row codec cost is linear by construction,
+    // and the family exists to measure the 16-bit band space's
+    // cross-class collision term (class-key pairs collide as
+    // nClasses²/2¹⁷ per band — quadratic in class count, expected to
+    // surface past ~10⁴ classes as a super-linear candidate tail).
+    if (wanted("image_dhash")) results("image_dhash") = scales.map { case (m, _) =>
+      val ids = spark.range(5000L * m).select(col("id").as("doc_id"))
+      m -> timed(iters) {
+        graft.ops.Dedup
+          .imageDHashPairs(
+            graft.ops.Multimodal.synthGrayImages(ids, "doc_id", nClasses = 97 * m),
+            maxHamming = 10)
+          .count()
+      }
+    }.toMap
+
     // the reference's CDC core at soak scale: snapshot diff over wide
     // (40-col) snapshots with constant-rate churn, and the SCD2 fold
     // over a ~5-versions-per-key event stream

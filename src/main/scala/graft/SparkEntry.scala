@@ -2673,6 +2673,17 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 === 0),
         "embedding", "vec_id", dim = 64, threshold = 0.3
       )
+    }),
+    // Image CORPUS dedup (q34's shape over the q169 pair chain):
+    // cluster the verified dHash pairs with pointer-jumping connected
+    // components, keep the min-id representative per cluster. The
+    // oracle replays pairs + a recursive transitive-closure CTE — so
+    // hash+band+hamming+clustering is pinned end to end.
+    "q171_image_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.imageDHashPairs(
+        Multimodal.synthGrayImages(docs, "doc_id"), maxHamming = 10)
+      Dedup.dedupCorpus(docs.select(col("doc_id")), "doc_id", pairs)
     })
   )
 

@@ -2285,6 +2285,7 @@ private[graft] object SparkEntryOracles {
     "q168_bpe_model_tokenize" -> bpeTokenizeSql,
     "q169_image_dhash_pairs" -> imageDHashPairsSql,
     "q170_semantic_decontaminate" -> semanticDecontaminateSql,
+    "q171_image_dedup_clusters" -> imageDedupClustersSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2847,8 +2848,8 @@ private[graft] object SparkEntryOracles {
     * then q19's banding/hamming tail verbatim. DuckDB sums BIGINT into
     * HUGEINT, so every aggregate is cast back before shifts/banding.
     */
-  private lazy val imageDHashPairsSql: String =
-    """WITH g AS (SELECT d.doc_id AS d, t.x, t.y,
+  private lazy val imageDHashCtes: String =
+    """g AS (SELECT d.doc_id AS d, t.x, t.y,
       |    (((3 + ((d.doc_id % 97) * 7) % 13) * t.x
       |      + (5 + ((d.doc_id % 97) * 11) % 17) * t.y
       |      + (1 + ((d.doc_id % 97) * 13) % 7) * t.x * t.y
@@ -2872,9 +2873,29 @@ private[graft] object SparkEntryOracles {
       |  FROM dh, (SELECT unnest([0, 1, 2, 3]) AS band) b),
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.h AS hi, b.h AS hj
       |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
-      |    AND a.doc_id < b.doc_id)
-      |SELECT i, j, CAST(bit_count(xor(hi, hj)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(hi, hj)) <= 10""".stripMargin
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val imageDHashPairsSql: String =
+    s"""WITH $imageDHashCtes
+       |SELECT i, j, CAST(bit_count(xor(hi, hj)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(hi, hj)) <= 10""".stripMargin
+
+  /** Oracle for q171: the q169 pair chain + the q34 recursive
+    * transitive-closure CTE — connected-component minima over the
+    * verified hamming pairs, keepers = docs that are their own
+    * component minimum (or untouched by any pair).
+    */
+  private lazy val imageDedupClustersSql: String =
+    s"""WITH RECURSIVE $imageDHashCtes,
+       |pr AS (SELECT i, j FROM cand WHERE bit_count(xor(hi, hj)) <= 10),
+       |edges AS (SELECT i AS id, j AS nb FROM pr UNION SELECT j AS id, i AS nb FROM pr),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id AS lbl FROM edges
+       |  UNION
+       |  SELECT e.id, w.lbl FROM edges e JOIN walk w ON w.id = e.nb),
+       |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+       |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+       |WHERE comp.cluster IS NULL OR comp.cluster = d.doc_id""".stripMargin
 
   /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */
   private val wordsSql =

@@ -300,7 +300,9 @@ object Multimodal {
     * Pixel value at (x, y) for doc d, W=36 × H=32 (4×4 pixel blocks per
     * dHash cell, so the downscale's floor-mean is an exact 16-pixel
     * block sum the oracle replays):
-    *   cls  = d mod 97                       (97 base images)
+    *   cls  = d mod nClasses                 (default 97 base images;
+    *       the soak scales nClasses with the corpus to hold class size
+    *       — and so the per-doc duplicate rate — constant)
     *   a = 3 + (cls·7) mod 13; b = 5 + (cls·11) mod 17;
     *   c = 1 + (cls·13) mod 7; e = cls·37
     *   g = (a·x + b·y + c·x·y + e) mod 200   (class-chaotic gradients;
@@ -308,12 +310,12 @@ object Multimodal {
     *       a spot pixel past 255 would wrap in the raster and break
     *       the exact formula replay)
     *     + d mod 5                           (brightness shift — dHash-invariant)
-    *     + (40 if (d div 97) mod 7 = 0 and x<4 and y<4)   (spot: hamming 1)
+    *     + (40 if (d div nClasses) mod 7 = 0 and x<4 and y<4)  (spot: hamming 1)
     * Same-class docs are near-dups (hamming ≤ 1); cross-class hammings
     * are effectively random (simulated: zero cross-class pairs ≤ 10 at
     * 5000 docs).
     */
-  def synthGrayImages(df: DataFrame, idCol: String): DataFrame = {
+  def synthGrayImages(df: DataFrame, idCol: String, nClasses: Int = 97): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"))
@@ -321,10 +323,10 @@ object Multimodal {
       .mapPartitions(_.map { d =>
         val im = new java.awt.image.BufferedImage(
           36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val cls = d % 97
+        val cls = d % nClasses
         val (a, b, c, e) =
           (3 + (cls * 7) % 13, 5 + (cls * 11) % 17, 1 + (cls * 13) % 7, cls * 37)
-        val spot = (d / 97) % 7 == 0
+        val spot = (d / nClasses) % 7 == 0
         var y = 0
         while (y < 32) {
           var x = 0

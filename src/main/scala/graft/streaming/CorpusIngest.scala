@@ -1022,7 +1022,7 @@ object CorpusIngest {
     */
   val CmsDepth = 4
 
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
+  private[streaming] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

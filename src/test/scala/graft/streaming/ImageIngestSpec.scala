@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.ops.{Dedup, Multimodal}
+
+/** Streaming perceptual-image dedup ingest: in-batch keeper, index
+  * probe (near-dup vs replay), replay idempotence including the
+  * undecodable-row hole, and the file-backed streaming loop.
+  */
+class ImageIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // synth ids: {0, 97, 194} are class 0 (mutual near-dups, hamming <= 1);
+  // {1} and {2} are their own classes
+  private def synth(ids: Seq[Long]) =
+    Multimodal.synthGrayImages(ids.toDF("doc_id"), "doc_id")
+
+  private def corpusIds(path: String): Set[Long] =
+    spark.read.parquet(path).select($"doc_id").as[Long].collect().toSet
+
+  test("ingest: in-batch keeper, index probe, replay + undecodable idempotence") {
+    val tmp = Files.createTempDirectory("imgingest").toString
+    val corpus = s"$tmp/corpus"
+    spark.sql("DROP TABLE IF EXISTS img_ingest_idx")
+
+    // batch 1: 0 and 97 are near-dups (keep min id 0); 1 is fresh
+    val s1 = ImageIngest.ingestImageBatch(synth(Seq(0L, 97L, 1L)), corpus, "img_ingest_idx")
+    assert((s1.kept, s1.nearDups, s1.replays) === ((2L, 1L, 0L)))
+    assert(corpusIds(corpus) === Set(0L, 1L))
+
+    // batch 2: 194 is a near-dup of indexed 0; 0 is a replay; 2 is
+    // fresh; 999 is undecodable (passes to the corpus, never the index)
+    val b2 = synth(Seq(194L, 0L, 2L))
+      .unionByName(Seq((999L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "media"))
+    val s2 = ImageIngest.ingestImageBatch(b2, corpus, "img_ingest_idx")
+    assert((s2.kept, s2.nearDups, s2.replays) === ((2L, 1L, 1L)))
+    assert(corpusIds(corpus) === Set(0L, 1L, 2L, 999L))
+    // the index holds only decodable keepers
+    assert(spark.table("img_ingest_idx").select($"doc_id").distinct()
+      .as[Long].collect().toSet === Set(0L, 1L, 2L))
+
+    // full redelivery of batch 2: corpus and index unchanged — the
+    // undecodable row must NOT double (the corpus anti-join path)
+    val s3 = ImageIngest.ingestImageBatch(b2, corpus, "img_ingest_idx")
+    assert(s3.replays === 2L, "0 and 2 both find their indexed copies")
+    assert(corpusIds(corpus) === Set(0L, 1L, 2L, 999L))
+    assert(spark.read.parquet(corpus).count() === 4L, "no duplicate rows after replay")
+    spark.sql("DROP TABLE img_ingest_idx")
+  }
+
+  test("streaming loop: micro-batches land deduped; probe sees them immediately") {
+    val tmp = Files.createTempDirectory("imgstream").toString
+    val (corpus, src) = (s"$tmp/corpus", s"$tmp/src")
+    spark.sql("DROP TABLE IF EXISTS img_stream_idx")
+    val b1 = synth(Seq(0L, 97L, 1L))
+    b1.write.parquet(src)
+    val q = ImageIngest.imageDedupIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      corpus, "img_stream_idx", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(corpusIds(corpus) === Set(0L, 1L))
+      synth(Seq(194L, 2L)).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(corpusIds(corpus) === Set(0L, 1L, 2L))
+      // the freshly streamed corpus answers an incremental probe
+      val hits = Dedup.incrementalDHashDups(spark, synth(Seq(97L * 3)), "img_stream_idx")
+      assert(hits.select($"i").as[Long].collect().toSet === Set(0L))
+    } finally q.stop()
+    spark.sql("DROP TABLE img_stream_idx")
+  }
+}
