@@ -2684,6 +2684,19 @@ object SparkEntry {
       val pairs = Dedup.imageDHashPairs(
         Multimodal.synthGrayImages(docs, "doc_id"), maxHamming = 10)
       Dedup.dedupCorpus(docs.select(col("doc_id")), "doc_id", pairs)
+    }),
+    // The composed drift-monitor readback (round 14): PSI + JSD of the
+    // q151/q165 calendar split in ONE row with alert flags — pins
+    // streaming/DriftMonitor.driftFromCounts (whose count tables
+    // SketchIngest maintains at rest) through the driver's oracle gate;
+    // DriftMonitorSpec pins the streamed ingest == this batch form.
+    "q172_drift_monitor" -> ((s, dir) => {
+      def cnt(df: DataFrame) =
+        df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      graft.streaming.DriftMonitor.driftFromCounts(
+        cnt(sources.Tables.eventsBetween(s, dir, "2023-12-01 00:00:00", "2024-01-15 00:00:00")),
+        cnt(sources.Tables.eventsBetween(s, dir, "2024-01-15 00:00:00", "2024-03-01 00:00:00"))
+      )
     })
   )
 

@@ -2029,33 +2029,7 @@ private[graft] object SparkEntryOracles {
     // four ln terms, ((p - q) * lr) * 1e9 in the same association order,
     // round-then-cast per key, exact BIGINT sum, one final /1e9.
     "q151_psi_drift" ->
-      s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
-         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
-         |  GROUP BY 1),
-         |c AS (SELECT event_type AS k, count(*) AS n FROM events
-         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
-         |  GROUP BY 1),
-         |j AS (SELECT coalesce(r.k, c.k) AS k,
-         |    CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
-         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
-         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
-         |    CAST(count(*) AS BIGINT) AS k FROM j),
-         |vals AS (SELECT DISTINCT v FROM (
-         |  SELECT c + 1 AS v FROM j UNION ALL SELECT r + 1 FROM j
-         |  UNION ALL SELECT bigC + k FROM tot UNION ALL SELECT bigR + k FROM tot)),
-         |$glogChainSql,
-         |terms AS (SELECT
-         |    CAST(round(((CAST(j.c + 1 AS DOUBLE) / CAST(tot.bigC + tot.k AS DOUBLE))
-         |              - (CAST(j.r + 1 AS DOUBLE) / CAST(tot.bigR + tot.k AS DOUBLE)))
-         |      * (gc.glog - gbc.glog - gr.glog + gbr.glog) * 1000000000.0) AS BIGINT) AS tq
-         |  FROM j CROSS JOIN tot
-         |  JOIN gl gc ON gc.v = j.c + 1
-         |  JOIN gl gr ON gr.v = j.r + 1
-         |  JOIN gl gbc ON gbc.v = tot.bigC + tot.k
-         |  JOIN gl gbr ON gbr.v = tot.bigR + tot.k)
-         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
-         |  CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 1000000000.0 AS psi
-         |FROM tot""".stripMargin,
+      psiDriftSql,
     // q108's langid CTE -> confusion counts -> kappa from exact integer
     // moments: (A*N - E) / (N^2 - E), all BIGINT-exact here and
     // decimal-exact on the Spark side, cast to DOUBLE for the one
@@ -2286,6 +2260,7 @@ private[graft] object SparkEntryOracles {
     "q169_image_dhash_pairs" -> imageDHashPairsSql,
     "q170_semantic_decontaminate" -> semanticDecontaminateSql,
     "q171_image_dedup_clusters" -> imageDedupClustersSql,
+    "q172_drift_monitor" -> driftMonitorSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2360,35 +2335,7 @@ private[graft] object SparkEntryOracles {
     // p/m = 2cR/(cR+rC) via ln2 + glog(cR) − glog(cR+rC), the paired
     // q-side term, ONE round-to-long per key, exact sum, /2e9.
     "q165_jsd_drift" ->
-      s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
-         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
-         |  GROUP BY 1),
-         |c AS (SELECT event_type AS k, count(*) AS n FROM events
-         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
-         |  GROUP BY 1),
-         |j AS (SELECT CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
-         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
-         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
-         |    CAST(count(*) AS BIGINT) AS k FROM j),
-         |vals AS (SELECT DISTINCT v FROM (
-         |  SELECT j.c * tot.bigR AS v FROM j CROSS JOIN tot WHERE j.c > 0
-         |  UNION ALL SELECT j.r * tot.bigC FROM j CROSS JOIN tot WHERE j.r > 0
-         |  UNION ALL SELECT j.c * tot.bigR + j.r * tot.bigC FROM j CROSS JOIN tot)),
-         |$glogChainSql,
-         |terms AS (SELECT CAST(round((
-         |    CASE WHEN j.c > 0 THEN (CAST(j.c AS DOUBLE) / CAST(tot.bigC AS DOUBLE)) *
-         |      (0.6931471805599453 + gp.glog - gd.glog) ELSE 0.0 END
-         |  + CASE WHEN j.r > 0 THEN (CAST(j.r AS DOUBLE) / CAST(tot.bigR AS DOUBLE)) *
-         |      (0.6931471805599453 + gq.glog - gd.glog) ELSE 0.0 END
-         |  ) * 1000000000.0) AS BIGINT) AS tq
-         |  FROM j CROSS JOIN tot
-         |  LEFT JOIN gl gp ON gp.v = j.c * tot.bigR
-         |  LEFT JOIN gl gq ON gq.v = j.r * tot.bigC
-         |  LEFT JOIN gl gd ON gd.v = j.c * tot.bigR + j.r * tot.bigC)
-         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
-         |  CASE WHEN tot.bigR > 0 AND tot.bigC > 0 THEN
-         |    CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 2000000000.0 END AS jsd
-         |FROM tot""".stripMargin,
+      jsdDriftSql,
     // Mirrors Stats.spearman: joint grid, doubled midranks
     // 2·nBelow + c + 1 from marginal running counts, decimal-factor
     // moments, one fixed IEEE expression with two exact sqrt calls.
@@ -3183,6 +3130,81 @@ private[graft] object SparkEntryOracles {
          |$annExactCtes,
          |$annRecallTailSql""".stripMargin)
   )
+
+  /** The q151 PSI body over the fixed calendar split — shared with the
+    * composed q172 drift-monitor oracle. */
+  private lazy val psiDriftSql: String =
+    s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+         |  GROUP BY 1),
+         |c AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
+         |  GROUP BY 1),
+         |j AS (SELECT coalesce(r.k, c.k) AS k,
+         |    CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
+         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
+         |    CAST(count(*) AS BIGINT) AS k FROM j),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT c + 1 AS v FROM j UNION ALL SELECT r + 1 FROM j
+         |  UNION ALL SELECT bigC + k FROM tot UNION ALL SELECT bigR + k FROM tot)),
+         |$glogChainSql,
+         |terms AS (SELECT
+         |    CAST(round(((CAST(j.c + 1 AS DOUBLE) / CAST(tot.bigC + tot.k AS DOUBLE))
+         |              - (CAST(j.r + 1 AS DOUBLE) / CAST(tot.bigR + tot.k AS DOUBLE)))
+         |      * (gc.glog - gbc.glog - gr.glog + gbr.glog) * 1000000000.0) AS BIGINT) AS tq
+         |  FROM j CROSS JOIN tot
+         |  JOIN gl gc ON gc.v = j.c + 1
+         |  JOIN gl gr ON gr.v = j.r + 1
+         |  JOIN gl gbc ON gbc.v = tot.bigC + tot.k
+         |  JOIN gl gbr ON gbr.v = tot.bigR + tot.k)
+         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
+         |  CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 1000000000.0 AS psi
+         |FROM tot""".stripMargin
+
+  /** The q165 JSD body over the same split (shared with q172). */
+  private lazy val jsdDriftSql: String =
+    s"""WITH r AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2023-12-01 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+         |  GROUP BY 1),
+         |c AS (SELECT event_type AS k, count(*) AS n FROM events
+         |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND ts <= TIMESTAMP '2024-03-01 00:00:00'
+         |  GROUP BY 1),
+         |j AS (SELECT CAST(coalesce(r.n, 0) AS BIGINT) AS r, CAST(coalesce(c.n, 0) AS BIGINT) AS c
+         |  FROM r FULL OUTER JOIN c ON r.k = c.k),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS bigR, CAST(sum(c) AS BIGINT) AS bigC,
+         |    CAST(count(*) AS BIGINT) AS k FROM j),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT j.c * tot.bigR AS v FROM j CROSS JOIN tot WHERE j.c > 0
+         |  UNION ALL SELECT j.r * tot.bigC FROM j CROSS JOIN tot WHERE j.r > 0
+         |  UNION ALL SELECT j.c * tot.bigR + j.r * tot.bigC FROM j CROSS JOIN tot)),
+         |$glogChainSql,
+         |terms AS (SELECT CAST(round((
+         |    CASE WHEN j.c > 0 THEN (CAST(j.c AS DOUBLE) / CAST(tot.bigC AS DOUBLE)) *
+         |      (0.6931471805599453 + gp.glog - gd.glog) ELSE 0.0 END
+         |  + CASE WHEN j.r > 0 THEN (CAST(j.r AS DOUBLE) / CAST(tot.bigR AS DOUBLE)) *
+         |      (0.6931471805599453 + gq.glog - gd.glog) ELSE 0.0 END
+         |  ) * 1000000000.0) AS BIGINT) AS tq
+         |  FROM j CROSS JOIN tot
+         |  LEFT JOIN gl gp ON gp.v = j.c * tot.bigR
+         |  LEFT JOIN gl gq ON gq.v = j.r * tot.bigC
+         |  LEFT JOIN gl gd ON gd.v = j.c * tot.bigR + j.r * tot.bigC)
+         |SELECT tot.k AS n_keys, tot.bigR AS ref_n, tot.bigC AS cur_n,
+         |  CASE WHEN tot.bigR > 0 AND tot.bigC > 0 THEN
+         |    CAST((SELECT sum(tq) FROM terms) AS DOUBLE) / 2000000000.0 END AS jsd
+         |FROM tot""".stripMargin
+
+  /** Oracle for q172: the two drift statistics over the SAME windows,
+    * composed exactly like [[graft.streaming.DriftMonitor.driftFromCounts]]
+    * — each body is a full WITH...SELECT nested as a CTE (DuckDB scopes
+    * inner CTE names per body), one row out with the alert flags.
+    */
+  private lazy val driftMonitorSql: String =
+    s"""WITH p AS ($psiDriftSql),
+       |jj AS ($jsdDriftSql)
+       |SELECT p.n_keys, p.ref_n, p.cur_n, p.psi, jj.jsd,
+       |  p.psi >= 0.2 AS psi_alert, jj.jsd >= 0.1 AS jsd_alert
+       |FROM p, jj""".stripMargin
 
   /** The deterministic-ln CTE chain (mirrors `Dsir.glog` op for op):
     * expects a `vals(v)` CTE of positive integers; yields `gl(v, glog)`.

@@ -122,7 +122,16 @@ object DriftMonitor {
     val keyCur = curCounts.columns.head
     val cur = curCounts.withColumnRenamed(keyCur, keyRef)
     val psiRow = Stats.psiFromCounts(refCounts, cur, keyRef)
-    val jsdRow = Stats.jsdFromCounts(refCounts, cur, keyRef).select(col("jsd"))
+    driftRow(psiRow, Stats.jsdFromCounts(refCounts, cur, keyRef), psiThreshold, jsdThreshold)
+  }
+
+  private def driftRow(
+      psiRow: DataFrame,
+      jsdFull: DataFrame,
+      psiThreshold: Double,
+      jsdThreshold: Double
+  ): DataFrame = {
+    val jsdRow = jsdFull.select(col("jsd"))
     // PSI's Laplace smoothing makes it DEFINED over an empty window
     // (every share collapses to 1/k — a large, meaningless number); the
     // monitor masks that to null like JSD's own empty-side contract: an
@@ -139,6 +148,107 @@ object DriftMonitor {
         col("jsd"),
         (psiOrNull >= psiThreshold).as("psi_alert"),
         (col("jsd") >= jsdThreshold).as("jsd_alert")
+      )
+  }
+
+  // ------------------------------------------------------------------
+  // Per-group drift — "WHICH source / language / shard drifted?", the
+  // production monitoring shape. PSI only: Stats.psiPerGroup computes
+  // each group over its own totals and smoothing; JSD stays a global
+  // verdict (a per-group JSD would need per-group count·total products,
+  // a different exactness budget — add when a consumer needs it).
+  // ------------------------------------------------------------------
+
+  /** Apply one micro-batch to the (group, key, n) count table at
+    * `curPath` — same marker protocol, two key columns.
+    */
+  def ingestGroupedDriftBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      keyCol: String,
+      curPath: String
+  ): Boolean =
+    SketchIngest.ingestCountBatch(
+      batch,
+      batchId,
+      b => b.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("n")),
+      Seq(groupCol, keyCol),
+      curPath
+    )
+
+  /** Streaming loop over [[ingestGroupedDriftBatch]]. */
+  def groupedDriftIngest(
+      rows: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      curPath: String,
+      checkpoint: String
+  ): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestGroupedDriftBatch(batch, batchId, groupCol, keyCol, curPath)
+        ()
+      }
+      .start()
+
+  /** Freeze the grouped reference count table (group, key, n). */
+  def writeGroupedReference(
+      reference: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      refPath: String
+  ): Unit =
+    reference
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(refPath)
+
+  /** Per-group drift readback: one row per group —
+    * (group, n_keys, ref_n, cur_n, psi, psi_alert). A group empty on
+    * either side (new source, retired source) reads null psi/alert:
+    * its appearance IS the signal, not a smoothed number.
+    */
+  def groupedDrift(
+      spark: SparkSession,
+      refPath: String,
+      curPath: String,
+      psiThreshold: Double = 0.2
+  ): DataFrame = {
+    SketchIngest.heal(
+      graft.sinks.Dfs.fs(spark, curPath),
+      new org.apache.hadoop.fs.Path(curPath)
+    )
+    groupedDriftFromCounts(
+      spark.read.parquet(refPath),
+      spark.read.parquet(curPath),
+      psiThreshold
+    )
+  }
+
+  /** [[groupedDrift]] from loaded (group, key, n) count tables —
+    * positional like [[driftFromCounts]]: group first, key second.
+    */
+  def groupedDriftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      psiThreshold: Double = 0.2
+  ): DataFrame = {
+    val Array(g, k) = refCounts.columns.take(2)
+    val cur = curCounts.toDF((Seq(g, k) ++ curCounts.columns.drop(2)).toIndexedSeq: _*)
+    val psiOrNull =
+      when(col("ref_n") > 0 && col("cur_n") > 0, col("psi")).as("psi")
+    Stats
+      .psiPerGroup(refCounts, cur, g, k)
+      .select(
+        col(g),
+        col("n_keys"),
+        col("ref_n"),
+        col("cur_n"),
+        psiOrNull,
+        (psiOrNull >= psiThreshold).as("psi_alert")
       )
   }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -66,6 +67,44 @@ class DriftMonitorSpec extends AnyFunSuite {
     val row = DriftMonitor.drift(spark, s"$tmp/ref", s"$tmp/cur").collect().head
     assert(row.isNullAt(3) && row.isNullAt(4), "no verdict is not a verdict")
     assert(row.isNullAt(5) && row.isNullAt(6))
+  }
+
+  test("grouped drift: streamed == batch psiPerGroup; only the drifted group alerts; " +
+    "one-sided groups read null") {
+    val tmp = Files.createTempDirectory("driftgrp").toString
+    val (refPath, curPath) = (s"$tmp/ref", s"$tmp/cur")
+    def tagged(src: String, seed: Int, n: Int, skew: Int) =
+      events(seed, n, skew).withColumn("source", lit(src))
+    // reference: two calm sources
+    val ref = tagged("s1", 1, 1000, 5).unionByName(tagged("s2", 2, 1000, 5))
+    DriftMonitor.writeGroupedReference(ref, "source", "event_type", refPath)
+    // stream: s1 stays calm, s2 drifts hard, s3 is brand new
+    val b1 = tagged("s1", 3, 300, 5)
+      .unionByName(tagged("s2", 4, 300, 45))
+      .unionByName(tagged("s3", 5, 100, 5))
+    val b2 = tagged("s2", 6, 200, 45)
+    assert(DriftMonitor.ingestGroupedDriftBatch(b1, 0L, "source", "event_type", curPath))
+    assert(DriftMonitor.ingestGroupedDriftBatch(b2, 1L, "source", "event_type", curPath))
+    // replay is a no-op
+    assert(!DriftMonitor.ingestGroupedDriftBatch(b2, 1L, "source", "event_type", curPath))
+
+    val got = DriftMonitor.groupedDrift(spark, refPath, curPath)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // bit-identical to the batch psiPerGroup over the same rows (the
+    // masked form: both sides of s1/s2 are non-empty)
+    val want = graft.ops.Stats.psiPerGroup(
+      ref.groupBy($"source", $"event_type").agg(count(lit(1)).as("n")),
+      b1.unionByName(b2).groupBy($"source", $"event_type").agg(count(lit(1)).as("n")),
+      "source", "event_type"
+    ).collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("s1").getDouble(4) === want("s1"))
+    assert(got("s2").getDouble(4) === want("s2"))
+    assert(!got("s1").getBoolean(5), "calm source must not alert")
+    assert(got("s2").getBoolean(5), "drifted source must alert")
+    // s3 exists only in the stream: ref_n = 0 -> null psi and alert
+    // (its appearance IS the signal, not a smoothed number)
+    assert(got("s3").getLong(2) === 0L)
+    assert(got("s3").isNullAt(4) && got("s3").isNullAt(5))
   }
 
   test("driftIngest streaming loop: the readback sees each committed micro-batch") {
