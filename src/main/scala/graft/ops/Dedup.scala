@@ -1428,9 +1428,16 @@ object Dedup {
         s"SET TBLPROPERTIES ('$DHashBandsProp'='4')"
     )
 
+  /** `backfill` gates the legacy-props ALTER TABLE: only WRITE-side
+    * entry points ([[appendToDHashIndex]]) may mutate catalog metadata —
+    * the probe path is nominally read-only and must stay runnable
+    * against a read-only/permission-restricted metastore, so it
+    * validates via the same max(band) data pin WITHOUT persisting it.
+    */
   private def validateDHashIndexParams(
       spark: org.apache.spark.sql.SparkSession,
-      table: String
+      table: String,
+      backfill: Boolean
   ): Unit = {
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
@@ -1443,22 +1450,43 @@ object Dedup {
         )
       case None =>
         // data-pin like validateIndexParams: every indexed image emits
-        // one row per band, so max(band)+1 pins the banding; backfill
-        // only when data exists to pin it
+        // one row per band, so max(band)+1 pins the banding
         val r = spark.table(table).agg(max(col("band"))).head()
         if (!r.isNullAt(0)) {
           require(
             r.getInt(0) == 3,
             s"index $table holds bands 0..${r.getInt(0)}; this engine probes 4 bands"
           )
-          setDHashIndexProps(spark, table)
+          if (backfill) setDHashIndexProps(spark, table)
         }
     }
   }
 
-  private def dHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
-    Multimodal
-      .dHash64(media)
+  /** The bucket count an existing index was CREATED with — band keys
+    * must keep hashing into the recorded bucket space, so appends and
+    * probes derive it from the catalog's bucketSpec rather than trusting
+    * a caller parameter (an index built at 32 buckets then appended
+    * through a default-64 code path would fail on Spark's bucket-spec
+    * mismatch — or worse, mis-bucket under a laxer writer).
+    */
+  private def tableNumBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
+
+  /** Band/bucket rows from PRE-COMPUTED hashes (doc_id, dhash non-null)
+    * — the decode-free shape batch ingest threads one dHash pass
+    * through ([[graft.streaming.ImageIngest]] hashes each image exactly
+    * once per micro-batch and feeds pairing, probing, and the index
+    * append from the same frame).
+    */
+  private def dHashIndexRowsFromHashes(hashed: DataFrame, nBuckets: Int): DataFrame =
+    hashed
       .filter(col("dhash").isNotNull)
       .select(col("doc_id"), col("dhash"), explode(hash64BandCols("dhash")).as("bk"))
       .select(
@@ -1469,6 +1497,20 @@ object Dedup {
         pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
       )
 
+  private def dHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
+    dHashIndexRowsFromHashes(Multimodal.dHash64(media), nBuckets)
+
+  /** [[hamming64Pairs]] over pre-computed (doc_id, dhash) rows — the
+    * in-batch pairing stage for callers that already hold the hashes.
+    */
+  def dHashPairsFromHashes(
+      hashed: DataFrame,
+      maxHamming: Int = 10,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame =
+    hamming64Pairs(hashed, "dhash", maxHamming, maxBucket, dropMetrics)
+
   /** Build the at-rest dHash index from an image corpus. */
   def writeDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
     graft.sinks.Sinks.writeBucketed(dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
@@ -1476,14 +1518,25 @@ object Dedup {
   }
 
   /** Append a batch's band rows — O(batch) ingest, never a corpus
-    * rewrite; probes see appended images immediately.
+    * rewrite; probes see appended images immediately. `nBuckets` only
+    * applies when the append CREATES the table; an existing index keeps
+    * the bucket count its catalog entry records ([[tableNumBuckets]]).
     */
-  def appendToDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
-    val spark = media.sparkSession
+  def appendToDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    appendToDHashIndexFromHashes(Multimodal.dHash64(media), table, nBuckets)
+
+  /** [[appendToDHashIndex]] from pre-computed (doc_id, dhash) rows. */
+  def appendToDHashIndexFromHashes(
+      hashed: DataFrame,
+      table: String,
+      nBuckets: Int = 64
+  ): Unit = {
+    val spark = hashed.sparkSession
     val existed = spark.catalog.tableExists(table)
     if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateDHashIndexParams(spark, table)
-    graft.sinks.Sinks.appendBucketed(dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
+    if (existed) validateDHashIndexParams(spark, table, backfill = true)
+    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
+    graft.sinks.Sinks.appendBucketed(dHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
     if (!existed) setDHashIndexProps(spark, table)
   }
 
@@ -1505,17 +1558,27 @@ object Dedup {
       maxHamming: Int = 10,
       broadcastRowLimit: Long = 4000000L,
       dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalDHashDupsFromHashes(
+      spark, Multimodal.dHash64(batch), table, maxHamming, broadcastRowLimit, dropSameId)
+
+  /** [[incrementalDHashDups]] from pre-computed (doc_id, dhash) rows —
+    * the probe stage for callers that already decoded the batch once.
+    */
+  def incrementalDHashDupsFromHashes(
+      spark: org.apache.spark.sql.SparkSession,
+      hashed: DataFrame,
+      table: String,
+      maxHamming: Int = 10,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
   ): DataFrame = {
     import spark.implicits._
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    val nBuckets = spark.sessionState.catalog
-      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
-      .bucketSpec
-      .map(_.numBuckets)
-      .getOrElse(throw new IllegalArgumentException(s"$table is not a bucketed index table"))
-    validateDHashIndexParams(spark, table)
+    val nBuckets = tableNumBuckets(spark, table)
+    validateDHashIndexParams(spark, table, backfill = false)
     val batchBands = Materialize(
-      dHashIndexRows(batch, nBuckets)
+      dHashIndexRowsFromHashes(hashed, nBuckets)
         .select(col("doc_id").as("j"), col("dhash").as("dh_j"),
           col("band"), col("bhash"), col("bkey"))
     ) // probed twice: bkey collect + bucket join

@@ -61,18 +61,27 @@ object ImageIngest {
     val spark = batch.sparkSession
     // (1a) in-batch id dedup — deterministic keeper per doc_id
     val idKept = batch.select(col("doc_id"), col("media")).dropDuplicates("doc_id")
+    // ONE ImageIO decode per kept image per batch: the (doc_id, media,
+    // dhash) frame is materialized here and every later stage —
+    // in-batch pairing, the index probe, the undecodable split, and the
+    // index append — reads the HASH column instead of re-decoding the
+    // blob (before this, each of those stages ran its own decode pass:
+    // ~4× the per-batch codec cost).
+    val hashed = Materialize(
+      idKept.join(graft.ops.Multimodal.dHash64(idKept), Seq("doc_id"))
+    )
     // (1b) in-batch near-dup: greedy min-id keeper over dHash pairs
-    val inBatchPairs = Dedup.imageDHashPairs(idKept, maxHamming)
+    val inBatchPairs =
+      Dedup.dHashPairsFromHashes(hashed.select(col("doc_id"), col("dhash")), maxHamming)
     val inBatchDrops = inBatchPairs.select(col("j").as("doc_id")).distinct()
-    val batchKept = Materialize(
-      idKept.join(inBatchDrops, Seq("doc_id"), "left_anti")
-    ) // feeds probe + two appends: decode each image once, not thrice
+    val batchKept = Materialize(hashed.join(inBatchDrops, Seq("doc_id"), "left_anti"))
     // (2) probe the at-rest index; same-id hits are replays
     val (nearDupIds, replayIds) =
       if (spark.catalog.tableExists(indexTable)) {
         val hits = Materialize(
-          Dedup.incrementalDHashDups(
-            spark, batchKept, indexTable, maxHamming, dropSameId = false)
+          Dedup.incrementalDHashDupsFromHashes(
+            spark, batchKept.select(col("doc_id"), col("dhash")), indexTable,
+            maxHamming, dropSameId = false)
         )
         (
           hits.filter(col("i") =!= col("j")).select(col("j").as("doc_id")).distinct(),
@@ -93,17 +102,13 @@ object ImageIngest {
     // Split them out: decodable fresh rows are replay-safe through the
     // index; undecodable ones idempote via the corpus anti-join (the
     // orphan path's mechanism).
-    val undecodable = Materialize(
-      fresh.join(
-        graft.ops.Multimodal.dHash64(fresh).filter(col("dhash").isNotNull).select("doc_id"),
-        Seq("doc_id"),
-        "left_anti"
-      )
-    )
-    val freshDecodable = Materialize(fresh.join(undecodable, Seq("doc_id"), "left_anti"))
+    val undecodable = Materialize(fresh.filter(col("dhash").isNull))
+    val freshDecodable = Materialize(fresh.filter(col("dhash").isNotNull))
     val freshCnt = freshDecodable.count()
     // (3) index append FIRST (the over-claiming membership structure)
-    if (freshCnt > 0) Dedup.appendToDHashIndex(freshDecodable, indexTable, nBuckets)
+    if (freshCnt > 0)
+      Dedup.appendToDHashIndexFromHashes(
+        freshDecodable.select(col("doc_id"), col("dhash")), indexTable, nBuckets)
     // (4) corpus append: fresh images + crash-window orphans +
     //     corpus-absent undecodables
     def corpusAnti(df: DataFrame): DataFrame =

@@ -41,7 +41,12 @@ object TokenCountIngest {
     SketchIngest.ingestAdditiveBatch(
       batch,
       batchId,
-      fold = { b =>
+      fold = { raw =>
+        // in-batch doc_id dedup (the ImageIngest rule — at-least-once
+        // delivery may repeat a row WITHIN a batch too; without this the
+        // tokenCounts left-join back onto the duplicated frame would
+        // multiply rows and inflate both n_docs and n_bpe)
+        val b = raw.dropDuplicates(idCol)
         val merges = Bpe.readModel(b.sparkSession, modelTable)
         Bpe
           .tokenCounts(b, textCol, idCol, merges)

@@ -132,6 +132,43 @@ class ImageDedupSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dhash_idx")
   }
 
+  test("append derives the bucket count from the table's bucketSpec, not the parameter") {
+    spark.sql("DROP TABLE IF EXISTS dhash_idx_nb")
+    Dedup.writeDHashIndex(synth(Seq(1L, 2L, 3L)), "dhash_idx_nb", nBuckets = 8)
+    // a default-parameter (64) append onto the 8-bucket index must keep
+    // the recorded spec instead of failing on Spark's bucket mismatch
+    Dedup.appendToDHashIndex(synth(Seq(4L, 5L)), "dhash_idx_nb")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("dhash_idx_nb"))
+      .bucketSpec
+    assert(spec.map(_.numBuckets) === Some(8))
+    // and the appended rows are probe-visible under the original banding
+    val replay = Dedup.incrementalDHashDups(spark, synth(Seq(4L)), "dhash_idx_nb",
+      dropSameId = false).filter($"i" === $"j")
+    assert(replay.count() === 1L)
+    spark.sql("DROP TABLE dhash_idx_nb")
+  }
+
+  test("the probe path never mutates catalog metadata (props backfill is write-side only)") {
+    spark.sql("DROP TABLE IF EXISTS dhash_idx_ro")
+    Dedup.writeDHashIndex(synth(Seq(1L, 2L)), "dhash_idx_ro", nBuckets = 8)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("dhash_idx_ro")
+    // simulate a legacy index written before the props contract
+    spark.sql("ALTER TABLE dhash_idx_ro UNSET TBLPROPERTIES ('graft.dhash.bands')")
+    assert(!spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.contains("graft.dhash.bands"))
+    // probe validates via the max(band) data pin but must NOT write the
+    // prop back — a read-only metastore would reject the ALTER
+    Dedup.incrementalDHashDups(spark, synth(Seq(1L)), "dhash_idx_ro").collect()
+    assert(!spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.contains("graft.dhash.bands"), "probe issued an ALTER TABLE")
+    // the next APPEND backfills it
+    Dedup.appendToDHashIndex(synth(Seq(7L)), "dhash_idx_ro")
+    assert(spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.get("graft.dhash.bands") === Some("4"))
+    spark.sql("DROP TABLE dhash_idx_ro")
+  }
+
   test("probing a non-index table fails fast") {
     spark.sql("DROP TABLE IF EXISTS dhash_bare")
     Seq((1L, 2L)).toDF("a", "b").write.saveAsTable("dhash_bare")

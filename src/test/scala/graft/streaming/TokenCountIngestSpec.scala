@@ -65,4 +65,27 @@ class TokenCountIngestSpec extends AnyFunSuite {
     assert(gotMap("s1")._1 === 2L) // null-text doc still counts as a doc
     spark.sql("DROP TABLE tok_ingest_model")
   }
+
+  test("a doc_id repeated WITHIN a batch counts once (at-least-once in-batch dedup)") {
+    spark.sql("DROP TABLE IF EXISTS tok_ingest_model2")
+    val merges = Bpe.fitAndWriteModel(trainCorpus, "text", "tok_ingest_model2", nMerges = 8)
+    val tmp = Files.createTempDirectory("tokingest2").toString
+    val path = s"$tmp/counts"
+    val clean = Seq((20L, "low lower", "s1"), (21L, "newest", "s2"))
+      .toDF("doc_id", "text", "source")
+    // the same rows redelivered twice INSIDE one micro-batch
+    val doubled = clean.unionByName(clean)
+    assert(TokenCountIngest.ingestTokenCountBatch(
+      doubled, 0L, "text", "doc_id", "source", "tok_ingest_model2", path))
+    val got = spark.read.parquet(path)
+      .select($"source", $"n_docs", $"n_bpe")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Bpe.tokenCounts(clean, "text", "doc_id", merges)
+      .join(clean.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bpe").as("n_bpe"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want, "duplicated in-batch rows must not inflate n_docs/n_bpe")
+    spark.sql("DROP TABLE tok_ingest_model2")
+  }
 }
