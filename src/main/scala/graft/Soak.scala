@@ -357,6 +357,43 @@ object Soak {
         }
       }.toMap
 
+    // Native BPE apply vs MERGE COUNT (round 15 — verdict r14 #1): the
+    // scale axis here is the MODEL, not the corpus — a production
+    // tokenizer carries ~30k merges and apply cost must not grow with
+    // them (the min-rank loop's per-pair work is one hash probe
+    // whatever the list length). Corpus fixed at x1; merges = 256·m, so
+    // m=100 is a 25.6k-merge model — production size. The list is
+    // synthetic but WELL-FORMED (the fast-path contract): all 36²
+    // alphabet bigrams (these actually fire on the corpus) + unique
+    // 3-char-prefixed derivation chains (rank-map ballast that pairs
+    // never match) — a fit this size would cost 25k argmax rounds for
+    // the same apply-side shape. Expect exponent ≈ 0.
+    if (wanted("bpe_apply")) results("bpe_apply") = scales.map { case (m, _) =>
+      val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+      val bigrams: Seq[(String, String)] =
+        for (x <- alphabet.toSeq; y <- alphabet.toSeq) yield (x.toString, y.toString)
+      def pad3(b: Int): String = {
+        val s = java.lang.Integer.toString(b, 36)
+        "0" * (3 - s.length) + s
+      }
+      val need = 256 * m
+      val nChains = math.max(0, (need - bigrams.size) / 18 + 1)
+      val chains: Seq[(String, String)] = (0 until nChains).flatMap { b =>
+        // 20-char word: unique 3-char prefix + deterministic tail — all
+        // prefixes of length >= 3 are chain-unique, so every chain
+        // output/component past the (bigram-derivable) 2-char root is
+        // globally fresh and the whole list stays well-formed
+        val s = pad3(b) + (0 until 17).map(i => alphabet(((b * 31 + i * 7) % 36 + 36) % 36)).mkString
+        (2 until s.length - 1).map(k => (s.substring(0, k), s.substring(k, k + 1)))
+      }
+      val merges = (bigrams ++ chains).take(need)
+      m -> timed(iters) {
+        graft.ops.Bpe.tokenCounts(docs(1), "text", "doc_id", merges)
+          .agg(org.apache.spark.sql.functions.sum(col("n_bpe")).as("s"))
+          .head().getLong(0)
+      }
+    }.toMap
+
     // Perceptual image dedup end to end (round 14): synth → PNG encode
     // → decode → dHash → band → verified pairs. nClasses scales with
     // the corpus so class size (~51) — and the per-doc duplicate rate —

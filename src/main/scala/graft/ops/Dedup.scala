@@ -1606,6 +1606,191 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------------------
+  // pHash-256 pairs + at-rest index (round 15 — verdict r14 #3): the
+  // wide perceptual hash for corpora past dHash-64's band space. Same
+  // operator shapes as the dHash family — posting-list pairs, bucketed
+  // band-key index, pruned probes — with 8×32-bit bands: the pigeonhole
+  // guarantee reaches hamming 7 and the key space is 2³², so the
+  // cross-class collision term dHash's soak measured (pairs ∝
+  // nClasses²/2¹⁶ per band, exponent 1.28 at 9.7k classes) stays flat
+  // out past 10⁸ classes. The two hashes' indexes fail closed against
+  // each other: different props keys AND a max(band) data pin (7 vs 3).
+  // ------------------------------------------------------------------
+
+  /** One (band, bhash) struct per 32-bit band of the 4-long pHash
+    * array: band b = bits [32b, 32b+32) = word b/2 shifted by
+    * (b mod 2)·32. The mask after the arithmetic shift makes keys
+    * sign-agnostic, as in [[hash64BandCols]].
+    */
+  private def phash256BandCols(hashCol: String): Column =
+    array((0 until 8).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(element_at(col(hashCol), b / 2 + 1), (b % 2) * 32)
+          .bitwiseAND(lit(0xffffffffL))
+          .as("bhash")
+      )
+    }: _*)
+
+  /** Exact hamming distance of two 4-long (256-bit) hash arrays. */
+  private def hamming256(a: Column, b: Column): Column =
+    (0 until 4)
+      .map(k => bit_count(element_at(a, k + 1).bitwiseXOR(element_at(b, k + 1))))
+      .reduce(_ + _)
+
+  /** Perceptual near-dup pairs under pHash-256
+    * ([[Multimodal.pHash256]]): 8×32-bit pigeonhole banding (hamming ≤
+    * 7 GUARANTEES a shared band; the default bar 24 ≈ the same 9%-of-
+    * bits tolerance as dHash's 10/64, with the documented recall trade
+    * past the guarantee) + exact 256-bit hamming verify. Null hashes
+    * (undecodable/sub-grid images) are excluded, never paired.
+    */
+  def imagePHashPairs(
+      media: DataFrame,
+      maxHamming: Int = 24,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame = {
+    val signed = Multimodal.pHash256(media)
+    val exploded = signed
+      .filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("phash"), explode(phash256BandCols("phash")).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val postings = exploded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    boundedPostings(postings, maxBucket, dropMetrics, "dropped_buckets")
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(
+        col("p.i.doc_id").as("i"),
+        col("p.j.doc_id").as("j"),
+        col("p.i.phash").as("ph_i"),
+        col("p.j.phash").as("ph_j")
+      )
+      .distinct()
+      .select(col("i"), col("j"), hamming256(col("ph_i"), col("ph_j")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The banding a pHash index was written with — cross-probing a
+    * dHash index (or vice versa) must fail fast, not silently miss
+    * near-dups: the props keys differ AND the max(band) data pin
+    * disagrees (7 vs 3).
+    */
+  private val PHashBandsProp = "graft.phash.bands"
+
+  private def setPHashIndexProps(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit =
+    spark.sql(
+      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
+        s"SET TBLPROPERTIES ('$PHashBandsProp'='8')"
+    )
+
+  private def validatePHashIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      backfill: Boolean
+  ): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    props.get(PHashBandsProp) match {
+      case Some(b) =>
+        require(
+          b.toInt == 8,
+          s"index $table was written with $b pHash bands; this engine probes 8×32-bit banding"
+        )
+      case None =>
+        val r = spark.table(table).agg(max(col("band"))).head()
+        if (!r.isNullAt(0)) {
+          require(
+            r.getInt(0) == 7,
+            s"index $table holds bands 0..${r.getInt(0)}; this engine probes 8 bands"
+          )
+          if (backfill) setPHashIndexProps(spark, table)
+        }
+    }
+  }
+
+  private def pHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
+    Multimodal
+      .pHash256(media)
+      .filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("phash"), explode(phash256BandCols("phash")).as("bk"))
+      .select(
+        col("doc_id"),
+        col("phash"),
+        col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"),
+        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
+
+  /** Build the at-rest pHash-256 index from an image corpus. */
+  def writePHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
+    graft.sinks.Sinks.writeBucketed(pHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
+    setPHashIndexProps(media.sparkSession, table)
+  }
+
+  /** O(batch) append; an existing index keeps its recorded bucket count
+    * (the [[appendToDHashIndex]] contract).
+    */
+  def appendToPHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
+    val spark = media.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    if (existed) validatePHashIndexParams(spark, table, backfill = true)
+    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
+    graft.sinks.Sinks.appendBucketed(pHashIndexRows(media, n), table, Seq("bkey"), n)
+    if (!existed) setPHashIndexProps(spark, table)
+  }
+
+  /** pHash near-dups of a new batch against the at-rest index — the
+    * [[incrementalDHashDups]] shape: bkey collect bounded by the bucket
+    * count prunes the index scan, the batch side broadcasts
+    * (size-guarded), exact 256-bit hamming from the carried hash
+    * arrays. Returns (i = indexed, j = batch, hamming ≤ `maxHamming`).
+    */
+  def incrementalPHashDups(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      table: String,
+      maxHamming: Int = 24,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    val nBuckets = tableNumBuckets(spark, table)
+    validatePHashIndexParams(spark, table, backfill = false)
+    val batchBands = Materialize(
+      pHashIndexRows(batch, nBuckets)
+        .select(col("doc_id").as("j"), col("phash").as("ph_j"),
+          col("band"), col("bhash"), col("bkey"))
+    ) // probed twice: bkey collect + bucket join
+    val bkeys = batchBands.select(col("bkey")).distinct().as[Long].collect().sorted
+    if (bkeys.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0).as("hamming"))
+        .limit(0)
+    }
+    val pruned = spark.table(table).filter(col("bkey").isin(bkeys.toIndexedSeq: _*))
+    val probe = math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt
+    val fits = batchBands.limit(probe).count() <= broadcastRowLimit
+    val batchHinted =
+      if (fits) broadcast(batchBands.drop("bkey")) else batchBands.drop("bkey")
+    val joined = pruned.join(batchHinted, Seq("band", "bhash"))
+    val selfFiltered = if (dropSameId) joined.filter(col("doc_id") =!= col("j")) else joined
+    selfFiltered
+      .select(col("doc_id").as("i"), col("j"), col("phash"), col("ph_j"))
+      .distinct() // a pair can match in several bands
+      .select(col("i"), col("j"), hamming256(col("phash"), col("ph_j")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Map-side membership probe against a serialized bloom filter. */
   private[graft] def bloomProbe(bloomBytes: Array[Byte], value: Column): Column =
     GraftColumnBridge.column(

@@ -288,6 +288,83 @@ object Multimodal {
       .select(col("doc_id"), col("dhash").as("dhash"))
   }
 
+  /** pHash-256 of one decoded image (round 15 — verdict r14 #3): the
+    * dHash construction on a 17×16 block-mean grid — 16 horizontal
+    * gradient signs per row × 16 rows = 256 bits, packed into 4 longs
+    * (bit p of the hash = bit p%64 of word p/64, p = j·16+i). Same
+    * exact-integer math as [[dHashOf]] (floor block means over
+    * ⌊i·w/17⌋ boxes, raw gray sample for single-band rasters), so a
+    * SQL oracle replays it bit for bit.
+    *
+    * Why wider: near-dup banding splits the hash into bands, and band
+    * keys must be wide enough that UNRELATED images rarely collide —
+    * dHash-64's 4×16-bit bands saturate past ~10⁴ distinct image
+    * classes (soak r14 measured the collision tail's exponent 1.28 at
+    * 500k images/9.7k classes; pairs grow as nClasses²/2¹⁶ per band).
+    * 256 bits band as 8×32 — the same pigeonhole guarantee out to
+    * hamming 7 with a 2³² key space, pushing the collision knee past
+    * 10⁸ classes.
+    */
+  private[ops] def pHash256Of(im: java.awt.image.BufferedImage): Array[Long] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val gray = im.getRaster.getNumBands == 1
+    def lum(x: Int, y: Int): Long =
+      if (gray) im.getRaster.getSample(x, y, 0).toLong
+      else {
+        val rgb = im.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong / 3L
+      }
+    val cells = Array.tabulate(17, 16) { (i, j) =>
+      val (x0, x1) = (i * w / 17, (i + 1) * w / 17)
+      val (y0, y1) = (j * h / 16, (j + 1) * h / 16)
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += lum(x, y); x += 1 }
+        y += 1
+      }
+      s / ((x1 - x0).toLong * (y1 - y0))
+    }
+    val words = new Array[Long](4)
+    var j = 0
+    while (j < 16) {
+      var i = 0
+      while (i < 16) {
+        if (cells(i)(j) > cells(i + 1)(j)) {
+          val p = j * 16 + i
+          words(p / 64) |= 1L << (p % 64)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    words
+  }
+
+  /** Per-image pHash-256 over a binary media column: (doc_id, phash
+    * array<long>[4]). Undecodable bytes and images narrower than the
+    * 17×16 grid hash to NULL (the [[dHash64]] contract). One decode per
+    * image, partition-streaming.
+    */
+  def pHash256(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h =
+          try {
+            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (im == null || im.getWidth < 17 || im.getHeight < 16) None
+            else Some(pHash256Of(im))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        (id, h)
+      })
+      .toDF("doc_id", "phash")
+  }
+
   /** Deterministic synthetic grayscale image corpus — the container
     * ships no real image data, so the image-dedup pipeline is pinned
     * against images SYNTHESIZED from doc_id by an integer pixel
@@ -331,6 +408,44 @@ object Multimodal {
         while (y < 32) {
           var x = 0
           while (x < 36) {
+            var v = (a * x + b * y + c * x * y + e) % 200 + d % 5
+            if (spot && x < 4 && y < 4) v += 40
+            im.getRaster.setSample(x, y, 0, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        (d, bos.toByteArray)
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** [[synthGrayImages]] at 68×64 — 4×4 pixel blocks per pHash-256
+    * cell (17×16 grid), so the wide hash's floor block means are exact
+    * 16-pixel sums the oracle replays, the same uniform-block trade the
+    * 36×32 corpus makes for dHash's 9×8 grid. Identical pixel
+    * polynomial, brightness shift, and spot semantics (the spot sits in
+    * block (0,0) of EITHER grid: same-class pairs land at hamming ≤ 1
+    * under both hashes).
+    */
+  def synthGrayImagesWide(df: DataFrame, idCol: String, nClasses: Int = 97): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { d =>
+        val im = new java.awt.image.BufferedImage(
+          68, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val cls = d % nClasses
+        val (a, b, c, e) =
+          (3 + (cls * 7) % 13, 5 + (cls * 11) % 17, 1 + (cls * 13) % 7, cls * 37)
+        val spot = (d / nClasses) % 7 == 0
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 68) {
             var v = (a * x + b * y + c * x * y + e) % 200 + d % 5
             if (spot && x < 4 && y < 4) v += 40
             im.getRaster.setSample(x, y, 0, v.toInt)

@@ -92,6 +92,45 @@ object Sinks {
   ): org.apache.spark.sql.catalyst.TableIdentifier =
     spark.sessionState.sqlParser.parseTableIdentifier(table)
 
+  /** Clear a catalog-orphaned warehouse directory so a managed-table
+    * write can proceed: a previous PROCESS's leftover dir that this
+    * session's in-memory catalog has no entry for fails
+    * `saveAsTable` with LOCATION_ALREADY_EXISTS. GUARDED, not
+    * unconditional (advice r14): "no entry in MY catalog" only proves
+    * orphanhood for this process — a concurrent process with its own
+    * in-memory catalog sharing the warehouse dir could have a live
+    * table there. The guard deletes only when every entry LOOKS like
+    * Spark parquet-table output (part files / _SUCCESS / dot- and
+    * underscore-prefixed bookkeeping, one level of partition/bucket
+    * subdirs of the same shape) and throws otherwise, so foreign data
+    * is never silently destroyed. True cross-process concurrency needs
+    * a real metastore — the single-writer discipline documented on
+    * [[compactBucketed]] — but mistaken deletes must fail loud, not
+    * quiet.
+    */
+  private[graft] def clearOrphanTableDir(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(table) || table.contains("/")) return
+    val ident = parseIdent(spark, table)
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      ident.database.map(d => s"$d.db/${ident.table}").getOrElse(ident.table).toLowerCase)
+    val fs = p.getFileSystem(Dfs.conf(spark))
+    if (!fs.exists(p)) return
+    def sparkTableLike(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(dir).forall { s =>
+        val n = s.getPath.getName
+        if (s.isFile)
+          n.startsWith("_") || n.startsWith(".") || n.endsWith(".parquet")
+        else depth < 2 && sparkTableLike(s.getPath, depth + 1)
+      }
+    require(
+      sparkTableLike(p, 0),
+      s"warehouse dir $p exists without a catalog entry but does not look like " +
+        "Spark table output — refusing to clear it (possibly another process's data); " +
+        "remove it manually or register the table")
+    Dfs.rmTree(fs, p)
+  }
+
   /** Heal a [[compactBucketed]] root swap left mid-crash. A crash between
     * compaction's two directory moves leaves the table's data directory
     * missing (the data is intact at `<loc>.old`); without this hook the

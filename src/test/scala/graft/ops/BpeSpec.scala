@@ -164,4 +164,80 @@ class BpeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bpe_spec_bad")
     spark.sql("DROP TABLE bpe_spec_bad2")
   }
+
+  test("model publication is swap-atomic: every crash window yields old model or heals") {
+    val t = "bpe_swap_model"
+    Seq(t, s"${t}__stage", s"${t}__retire").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val v1 = Seq(("l", "o"), ("lo", "w"))
+    val v2 = Seq(("n", "e"), ("ne", "w"), ("new", "s"))
+    Bpe.writeModel(spark, t, v1)
+    assert(Bpe.readModel(spark, t) === v1)
+
+    // window A — crash after the stage write, before any rename:
+    // stage exists, live model untouched; readers see v1
+    Bpe.writeModel(spark, s"${t}__stage", v2) // simulate a completed stage write...
+    // (writeModel on the stage name leaves a plain table there — good
+    // enough to occupy the name the next writer must clear)
+    assert(Bpe.readModel(spark, t) === v1)
+    Bpe.writeModel(spark, t, v2) // next writer clears the leftover stage and swaps
+    assert(Bpe.readModel(spark, t) === v2)
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
+    assert(!spark.catalog.tableExists(s"${t}__retire"))
+
+    // window B — crash BETWEEN the two renames: live name missing, old
+    // model intact at __retire. Simulate by doing the first rename only.
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__retire")
+    assert(!spark.catalog.tableExists(t))
+    // a reader heals restore-only and reads the OLD model — never a partial
+    assert(Bpe.readModel(spark, t) === v2)
+    assert(spark.catalog.tableExists(t) && !spark.catalog.tableExists(s"${t}__retire"))
+
+    // window C — crash after both renames, before the retire drop:
+    // live = new, __retire = old; readers see the NEW model, the next
+    // writer clears the leftover
+    Bpe.writeModel(spark, s"${t}__retire", v1) // occupy the retire name
+    assert(Bpe.readModel(spark, t) === v2)
+    Bpe.writeModel(spark, t, v1)
+    assert(Bpe.readModel(spark, t) === v1)
+    assert(!spark.catalog.tableExists(s"${t}__retire"))
+
+    // the props travel with the swap: a freshly swapped-in model passes
+    // the full shape validation in a FRESH session
+    val fresh = spark.newSession()
+    assert(Bpe.readModel(fresh, t) === v1)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("orphan warehouse dirs: cleared when Spark-table-shaped, refused otherwise") {
+    val t = "bpe_orphan_model"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // leave a Spark-shaped orphan dir behind (simulates a dead PROCESS
+    // whose catalog entry died with it): write then drop the catalog
+    // entry via an external-location trick — simplest is to write the
+    // table, snapshot its dir, drop, and restore the dir
+    Bpe.writeModel(spark, t, Seq(("a", "b")))
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .location.getPath
+    val save = java.nio.file.Files.createTempDirectory("orphan").resolve("copy")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(loc), save.toFile)
+    spark.sql(s"DROP TABLE $t")
+    org.apache.commons.io.FileUtils.copyDirectory(save.toFile, new java.io.File(loc))
+    // Spark-shaped orphan: writeModel clears it and succeeds
+    Bpe.writeModel(spark, t, Seq(("x", "y")))
+    assert(Bpe.readModel(spark, t) === Seq(("x", "y")))
+    spark.sql(s"DROP TABLE $t")
+    // foreign content: refused loudly, nothing deleted
+    val dir = new java.io.File(loc)
+    dir.mkdirs()
+    val foreign = new java.io.File(dir, "precious.txt")
+    java.nio.file.Files.write(foreign.toPath, "not spark output".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.writeModel(spark, t, Seq(("x", "y")))
+    }
+    assert(e.getMessage.contains("refusing"))
+    assert(foreign.exists, "guard must not delete foreign data")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
