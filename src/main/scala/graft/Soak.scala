@@ -413,6 +413,24 @@ object Soak {
       }
     }.toMap
 
+    // pHash-256 at the class count that collides dHash (round 15 —
+    // verdict r14 #3): image_dhash's top decade measured exponent 1.28
+    // at m=100 (500k images / 9.7k classes) from the 16-bit band
+    // space's nClasses²/2¹⁷-per-band cross-class candidate term; the
+    // 8×32-bit banding divides that term by 2¹⁶, so the same sweep
+    // should hold ~linear (the per-image codec cost is ~3.8× — 68×64
+    // pixels vs 36×32 — but constant per row).
+    if (wanted("image_phash")) results("image_phash") = scales.map { case (m, _) =>
+      val ids = spark.range(5000L * m).select(col("id").as("doc_id"))
+      m -> timed(iters) {
+        graft.ops.Dedup
+          .imagePHashPairs(
+            graft.ops.Multimodal.synthGrayImagesWide(ids, "doc_id", nClasses = 97 * m),
+            maxHamming = 24)
+          .count()
+      }
+    }.toMap
+
     // the reference's CDC core at soak scale: snapshot diff over wide
     // (40-col) snapshots with constant-rate churn, and the SCD2 fold
     // over a ~5-versions-per-key event stream

@@ -2714,7 +2714,42 @@ object SparkEntry {
     "q173_bpe_apply_256" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Bpe.tokenCounts(docs, "text", "doc_id", Bpe.topCharBigrams(docs, "text", 256))
-    })
+    }),
+    // pHash-256 near-dup pairs (round 15, verdict r14 #3): the WIDE
+    // perceptual hash for corpora past dHash-64's band space — 17×16
+    // block-mean grid, 256 gradient bits in 4 longs, 8×32-bit pigeonhole
+    // bands (guarantee to hamming 7, key space 2³² — the collision term
+    // the r14 soak measured at 16-bit bands moves out past 10⁸ classes).
+    // Same oracle discipline as q169: the corpus is synthesized from an
+    // integer pixel function at 68×64 (4×4 pixels per cell — exact
+    // 16-pixel block sums), PNG round-trips losslessly, and the oracle
+    // replays pixel → block mean → gradient bit → 32-bit band → 256-bit
+    // hamming directly. ImagePHashSpec pins the at-rest index probe ==
+    // this inline form and the dHash↔pHash fail-closed contract.
+    "q174_image_phash_pairs" -> ((s, dir) =>
+      Dedup.imagePHashPairs(
+        Multimodal.synthGrayImagesWide(t(s, dir, "documents"), "doc_id"),
+        maxHamming = 24
+      )),
+    // VIDEO content dedup (round 15, verdict r14 #5): sequence-level
+    // near-dups over synthetic clips — per-frame dHash-64 (real PNG
+    // decode per frame), ordered frame-hash 2-grams as the clip's
+    // shingle set, then the EXISTING MinHash→LSH→exact-Jaccard pipeline
+    // verbatim. The oracle replays the whole chain from the pixel
+    // function: frame luminance → block means → gradient bits → gram
+    // strings → exact ALL-PAIRS Jaccard ≥ 0.5 (the q17/q18 oracle
+    // shape) — hash-exact because same-class clips hash frame-identical
+    // (Jaccard exactly 1 → identical MinHash signatures → LSH recall is
+    // guaranteed, not probabilistic) and cross-class clips share no
+    // frame content (disjoint gram sets). One video per 5th document
+    // keeps the per-frame codec cost benchable. VideoDedupSpec plants a
+    // re-encoded clip and a trimmed clip behaviorally.
+    "q175_video_neardup_pairs" -> ((s, dir) =>
+      Dedup.videoNearDupPairs(
+        Multimodal.synthVideoFrames(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id"),
+        threshold = 0.5
+      ))
   )
 
   /** Equivalent ANSI-SQL oracles (DuckDB) for every [[queries]] key —

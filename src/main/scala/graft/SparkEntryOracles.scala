@@ -2262,6 +2262,8 @@ private[graft] object SparkEntryOracles {
     "q171_image_dedup_clusters" -> imageDedupClustersSql,
     "q172_drift_monitor" -> driftMonitorSql,
     "q173_bpe_apply_256" -> bpeApply256Sql,
+    "q174_image_phash_pairs" -> imagePHashPairsSql,
+    "q175_video_neardup_pairs" -> videoNearDupSql,
     // The q156 replay with a source partition: per-source grids,
     // PARTITION BY in the running negative count, per-source moments.
     "q162_auc_per_source" ->
@@ -2897,6 +2899,102 @@ private[graft] object SparkEntryOracles {
        |comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
        |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
        |WHERE comp.cluster IS NULL OR comp.cluster = d.doc_id""".stripMargin
+
+  /** Oracle for q174: the q169 replay at pHash-256 geometry — the same
+    * integer pixel polynomial on the 68×64 wide corpus, 17×16 exact
+    * block means (4×4-pixel blocks, floor-div 16), gradient bit
+    * j·16+i packed into FOUR BIGINTs (bit 63 of each word via the
+    * min-long literal), 8×32-bit banding with the arithmetic-shift +
+    * mask key, and the 256-bit hamming as the sum of four
+    * bit_count(xor) terms.
+    */
+  private lazy val imagePHashCtes: String = {
+    val words = (0 until 4).map { k =>
+      s"""CAST(coalesce(sum(CASE WHEN pos // 64 = $k THEN
+         |        CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |             ELSE (CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER)) END
+         |        END), 0) AS BIGINT) AS h$k""".stripMargin
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, h0, h1, h2, h3, $b AS band, " +
+        s"(h${b / 2} >> ${(b % 2) * 32}) & 4294967295 AS bhash FROM ph"
+    }.mkString("\nUNION ALL ")
+    s"""g AS (SELECT d.doc_id AS d, t.x, t.y,
+       |    (((3 + ((d.doc_id % 97) * 7) % 13) * t.x
+       |      + (5 + ((d.doc_id % 97) * 11) % 17) * t.y
+       |      + (1 + ((d.doc_id % 97) * 13) % 7) * t.x * t.y
+       |      + (d.doc_id % 97) * 37) % 200
+       |     + d.doc_id % 5
+       |     + CASE WHEN (d.doc_id // 97) % 7 = 0 AND t.x < 4 AND t.y < 4
+       |            THEN 40 ELSE 0 END) AS v
+       |  FROM documents d,
+       |       (SELECT x.range AS x, y.range AS y FROM range(0, 68) x, range(0, 64) y) t),
+       |cl AS (SELECT d, x // 4 AS i, y // 4 AS j, CAST(sum(v) // 16 AS BIGINT) AS c
+       |  FROM g GROUP BY 1, 2, 3),
+       |bt AS (SELECT a.d, a.j * 16 + a.i AS pos
+       |  FROM cl a JOIN cl b ON b.d = a.d AND b.j = a.j AND b.i = a.i + 1
+       |  WHERE a.i < 16 AND a.c > b.c),
+       |ph AS (SELECT d.doc_id AS doc_id,
+       |    $words
+       |  FROM documents d LEFT JOIN bt ON bt.d = d.doc_id GROUP BY 1),
+       |k AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |    a.h0 AS a0, a.h1 AS a1, a.h2 AS a2, a.h3 AS a3,
+       |    b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
+       |  FROM k a JOIN k b ON a.band = b.band AND a.bhash = b.bhash
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private lazy val imagePHashPairsSql: String = {
+    val ham = (0 until 4).map(k => s"bit_count(xor(a$k, b$k))").mkString(" + ")
+    s"""WITH $imagePHashCtes
+       |SELECT i, j, CAST($ham AS BIGINT) AS hamming
+       |FROM cand WHERE $ham <= 24""".stripMargin
+  }
+
+  /** Oracle for q175: replays the video near-dup chain from the
+    * [[graft.ops.Multimodal.synthVideoFrames]] pixel function — per
+    * (video, frame) class id vcls·16 + f, the q169 block-mean/gradient
+    * replay keyed by (d, f), frame hashes ordered into "fh:fh" gram
+    * strings, then the q17 exact-all-pairs Jaccard shape at ≥ 0.5.
+    * Exactness of the LSH side is structural: same-class clips have
+    * IDENTICAL gram sets (Jaccard 1 → identical signatures → certain
+    * band collision), cross-class clips share no grams.
+    */
+  private lazy val videoNearDupSql: String =
+    """WITH vid AS (SELECT doc_id AS d, doc_id % 23 AS vcls
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |fr AS (SELECT d, vcls, f.range AS f, vcls * 16 + f.range AS cid
+      |  FROM vid, range(0, 10) f WHERE f.range < 6 + (vcls % 4)),
+      |g AS (SELECT fr.d, fr.f, t.x, t.y,
+      |    (((3 + (fr.cid * 7) % 13) * t.x
+      |      + (5 + (fr.cid * 11) % 17) * t.y
+      |      + (1 + (fr.cid * 13) % 7) * t.x * t.y
+      |      + fr.cid * 37) % 200
+      |     + fr.d % 5) AS v
+      |  FROM fr,
+      |       (SELECT x.range AS x, y.range AS y FROM range(0, 36) x, range(0, 32) y) t),
+      |cl AS (SELECT d, f, x // 4 AS i, y // 4 AS j, CAST(sum(v) // 16 AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2, 3, 4),
+      |bt AS (SELECT a.d, a.f, a.j * 8 + a.i AS pos
+      |  FROM cl a JOIN cl b ON b.d = a.d AND b.f = a.f AND b.j = a.j AND b.i = a.i + 1
+      |  WHERE a.i < 8 AND a.c > b.c),
+      |fh AS (SELECT fr.d, fr.f,
+      |    CAST(coalesce(sum(CASE WHEN pos = 63
+      |        THEN CAST(-9223372036854775808 AS BIGINT)
+      |        ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END), 0) AS BIGINT) AS h
+      |  FROM fr LEFT JOIN bt ON bt.d = fr.d AND bt.f = fr.f GROUP BY 1, 2),
+      |sq AS (SELECT d, list(h ORDER BY f) AS hs FROM fh GROUP BY d),
+      |sh AS (SELECT DISTINCT d, unnest(list_transform(range(1, len(hs)),
+      |    t -> CAST(hs[t] AS VARCHAR) || ':' || CAST(hs[t + 1] AS VARCHAR))) AS gram
+      |  FROM sq WHERE len(hs) >= 2),
+      |c AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
+      |p AS (SELECT a.d AS i, b.d AS j, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.d < b.d GROUP BY 1, 2)
+      |SELECT i, j,
+      |  floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 10000) / 10000 AS jaccard
+      |FROM p JOIN c ca ON ca.d = p.i JOIN c cb ON cb.d = p.j
+      |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""".stripMargin
 
   /** Shared tokenization CTE (must mirror [[Fns.tokens]] exactly). */
   private val wordsSql =

@@ -269,23 +269,40 @@ object Multimodal {
     * Partition-streaming like every decode path here: one image in
     * memory at a time, blobs never on the driver.
     */
+  /** Decode + dHash one blob; None for undecodable or sub-grid bytes. */
+  private[ops] def dHashOfBytes(bytes: Array[Byte]): Option[Long] =
+    try {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (im == null || im.getWidth < 9 || im.getHeight < 8) None
+      else Some(dHashOf(im))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def dHash64(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val h =
-          try {
-            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (im == null || im.getWidth < 9 || im.getHeight < 8) None
-            else Some(dHashOf(im))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        (id, h)
-      })
+      .mapPartitions(_.map { case (id, bytes) => (id, dHashOfBytes(bytes)) })
       .toDF("doc_id", "dhash")
       .select(col("doc_id"), col("dhash").as("dhash"))
+  }
+
+  /** Per-FRAME dHash-64 over a (video_id, frame_idx, media) frame
+    * table — the video analogue of [[dHash64]]: one decode per frame,
+    * partition-streaming, undecodable frames hash to null. Frame rows
+    * are what the video plumbing already produces
+    * ([[sampleFrameIndexes]] picks which indexes to extract; a real
+    * codec extension materializes the frame blobs).
+    */
+  def frameDHash64(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .select(col("video_id"), col("frame_idx"), col("media"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (vid, f, bytes) => (vid, f, dHashOfBytes(bytes)) })
+      .toDF("video_id", "frame_idx", "fh")
   }
 
   /** pHash-256 of one decoded image (round 15 — verdict r14 #3): the
@@ -458,6 +475,63 @@ object Multimodal {
         (d, bos.toByteArray)
       })
       .toDF("doc_id", "media")
+  }
+
+  /** Deterministic synthetic VIDEO corpus: one clip per input id as a
+    * (video_id, frame_idx, media) long table of 36×32 grayscale PNG
+    * frames — the frame-table shape a real decoder emits (the
+    * [[synthGrayImages]] trade at sequence level: frames are contrived,
+    * the dataflow — per-frame decode → dHash → ordered frame-gram
+    * shingles → MinHash banding → exact-Jaccard verify — is the
+    * production path).
+    *
+    * Content model: vcls = id mod `nVidClasses` picks the clip class;
+    * frame count = `framesBase` + vcls mod 4 (class-determined, so
+    * same-class clips align frame for frame); frame f renders the
+    * [[synthGrayImages]] pixel polynomial under the class id
+    * cid = vcls·16 + f — UNIQUE per (class, frame), so clips of
+    * different classes share NO frame content (their gram sets are
+    * disjoint; Jaccard is bimodal {0, 1}) — plus the dHash-invariant
+    * per-video brightness shift id mod 5. Same-class clips therefore
+    * hash to IDENTICAL frame sequences, which is what makes the LSH
+    * recall of the q175 oracle exact (identical signatures always
+    * collide).
+    */
+  def synthVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      nVidClasses: Int = 23,
+      framesBase: Int = 6
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("video_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val vcls = d % nVidClasses
+        val nf = framesBase + (vcls % 4).toInt
+        (0 until nf).map { f =>
+          val cid = vcls * 16 + f
+          val (a, b, c, e) =
+            (3 + (cid * 7) % 13, 5 + (cid * 11) % 17, 1 + (cid * 13) % 7, cid * 37)
+          val im = new java.awt.image.BufferedImage(
+            36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 36) {
+              val v = (a * x + b * y + c * x * y + e) % 200 + d % 5
+              im.getRaster.setSample(x, y, 0, v.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", bos)
+          (d, f, bos.toByteArray)
+        }
+      })
+      .toDF("video_id", "frame_idx", "media")
   }
 
   /** Frame sampling: keep every `stride`-th frame index per media row —
