@@ -377,7 +377,10 @@ object Soak {
         "0" * (3 - s.length) + s
       }
       val need = 256 * m
-      val nChains = math.max(0, (need - bigrams.size) / 18 + 1)
+      // each 20-char chain emits 17 merges ((2 until 19)) — dividing
+      // by 18 under-produced the advertised merge count by ~6% at
+      // large m (ADVICE r15)
+      val nChains = math.max(0, (need - bigrams.size) / 17 + 1)
       val chains: Seq[(String, String)] = (0 until nChains).flatMap { b =>
         // 20-char word: unique 3-char prefix + deterministic tail — all
         // prefixes of length >= 3 are chain-unique, so every chain
@@ -427,6 +430,42 @@ object Soak {
           .imagePHashPairs(
             graft.ops.Multimodal.synthGrayImagesWide(ids, "doc_id", nClasses = 97 * m),
             maxHamming = 24)
+          .count()
+      }
+    }.toMap
+
+    // Video content dedup (round 16 — verdict r15 #3): clips scale
+    // with m, class count scales too so class size (~43 clips) — and
+    // the per-clip duplicate rate — stays constant. Inline form pays
+    // per-frame PNG decode (map-side linear) + the MinHash/LSH/exact
+    // pipeline the text families already soaked; the index/probe pair
+    // is the steady-state at-rest path (probe = 200-clip batch whose
+    // classes all exist in the corpus — constant hit rate).
+    def vidFrames(ids: org.apache.spark.sql.DataFrame, m: Int) =
+      graft.ops.Multimodal.synthVideoFrames(ids, "doc_id", nVidClasses = 23 * m)
+    def vidIds(m: Int, from: Long, n: Long) =
+      spark.range(from, from + n).select(col("id").as("doc_id"))
+    if (wanted("video_dedup")) results("video_dedup") = scales.map { case (m, _) =>
+      m -> timed(iters) {
+        graft.ops.Dedup.videoNearDupPairs(vidFrames(vidIds(m, 0L, 1000L * m), m)).count()
+      }
+    }.toMap
+
+    if (wanted("video_index_build") || wanted("video_probe"))
+      results("video_index_build") = scales.map { case (m, _) =>
+        dropSoakTable(s"soak_video_x$m")
+        m -> timed(1) {
+          graft.ops.Dedup.writeVideoMinHashIndex(
+            vidFrames(vidIds(m, 0L, 1000L * m), m), s"soak_video_x$m")
+          spark.table(s"soak_video_x$m").count()
+        }
+      }.toMap
+
+    if (wanted("video_probe")) results("video_probe") = scales.map { case (m, _) =>
+      val probe = vidFrames(vidIds(m, 1000L * m, 200L), m)
+      m -> timed(iters) {
+        graft.ops.Dedup
+          .incrementalVideoNearDups(spark, probe, s"soak_video_x$m")
           .count()
       }
     }.toMap

@@ -305,12 +305,27 @@ object Bpe {
     )
     // the swap: live -> retire, stage -> live (each rename is
     // metastore-atomic; the crash window between them is healed by
-    // recoverModelSwap), then drop the retired model
+    // recoverModelSwap), then drop the retired model. A READER racing
+    // the window runs the same heal and renames retire back to live
+    // (ADVICE r15) — our stage -> live rename then fails on the
+    // restored name; retire the restored copy and retry (bounded: each
+    // retry consumes one reader heal, and only reads concurrent with
+    // THIS swap can heal).
     val liveIdent = graft.sinks.Sinks.parseIdent(spark, table).quotedString
     val retireIdent = graft.sinks.Sinks.parseIdent(spark, retire).quotedString
-    if (spark.catalog.tableExists(table))
-      spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
-    spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
+    var attempts = 0
+    var published = false
+    var lastErr: Throwable = null
+    while (!published && attempts < 3) {
+      attempts += 1
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
+      try {
+        spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
+        published = true
+      } catch { case scala.util.control.NonFatal(e) => lastErr = e }
+    }
+    if (!published) throw lastErr
     spark.sql(s"DROP TABLE IF EXISTS $retireIdent")
   }
 
@@ -334,16 +349,27 @@ object Bpe {
     * normalization contract must match, and the rows must be exactly
     * ranks 0..n−1 (a partial overwrite or duplicate rank surfaces here,
     * not as a silently different tokenizer).
+    *
+    * `heal` (ADVICE r15): restoring a crashed swap is a metastore
+    * WRITE (ALTER TABLE RENAME) on an otherwise read-only path — the
+    * ONLY write this function can issue, needed solely to recover a
+    * writer that died between the swap's two renames. Deployments
+    * whose readers hold no metastore write rights pass `heal = false`;
+    * a crashed swap then surfaces as table-not-found until the
+    * writer's next run completes the recovery, which is the honest
+    * read-only behavior (a heal-less reader can't distinguish "crashed
+    * mid-swap" from "never written").
     */
   def readModel(
       spark: org.apache.spark.sql.SparkSession,
-      table: String
+      table: String,
+      heal: Boolean = true
   ): Seq[(String, String)] = {
     import spark.implicits._
     // a writer crash between the swap's two renames leaves the model
     // only at __retire; restore it so reads keep working (restore-only
     // — never roll the swap forward from a read path)
-    recoverModelSwap(spark, table)
+    if (heal) recoverModelSwap(spark, table)
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties

@@ -845,7 +845,7 @@ object Dedup {
       Seq("bkey"),
       nBuckets
     )
-    setIndexProps(corpus.sparkSession, table, numHashes, bands)
+    setIndexProps(corpus.sparkSession, table, numHashes, bands, TextSource)
   }
 
   /** The hashing parameters an index was WRITTEN with, recorded as table
@@ -859,17 +859,35 @@ object Dedup {
   private val NumHashesProp = "graft.minhash.numHashes"
   private val BandsProp = "graft.minhash.bands"
 
+  /** WHAT the signatures hash (round 16, video at-rest dedup): "text"
+    * (word-shingle sets from [[shingleSets]]) or "video_framegram2"
+    * (ordered frame-dHash 2-grams from [[videoShingles]]). Both emit
+    * structurally identical (doc_id, sig, band, bhash, bkey) rows, so
+    * WITHOUT this property a video probe against a text index would
+    * "work" — join, estimate, return zero matches — instead of failing
+    * on the modality mismatch. An index without the property is a
+    * legacy TEXT index (every pre-r16 index was); `source` is not
+    * data-pinnable (the rows look the same either way), so like the
+    * embedding index's seed/bitsPerBand the no-props fallback adopts
+    * the creating caller's value.
+    */
+  private val SourceProp = "graft.minhash.source"
+  private[ops] val TextSource = "text"
+  private[ops] val VideoSource = "video_framegram2"
+
   private def setIndexProps(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      source: String
   ): Unit =
     // parse qualified names (`db.idx`) like the SQL layer would — one
     // pair of backticks around the whole name breaks on the dot
     spark.sql(
       s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
-        s"SET TBLPROPERTIES ('$NumHashesProp'='$numHashes', '$BandsProp'='$bands')"
+        s"SET TBLPROPERTIES ('$NumHashesProp'='$numHashes', '$BandsProp'='$bands', " +
+        s"'$SourceProp'='$source')"
     )
 
   /** Fail fast when the caller's (numHashes, bands) disagree with what
@@ -888,11 +906,19 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      source: String
   ): Unit = {
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties
+    // modality first: an absent source property means a legacy TEXT
+    // index — only text callers may touch it (see [[SourceProp]])
+    require(
+      props.getOrElse(SourceProp, TextSource) == source,
+      s"index $table holds ${props.getOrElse(SourceProp, TextSource)} signatures; " +
+        s"caller probes/appends $source — cross-modality MinHash keys never match"
+    )
     (props.get(NumHashesProp), props.get(BandsProp)) match {
       case (Some(nh), Some(b)) =>
         require(
@@ -919,11 +945,13 @@ object Dedup {
             r.getInt(2) == bands - 1,
             s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
           )
-          // backfill only parameters the DATA actually pins. An empty
-          // index contradicts nothing — but freezing the caller's values
+          // backfill only parameters the DATA actually pins (plus the
+          // caller's source, which data CANNOT pin — the emb-index
+          // seed/bitsPerBand honesty note applies). An empty index
+          // contradicts nothing — but freezing the caller's values
           // there would let a probe run with defaults poison a table
           // intended for different parameters before its first real append.
-          setIndexProps(spark, table, numHashes, bands)
+          setIndexProps(spark, table, numHashes, bands, source)
         }
     }
   }
@@ -950,7 +978,7 @@ object Dedup {
     // data scan (missing live dir) instead of healing first. Read-only
     // heal here; appendBucketed below still does the clearStaleOld pass.
     if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateIndexParams(spark, table, numHashes, bands)
+    if (existed) validateIndexParams(spark, table, numHashes, bands, TextSource)
     graft.sinks.Sinks.appendBucketed(
       minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
       table,
@@ -958,7 +986,29 @@ object Dedup {
       nBuckets
     )
     // first append CREATES the table: record its contract like write does
-    if (!existed) setIndexProps(spark, table, numHashes, bands)
+    if (!existed) setIndexProps(spark, table, numHashes, bands, TextSource)
+  }
+
+  /** Index rows from a pre-computed (doc_id, shingles) frame — the
+    * shared core text ([[shingleSets]]) and video ([[videoShingles]])
+    * index writers both feed.
+    */
+  private def minHashIndexRowsFromShingles(
+      shingled: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      nBuckets: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    minHashSignatures(shingled, numHashes)
+      .select(col("doc_id"), col("sig"), explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"),
+        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
+      )
   }
 
   private def minHashIndexRows(
@@ -969,18 +1019,9 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       nBuckets: Int
-  ): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    minHashSignatures(shingleSets(corpus, textCol, idCol, shingleSize), numHashes)
-      .select(col("doc_id"), col("sig"), explode(bandKeyCols(bands, numHashes / bands)).as("bk"))
-      .select(
-        col("doc_id"),
-        col("sig"),
-        col("bk.band").as("band"),
-        col("bk.bhash").as("bhash"),
-        pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
-      )
-  }
+  ): DataFrame =
+    minHashIndexRowsFromShingles(
+      shingleSets(corpus, textCol, idCol, shingleSize), numHashes, bands, nBuckets)
 
   /** Near-dup candidates of a NEW batch against the at-rest index
     * ([[writeMinHashIndex]]) — "dedup today's crawl against the whole
@@ -1016,6 +1057,25 @@ object Dedup {
       threshold: Double = 0.5,
       broadcastRowLimit: Long = 4000000L,
       dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalNearDupsFromShingles(
+      spark, shingleSets(newBatch, textCol, idCol, shingleSize), table,
+      numHashes, bands, threshold, broadcastRowLimit, dropSameId, TextSource)
+
+  /** [[incrementalNearDups]] from a pre-computed (doc_id, shingles)
+    * frame — the shared probe core; `source` must match the index's
+    * recorded modality ([[SourceProp]]).
+    */
+  private def incrementalNearDupsFromShingles(
+      spark: org.apache.spark.sql.SparkSession,
+      shingled: DataFrame,
+      table: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      broadcastRowLimit: Long,
+      dropSameId: Boolean,
+      source: String
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
@@ -1033,8 +1093,8 @@ object Dedup {
     // a (numHashes, bands) mismatch vs the index would silently corrupt
     // band hashing and the estimator denominator; the index records its
     // contract as table properties (validateIndexParams)
-    validateIndexParams(spark, table, numHashes, bands)
-    val signed = minHashSignatures(shingleSets(newBatch, textCol, idCol, shingleSize), numHashes)
+    validateIndexParams(spark, table, numHashes, bands, source)
+    val signed = minHashSignatures(shingled, numHashes)
     val batchBands = Materialize(
       signed
         .select(col("doc_id").as("j"), col("sig").as("sig_j"),
@@ -1651,8 +1711,19 @@ object Dedup {
       maxHamming: Int = 24,
       maxBucket: Option[Int] = Some(DefaultMaxBucket),
       dropMetrics: Option[Observation] = None
+  ): DataFrame =
+    pHashPairsFromHashes(Multimodal.pHash256(media), maxHamming, maxBucket, dropMetrics)
+
+  /** [[imagePHashPairs]] over pre-computed (doc_id, phash) rows — the
+    * in-batch pairing stage for callers that already decoded once
+    * (the [[dHashPairsFromHashes]] shape).
+    */
+  def pHashPairsFromHashes(
+      signed: DataFrame,
+      maxHamming: Int = 24,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
   ): DataFrame = {
-    val signed = Multimodal.pHash256(media)
     val exploded = signed
       .filter(col("phash").isNotNull)
       .select(col("doc_id"), col("phash"), explode(phash256BandCols("phash")).as("bk"))
@@ -1716,9 +1787,8 @@ object Dedup {
     }
   }
 
-  private def pHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
-    Multimodal
-      .pHash256(media)
+  private def pHashIndexRowsFromHashes(hashed: DataFrame, nBuckets: Int): DataFrame =
+    hashed
       .filter(col("phash").isNotNull)
       .select(col("doc_id"), col("phash"), explode(phash256BandCols("phash")).as("bk"))
       .select(
@@ -1729,6 +1799,9 @@ object Dedup {
         pmod(xxhash64(col("bk.band"), col("bk.bhash")), lit(nBuckets.toLong)).as("bkey")
       )
 
+  private def pHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
+    pHashIndexRowsFromHashes(Multimodal.pHash256(media), nBuckets)
+
   /** Build the at-rest pHash-256 index from an image corpus. */
   def writePHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
     graft.sinks.Sinks.writeBucketed(pHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
@@ -1738,13 +1811,21 @@ object Dedup {
   /** O(batch) append; an existing index keeps its recorded bucket count
     * (the [[appendToDHashIndex]] contract).
     */
-  def appendToPHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
-    val spark = media.sparkSession
+  def appendToPHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    appendToPHashIndexFromHashes(Multimodal.pHash256(media), table, nBuckets)
+
+  /** [[appendToPHashIndex]] from pre-computed (doc_id, phash) rows. */
+  def appendToPHashIndexFromHashes(
+      hashed: DataFrame,
+      table: String,
+      nBuckets: Int = 64
+  ): Unit = {
+    val spark = hashed.sparkSession
     val existed = spark.catalog.tableExists(table)
     if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     if (existed) validatePHashIndexParams(spark, table, backfill = true)
     val n = if (existed) tableNumBuckets(spark, table) else nBuckets
-    graft.sinks.Sinks.appendBucketed(pHashIndexRows(media, n), table, Seq("bkey"), n)
+    graft.sinks.Sinks.appendBucketed(pHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
     if (!existed) setPHashIndexProps(spark, table)
   }
 
@@ -1761,13 +1842,25 @@ object Dedup {
       maxHamming: Int = 24,
       broadcastRowLimit: Long = 4000000L,
       dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalPHashDupsFromHashes(
+      spark, Multimodal.pHash256(batch), table, maxHamming, broadcastRowLimit, dropSameId)
+
+  /** [[incrementalPHashDups]] from pre-computed (doc_id, phash) rows. */
+  def incrementalPHashDupsFromHashes(
+      spark: org.apache.spark.sql.SparkSession,
+      hashed: DataFrame,
+      table: String,
+      maxHamming: Int = 24,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
   ): DataFrame = {
     import spark.implicits._
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val nBuckets = tableNumBuckets(spark, table)
     validatePHashIndexParams(spark, table, backfill = false)
     val batchBands = Materialize(
-      pHashIndexRows(batch, nBuckets)
+      pHashIndexRowsFromHashes(hashed, nBuckets)
         .select(col("doc_id").as("j"), col("phash").as("ph_j"),
           col("band"), col("bhash"), col("bkey"))
     ) // probed twice: bkey collect + bucket join
@@ -1848,13 +1941,132 @@ object Dedup {
       dropMetrics: Option[Observation] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val shingled = Materialize(videoShingles(frames))
+    videoNearDupPairsFromShingles(
+      Materialize(videoShingles(frames)), threshold, numHashes, bands, maxBucket, dropMetrics)
+  }
+
+  /** [[videoNearDupPairs]] from a pre-computed — and MATERIALIZED —
+    * (doc_id, shingles) frame (it is read twice: banding + exact
+    * verify). The shape [[graft.streaming.VideoIngest]] threads its
+    * one decode+shingle pass through.
+    */
+  def videoNearDupPairsFromShingles(
+      shingled: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      dropMetrics: Option[Observation] = None
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val signed = minHashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands, maxBucket, dropMetrics)
     verifyJaccard(cand, shingled)
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), (floor(col("jaccard") * 10000.0) / 10000.0).as("jaccard"))
   }
+
+  // ------------------------------------------------------------------
+  // At-rest video index + incremental probe (round 16 — verdict r15
+  // #3): the index/ingest pair every other dedup modality already has,
+  // for the video family — "dedup today's clips against the whole
+  // video corpus without touching most of it". Rows are the MinHash
+  // index rows of each clip's frame-gram shingle set (signature
+  // carried per band row, the writeMinHashIndex trade), so a probe
+  // verifies candidates inside the pruned buckets via the signature
+  // ESTIMATE — the at-rest contract of the text index; exact Jaccard
+  // needs the frame corpus and is the inline form's job. The index
+  // records source=video_framegram2 ([[SourceProp]]), so text↔video
+  // cross-probes fail closed even though the row schema matches.
+  // ------------------------------------------------------------------
+
+  /** Build the at-rest video MinHash index from a (video_id, frame_idx,
+    * media) frame corpus.
+    */
+  def writeVideoMinHashIndex(
+      frames: DataFrame,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 64
+  ): Unit = {
+    graft.sinks.Sinks.writeBucketed(
+      minHashIndexRowsFromShingles(videoShingles(frames), numHashes, bands, nBuckets),
+      table,
+      Seq("bkey"),
+      nBuckets
+    )
+    setIndexProps(frames.sparkSession, table, numHashes, bands, VideoSource)
+  }
+
+  /** O(batch) append of new clips' band rows; an existing index keeps
+    * its recorded bucket count ([[tableNumBuckets]]).
+    */
+  def appendToVideoMinHashIndex(
+      frames: DataFrame,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 64
+  ): Unit =
+    appendToVideoIndexFromShingles(videoShingles(frames), table, numHashes, bands, nBuckets)
+
+  /** [[appendToVideoMinHashIndex]] from a pre-computed (doc_id,
+    * shingles) frame — the shape [[graft.streaming.VideoIngest]]
+    * threads its one shingle pass through.
+    */
+  def appendToVideoIndexFromShingles(
+      shingled: DataFrame,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 64
+  ): Unit = {
+    val spark = shingled.sparkSession
+    val existed = spark.catalog.tableExists(table)
+    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+    if (existed) validateIndexParams(spark, table, numHashes, bands, VideoSource)
+    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
+    graft.sinks.Sinks.appendBucketed(
+      minHashIndexRowsFromShingles(shingled, numHashes, bands, n), table, Seq("bkey"), n)
+    if (!existed) setIndexProps(spark, table, numHashes, bands, VideoSource)
+  }
+
+  /** Near-dups of a NEW batch of clips against the at-rest video index
+    * — the [[incrementalNearDups]] shape on [[videoShingles]]: the
+    * batch's band keys prune the index scan to matching buckets, the
+    * batch side broadcasts (size-guarded), similarity is the MinHash
+    * estimate from the carried signatures. Returns (i = indexed clip,
+    * j = batch clip, est_jaccard ≥ threshold).
+    */
+  def incrementalVideoNearDups(
+      spark: org.apache.spark.sql.SparkSession,
+      frames: DataFrame,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalVideoNearDupsFromShingles(
+      spark, videoShingles(frames), table, numHashes, bands, threshold,
+      broadcastRowLimit, dropSameId)
+
+  /** [[incrementalVideoNearDups]] from pre-computed shingles. */
+  def incrementalVideoNearDupsFromShingles(
+      spark: org.apache.spark.sql.SparkSession,
+      shingled: DataFrame,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalNearDupsFromShingles(
+      spark, shingled, table, numHashes, bands, threshold, broadcastRowLimit,
+      dropSameId, VideoSource)
 
   /** Map-side membership probe against a serialized bloom filter. */
   private[graft] def bloomProbe(bloomBytes: Array[Byte], value: Column): Column =

@@ -288,6 +288,25 @@ object Multimodal {
       .select(col("doc_id"), col("dhash").as("dhash"))
   }
 
+  /** [[dHash64]] carrying the media blob through the SAME pass:
+    * (doc_id, media, dhash) from one decode, where the hash is derived
+    * from exactly the bytes in the output row. Ingest paths use this
+    * instead of joining `dHash64(df)` back onto `df` — with a
+    * nondeterministic upstream (e.g. a dropDuplicates keeper), the
+    * join re-evaluates the input on both sides and can pair one copy's
+    * media with another copy's hash (ADVICE r15); a single pass cannot
+    * diverge by construction.
+    */
+  def dHash64WithMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, bytes, dHashOfBytes(bytes)) })
+      .toDF("doc_id", "media", "dhash")
+  }
+
   /** Per-FRAME dHash-64 over a (video_id, frame_idx, media) frame
     * table — the video analogue of [[dHash64]]: one decode per frame,
     * partition-streaming, undecodable frames hash to null. Frame rows
@@ -308,7 +327,17 @@ object Multimodal {
   /** pHash-256 of one decoded image (round 15 — verdict r14 #3): the
     * dHash construction on a 17×16 block-mean grid — 16 horizontal
     * gradient signs per row × 16 rows = 256 bits, packed into 4 longs
-    * (bit p of the hash = bit p%64 of word p/64, p = j·16+i). Same
+    * (bit p of the hash = bit p%64 of word p/64, p = j·16+i).
+    *
+    * NAMING CAVEAT (ADVICE r15): despite the name, this is a WIDENED
+    * dHash (block-mean gradient signs), not the conventional DCT-based
+    * pHash — it inherits dHash's robustness profile (re-encodes,
+    * uniform brightness shifts, mild resampling), NOT pHash's
+    * crop/heavy-rescale robustness. The name is kept because the q174
+    * oracle, index props (`graft.phash.bands`), and query ids already
+    * carry it; pick this family for BAND-SPACE reasons (> ~10⁴ image
+    * classes saturate dHash-64's 16-bit bands), not for DCT-grade
+    * geometric invariance. Same
     * exact-integer math as [[dHashOf]] (floor block means over
     * ⌊i·w/17⌋ boxes, raw gray sample for single-band rasters), so a
     * SQL oracle replays it bit for bit.
@@ -370,16 +399,30 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val h =
-          try {
-            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (im == null || im.getWidth < 17 || im.getHeight < 16) None
-            else Some(pHash256Of(im))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        (id, h)
-      })
+      .mapPartitions(_.map { case (id, bytes) => (id, pHash256OfBytes(bytes)) })
       .toDF("doc_id", "phash")
+  }
+
+  /** Decode + pHash-256 one blob; None for undecodable/sub-grid bytes. */
+  private[ops] def pHash256OfBytes(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (im == null || im.getWidth < 17 || im.getHeight < 16) None
+      else Some(pHash256Of(im))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[pHash256]] carrying the media blob through the same pass —
+    * (doc_id, media, phash) from one decode; the [[dHash64WithMedia]]
+    * determinism contract.
+    */
+  def pHash256WithMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, bytes, pHash256OfBytes(bytes)) })
+      .toDF("doc_id", "media", "phash")
   }
 
   /** Deterministic synthetic grayscale image corpus — the container

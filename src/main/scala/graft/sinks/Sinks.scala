@@ -102,11 +102,16 @@ object Sinks {
     * table there. The guard deletes only when every entry LOOKS like
     * Spark parquet-table output (part files / _SUCCESS / dot- and
     * underscore-prefixed bookkeeping, one level of partition/bucket
-    * subdirs of the same shape) and throws otherwise, so foreign data
-    * is never silently destroyed. True cross-process concurrency needs
-    * a real metastore — the single-writer discipline documented on
-    * [[compactBucketed]] — but mistaken deletes must fail loud, not
-    * quiet.
+    * subdirs of the same shape) and throws otherwise, so NON-SPARK
+    * foreign data is never silently destroyed. The guard cannot
+    * protect a concurrent PROCESS's live Spark table sharing this
+    * warehouse dir — that output is indistinguishable from an orphan
+    * by content (ADVICE r15); only the documented single-writer
+    * discipline (one engine process per warehouse — see
+    * [[compactBucketed]]) makes this path safe, and a real metastore
+    * is the answer where that discipline can't hold. The guard's job
+    * is the narrower one: mistaken deletes of anything that is NOT
+    * shaped like our own output fail loud, not quiet.
     */
   private[graft] def clearOrphanTableDir(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(table) || table.contains("/")) return

@@ -192,4 +192,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sd.contains("BroadcastHashJoin"), s"q170 lost its eval-side broadcast:\n${sd.take(1500)}")
     assert(!sd.contains("SortMergeJoin"), s"q170 shuffled the corpus side:\n${sd.take(1500)}")
   }
+
+  test("r15 pins: q174 pHash pairs via posting lists (no hash-plan self-join); " +
+    "q175 video pairs band on posting lists and verify rides broadcasts") {
+    val dir = "/root/testdata/sf0.001"
+    // pHash pairs: the q169 assertions on the 256-bit family —
+    // candidates come from per-bucket posting lists (one band-key
+    // shuffle); a bucket self-join would decode every blob twice
+    val ph = SparkEntry.queries("q174_image_phash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ph.contains("SortMergeJoin"), s"q174 self-joined the hash plan:\n${ph.take(1500)}")
+    assert(!ph.contains("BroadcastHashJoin"), s"q174 grew a join stage:\n${ph.take(1500)}")
+    // video pairs: candidate generation is the same posting-list shape
+    // (band-key shuffle, pairCombos explode — never a signature-plan
+    // self-join); the exact-verify join-back onto the per-clip gram
+    // sets is candidate-sized and must ride broadcasts in the
+    // FINALIZED plan (AQE decision — collect first, the q170 pattern),
+    // never a sort-merge shuffle of the shingle corpus
+    val vq = SparkEntry.queries("q175_video_neardup_pairs")(spark, dir)
+    vq.collect()
+    val vp = vq.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!vp.contains("CartesianProduct"), s"q175 went all-pairs:\n${vp.take(1500)}")
+    assert(!vp.contains("SortMergeJoin"), s"q175 shuffled the gram corpus:\n${vp.take(1500)}")
+  }
 }

@@ -205,6 +205,16 @@ class BpeSpec extends AnyFunSuite {
     // the full shape validation in a FRESH session
     val fresh = spark.newSession()
     assert(Bpe.readModel(fresh, t) === v1)
+
+    // read-only deployments (ADVICE r15): heal=false must not touch
+    // the metastore — a crashed swap surfaces as not-found, and the
+    // retired copy stays exactly where the crash left it
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__retire")
+    intercept[Exception] { Bpe.readModel(spark, t, heal = false) }
+    assert(spark.catalog.tableExists(s"${t}__retire"), "heal=false must not rename")
+    assert(!spark.catalog.tableExists(t))
+    // the default heal restores restore-only, as before
+    assert(Bpe.readModel(spark, t) === v1)
     spark.sql(s"DROP TABLE $t")
   }
 
