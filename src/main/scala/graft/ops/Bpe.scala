@@ -239,30 +239,23 @@ object Bpe {
   private val NormProp = "graft.bpe.norm"
   private val NormContract = "fns.tokens/chars/v1"
 
-  /** The staging/retire names of the model swap — graft-owned by
-    * contract, like the `__compact` staging table of
-    * [[graft.sinks.Sinks.compactBucketed]].
+  /** The staging/retire names of the model swap — the shared staged-
+    * publish protocol ([[graft.sinks.Sinks.publishStaged]], round 17).
     */
-  private def stageName(table: String): String = table + "__stage"
-  private def retireName(table: String): String = table + "__retire"
+  private def stageName(table: String): String = graft.sinks.Sinks.stagedName(table)
+  private def retireName(table: String): String = graft.sinks.Sinks.retiredName(table)
 
-  /** Restore-only heal of a model swap left mid-crash: a crash between
-    * the two RENAMEs leaves the live name missing with the previous
-    * model intact at `__retire` — rename it back so readers keep
-    * working (the [[graft.sinks.Sinks.recoverBucketedSwap]] read-side
-    * discipline: restore, never advance — completing the swap is the
+  /** Restore-only heal of a model swap left mid-crash — delegates to
+    * the shared [[graft.sinks.Sinks.recoverStagedPublish]]: a crash
+    * between the two RENAMEs leaves the live name missing with the
+    * previous model intact at `__retire`; rename it back so readers
+    * keep working (restore, never advance — completing the swap is the
     * WRITER's job on its next run).
     */
   def recoverModelSwap(
       spark: org.apache.spark.sql.SparkSession,
       table: String
-  ): Unit =
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(retireName(table))) {
-      val from = graft.sinks.Sinks.parseIdent(spark, retireName(table)).quotedString
-      val to = graft.sinks.Sinks.parseIdent(spark, table).quotedString
-      spark.sql(s"ALTER TABLE $from RENAME TO $to")
-      ()
-    }
+  ): Unit = graft.sinks.Sinks.recoverStagedPublish(spark, table)
 
   /** Persist a learned merge list as an at-rest model table: one row
     * per merge (rank 0-based, left_sym, right_sym), fit-shape props on
@@ -303,30 +296,15 @@ object Bpe {
       s"ALTER TABLE $stageIdent SET TBLPROPERTIES " +
         s"('$NMergesProp'='${merges.size}', '$NormProp'='$NormContract')"
     )
-    // the swap: live -> retire, stage -> live (each rename is
-    // metastore-atomic; the crash window between them is healed by
-    // recoverModelSwap), then drop the retired model. A READER racing
-    // the window runs the same heal and renames retire back to live
-    // (ADVICE r15) — our stage -> live rename then fails on the
-    // restored name; retire the restored copy and retry (bounded: each
-    // retry consumes one reader heal, and only reads concurrent with
-    // THIS swap can heal).
-    val liveIdent = graft.sinks.Sinks.parseIdent(spark, table).quotedString
-    val retireIdent = graft.sinks.Sinks.parseIdent(spark, retire).quotedString
-    var attempts = 0
-    var published = false
-    var lastErr: Throwable = null
-    while (!published && attempts < 3) {
-      attempts += 1
-      if (spark.catalog.tableExists(table))
-        spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
-      try {
-        spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
-        published = true
-      } catch { case scala.util.control.NonFatal(e) => lastErr = e }
-    }
-    if (!published) throw lastErr
-    spark.sql(s"DROP TABLE IF EXISTS $retireIdent")
+    // the swap: live -> retire, stage -> live, drop retired — the
+    // shared staged-publish retry loop (ADVICE r16-hardened: an
+    // ambiguous stage->live success is detected by the staging table's
+    // absence instead of demoting the just-published model, and a
+    // failing live->retire demotion consumes a bounded attempt instead
+    // of escaping uncaught). A READER racing the crash window heals
+    // retire back to live (ADVICE r15); each retry demotes the
+    // restored copy and tries again.
+    graft.sinks.Sinks.publishStaged(spark, table)
   }
 
   /** [[fitMerges]] + [[writeModel]] in one call; returns the merges it

@@ -838,15 +838,18 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       nBuckets: Int = 64
-  ): Unit = {
-    graft.sinks.Sinks.writeBucketed(
+  ): Unit =
+    // staged publish (round 17, ADVICE r16): the contract props land on
+    // the staging table BEFORE any data is visible under `table`, so no
+    // crash can leave a props-less data-bearing index for a later
+    // caller to backfill with the wrong modality
+    graft.sinks.Sinks.writeBucketedWithProps(
       minHashIndexRows(corpus, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
       table,
       Seq("bkey"),
-      nBuckets
+      nBuckets,
+      indexProps(numHashes, bands, TextSource)
     )
-    setIndexProps(corpus.sparkSession, table, numHashes, bands, TextSource)
-  }
 
   /** The hashing parameters an index was WRITTEN with, recorded as table
     * properties so every later append/probe can be validated against the
@@ -874,6 +877,13 @@ object Dedup {
   private val SourceProp = "graft.minhash.source"
   private[ops] val TextSource = "text"
   private[ops] val VideoSource = "video_framegram2"
+
+  private def indexProps(numHashes: Int, bands: Int, source: String): Map[String, String] =
+    Map(
+      NumHashesProp -> numHashes.toString,
+      BandsProp -> bands.toString,
+      SourceProp -> source
+    )
 
   private def setIndexProps(
       spark: org.apache.spark.sql.SparkSession,
@@ -927,32 +937,48 @@ object Dedup {
             s"caller asked for ($numHashes, $bands)"
         )
       case _ =>
-        val r = spark
-          .table(table)
-          .agg(
-            min(size(col("sig"))).as("mn"),
-            max(size(col("sig"))).as("mx"),
-            max(col("band")).as("mb")
-          )
-          .head()
-        if (!r.isNullAt(0)) {
-          require(
-            r.getInt(0) == numHashes && r.getInt(1) == numHashes,
-            s"index $table holds ${r.getInt(0)}..${r.getInt(1)}-hash signatures; " +
-              s"caller asked for $numHashes"
-          )
-          require(
-            r.getInt(2) == bands - 1,
-            s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
-          )
-          // backfill only parameters the DATA actually pins (plus the
-          // caller's source, which data CANNOT pin — the emb-index
-          // seed/bitsPerBand honesty note applies). An empty index
-          // contradicts nothing — but freezing the caller's values
-          // there would let a probe run with defaults poison a table
-          // intended for different parameters before its first real append.
+        // backfill only parameters the DATA actually pins (plus the
+        // caller's source, which data CANNOT pin — the emb-index
+        // seed/bitsPerBand honesty note applies). An empty index
+        // contradicts nothing — but freezing the caller's values
+        // there would let a probe run with defaults poison a table
+        // intended for different parameters before its first real append.
+        if (pinParamsFromData(spark, table, numHashes, bands))
           setIndexProps(spark, table, numHashes, bands, source)
-        }
+    }
+  }
+
+  /** Validate (numHashes, bands) against a props-less index's DATA —
+    * signature length pins numHashes and `max(band)+1` pins bands,
+    * since every indexed doc emits one row per band. Returns false on
+    * an EMPTY index (nothing to pin), throws on a mismatch.
+    */
+  private def pinParamsFromData(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int
+  ): Boolean = {
+    val r = spark
+      .table(table)
+      .agg(
+        min(size(col("sig"))).as("mn"),
+        max(size(col("sig"))).as("mx"),
+        max(col("band")).as("mb")
+      )
+      .head()
+    if (r.isNullAt(0)) false
+    else {
+      require(
+        r.getInt(0) == numHashes && r.getInt(1) == numHashes,
+        s"index $table holds ${r.getInt(0)}..${r.getInt(1)}-hash signatures; " +
+          s"caller asked for $numHashes"
+      )
+      require(
+        r.getInt(2) == bands - 1,
+        s"index $table holds bands 0..${r.getInt(2)}; caller asked for $bands bands"
+      )
+      true
     }
   }
 
@@ -972,21 +998,83 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = batch.sparkSession
+    // a crashed staged publish leaves the index only at __retire —
+    // restore it so `existed` below sees it (dropping into the create
+    // path here would discard the whole pre-crash index)
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    // heal BEFORE validating: a legacy no-props index caught in a
-    // compaction crash window would otherwise fail validateIndexParams'
-    // data scan (missing live dir) instead of healing first. Read-only
-    // heal here; appendBucketed below still does the clearStaleOld pass.
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateIndexParams(spark, table, numHashes, bands, TextSource)
-    graft.sinks.Sinks.appendBucketed(
-      minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets),
-      table,
-      Seq("bkey"),
-      nBuckets
-    )
-    // first append CREATES the table: record its contract like write does
-    if (!existed) setIndexProps(spark, table, numHashes, bands, TextSource)
+    val rows = minHashIndexRows(batch, textCol, idCol, shingleSize, numHashes, bands, nBuckets)
+    if (!existed)
+      // first append CREATES the table: staged publish stamps the
+      // contract props before any data is visible (ADVICE r16 — the
+      // create-then-ALTER window let a crash leave a props-less index)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        rows, table, Seq("bkey"), nBuckets, indexProps(numHashes, bands, TextSource))
+    else {
+      // heal BEFORE validating: a legacy no-props index caught in a
+      // compaction crash window would otherwise fail validateIndexParams'
+      // data scan (missing live dir) instead of healing first. Read-only
+      // heal here; appendBucketed below still does the clearStaleOld pass.
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      validateIndexParams(spark, table, numHashes, bands, TextSource)
+      graft.sinks.Sinks.appendBucketed(rows, table, Seq("bkey"), nBuckets)
+    }
+  }
+
+  /** Compact a TEXT MinHash index ([[graft.sinks.Sinks.compactBucketed]])
+    * and STAMP its contract props (round 17 — verdict r16 #6): a legacy
+    * props-less index is validated against its data pins (signature
+    * length, max band) and gains the full property set — including the
+    * caller's modality — during the same maintenance pass, so the
+    * grandfather clause ("no props ⇒ text") retires one compaction at a
+    * time instead of living forever. Callers that compact via the bare
+    * [[graft.sinks.Sinks.compactBucketed]] keep working; this is the
+    * entry point the ingest loops use.
+    */
+  def compactTextMinHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8
+  ): Unit = compactMinHashIndex(spark, table, numHashes, bands, TextSource)
+
+  /** [[compactTextMinHashIndex]] for a VIDEO index (modality prop
+    * `video_framegram2`).
+    */
+  def compactVideoMinHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int = 32,
+      bands: Int = 8
+  ): Unit = compactMinHashIndex(spark, table, numHashes, bands, VideoSource)
+
+  private def compactMinHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int,
+      source: String
+  ): Unit = {
+    // heal both crash protocols before validate touches data
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
+    graft.sinks.Sinks.recoverBucketedSwap(spark, table, clearStaleOld = true)
+    val tblProps = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+    if (!tblProps.contains(SourceProp)) {
+      // MAINTENANCE path on a props-less index: unlike a foreign probe
+      // (where "no props" must default to legacy text), compaction is
+      // run by the index's OWNING loop, whose declared modality is
+      // authoritative — this is exactly how a pre-r17 crash-window
+      // video index (or a genuine legacy text index) gets correctly
+      // stamped so the grandfather clause retires. Hash params are
+      // still data-pinned; an empty index adopts nothing.
+      if (pinParamsFromData(spark, table, numHashes, bands))
+        setIndexProps(spark, table, numHashes, bands, source)
+    } else
+      // propped index: the caller's full contract must match it
+      validateIndexParams(spark, table, numHashes, bands, source)
+    graft.sinks.Sinks.compactBucketed(spark, table)
   }
 
   /** Index rows from a pre-computed (doc_id, shingles) frame — the
@@ -1079,8 +1167,10 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import spark.implicits._
-    // a compaction crash must not leave the probe reading a missing (or
-    // freshly-recreated empty) data dir — heal restore-only before the scan
+    // a crashed staged PUBLISH (index only at __retire) and a crashed
+    // COMPACTION (data dir only at `.old`) must both heal restore-only
+    // before the scan
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // bucket count comes from the CATALOG, never the caller: probing
     // with a different modulus than the index was written with would
@@ -1989,15 +2079,21 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       nBuckets: Int = 64
-  ): Unit = {
-    graft.sinks.Sinks.writeBucketed(
+  ): Unit =
+    // staged publish (round 17, ADVICE r16): source=video_framegram2
+    // lands on the staging table BEFORE any data is visible under
+    // `table`. The write-then-ALTER sequence this replaces had a crash
+    // window leaving a props-less video index that the legacy fallback
+    // classified as TEXT — a later text probe would then backfill
+    // source=text permanently, so video probes fail and text appends
+    // are accepted. With the staged publish that state cannot exist.
+    graft.sinks.Sinks.writeBucketedWithProps(
       minHashIndexRowsFromShingles(videoShingles(frames), numHashes, bands, nBuckets),
       table,
       Seq("bkey"),
-      nBuckets
+      nBuckets,
+      indexProps(numHashes, bands, VideoSource)
     )
-    setIndexProps(frames.sparkSession, table, numHashes, bands, VideoSource)
-  }
 
   /** O(batch) append of new clips' band rows; an existing index keeps
     * its recorded bucket count ([[tableNumBuckets]]).
@@ -2023,13 +2119,21 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = shingled.sparkSession
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateIndexParams(spark, table, numHashes, bands, VideoSource)
-    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
-    graft.sinks.Sinks.appendBucketed(
-      minHashIndexRowsFromShingles(shingled, numHashes, bands, n), table, Seq("bkey"), n)
-    if (!existed) setIndexProps(spark, table, numHashes, bands, VideoSource)
+    if (!existed)
+      // first append CREATES the table: staged publish stamps the
+      // modality prop before any data is visible (ADVICE r16)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        minHashIndexRowsFromShingles(shingled, numHashes, bands, nBuckets),
+        table, Seq("bkey"), nBuckets, indexProps(numHashes, bands, VideoSource))
+    else {
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      validateIndexParams(spark, table, numHashes, bands, VideoSource)
+      val n = tableNumBuckets(spark, table)
+      graft.sinks.Sinks.appendBucketed(
+        minHashIndexRowsFromShingles(shingled, numHashes, bands, n), table, Seq("bkey"), n)
+    }
   }
 
   /** Near-dups of a NEW batch of clips against the at-rest video index

@@ -92,6 +92,119 @@ object Sinks {
   ): org.apache.spark.sql.catalyst.TableIdentifier =
     spark.sessionState.sqlParser.parseTableIdentifier(table)
 
+  /** The staging/retire names of a staged table publish — graft-owned
+    * by contract wherever the protocol is used (BPE models, prop-
+    * carrying index builds), like the `__compact` staging table of
+    * [[compactBucketed]].
+    */
+  private[graft] def stagedName(table: String): String = table + "__stage"
+  private[graft] def retiredName(table: String): String = table + "__retire"
+
+  /** Restore-only heal of a staged publish left mid-crash: a crash
+    * between [[publishStaged]]'s two RENAMEs leaves the live name
+    * missing with the previous table intact at `__retire` — rename it
+    * back so readers keep working (the [[recoverBucketedSwap]]
+    * read-side discipline: restore, never advance — completing the
+    * swap is the WRITER's job on its next run).
+    */
+  def recoverStagedPublish(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(retiredName(table))) {
+      val from = parseIdent(spark, retiredName(table)).quotedString
+      val to = parseIdent(spark, table).quotedString
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      ()
+    }
+
+  /** Publish a fully-written staging table (`<table>__stage` — data AND
+    * table properties already in place) as `table`: live → `__retire`,
+    * stage → live (each rename metastore-atomic; the crash window
+    * between them heals restore-only via [[recoverStagedPublish]]),
+    * then drop the retired copy. A reader concurrent with the publish
+    * sees the old table, the new table, or a clean table-not-found in
+    * the one instant between the renames — never a partial or
+    * props-less table.
+    *
+    * Retry discipline (ADVICE r16, both halves): a READER racing the
+    * crash window can heal retire → live between our renames, making
+    * the stage → live rename fail on the restored name — each retry
+    * demotes the restored copy and tries again (bounded: each retry
+    * consumes one reader heal). Two hardenings over the bounded loop
+    * alone:
+    *  - stage ABSENT at the top of an attempt means the previous
+    *    stage → live rename actually SUCCEEDED and only the client-side
+    *    acknowledgement was lost — the new table is live; demoting it
+    *    here would retire the just-published table and then throw with
+    *    nothing live. Treat it as published.
+    *  - the live → retire demotion runs inside the same NonFatal
+    *    handler as the publish rename, so a failing demotion consumes a
+    *    bounded attempt instead of escaping the loop uncaught.
+    */
+  private[graft] def publishStaged(spark: SparkSession, table: String): Unit = {
+    val liveIdent = parseIdent(spark, table).quotedString
+    val stageIdent = parseIdent(spark, stagedName(table)).quotedString
+    val retireIdent = parseIdent(spark, retiredName(table)).quotedString
+    var attempts = 0
+    var published = false
+    var lastErr: Throwable = null
+    while (!published && attempts < 3) {
+      attempts += 1
+      if (!spark.catalog.tableExists(stagedName(table))) published = true
+      else
+        try {
+          if (spark.catalog.tableExists(table))
+            spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
+          spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
+          published = true
+        } catch { case scala.util.control.NonFatal(e) => lastErr = e }
+    }
+    if (!published) throw lastErr
+    spark.sql(s"DROP TABLE IF EXISTS $retireIdent")
+    ()
+  }
+
+  /** [[writeBucketed]] with table properties stamped BEFORE the data
+    * becomes visible under `table` (ADVICE r16): the rows and the
+    * properties are written to a staging table and moved into place
+    * with [[publishStaged]]'s metastore-atomic renames. The bare
+    * write-then-ALTER sequence this replaces had a crash window where
+    * the table existed with data but no properties — for contract-
+    * carrying index tables (e.g. the MinHash `source` modality, which
+    * the DATA cannot pin) a later caller could then backfill the wrong
+    * contract permanently. With the staged publish there is no state
+    * in which `table` resolves to data without its properties.
+    */
+  def writeBucketedWithProps(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int,
+      props: Map[String, String]
+  ): Unit = {
+    val spark = df.sparkSession
+    val stage = stagedName(table)
+    val retire = retiredName(table)
+    // heal a previous writer's crash window, then clear OUR leftovers;
+    // a crashed COMPACTION of the live table heals too (its data dir
+    // must be back in place before a rename orphans the `.old` copy)
+    recoverStagedPublish(spark, table)
+    recoverBucketedSwap(spark, table, clearStaleOld = true)
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, stage).quotedString}")
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, retire).quotedString}")
+    Seq(table, stage, retire).foreach(clearOrphanTableDir(spark, _))
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(stage)
+    if (props.nonEmpty)
+      spark.sql(
+        s"ALTER TABLE ${parseIdent(spark, stage).quotedString} SET TBLPROPERTIES (" +
+          props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    publishStaged(spark, table)
+  }
+
   /** Clear a catalog-orphaned warehouse directory so a managed-table
     * write can proceed: a previous PROCESS's leftover dir that this
     * session's in-memory catalog has no entry for fails

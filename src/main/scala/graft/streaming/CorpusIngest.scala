@@ -134,12 +134,31 @@ object CorpusIngest {
     }
   }
 
-  /** Per-batch accounting returned by [[ingestNearDupBatch]]: docs that
-    * survived (`kept`), docs dropped as duplicates — exact in-batch,
-    * near in-batch, or near-dup vs the corpus (`nearDups`) — and replays
-    * whose doc_id was already indexed (`replays`).
+  /** Per-batch accounting returned by [[ingestNearDupBatch]] and the
+    * image/video/semantic ingest analogues: rows that survived
+    * (`kept`), rows dropped as duplicates — exact in-batch, near
+    * in-batch, or near-dup vs the corpus (`nearDups`) — replays whose
+    * id was already indexed (`replays`), rows REJECTED by the
+    * identity contract before any dedup ran (`rejected` — null id, or
+    * an in-batch duplicate id where the id is the identity; round 17,
+    * ADVICE r16: these used to surface inside `nearDups`), and clips
+    * parked in the pending store awaiting frame completeness
+    * (`deferred` — [[VideoIngest]] only).
+    *
+    * LEDGER: for the row-unit ingests (text/semantic/image),
+    * `kept + nearDups + replays + rejected == batch.count()`. For
+    * [[VideoIngest]] the stats are CLIP-unit
+    * (`kept + nearDups + replays` covers the complete clips processed
+    * this batch; `deferred` counts clips still pending) while
+    * `rejected` stays in FRAME units — see its scaladoc.
     */
-  final case class NearDupIngestStats(kept: Long, nearDups: Long, replays: Long)
+  final case class NearDupIngestStats(
+      kept: Long,
+      nearDups: Long,
+      replays: Long,
+      rejected: Long = 0L,
+      deferred: Long = 0L
+  )
 
   /** Streaming NEAR-dup ingest — "dedup today's crawl against the whole
     * corpus" at streaming cadence: each micro-batch is (1) exact+near
@@ -274,10 +293,12 @@ object CorpusIngest {
     if (freshCnt + orphans.count() > 0)
       toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
     // (5) cadence-guarded maintenance: compact the index when append
-    // fanout crosses the threshold (see scaladoc)
+    // fanout crosses the threshold (see scaladoc). The MinHash-aware
+    // entry point also stamps the contract props on a legacy index
+    // during the same pass (verdict r16 #6).
     if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
-      graft.sinks.Sinks.compactBucketed(spark, indexTable)
+      Dedup.compactTextMinHashIndex(spark, indexTable, numHashes, bands)
     val replayCnt = replayIds.count()
     NearDupIngestStats(
       kept = freshCnt,
@@ -410,10 +431,16 @@ object CorpusIngest {
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
       graft.sinks.Sinks.compactBucketed(spark, indexTable)
     val replayCnt = replayIds.count()
+    // LEDGER (round 17 — the ImageIngest ADVICE r16 fix applied to the
+    // same shape here): vec_id is the identity, so the losers of the
+    // in-batch id dedup are contract rejections, not near-dups.
+    // kept + nearDups + replays + rejected == batch.count().
+    val idKeptCnt = idKept.count()
     NearDupIngestStats(
       kept = freshCnt,
-      nearDups = batch.count() - freshCnt - replayCnt,
-      replays = replayCnt
+      nearDups = idKeptCnt - freshCnt - replayCnt,
+      replays = replayCnt,
+      rejected = batch.count() - idKeptCnt
     )
   }
 

@@ -39,10 +39,14 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   * any join — the hash in every later stage is derived from exactly
   * the media bytes that get stored, so a batch carrying duplicate
   * doc_ids with DIFFERENT bytes can no longer store one copy's media
-  * under another copy's hash. Rows without a doc_id are rejected
-  * up-front (counted out, not errored): an id-keyed, replay-idempotent
-  * ingest cannot represent identity-less rows — same-id replay
-  * detection and the corpus anti-join both key on doc_id.
+  * under another copy's hash. Rows without a doc_id — and the losers
+  * of the in-batch id dedup — are rejected up-front and surface in the
+  * stats as `rejected` (round 17, ADVICE r16: previously they were
+  * silently folded into `nearDups`), not errored: an id-keyed,
+  * replay-idempotent ingest cannot represent identity-less rows —
+  * same-id replay detection and the corpus anti-join both key on
+  * doc_id. The returned ledger sums to the raw batch size:
+  * `kept + nearDups + replays + rejected == batch.count()`.
   */
 object ImageIngest {
 
@@ -158,13 +162,20 @@ object ImageIngest {
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
       graft.sinks.Sinks.compactBucketed(spark, indexTable)
     val replayCnt = replayIds.count()
-    // kept counts decodable appends plus undecodable pass-throughs
-    // (observability, not a ledger: a replayed undecodable row recounts
-    // as kept even though the corpus anti-join makes its append a no-op)
+    // LEDGER (round 17 — ADVICE r16 / verdict #2): the dedup arithmetic
+    // is based on the POST-contract-filter count (hashed == idKept, one
+    // row per non-null doc_id), so contract-rejected rows surface as
+    // `rejected`, never as phantom near-dups. kept counts decodable
+    // appends plus undecodable pass-throughs (observability on the
+    // replay edge: a replayed undecodable row recounts as kept even
+    // though the corpus anti-join makes its append a no-op).
+    // kept + nearDups + replays + rejected == batch.count().
+    val idKeptCnt = hashed.count()
     NearDupIngestStats(
       kept = freshCnt + undecodable.count(),
-      nearDups = batch.count() - freshCnt - undecodable.count() - replayCnt,
-      replays = replayCnt
+      nearDups = idKeptCnt - freshCnt - undecodable.count() - replayCnt,
+      replays = replayCnt,
+      rejected = batch.count() - idKeptCnt
     )
   }
 }

@@ -1,0 +1,174 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.ops.{Dedup, Multimodal}
+
+/** The shared staged-publish protocol (round 17 — ADVICE r16 items 2
+  * and 3, verdict r16 #6): props land before data is visible, the
+  * retry loop survives an ambiguous rename success and a failing
+  * demotion, crashed windows heal restore-only, and a legacy
+  * props-less MinHash index gains its contract props on compaction
+  * without changing probe results.
+  */
+class StagedPublishSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  private def props(table: String): Map[String, String] =
+    spark.sessionState.catalog
+      .getTableMetadata(Sinks.parseIdent(spark, table))
+      .properties
+
+  test("writeBucketedWithProps: props visible with the data, bucketed, overwrite clean") {
+    val t = "sp_wbwp"
+    drop(t, s"${t}__stage", s"${t}__retire")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.writeBucketedWithProps(df1, t, Seq("k"), 4, Map("graft.test.marker" -> "one"))
+    assert(props(t).get("graft.test.marker").contains("one"))
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(Sinks.parseIdent(spark, t)).bucketSpec
+    assert(spec.map(_.numBuckets).contains(4))
+    assert(spark.table(t).count() === 2L)
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
+    assert(!spark.catalog.tableExists(s"${t}__retire"))
+    // overwrite replaces rows AND props, leaves no staging debris
+    val df2 = Seq((3L, "c")).toDF("k", "v")
+    Sinks.writeBucketedWithProps(df2, t, Seq("k"), 4, Map("graft.test.marker" -> "two"))
+    assert(props(t).get("graft.test.marker").contains("two"))
+    assert(spark.table(t).select($"v").as[String].collect().toSeq === Seq("c"))
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
+    drop(t)
+  }
+
+  test("publishStaged: ambiguous rename success (stage gone, live new) is NOT demoted") {
+    val t = "sp_ambig"
+    drop(t, s"${t}__stage", s"${t}__retire")
+    // the post-success state of a stage->live rename whose client-side
+    // acknowledgement was lost: live holds the NEW table, stage absent
+    Seq((1L, "new")).toDF("k", "v").write.saveAsTable(t)
+    Sinks.publishStaged(spark, t) // a blind retry would retire `t` and throw
+    assert(spark.catalog.tableExists(t))
+    assert(spark.table(t).select($"v").as[String].head() === "new")
+    assert(!spark.catalog.tableExists(s"${t}__retire"))
+    drop(t)
+  }
+
+  test("publishStaged: a persistently failing demotion is bounded, not uncaught") {
+    val t = "sp_block"
+    drop(t, s"${t}__stage", s"${t}__retire")
+    Seq((1L, "live")).toDF("k", "v").write.saveAsTable(t)
+    Seq((2L, "stage")).toDF("k", "v").write.saveAsTable(s"${t}__stage")
+    // occupying the retire name makes every live->retire demotion fail;
+    // pre-fix this escaped the loop uncaught on the FIRST attempt —
+    // now it retries bounded and surfaces the last error
+    Seq((3L, "old")).toDF("k", "v").write.saveAsTable(s"${t}__retire")
+    intercept[Exception] { Sinks.publishStaged(spark, t) }
+    // nothing was lost: live unchanged, stage intact for the next writer
+    assert(spark.table(t).select($"v").as[String].head() === "live")
+    assert(spark.table(s"${t}__stage").select($"v").as[String].head() === "stage")
+    drop(t, s"${t}__stage", s"${t}__retire")
+  }
+
+  test("recoverStagedPublish restores a crashed swap; probes heal it inline") {
+    val t = "sp_heal_vidx"
+    drop(t, s"${t}__retire")
+    def vid(ids: Seq[Long]) =
+      Multimodal.synthVideoFrames(ids.toDF("doc_id"), "doc_id")
+    Dedup.writeVideoMinHashIndex(vid(Seq(0L, 1L)), t)
+    val before = Dedup.incrementalVideoNearDups(spark, vid(Seq(23L)), t)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // simulate the crash window between the swap's two renames
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__retire")
+    assert(!spark.catalog.tableExists(t))
+    // the probe heals restore-only and answers identically — and the
+    // restored table still carries its video modality prop, so a TEXT
+    // probe fails closed instead of adopting the index
+    val after = Dedup.incrementalVideoNearDups(spark, vid(Seq(23L)), t)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(after === before && after === Set((0L, 23L)))
+    assert(props(t).get("graft.minhash.source").contains("video_framegram2"))
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(spark, docs, t, "text", "doc_id").count()
+    }
+    assert(e.getMessage.contains("cross-modality"))
+    drop(t)
+  }
+
+  test("pre-publish crash (stage written, live never appeared) fails loud, then rebuilds") {
+    val t = "sp_crash_vidx"
+    drop(t, s"${t}__stage", s"${t}__retire")
+    def vid(ids: Seq[Long]) =
+      Multimodal.synthVideoFrames(ids.toDF("doc_id"), "doc_id")
+    Dedup.writeVideoMinHashIndex(vid(Seq(0L)), t)
+    // simulate: the build crashed after writing the stage, before any
+    // rename — live absent, fully-propped stage left behind
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__stage")
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    // the old write-then-ALTER window would leave a props-less LIVE
+    // table here that a text probe could backfill as text; now there is
+    // simply no live table — fail loud, never mislabel
+    intercept[Exception] {
+      Dedup.incrementalNearDups(spark, docs, t, "text", "doc_id").count()
+    }
+    // the next build clears the leftover stage and publishes cleanly
+    Dedup.writeVideoMinHashIndex(vid(Seq(0L, 1L)), t)
+    assert(props(t).get("graft.minhash.source").contains("video_framegram2"))
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
+    drop(t)
+  }
+
+  test("legacy props-less index gains contract props on compaction, probes identical") {
+    // video: the modality the grandfather clause would otherwise
+    // misclassify as text
+    val vt = "sp_compact_vidx"
+    drop(vt, s"${vt}__stage", s"${vt}__retire")
+    def vid(ids: Seq[Long]) =
+      Multimodal.synthVideoFrames(ids.toDF("doc_id"), "doc_id")
+    Dedup.writeVideoMinHashIndex(vid(Seq(0L, 1L, 2L)), vt)
+    spark.sql(s"ALTER TABLE $vt UNSET TBLPROPERTIES " +
+      "('graft.minhash.source', 'graft.minhash.numHashes', 'graft.minhash.bands')")
+    // NOTE: probing would also backfill (validateIndexParams) — the
+    // compaction path matters for indexes whose next touch is
+    // maintenance, and for VIDEO indexes whose own loop knows the
+    // right modality where a foreign text probe would not
+    Dedup.compactVideoMinHashIndex(spark, vt)
+    val p = props(vt)
+    assert(p.get("graft.minhash.source").contains("video_framegram2"))
+    assert(p.get("graft.minhash.numHashes").contains("32"))
+    assert(p.get("graft.minhash.bands").contains("8"))
+    val hits = Dedup.incrementalVideoNearDups(spark, vid(Seq(23L)), vt)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(hits === Set((0L, 23L)))
+    drop(vt)
+
+    // text: same pass through the text entry point
+    val tt = "sp_compact_tidx"
+    drop(tt, s"${tt}__stage", s"${tt}__retire")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long night")
+    ).toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(docs, "text", "doc_id", tt)
+    val before = Dedup
+      .incrementalNearDups(spark, docs, tt, "text", "doc_id", dropSameId = false)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    spark.sql(s"ALTER TABLE $tt UNSET TBLPROPERTIES " +
+      "('graft.minhash.source', 'graft.minhash.numHashes', 'graft.minhash.bands')")
+    Dedup.compactTextMinHashIndex(spark, tt)
+    assert(props(tt).get("graft.minhash.source").contains("text"))
+    val after = Dedup
+      .incrementalNearDups(spark, docs, tt, "text", "doc_id", dropSameId = false)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    drop(tt)
+  }
+}

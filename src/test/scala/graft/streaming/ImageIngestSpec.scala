@@ -136,8 +136,14 @@ class ImageIngestSpec extends AnyFunSuite {
     val copyA = synth(Seq(5L))
     val copyB = synth(Seq(7L)).withColumn("doc_id", lit(5L))
     val idless = synth(Seq(8L)).withColumn("doc_id", lit(null).cast("long"))
-    ImageIngest.ingestImageBatch(
+    val s = ImageIngest.ingestImageBatch(
       copyA.unionByName(copyB).unionByName(idless), corpus, "img_det_idx")
+    // LEDGER (round 17 — ADVICE r16): the two contract-rejected rows
+    // (the id-less row and the losing duplicate id) surface as
+    // `rejected`, NOT as phantom near-dups, and the ledger sums to the
+    // raw batch size
+    assert((s.kept, s.nearDups, s.replays, s.rejected) === ((1L, 0L, 0L, 2L)))
+    assert(s.kept + s.nearDups + s.replays + s.rejected === 3L)
     val stored = spark.read.parquet(corpus)
     assert(stored.count() === 1L, "one keeper for doc_id 5; the id-less row is rejected")
     // the determinism contract (ADVICE r15): whichever copy won, the

@@ -112,6 +112,156 @@ class VideoIngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vid_cross_tidx")
   }
 
+  // ------------------------------------------------------------------
+  // Clip atomicity (round 17 — verdict r16 #1): expected_frames +
+  // pendingPath park split clips; without a pendingPath violations are
+  // loud; the ledger (verdict r16 #2) sums and surfaces rejections.
+  // ------------------------------------------------------------------
+
+  /** Stamp each frame row with its clip's expected frame count taken
+    * from the FULL clip `full` — so a partial slice still declares the
+    * whole clip's contract.
+    */
+  private def withExp(full: org.apache.spark.sql.DataFrame)(
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    part.join(
+      full.groupBy($"video_id").agg(count(lit(1)).as("expected_frames")),
+      Seq("video_id"))
+
+  test("a clip delivered across two batches dedups identically to single-batch delivery") {
+    val tmp = Files.createTempDirectory("vidsplit").toString
+    spark.sql("DROP TABLE IF EXISTS vid_whole_idx")
+    spark.sql("DROP TABLE IF EXISTS vid_split_idx")
+
+    // WHOLE variant: clips 0 and 1 in one batch, then 46 (class of 0)
+    val whole = vid(Seq(0L, 1L))
+    val sw1 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole), s"$tmp/wholeCorpus", "vid_whole_idx",
+      pendingPath = Some(s"$tmp/wholePending"), batchId = 0L)
+    assert((sw1.kept, sw1.deferred) === ((2L, 0L)))
+    val sw2 = VideoIngest.ingestVideoBatch(
+      withExp(vid(Seq(46L)))(vid(Seq(46L))), s"$tmp/wholeCorpus", "vid_whole_idx",
+      pendingPath = Some(s"$tmp/wholePending"), batchId = 1L)
+    assert(sw2.nearDups === 1L, "whole delivery: 46 is a near-dup of indexed 0")
+
+    // SPLIT variant: clip 0 arrives as 3+3 frames across two batches
+    // (with the pre-r17 behavior batch 1 would index clip 0's PARTIAL
+    // gram set — 2 of 5 grams, Jaccard 0.4 vs class — and 46 would
+    // never be found)
+    val b0 = withExp(whole)(
+      vid(Seq(0L)).filter($"frame_idx" < 3).unionByName(vid(Seq(1L))))
+    val s0 = VideoIngest.ingestVideoBatch(
+      b0, s"$tmp/splitCorpus", "vid_split_idx",
+      pendingPath = Some(s"$tmp/splitPending"), batchId = 0L)
+    assert((s0.kept, s0.nearDups, s0.replays, s0.deferred) === ((1L, 0L, 0L, 1L)))
+    assert(corpusClips(s"$tmp/splitCorpus") === Set(1L), "split clip 0 is parked, not indexed")
+    val b1 = withExp(whole)(vid(Seq(0L)).filter($"frame_idx" >= 3))
+    val s1 = VideoIngest.ingestVideoBatch(
+      b1, s"$tmp/splitCorpus", "vid_split_idx",
+      pendingPath = Some(s"$tmp/splitPending"), batchId = 1L)
+    assert((s1.kept, s1.deferred) === ((1L, 0L)), "clip 0 completed and processed")
+    val s2 = VideoIngest.ingestVideoBatch(
+      withExp(vid(Seq(46L)))(vid(Seq(46L))), s"$tmp/splitCorpus", "vid_split_idx",
+      pendingPath = Some(s"$tmp/splitPending"), batchId = 2L)
+    assert(s2.nearDups === 1L, "split delivery: 46 still found as a near-dup of 0")
+
+    // both variants converge to the same corpus and index
+    def frameSet(p: String): Set[(Long, Int)] =
+      spark.read.parquet(p).select($"video_id", $"frame_idx")
+        .as[(Long, Int)].collect().toSet
+    assert(frameSet(s"$tmp/splitCorpus") === frameSet(s"$tmp/wholeCorpus"))
+    def idxIds(t: String): Set[Long] =
+      spark.table(t).select($"doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds("vid_split_idx") === idxIds("vid_whole_idx"))
+    spark.sql("DROP TABLE vid_whole_idx")
+    spark.sql("DROP TABLE vid_split_idx")
+  }
+
+  test("replaying the completing batch is idempotent (versioned pending store)") {
+    val tmp = Files.createTempDirectory("vidreplay").toString
+    spark.sql("DROP TABLE IF EXISTS vid_rp_idx")
+    val whole = vid(Seq(0L))
+    val part1 = withExp(whole)(whole.filter($"frame_idx" < 3))
+    val part2 = withExp(whole)(whole.filter($"frame_idx" >= 3))
+    VideoIngest.ingestVideoBatch(part1, s"$tmp/corpus", "vid_rp_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    VideoIngest.ingestVideoBatch(part2, s"$tmp/corpus", "vid_rp_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    val frames = spark.read.parquet(s"$tmp/corpus").count()
+    val idxRows = spark.table("vid_rp_idx").count()
+    // crash-replay of batch 1: the pending version it read (v=0) is
+    // still there, the union reproduces the same complete set, and the
+    // index same-id protocol absorbs the re-processing
+    val sr = VideoIngest.ingestVideoBatch(part2, s"$tmp/corpus", "vid_rp_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    assert(sr.replays === 1L, "clip 0 finds its own indexed copy")
+    assert(spark.read.parquet(s"$tmp/corpus").count() === frames, "no duplicate frames")
+    assert(spark.table("vid_rp_idx").count() === idxRows, "never re-indexed")
+    spark.sql("DROP TABLE vid_rp_idx")
+  }
+
+  test("contract violations are loud: split clip without pendingPath; over-delivery") {
+    val tmp = Files.createTempDirectory("vidloud").toString
+    spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
+    val whole = vid(Seq(0L))
+    val e1 = intercept[IllegalStateException] {
+      VideoIngest.ingestVideoBatch(
+        withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus", "vid_loud_idx")
+    }
+    assert(e1.getMessage.contains("pendingPath"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VideoIngest.ingestVideoBatch(
+        whole.withColumn("expected_frames", lit(3L)), s"$tmp/corpus", "vid_loud_idx",
+        pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    }
+    assert(e2.getMessage.contains("MORE"), e2.getMessage)
+    // null expected_frames clips keep the trusted whole-clip contract
+    val s = VideoIngest.ingestVideoBatch(
+      whole.withColumn("expected_frames", lit(null).cast("long")),
+      s"$tmp/corpus", "vid_loud_idx", pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    assert((s.kept, s.deferred) === ((1L, 0L)))
+    spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
+  }
+
+  test("frame ledger: null ids and duplicate frames surface as rejected, not near-dups") {
+    val tmp = Files.createTempDirectory("vidledger").toString
+    spark.sql("DROP TABLE IF EXISTS vid_ledger_idx")
+    val good = vid(Seq(0L, 1L))
+    val nullId = vid(Seq(2L)).withColumn("video_id", lit(null).cast("long")).limit(2)
+    val dupFrame = vid(Seq(0L)).filter($"frame_idx" === 0) // duplicates an existing frame
+    val batch = good.unionByName(nullId).unionByName(dupFrame)
+    val s = VideoIngest.ingestVideoBatch(batch, s"$tmp/corpus", "vid_ledger_idx")
+    assert(s.rejected === 3L, "2 id-less rows + 1 duplicate frame")
+    assert((s.kept, s.nearDups, s.replays) === ((2L, 0L, 0L)))
+    assert(s.rejected + good.count() === batch.count(), "frame ledger closes")
+    spark.sql("DROP TABLE vid_ledger_idx")
+  }
+
+  test("streaming loop with pendingPath: split clips complete across micro-batches") {
+    val tmp = Files.createTempDirectory("vidstreamsplit").toString
+    val (corpus, src) = (s"$tmp/corpus", s"$tmp/src")
+    spark.sql("DROP TABLE IF EXISTS vid_ss_idx")
+    val whole = vid(Seq(0L, 1L))
+    val b1 = withExp(whole)(
+      vid(Seq(0L)).filter($"frame_idx" < 3).unionByName(vid(Seq(1L))))
+    b1.write.parquet(src)
+    val q = VideoIngest.videoDedupIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      corpus, "vid_ss_idx", s"$tmp/ckpt", pendingPath = Some(s"$tmp/pending"))
+    try {
+      q.processAllAvailable()
+      assert(corpusClips(corpus) === Set(1L), "split clip 0 parked")
+      withExp(whole)(vid(Seq(0L)).filter($"frame_idx" >= 3))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(corpusClips(corpus) === Set(0L, 1L), "clip 0 completed")
+      val hits = Dedup.incrementalVideoNearDups(spark, vid(Seq(46L)), "vid_ss_idx")
+      assert(hits.select($"i").as[Long].collect().toSet === Set(0L),
+        "the completed clip's FULL gram set is indexed")
+    } finally q.stop()
+    spark.sql("DROP TABLE vid_ss_idx")
+  }
+
   test("streaming loop: micro-batches land deduped; probe sees them immediately") {
     val tmp = Files.createTempDirectory("vidstream").toString
     val (corpus, src) = (s"$tmp/corpus", s"$tmp/src")
