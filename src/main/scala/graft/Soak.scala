@@ -266,16 +266,29 @@ object Soak {
     }
     def dropSoakIndex(name: String): Unit =
       Seq(name, s"${name}__codebooks", s"${name}__centroids").foreach(dropSoakTable)
-    if (wanted("ivfpq_build") || wanted("ivfpq_probe"))
-      results("ivfpq_build") = scales.map { case (m, _) =>
-      dropSoakIndex(s"soak_ivfpq_x$m")
-      m -> timed(1) {
-        Similarity.writeIvfPqIndex(
-          emb(m), "embedding", "vec_id", s"soak_ivfpq_x$m",
-          dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256)
-        spark.table(s"soak_ivfpq_x$m").count()
+    /** Build families double as probe PREREQUISITES. Record the build
+      * section only when the caller asked for the build family itself;
+      * when only the probe is wanted, run the builds untimed and emit
+      * nothing (ADVICE r16: a probe-only run used to report a
+      * `<fam>_build` section the caller never requested). `prep` (table
+      * drops) stays OUTSIDE the timed region, exactly as before.
+      */
+    def buildFamily(family: String, probeFamily: String)(prep: Int => Unit)(
+        body: Int => Long): Unit =
+      if (wanted(family) || wanted(probeFamily)) {
+        val rows = scales.map { case (m, _) =>
+          prep(m)
+          if (wanted(family)) Some(m -> timed(1)(body(m)))
+          else { body(m); None }
+        }
+        if (wanted(family)) results(family) = rows.flatten.toMap
       }
-    }.toMap
+    buildFamily("ivfpq_build", "ivfpq_probe")(m => dropSoakIndex(s"soak_ivfpq_x$m")) { m =>
+      Similarity.writeIvfPqIndex(
+        emb(m), "embedding", "vec_id", s"soak_ivfpq_x$m",
+        dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256)
+      spark.table(s"soak_ivfpq_x$m").count()
+    }
 
     if (wanted("ivfpq_probe")) results("ivfpq_probe") = scales.map { case (m, _) =>
       val queries = emb(m).filter(col("vec_id") < 20)
@@ -295,15 +308,11 @@ object Soak {
     // the per-row centroid subtraction — so each gets its own exponent
     // row. Probes are the steady-state cost, timed on their own.
     val ivfCents = scala.collection.mutable.Map[Int, Seq[(Long, Seq[Double])]]()
-    if (wanted("ivf_build") || wanted("ivf_probe"))
-      results("ivf_build") = scales.map { case (m, _) =>
-        dropSoakTable(s"soak_ivf_x$m")
-        m -> timed(1) {
-          ivfCents(m) = Similarity.writeIvfIndex(
-            emb(m), "embedding", "vec_id", s"soak_ivf_x$m", nCells = nCellsAt(m))
-          spark.table(s"soak_ivf_x$m").count()
-        }
-      }.toMap
+    buildFamily("ivf_build", "ivf_probe")(m => dropSoakTable(s"soak_ivf_x$m")) { m =>
+      ivfCents(m) = Similarity.writeIvfIndex(
+        emb(m), "embedding", "vec_id", s"soak_ivf_x$m", nCells = nCellsAt(m))
+      spark.table(s"soak_ivf_x$m").count()
+    }
 
     if (wanted("ivf_probe")) results("ivf_probe") = scales.map { case (m, _) =>
       val queries = emb(m).filter(col("vec_id") < 20)
@@ -315,15 +324,11 @@ object Soak {
       }
     }.toMap
 
-    if (wanted("pq_build") || wanted("pq_probe"))
-      results("pq_build") = scales.map { case (m, _) =>
-        dropSoakIndex(s"soak_pq_x$m")
-        m -> timed(1) {
-          Similarity.writePqIndex(
-            emb(m), "embedding", "vec_id", s"soak_pq_x$m", dim = 64, m = 8, kCodes = 256)
-          spark.table(s"soak_pq_x$m").count()
-        }
-      }.toMap
+    buildFamily("pq_build", "pq_probe")(m => dropSoakIndex(s"soak_pq_x$m")) { m =>
+      Similarity.writePqIndex(
+        emb(m), "embedding", "vec_id", s"soak_pq_x$m", dim = 64, m = 8, kCodes = 256)
+      spark.table(s"soak_pq_x$m").count()
+    }
 
     if (wanted("pq_probe")) results("pq_probe") = scales.map { case (m, _) =>
       val queries = emb(m).filter(col("vec_id") < 20)
@@ -335,16 +340,13 @@ object Soak {
       }
     }.toMap
 
-    if (wanted("ivfpq_residual_build") || wanted("ivfpq_residual_probe"))
-      results("ivfpq_residual_build") = scales.map { case (m, _) =>
-        dropSoakIndex(s"soak_ivfpqr_x$m")
-        m -> timed(1) {
-          Similarity.writeIvfPqIndex(
-            emb(m), "embedding", "vec_id", s"soak_ivfpqr_x$m",
-            dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256, residual = true)
-          spark.table(s"soak_ivfpqr_x$m").count()
-        }
-      }.toMap
+    buildFamily("ivfpq_residual_build", "ivfpq_residual_probe")(
+      m => dropSoakIndex(s"soak_ivfpqr_x$m")) { m =>
+      Similarity.writeIvfPqIndex(
+        emb(m), "embedding", "vec_id", s"soak_ivfpqr_x$m",
+        dim = 64, nCells = nCellsAt(m), m = 8, kCodes = 256, residual = true)
+      spark.table(s"soak_ivfpqr_x$m").count()
+    }
 
     if (wanted("ivfpq_residual_probe")) results("ivfpq_residual_probe") =
       scales.map { case (m, _) =>
@@ -397,6 +399,45 @@ object Soak {
       }
     }.toMap
 
+    // Native BPE apply vs TOKEN LENGTH (round 17 — verdict r16 #4):
+    // the pathological-token edge behind the declined r15 #8 heap
+    // rewrite, measured instead of argued. The scale axis is the WORD:
+    // 64 unsegmented DNA-like blobs of 1000·m chars each (m=100 →
+    // 100k-char tokens — the URL/DNA shape real crawls contain), with
+    // a FIXED well-formed 528-merge list over the acgt alphabet that
+    // actually fires in depth (16 char bigrams → all 256 2+2 quads →
+    // 256 quad self-doubles), so the axis isolates length. The
+    // min-rank loop's passes are bounded by the ranks PRESENT (≤ the
+    // fixed merge count), each pass O(len) — expect exponent ≈ 1 in
+    // length; a reading ≥ ~1.5 reopens the linked-list+heap apply
+    // (BENCH_NOTES records the verdict either way). The scaladoc's
+    // O(len²) worst case needs vocab size ≥ len, which no fixed
+    // tokenizer model exhibits.
+    if (wanted("bpe_apply_len")) results("bpe_apply_len") = scales.map { case (m, _) =>
+      val alphabet = "acgt"
+      val bigrams: Seq[(String, String)] =
+        for (x <- alphabet.toSeq; y <- alphabet.toSeq) yield (x.toString, y.toString)
+      val twos = bigrams.map { case (a, b) => a + b }
+      val quads: Seq[(String, String)] = for (x <- twos; y <- twos) yield (x, y)
+      val merges = bigrams ++ quads ++ quads.map { case (x, y) => (x + y, x + y) }
+      val len = 1000 * m
+      val blobs = (0 until 64).map { d =>
+        val sb = new java.lang.StringBuilder(len)
+        var s = d * 2654435761L + 17L
+        (0 until len).foreach { _ =>
+          s = s * 6364136223846793005L + 1442695040888963407L
+          sb.append(alphabet(((s >>> 33) % 4).toInt))
+        }
+        (d.toLong, sb.toString)
+      }
+      val df = blobs.toDF("doc_id", "text")
+      m -> timed(iters) {
+        graft.ops.Bpe.tokenCounts(df, "text", "doc_id", merges)
+          .agg(org.apache.spark.sql.functions.sum(col("n_bpe")).as("s"))
+          .head().getLong(0)
+      }
+    }.toMap
+
     // Perceptual image dedup end to end (round 14): synth → PNG encode
     // → decode → dHash → band → verified pairs. nClasses scales with
     // the corpus so class size (~51) — and the per-doc duplicate rate —
@@ -443,26 +484,23 @@ object Soak {
     // classes all exist in the corpus — constant hit rate).
     def vidFrames(ids: org.apache.spark.sql.DataFrame, m: Int) =
       graft.ops.Multimodal.synthVideoFrames(ids, "doc_id", nVidClasses = 23 * m)
-    def vidIds(m: Int, from: Long, n: Long) =
+    def vidIds(from: Long, n: Long) =
       spark.range(from, from + n).select(col("id").as("doc_id"))
     if (wanted("video_dedup")) results("video_dedup") = scales.map { case (m, _) =>
       m -> timed(iters) {
-        graft.ops.Dedup.videoNearDupPairs(vidFrames(vidIds(m, 0L, 1000L * m), m)).count()
+        graft.ops.Dedup.videoNearDupPairs(vidFrames(vidIds(0L, 1000L * m), m)).count()
       }
     }.toMap
 
-    if (wanted("video_index_build") || wanted("video_probe"))
-      results("video_index_build") = scales.map { case (m, _) =>
-        dropSoakTable(s"soak_video_x$m")
-        m -> timed(1) {
-          graft.ops.Dedup.writeVideoMinHashIndex(
-            vidFrames(vidIds(m, 0L, 1000L * m), m), s"soak_video_x$m")
-          spark.table(s"soak_video_x$m").count()
-        }
-      }.toMap
+    buildFamily("video_index_build", "video_probe")(
+      m => dropSoakTable(s"soak_video_x$m")) { m =>
+      graft.ops.Dedup.writeVideoMinHashIndex(
+        vidFrames(vidIds(0L, 1000L * m), m), s"soak_video_x$m")
+      spark.table(s"soak_video_x$m").count()
+    }
 
     if (wanted("video_probe")) results("video_probe") = scales.map { case (m, _) =>
-      val probe = vidFrames(vidIds(m, 1000L * m, 200L), m)
+      val probe = vidFrames(vidIds(1000L * m, 200L), m)
       m -> timed(iters) {
         graft.ops.Dedup
           .incrementalVideoNearDups(spark, probe, s"soak_video_x$m")
@@ -492,14 +530,11 @@ object Soak {
     // 20 3-token queries over the head vocabulary, constant across
     // scales (the probe prunes to the queries' token buckets, so it
     // should track df growth, not corpus size)
-    if (wanted("bm25_build") || wanted("bm25_probe"))
-      results("bm25_build") = scales.map { case (m, _) =>
-        Seq(s"soak_bm25_x$m", s"soak_bm25_x${m}__stats").foreach(dropSoakTable)
-        m -> timed(1) {
-          graft.ops.Retrieval.writeBm25Index(docs(m), "text", "doc_id", s"soak_bm25_x$m")
-          spark.table(s"soak_bm25_x$m").count()
-        }
-      }.toMap
+    buildFamily("bm25_build", "bm25_probe")(
+      m => Seq(s"soak_bm25_x$m", s"soak_bm25_x${m}__stats").foreach(dropSoakTable)) { m =>
+      graft.ops.Retrieval.writeBm25Index(docs(m), "text", "doc_id", s"soak_bm25_x$m")
+      spark.table(s"soak_bm25_x$m").count()
+    }
 
     if (wanted("bm25_probe")) results("bm25_probe") = scales.map { case (m, _) =>
       val qs = (0 until 20).map(i => (i.toLong, s"w$i w${i + 1} w${i + 2}"))
@@ -525,16 +560,14 @@ object Soak {
     // across scales). Band keys follow the constant-bucket rule the
     // semantic_dedup family measured out (log2(N/20)).
     def semBitsAt(ne: Long): Int = Dedup.autoBandBits(ne)
-    if (wanted("semlsh_build") || wanted("semlsh_probe"))
-      results("semlsh_build") = scales.map { case (m, (_, ne)) =>
-        dropSoakIndex(s"soak_semlsh_x$m")
-        m -> timed(1) {
-          Dedup.writeEmbeddingLshIndex(
-            emb(m), "embedding", "vec_id", s"soak_semlsh_x$m",
-            dim = 64, bitsPerBand = semBitsAt(ne), nBuckets = 64)
-          spark.table(s"soak_semlsh_x$m").count()
-        }
-      }.toMap
+    val neAt = scales.toMap
+    buildFamily("semlsh_build", "semlsh_probe")(
+      m => dropSoakIndex(s"soak_semlsh_x$m")) { m =>
+      Dedup.writeEmbeddingLshIndex(
+        emb(m), "embedding", "vec_id", s"soak_semlsh_x$m",
+        dim = 64, bitsPerBand = semBitsAt(neAt(m)._2), nBuckets = 64)
+      spark.table(s"soak_semlsh_x$m").count()
+    }
 
     if (wanted("semlsh_probe")) results("semlsh_probe") = scales.map { case (m, (_, ne)) =>
       val batch = emb(m)
@@ -619,7 +652,9 @@ object Soak {
           f""""exp_${a}_$b":$e%.2f"""
         }
         .mkString(",")
-      s""""$fam":{$times,$exps}"""
+      // a single-scale run has no exponents — don't emit a dangling
+      // comma (invalid JSON)
+      s""""$fam":{${(Seq(times) ++ Some(exps).filter(_.nonEmpty)).mkString(",")}}"""
     }
     // teardown before the parse line (the Bench discipline)
     val line = fams.mkString(

@@ -2157,6 +2157,74 @@ object Dedup {
       spark, videoShingles(frames), table, numHashes, bands, threshold,
       broadcastRowLimit, dropSameId)
 
+  /** [[incrementalVideoNearDups]] with an EXACT-Jaccard confirm
+    * against the frame corpus (round 17 — verdict r16 #8): the at-rest
+    * probe's standard verification is the MinHash ESTIMATE from the
+    * carried signatures — the text-index contract, no second table
+    * required. Callers that KEEP the frame corpus can opt into the
+    * inline form's guarantee instead: every banded candidate pair is
+    * verified by exact Jaccard over the gram sets. The estimate filter
+    * is BYPASSED (not stacked — estimate-then-exact would inherit the
+    * estimate's false negatives near the threshold), so the result is
+    * exactly what inline banding over (corpus ∪ batch) yields for
+    * cross pairs; the corpus is pruned to the candidate clips
+    * (left_semi on the banded i-ids) BEFORE any decode/gram work, so
+    * the confirm costs O(candidate clips), never O(corpus). Returns
+    * (i, j, jaccard ≥ threshold) floored to 4dp like
+    * [[videoNearDupPairs]].
+    */
+  def incrementalVideoNearDupsExact(
+      spark: org.apache.spark.sql.SparkSession,
+      frames: DataFrame,
+      table: String,
+      corpusFrames: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame =
+    incrementalVideoNearDupsExactFromShingles(
+      spark, Materialize(videoShingles(frames)), table, corpusFrames,
+      numHashes, bands, threshold, broadcastRowLimit, dropSameId)
+
+  /** [[incrementalVideoNearDupsExact]] from pre-computed batch
+    * shingles (which must be MATERIALIZED — they feed the candidate
+    * probe and the verify join).
+    */
+  def incrementalVideoNearDupsExactFromShingles(
+      spark: org.apache.spark.sql.SparkSession,
+      shingled: DataFrame,
+      table: String,
+      corpusFrames: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      broadcastRowLimit: Long = 4000000L,
+      dropSameId: Boolean = true
+  ): DataFrame = {
+    // banded candidates with the estimate filter OPEN (threshold 0
+    // keeps every banded pair — the same candidate set inline banding
+    // yields for cross pairs)
+    val cand = Materialize(
+      incrementalNearDupsFromShingles(
+        spark, shingled, table, numHashes, bands, 0.0, broadcastRowLimit,
+        dropSameId, VideoSource
+      ).select(col("i"), col("j")))
+    // prune the corpus to candidate i-clips before decode+gram
+    val iFrames = corpusFrames.join(
+      cand.select(col("i").as("video_id")).distinct(), Seq("video_id"), "left_semi")
+    // batch-side gram sets win on a same-id collision (a replayed clip
+    // is verified against what the BATCH carries, like the inline
+    // form) — deterministic anti-join, not an arbitrary-keeper dedup
+    val lookup = shingled.unionByName(
+      videoShingles(iFrames)
+        .join(shingled.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    verifyJaccard(cand, lookup)
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), (floor(col("jaccard") * 10000.0) / 10000.0).as("jaccard"))
+  }
+
   /** [[incrementalVideoNearDups]] from pre-computed shingles. */
   def incrementalVideoNearDupsFromShingles(
       spark: org.apache.spark.sql.SparkSession,

@@ -64,4 +64,42 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(Dedup.videoNearDupPairs(synth(Seq(3L, 26L)).unionByName(junk))
       .as[(Long, Long, Double)].collect().toSeq === Seq((3L, 26L, 1.0)))
   }
+
+  test("at-rest exact-verify option (round 17 — verdict r16 #8): borderline mixed clips " +
+    "get the inline form's exact verdict where the estimate would mis-admit") {
+    spark.sql("DROP TABLE IF EXISTS vdx_exact_idx")
+    val corpus = synth(Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    Dedup.writeVideoMinHashIndex(corpus, "vdx_exact_idx")
+    // planted borderline probe (searched deterministically in round 17):
+    // head of clip 2 (idx < 5) + tail of clip 10 (idx >= 5, class 10)
+    // sits at exact Jaccard 0.4 vs clip 2 — BELOW the 0.5 bar — but its
+    // 32-slot MinHash estimate reads exactly 0.5, so the estimate-only
+    // probe admits the pair
+    val mixed = synth(Seq(2L)).filter($"frame_idx" < 5)
+      .unionByName(synth(Seq(10L)).filter($"frame_idx" >= 5))
+      .withColumn("video_id", lit(9002L))
+    // a genuine near-dup rides along: class-0 clip 23 (Jaccard 1 vs 0)
+    val probe = mixed.unionByName(
+      synth(Seq(23L)).withColumn("video_id", lit(23L)))
+    val est = Dedup.incrementalVideoNearDups(spark, probe, "vdx_exact_idx")
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(est === Set((0L, 23L), (2L, 9002L)),
+      "estimate probe mis-admits the planted borderline pair")
+    val exact = Dedup
+      .incrementalVideoNearDupsExact(spark, probe, "vdx_exact_idx", corpus)
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(exact.map(p => (p._1, p._2)).toSet === Set((0L, 23L)),
+      "exact confirm rejects the borderline pair, keeps the true near-dup")
+    assert(exact.head._3 === 1.0)
+    // parity with the inline ground truth: exact probe == inline pairs
+    // over (corpus ∪ probe) restricted to (corpus i, probe j)
+    val probeIds = Set(9002L, 23L)
+    val allInline: Set[(Long, Long)] = Dedup.videoNearDupPairs(corpus.unionByName(probe))
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val inline = allInline.filter { case (i, j) =>
+      !probeIds.contains(i) && probeIds.contains(j)
+    }
+    assert(exact.map(p => (p._1, p._2)).toSet === inline)
+    spark.sql("DROP TABLE vdx_exact_idx")
+  }
 }
