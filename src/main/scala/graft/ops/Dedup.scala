@@ -1254,6 +1254,19 @@ object Dedup {
   private val EmbBitsProp = "graft.emblsh.bitsPerBand"
   private val EmbSeedProp = "graft.emblsh.seed"
 
+  private def embIndexProps(
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long
+  ): Map[String, String] =
+    Map(
+      EmbDimProp -> dim.toString,
+      EmbBandsProp -> bands.toString,
+      EmbBitsProp -> bitsPerBand.toString,
+      EmbSeedProp -> seed.toString
+    )
+
   private def setEmbIndexProps(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
@@ -1373,15 +1386,18 @@ object Dedup {
       bitsPerBand: Int = 4,
       seed: Long = 42L,
       nBuckets: Int = 64
-  ): Unit = {
-    graft.sinks.Sinks.writeBucketed(
+  ): Unit =
+    // staged publish (round 17): seed/bitsPerBand are NOT data-pinnable,
+    // so the old write-then-ALTER crash window was the worst of the
+    // family — a props-less index would silently adopt the next
+    // caller's plane parameters. Props now land before visibility.
+    graft.sinks.Sinks.writeBucketedWithProps(
       embeddingLshIndexRows(corpus, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
       table,
       Seq("bkey"),
-      nBuckets
+      nBuckets,
+      embIndexProps(dim, bands, bitsPerBand, seed)
     )
-    setEmbIndexProps(corpus.sparkSession, table, dim, bands, bitsPerBand, seed)
-  }
 
   /** Append a new batch's band rows — the steady-state ingest path:
     * indexing the day's embeddings is O(batch), never a corpus rewrite.
@@ -1400,16 +1416,24 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = batch.sparkSession
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateEmbIndexParams(spark, table, dim, bands, bitsPerBand, seed)
-    graft.sinks.Sinks.appendBucketed(
-      embeddingLshIndexRows(batch, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
-      table,
-      Seq("bkey"),
-      nBuckets
-    )
-    if (!existed) setEmbIndexProps(spark, table, dim, bands, bitsPerBand, seed)
+    if (!existed)
+      // first append CREATES the table: staged publish stamps the plane
+      // contract before any data is visible (the round-17 discipline)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        embeddingLshIndexRows(batch, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
+        table, Seq("bkey"), nBuckets, embIndexProps(dim, bands, bitsPerBand, seed))
+    else {
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      validateEmbIndexParams(spark, table, dim, bands, bitsPerBand, seed)
+      graft.sinks.Sinks.appendBucketed(
+        embeddingLshIndexRows(batch, vecCol, idCol, dim, bands, bitsPerBand, seed, nBuckets),
+        table,
+        Seq("bkey"),
+        nBuckets
+      )
+    }
   }
 
   /** The cross-frame candidate+verify core shared by the at-rest probe
@@ -1471,6 +1495,7 @@ object Dedup {
       dropSameId: Boolean = true
   ): DataFrame = {
     import spark.implicits._
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val nBuckets = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
@@ -1661,11 +1686,13 @@ object Dedup {
   ): DataFrame =
     hamming64Pairs(hashed, "dhash", maxHamming, maxBucket, dropMetrics)
 
-  /** Build the at-rest dHash index from an image corpus. */
-  def writeDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
-    graft.sinks.Sinks.writeBucketed(dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
-    setDHashIndexProps(media.sparkSession, table)
-  }
+  /** Build the at-rest dHash index from an image corpus (staged
+    * publish, round 17: the banding prop lands before visibility).
+    */
+  def writeDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    graft.sinks.Sinks.writeBucketedWithProps(
+      dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets,
+      Map(DHashBandsProp -> "4"))
 
   /** Append a batch's band rows — O(batch) ingest, never a corpus
     * rewrite; probes see appended images immediately. `nBuckets` only
@@ -1682,12 +1709,18 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = hashed.sparkSession
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validateDHashIndexParams(spark, table, backfill = true)
-    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
-    graft.sinks.Sinks.appendBucketed(dHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
-    if (!existed) setDHashIndexProps(spark, table)
+    if (!existed)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        dHashIndexRowsFromHashes(hashed, nBuckets), table, Seq("bkey"), nBuckets,
+        Map(DHashBandsProp -> "4"))
+    else {
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      validateDHashIndexParams(spark, table, backfill = true)
+      val n = tableNumBuckets(spark, table)
+      graft.sinks.Sinks.appendBucketed(dHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
+    }
   }
 
   /** Perceptual near-dups of a NEW image batch against the at-rest
@@ -1724,6 +1757,7 @@ object Dedup {
       dropSameId: Boolean = true
   ): DataFrame = {
     import spark.implicits._
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val nBuckets = tableNumBuckets(spark, table)
     validateDHashIndexParams(spark, table, backfill = false)
@@ -1892,11 +1926,13 @@ object Dedup {
   private def pHashIndexRows(media: DataFrame, nBuckets: Int): DataFrame =
     pHashIndexRowsFromHashes(Multimodal.pHash256(media), nBuckets)
 
-  /** Build the at-rest pHash-256 index from an image corpus. */
-  def writePHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit = {
-    graft.sinks.Sinks.writeBucketed(pHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets)
-    setPHashIndexProps(media.sparkSession, table)
-  }
+  /** Build the at-rest pHash-256 index from an image corpus (staged
+    * publish, round 17: the banding prop lands before visibility).
+    */
+  def writePHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    graft.sinks.Sinks.writeBucketedWithProps(
+      pHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets,
+      Map(PHashBandsProp -> "8"))
 
   /** O(batch) append; an existing index keeps its recorded bucket count
     * (the [[appendToDHashIndex]] contract).
@@ -1911,12 +1947,18 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = hashed.sparkSession
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    if (existed) validatePHashIndexParams(spark, table, backfill = true)
-    val n = if (existed) tableNumBuckets(spark, table) else nBuckets
-    graft.sinks.Sinks.appendBucketed(pHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
-    if (!existed) setPHashIndexProps(spark, table)
+    if (!existed)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        pHashIndexRowsFromHashes(hashed, nBuckets), table, Seq("bkey"), nBuckets,
+        Map(PHashBandsProp -> "8"))
+    else {
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      validatePHashIndexParams(spark, table, backfill = true)
+      val n = tableNumBuckets(spark, table)
+      graft.sinks.Sinks.appendBucketed(pHashIndexRowsFromHashes(hashed, n), table, Seq("bkey"), n)
+    }
   }
 
   /** pHash near-dups of a new batch against the at-rest index — the
@@ -1946,6 +1988,7 @@ object Dedup {
       dropSameId: Boolean = true
   ): DataFrame = {
     import spark.implicits._
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val nBuckets = tableNumBuckets(spark, table)
     validatePHashIndexParams(spark, table, backfill = false)
@@ -2734,13 +2777,17 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     require(gramTokens >= 1, "need gramTokens >= 1")
-    graft.sinks.Sinks.writeBucketed(
+    // staged publish (round 17): the gram index has NO props-less
+    // fallback (gramIndexTokens throws), so the old write-then-ALTER
+    // crash window left an index every later touch refused — now
+    // unrepresentable
+    graft.sinks.Sinks.writeBucketedWithProps(
       gramIndexRows(corpus, textCol, idCol, gramTokens),
       table,
       Seq("gram"),
-      nBuckets
+      nBuckets,
+      Map(GramTokensProp -> gramTokens.toString)
     )
-    setGramIndexProps(corpus.sparkSession, table, gramTokens)
   }
 
   /** Append a batch's partial gram counts (O(batch); creates the index
@@ -2762,20 +2809,26 @@ object Dedup {
       nBuckets: Int = 64
   ): Unit = {
     val spark = batch.sparkSession
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     val existed = spark.catalog.tableExists(table)
-    if (existed) graft.sinks.Sinks.recoverBucketedSwap(spark, table)
-    val k = if (existed) gramIndexTokens(spark, table) else gramTokens
-    require(
-      !existed || k == gramTokens,
-      s"$table is a k=$k gram index; appending k=$gramTokens grams would corrupt counts"
-    )
-    graft.sinks.Sinks.appendBucketed(
-      gramIndexRows(batch, textCol, idCol, k),
-      table,
-      Seq("gram"),
-      nBuckets
-    )
-    if (!existed) setGramIndexProps(spark, table, gramTokens)
+    if (!existed)
+      graft.sinks.Sinks.writeBucketedWithProps(
+        gramIndexRows(batch, textCol, idCol, gramTokens),
+        table, Seq("gram"), nBuckets, Map(GramTokensProp -> gramTokens.toString))
+    else {
+      graft.sinks.Sinks.recoverBucketedSwap(spark, table)
+      val k = gramIndexTokens(spark, table)
+      require(
+        k == gramTokens,
+        s"$table is a k=$k gram index; appending k=$gramTokens grams would corrupt counts"
+      )
+      graft.sinks.Sinks.appendBucketed(
+        gramIndexRows(batch, textCol, idCol, k),
+        table,
+        Seq("gram"),
+        nBuckets
+      )
+    }
   }
 
   /** Fold the gram index's accumulated per-append partial counts into
@@ -2818,8 +2871,9 @@ object Dedup {
       minCount: Int = 2
   ): DataFrame = {
     require(minCount >= 2, "need minCount >= 2")
-    // a compaction crash must not leave the probe reading a missing
-    // data dir — heal restore-only before the scan
+    // a crashed staged publish / compaction must not leave the probe
+    // reading a missing table or data dir — heal restore-only first
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     val k = gramIndexTokens(spark, table)
     val pos = Materialize(gramPositions(newBatch, textCol, idCol, k, hashGrams = true))
