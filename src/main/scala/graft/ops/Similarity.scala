@@ -394,6 +394,53 @@ object Similarity {
     */
   private val PqUnitProp = "graft.pq.unitScale"
 
+  /** Sibling-consistency EPOCH (round 17): a deterministic content hash
+    * of the trained quantizers, stamped on the codes table AND each
+    * sibling (codebooks/centroids) at write time. The ANN index spans
+    * several tables, and no multi-table rename is atomic — a refit that
+    * crashes between sibling publishes can leave NEW codebooks next to
+    * OLD codes (or vice versa). When the refit's geometry differs, the
+    * shape checks catch it; when it matches (the common refit), codes
+    * decoded against the wrong-generation codebooks SILENTLY score
+    * garbage. The epoch closes exactly that hole: readers require the
+    * codes table's epoch to equal each sibling's, so every torn state
+    * fails loud. Content-derived (MurmurHash3 over the trained
+    * weights), so two fits producing IDENTICAL quantizers — where old
+    * codes remain genuinely valid — agree by construction. Tables
+    * written before the epoch existed are grandfathered (either side
+    * missing skips the check) until their next full write.
+    */
+  private val PqEpochProp = "graft.pq.epoch"
+
+  private def quantizerEpoch(parts: Any*): String =
+    scala.util.hashing.MurmurHash3.orderedHash(parts).toString
+
+  /** Fail loud on a torn codes/sibling pair (see [[PqEpochProp]]):
+    * epochs must match when BOTH tables record one; a missing side is
+    * the grandfather clause for pre-epoch indexes.
+    */
+  private def requireEpochMatch(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      codesProps: Map[String, String],
+      sibling: String
+  ): Unit = {
+    val sibEpoch = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, sibling))
+      .properties
+      .get(PqEpochProp)
+    (codesProps.get(PqEpochProp), sibEpoch) match {
+      case (Some(a), Some(b)) =>
+        require(
+          a == b,
+          s"$table (epoch $a) and $sibling (epoch $b) come from DIFFERENT quantizer " +
+            "trainings — a refit crashed between the sibling publishes. Codes decoded " +
+            "against wrong-generation quantizers score garbage; rebuild the index."
+        )
+      case _ => () // pre-epoch table(s): grandfathered until the next full write
+    }
+  }
+
   private def requireUnitScale(table: String, props: Map[String, String]): Unit = {
     val want = TrainScale.toLong.toString
     val got = props.get(PqUnitProp)
@@ -428,40 +475,57 @@ object Similarity {
     val spark = corpus.sparkSession
     requireExactDim(corpus, vecCol, dim, "writePqIndex")
     val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
-    pqEncode(corpus, vecCol, idCol, cbs).write.mode("overwrite").saveAsTable(table)
-    writeCodebooks(spark, table, cbs)
+    // publish order (round 17): codebooks FIRST, then codes+props — a
+    // crash between the two leaves new codebooks beside old codes,
+    // which the epoch check fails loud; each publish is itself staged
+    // (props before visibility, atomic renames)
+    val epoch = quantizerEpoch(cbs)
+    publishCodebooks(spark, table, cbs, epoch)
+    graft.sinks.Sinks.writeTableWithProps(
+      pqEncode(corpus, vecCol, idCol, cbs),
+      table,
+      codesGeometryProps(cbs) + (PqEpochProp -> epoch)
+    )
     cbs
   }
 
-  /** Persist the codebooks sibling + geometry props. The recorded
-    * geometry is derived from the TRAINED codebooks, not the requested
-    * knobs: [[pqTrain]] seeds from the first `kCodes` vectors, so a
-    * corpus with fewer rows trains a smaller (but fully valid) codebook
-    * — recording the request instead would make [[readPqCodebooks]]'s
-    * shape check fail forever against an index that wrote successfully.
+  /** Persist the codebooks sibling via a staged publish, epoch-stamped
+    * ([[PqEpochProp]]).
     */
-  private def writeCodebooks(
+  private def publishCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      cbs: Seq[Seq[Seq[Double]]]
+      cbs: Seq[Seq[Seq[Double]]],
+      epoch: String
   ): Unit = {
     import spark.implicits._
-    cbs.zipWithIndex
-      .flatMap { case (cb, s) =>
-        cb.zipWithIndex.flatMap { case (cent, c) =>
-          cent.zipWithIndex.map { case (wgt, p) => (s, c, p, wgt) }
+    graft.sinks.Sinks.writeTableWithProps(
+      cbs.zipWithIndex
+        .flatMap { case (cb, s) =>
+          cb.zipWithIndex.flatMap { case (cent, c) =>
+            cent.zipWithIndex.map { case (wgt, p) => (s, c, p, wgt) }
+          }
         }
-      }
-      .toDF("sub", "code", "pos", "weight")
-      .write
-      .mode("overwrite")
-      .saveAsTable(codebookTable(table))
+        .toDF("sub", "code", "pos", "weight"),
+      codebookTable(table),
+      Map(PqEpochProp -> epoch)
+    )
+  }
+
+  /** The codes table's geometry/unit props. The recorded geometry is
+    * derived from the TRAINED codebooks, not the requested knobs:
+    * [[pqTrain]] seeds from the first `kCodes` vectors, so a corpus
+    * with fewer rows trains a smaller (but fully valid) codebook —
+    * recording the request instead would make [[readPqCodebooks]]'s
+    * shape check fail forever against an index that wrote successfully.
+    */
+  private def codesGeometryProps(cbs: Seq[Seq[Seq[Double]]]): Map[String, String] = {
     val (m, k, sub) = (cbs.size, cbs.head.size, cbs.head.head.size)
-    val ident = graft.sinks.Sinks.parseIdent(spark, table).quotedString
-    spark.sql(
-      s"ALTER TABLE $ident SET TBLPROPERTIES " +
-        s"('$PqMProp'='$m', '$PqKProp'='$k', '$PqDimProp'='${m * sub}', " +
-        s"'$PqUnitProp'='${TrainScale.toLong}')"
+    Map(
+      PqMProp -> m.toString,
+      PqKProp -> k.toString,
+      PqDimProp -> (m * sub).toString,
+      PqUnitProp -> TrainScale.toLong.toString
     )
   }
 
@@ -474,6 +538,9 @@ object Similarity {
       table: String
   ): Seq[Seq[Seq[Double]]] = {
     import spark.implicits._
+    // a crashed staged publish of either table heals restore-only
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
+    graft.sinks.Sinks.recoverStagedPublish(spark, codebookTable(table))
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties
@@ -486,6 +553,7 @@ object Similarity {
     val (m, k, dim) = (prop(PqMProp), prop(PqKProp), prop(PqDimProp))
     // geometry first (a bare table reads as "not an index"), units second
     requireUnitScale(table, props)
+    requireEpochMatch(spark, table, props, codebookTable(table))
     val sub = dim / m
     val rows = spark
       .table(codebookTable(table))
@@ -905,7 +973,11 @@ object Similarity {
     // unreachable, a silent row loss
     requireExactDim(corpus, vecCol, cents.head._2.size, "writeIvfIndex")
     val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
-    graft.sinks.Sinks.writeBucketed(assigned, table, Seq("cent_id"), numBuckets = nCells)
+    // staged publish (round 17): no props to carry, but the swap makes
+    // the overwrite crash-safe — a reader never sees a dropped or
+    // half-written table
+    graft.sinks.Sinks.writeBucketedWithProps(
+      assigned, table, Seq("cent_id"), nCells, Map.empty)
     cents
   }
 
@@ -929,8 +1001,9 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     import spark.implicits._
-    // a compaction crash must not leave the probe reading a missing data
-    // dir — heal restore-only before the scan (see Sinks.recoverBucketedSwap)
+    // a crashed staged publish / compaction must not leave the probe
+    // reading a missing table or data dir — heal restore-only first
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table)
     // computed ONCE (the cell scoring is the query-side hot projection),
     // reused for both the distinct-cell collect and the bucket join
@@ -1160,29 +1233,35 @@ object Similarity {
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
     val cbs = trainIvfPqCodebooks(corpus, vecCol, idCol, cents, dim, m, kCodes, lloydIters,
       residual)
-    // cents.size, not the requested nCells: a corpus smaller than nCells
-    // trains fewer cells, and the bucket count must equal the recorded
-    // IvfCellsProp so appendToIvfPqIndex's bucket spec always matches
-    // the catalog's
-    graft.sinks.Sinks.writeBucketed(
+    // publish order (round 17): both siblings first, codes+props LAST —
+    // any crash between the three staged publishes leaves siblings of a
+    // different epoch than the live codes, which readers fail loud
+    // ([[PqEpochProp]]); the codes props (IvfCellsProp derived from the
+    // TRAINED centroid set — a corpus smaller than nCells seeds fewer
+    // cells — geometry, units, residual mode, epoch) land atomically
+    // with the codes themselves
+    val epoch = quantizerEpoch(cents, cbs)
+    publishCodebooks(spark, table, cbs, epoch)
+    graft.sinks.Sinks.writeTableWithProps(
+      cents
+        .flatMap { case (id, v) => v.zipWithIndex.map { case (wgt, p) => (id, p, wgt) } }
+        .toDF("cent_id", "pos", "weight"),
+      centroidTable(table),
+      Map(PqEpochProp -> epoch)
+    )
+    // cents.size, not the requested nCells: the bucket count must equal
+    // the recorded IvfCellsProp so appendToIvfPqIndex's bucket spec
+    // always matches the catalog's
+    graft.sinks.Sinks.writeBucketedWithProps(
       assignAndEncode(corpus, vecCol, idCol, cents, cbs, residual),
       table,
       Seq("cent_id"),
-      numBuckets = cents.size
-    )
-    writeCodebooks(spark, table, cbs)
-    cents
-      .flatMap { case (id, v) => v.zipWithIndex.map { case (wgt, p) => (id, p, wgt) } }
-      .toDF("cent_id", "pos", "weight")
-      .write
-      .mode("overwrite")
-      .saveAsTable(centroidTable(table))
-    // derived from the TRAINED centroid set (a corpus smaller than
-    // nCells seeds fewer cells), same honesty rule as writeCodebooks
-    spark.sql(
-      s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
-        s"SET TBLPROPERTIES ('$IvfCellsProp'='${cents.size}', " +
-        s"'$IvfResidualProp'='$residual')"
+      cents.size,
+      codesGeometryProps(cbs) ++ Map(
+        IvfCellsProp -> cents.size.toString,
+        IvfResidualProp -> residual.toString,
+        PqEpochProp -> epoch
+      )
     )
     (cents, cbs)
   }
@@ -1195,9 +1274,12 @@ object Similarity {
       table: String
   ): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
+    graft.sinks.Sinks.recoverStagedPublish(spark, table)
+    graft.sinks.Sinks.recoverStagedPublish(spark, centroidTable(table))
     val props = spark.sessionState.catalog
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties
+    requireEpochMatch(spark, table, props, centroidTable(table))
     def prop(name: String): Int = props
       .get(name)
       .map(_.toInt)

@@ -174,6 +174,32 @@ object Sinks {
     * contract permanently. With the staged publish there is no state
     * in which `table` resolves to data without its properties.
     */
+  /** [[writeBucketedWithProps]] for an UNBUCKETED table — the same
+    * staged publish (props before visibility, atomic renames,
+    * restore-only heal) without a bucket spec. Used by the ANN index
+    * family's sibling tables (codebooks/centroids), whose consistency
+    * with the codes table is epoch-stamped through these props.
+    */
+  def writeTableWithProps(
+      df: DataFrame,
+      table: String,
+      props: Map[String, String]
+  ): Unit = {
+    val spark = df.sparkSession
+    val stage = stagedName(table)
+    val retire = retiredName(table)
+    recoverStagedPublish(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, stage).quotedString}")
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, retire).quotedString}")
+    Seq(table, stage, retire).foreach(clearOrphanTableDir(spark, _))
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
+    if (props.nonEmpty)
+      spark.sql(
+        s"ALTER TABLE ${parseIdent(spark, stage).quotedString} SET TBLPROPERTIES (" +
+          props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    publishStaged(spark, table)
+  }
+
   def writeBucketedWithProps(
       df: DataFrame,
       table: String,

@@ -126,6 +126,44 @@ class StagedPublishSpec extends AnyFunSuite {
     drop(t)
   }
 
+  test("ANN sibling epochs: torn codes/codebooks pairs fail loud; grandfather for pre-epoch") {
+    import graft.ops.Similarity
+    val t = "sp_pq_epoch"
+    drop(t, s"${t}__codebooks", s"${t}__stage", s"${t}__retire",
+      s"${t}__codebooks__stage", s"${t}__codebooks__retire")
+    val emb = spark.range(64).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod(xxhash64($"id", d.cast("long")), lit(1000L)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    Similarity.writePqIndex(emb, "embedding", "vec_id", t, dim = 16, m = 4, kCodes = 8,
+      lloydIters = 1)
+    // a fresh write stamps ONE epoch on both tables and reads clean
+    val e1 = props(t).get("graft.pq.epoch")
+    val e2 = props(s"${t}__codebooks").get("graft.pq.epoch")
+    assert(e1.nonEmpty && e1 === e2)
+    val cbs = Similarity.readPqCodebooks(spark, t)
+    assert(cbs.size === 4)
+    // torn state (a same-geometry refit crashed between the sibling
+    // publishes): new-generation codebooks beside old codes — the shape
+    // checks cannot see it, the epoch does
+    spark.sql(s"ALTER TABLE ${t}__codebooks SET TBLPROPERTIES ('graft.pq.epoch'='999')")
+    val torn = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, t)
+    }
+    assert(torn.getMessage.contains("DIFFERENT quantizer trainings"), torn.getMessage)
+    // grandfather: a pre-epoch sibling (missing prop) skips the check
+    spark.sql(s"ALTER TABLE ${t}__codebooks UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    assert(Similarity.readPqCodebooks(spark, t) === cbs)
+    // identical-training agreement: a full rebuild on the same corpus
+    // re-stamps matching epochs (content-derived, not random)
+    Similarity.writePqIndex(emb, "embedding", "vec_id", t, dim = 16, m = 4, kCodes = 8,
+      lloydIters = 1)
+    assert(props(t).get("graft.pq.epoch") === e1)
+    assert(props(s"${t}__codebooks").get("graft.pq.epoch") === e1)
+    drop(t, s"${t}__codebooks")
+  }
+
   test("legacy props-less index gains contract props on compaction, probes identical") {
     // video: the modality the grandfather clause would otherwise
     // misclassify as text
