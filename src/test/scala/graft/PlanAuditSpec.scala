@@ -215,4 +215,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!vp.contains("CartesianProduct"), s"q175 went all-pairs:\n${vp.take(1500)}")
     assert(!vp.contains("SortMergeJoin"), s"q175 shuffled the gram corpus:\n${vp.take(1500)}")
   }
+
+  test("r17 pin: the video at-rest EXACT-verify probe stays candidate-pruned — " +
+    "no cartesian, no gram-corpus shuffle, corpus decode behind a semi-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS audit_vexact_idx")
+    def vid(ids: Seq[Long]) =
+      graft.ops.Multimodal.synthVideoFrames(ids.toDF("doc_id"), "doc_id")
+    val corpus = vid(Seq(0L, 1L, 2L, 3L, 4L))
+    graft.ops.Dedup.writeVideoMinHashIndex(corpus, "audit_vexact_idx")
+    val q = graft.ops.Dedup.incrementalVideoNearDupsExact(
+      spark, vid(Seq(23L, 100L)), "audit_vexact_idx", corpus)
+    q.collect() // finalize AQE before judging (the q170/q175 pattern)
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"exact-verify went all-pairs:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"exact-verify shuffled the corpus/gram side:\n${p.take(1500)}")
+    spark.sql("DROP TABLE audit_vexact_idx")
+  }
 }
