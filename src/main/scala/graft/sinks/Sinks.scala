@@ -106,6 +106,16 @@ object Sinks {
     * back so readers keep working (the [[recoverBucketedSwap]]
     * read-side discipline: restore, never advance — completing the
     * swap is the WRITER's job on its next run).
+    *
+    * Read-path callers (index probes, codebook readers) invoke this
+    * unconditionally, which makes their one possible metastore write a
+    * RENAME that only ever restores a crashed writer's state — the
+    * same trade [[recoverBucketedSwap]]'s read-side directory restore
+    * already makes. A deployment whose readers hold no metastore write
+    * rights sees the rename fail with the crashed swap surfacing as
+    * table-not-found until the writer's next run heals it — the honest
+    * read-only behavior (`Bpe.readModel(heal = false)` is the explicit
+    * opt-out precedent where a caller needs to declare that mode).
     */
   def recoverStagedPublish(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table) &&
@@ -163,17 +173,6 @@ object Sinks {
     ()
   }
 
-  /** [[writeBucketed]] with table properties stamped BEFORE the data
-    * becomes visible under `table` (ADVICE r16): the rows and the
-    * properties are written to a staging table and moved into place
-    * with [[publishStaged]]'s metastore-atomic renames. The bare
-    * write-then-ALTER sequence this replaces had a crash window where
-    * the table existed with data but no properties — for contract-
-    * carrying index tables (e.g. the MinHash `source` modality, which
-    * the DATA cannot pin) a later caller could then backfill the wrong
-    * contract permanently. With the staged publish there is no state
-    * in which `table` resolves to data without its properties.
-    */
   /** [[writeBucketedWithProps]] for an UNBUCKETED table — the same
     * staged publish (props before visibility, atomic renames,
     * restore-only heal) without a bucket spec. Used by the ANN index
@@ -200,6 +199,22 @@ object Sinks {
     publishStaged(spark, table)
   }
 
+  /** [[writeBucketed]] with table properties stamped BEFORE the data
+    * becomes visible under `table` (ADVICE r16): the rows and the
+    * properties are written to a staging table and moved into place
+    * with [[publishStaged]]'s metastore-atomic renames. The bare
+    * write-then-ALTER sequence this replaces had a crash window where
+    * the table existed with data but no properties — for contract-
+    * carrying index tables (e.g. the MinHash `source` modality, which
+    * the DATA cannot pin) a later caller could then backfill the wrong
+    * contract permanently. With the staged publish there is no state
+    * in which `table` resolves to data without its properties.
+    *
+    * On an object store / external metastore, the managed-table RENAME
+    * moves the data directory — a copy on S3, not a metadata flip; use
+    * `ALTER TABLE ... SET LOCATION` semantics there instead (the same
+    * caveat [[compactBucketed]] documents for its directory swap).
+    */
   def writeBucketedWithProps(
       df: DataFrame,
       table: String,

@@ -200,6 +200,14 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(s2 === CorpusIngest.NearDupIngestStats(kept = 1, nearDups = 1, replays = 0))
     assert(spark.read.parquet(corpusB).select("vec_id").as[Long].collect().toSet === streamed)
 
+    // LEDGER (round 17 — the ImageIngest ADVICE r16 fix applied here):
+    // a duplicate vec_id is an identity-contract rejection, not a
+    // phantom near-dup, and the ledger sums to the raw batch size
+    val dupBatch = Seq((6L, v3.map(-_)), (6L, v5.map(_ * 2.0))).toDF("vec_id", "embedding")
+    val sl = CorpusIngest.ingestSemanticBatch(dupBatch, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert((sl.kept, sl.nearDups, sl.replays, sl.rejected) === ((1L, 0L, 0L, 1L)))
+    assert(sl.kept + sl.nearDups + sl.replays + sl.rejected === dupBatch.count())
+
     // invariant: the index always equals a rebuild over the KEPT corpus
     graft.ops.Dedup.writeEmbeddingLshIndex(
       spark.read.parquet(corpus), "embedding", "vec_id", "graft_sem_rebuild_idx",

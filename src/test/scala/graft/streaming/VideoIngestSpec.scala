@@ -200,6 +200,40 @@ class VideoIngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vid_rp_idx")
   }
 
+  test("pending frames survive a GAP batch (no frames for the parked clip) and the " +
+    "store stays GC-bounded") {
+    val tmp = Files.createTempDirectory("vidgap").toString
+    spark.sql("DROP TABLE IF EXISTS vid_gap_idx")
+    val whole = vid(Seq(0L))
+    val other = vid(Seq(1L))
+    // batch 0: first half of clip 0 — parked
+    val s0 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus", "vid_gap_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    assert((s0.kept, s0.deferred) === ((0L, 1L)))
+    // batch 1: a GAP for clip 0 (only clip 1 arrives) — the parked
+    // frames must carry forward, recounted as deferred
+    val s1 = VideoIngest.ingestVideoBatch(
+      withExp(other)(other), s"$tmp/corpus", "vid_gap_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    assert((s1.kept, s1.deferred) === ((1L, 1L)))
+    assert(corpusClips(s"$tmp/corpus") === Set(1L))
+    // batch 2: the second half completes clip 0 across the gap
+    val s2 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole.filter($"frame_idx" >= 3)), s"$tmp/corpus", "vid_gap_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 2L)
+    assert((s2.kept, s2.deferred) === ((1L, 0L)))
+    assert(corpusClips(s"$tmp/corpus") === Set(0L, 1L))
+    assert(spark.read.parquet(s"$tmp/corpus").filter($"video_id" === 0L).count() === 6L,
+      "all six frames of the gap-split clip landed")
+    // GC bound: at most the read anchor + the just-written version remain
+    val versions = new java.io.File(s"$tmp/pending").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(versions.length <= 2, s"pending store grew: ${versions.mkString(",")}")
+    assert(versions.contains("v=2"))
+    spark.sql("DROP TABLE vid_gap_idx")
+  }
+
   test("contract violations are loud: split clip without pendingPath; over-delivery") {
     val tmp = Files.createTempDirectory("vidloud").toString
     spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
