@@ -1055,6 +1055,39 @@ object Dedup {
       bands: Int,
       source: String
   ): Unit = {
+    stampMinHashIndexIfLegacy(spark, table, numHashes, bands, source)
+    graft.sinks.Sinks.compactBucketed(spark, table)
+  }
+
+  /** OWNER-declared modality stamping of a props-less legacy MinHash
+    * index (heals both crash protocols first, then validates). Unlike a
+    * foreign probe — where "no props" must default to legacy text —
+    * this entry is run by the index's OWNING loop, whose declared
+    * modality is authoritative: it is how a pre-r17 crash-window video
+    * index (or a genuine legacy text index) gets correctly stamped so
+    * the grandfather clause retires. Hash params are still data-pinned;
+    * an empty index adopts nothing. A propped index is validated
+    * against the caller's full contract instead. Shared by
+    * [[compactTextMinHashIndex]]/[[compactVideoMinHashIndex]] and the
+    * video ingest loop's pre-probe adoption
+    * ([[graft.streaming.VideoIngest]] — without which a legacy video
+    * index would brick the loop on the cross-modality check before any
+    * maintenance pass could reach it).
+    */
+  private[graft] def stampVideoMinHashIndexIfLegacy(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int
+  ): Unit = stampMinHashIndexIfLegacy(spark, table, numHashes, bands, VideoSource)
+
+  private def stampMinHashIndexIfLegacy(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numHashes: Int,
+      bands: Int,
+      source: String
+  ): Unit = {
     // heal both crash protocols before validate touches data
     graft.sinks.Sinks.recoverStagedPublish(spark, table)
     graft.sinks.Sinks.recoverBucketedSwap(spark, table, clearStaleOld = true)
@@ -1062,19 +1095,11 @@ object Dedup {
       .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
       .properties
     if (!tblProps.contains(SourceProp)) {
-      // MAINTENANCE path on a props-less index: unlike a foreign probe
-      // (where "no props" must default to legacy text), compaction is
-      // run by the index's OWNING loop, whose declared modality is
-      // authoritative — this is exactly how a pre-r17 crash-window
-      // video index (or a genuine legacy text index) gets correctly
-      // stamped so the grandfather clause retires. Hash params are
-      // still data-pinned; an empty index adopts nothing.
       if (pinParamsFromData(spark, table, numHashes, bands))
         setIndexProps(spark, table, numHashes, bands, source)
     } else
       // propped index: the caller's full contract must match it
       validateIndexParams(spark, table, numHashes, bands, source)
-    graft.sinks.Sinks.compactBucketed(spark, table)
   }
 
   /** Index rows from a pre-computed (doc_id, shingles) frame — the
@@ -1593,6 +1618,7 @@ object Dedup {
     * silently miss near-dups.
     */
   private val DHashBandsProp = "graft.dhash.bands"
+  private val DHashBandsValue = "4" // 4×16-bit bands of the 64-bit hash
 
   private def setDHashIndexProps(
       spark: org.apache.spark.sql.SparkSession,
@@ -1600,7 +1626,7 @@ object Dedup {
   ): Unit =
     spark.sql(
       s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
-        s"SET TBLPROPERTIES ('$DHashBandsProp'='4')"
+        s"SET TBLPROPERTIES ('$DHashBandsProp'='$DHashBandsValue')"
     )
 
   /** `backfill` gates the legacy-props ALTER TABLE: only WRITE-side
@@ -1692,7 +1718,7 @@ object Dedup {
   def writeDHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
     graft.sinks.Sinks.writeBucketedWithProps(
       dHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets,
-      Map(DHashBandsProp -> "4"))
+      Map(DHashBandsProp -> DHashBandsValue))
 
   /** Append a batch's band rows — O(batch) ingest, never a corpus
     * rewrite; probes see appended images immediately. `nBuckets` only
@@ -1714,7 +1740,7 @@ object Dedup {
     if (!existed)
       graft.sinks.Sinks.writeBucketedWithProps(
         dHashIndexRowsFromHashes(hashed, nBuckets), table, Seq("bkey"), nBuckets,
-        Map(DHashBandsProp -> "4"))
+        Map(DHashBandsProp -> DHashBandsValue))
     else {
       graft.sinks.Sinks.recoverBucketedSwap(spark, table)
       validateDHashIndexParams(spark, table, backfill = true)
@@ -1875,6 +1901,7 @@ object Dedup {
     * disagrees (7 vs 3).
     */
   private val PHashBandsProp = "graft.phash.bands"
+  private val PHashBandsValue = "8" // 8×32-bit bands of the 256-bit hash
 
   private def setPHashIndexProps(
       spark: org.apache.spark.sql.SparkSession,
@@ -1882,7 +1909,7 @@ object Dedup {
   ): Unit =
     spark.sql(
       s"ALTER TABLE ${graft.sinks.Sinks.parseIdent(spark, table).quotedString} " +
-        s"SET TBLPROPERTIES ('$PHashBandsProp'='8')"
+        s"SET TBLPROPERTIES ('$PHashBandsProp'='$PHashBandsValue')"
     )
 
   private def validatePHashIndexParams(
@@ -1932,7 +1959,7 @@ object Dedup {
   def writePHashIndex(media: DataFrame, table: String, nBuckets: Int = 64): Unit =
     graft.sinks.Sinks.writeBucketedWithProps(
       pHashIndexRows(media, nBuckets), table, Seq("bkey"), nBuckets,
-      Map(PHashBandsProp -> "8"))
+      Map(PHashBandsProp -> PHashBandsValue))
 
   /** O(batch) append; an existing index keeps its recorded bucket count
     * (the [[appendToDHashIndex]] contract).
@@ -1952,7 +1979,7 @@ object Dedup {
     if (!existed)
       graft.sinks.Sinks.writeBucketedWithProps(
         pHashIndexRowsFromHashes(hashed, nBuckets), table, Seq("bkey"), nBuckets,
-        Map(PHashBandsProp -> "8"))
+        Map(PHashBandsProp -> PHashBandsValue))
     else {
       graft.sinks.Sinks.recoverBucketedSwap(spark, table)
       validatePHashIndexParams(spark, table, backfill = true)
@@ -2260,9 +2287,28 @@ object Dedup {
     // batch-side gram sets win on a same-id collision (a replayed clip
     // is verified against what the BATCH carries, like the inline
     // form) — deterministic anti-join, not an arbitrary-keeper dedup
-    val lookup = shingled.unionByName(
-      videoShingles(iFrames)
-        .join(shingled.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val lookup = Materialize(
+      shingled.unionByName(
+        videoShingles(iFrames)
+          .join(shingled.select(col("doc_id")), Seq("doc_id"), "left_anti")))
+    // a candidate clip the caller's corpus can no longer gram (frames
+    // purged by retention, or a stale corpus handle) would silently
+    // DROP out of verifyJaccard's inner joins — the opt-in stronger
+    // guarantee must never return quietly weaker results than the
+    // estimate probe, so a coverage gap fails loud (candidate-bounded
+    // check, never O(corpus))
+    val uncovered = cand
+      .select(col("i").as("doc_id"))
+      .distinct()
+      .join(lookup.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .limit(5)
+      .collect()
+    require(
+      uncovered.isEmpty,
+      "incrementalVideoNearDupsExact: candidate clips missing from (or no longer " +
+        s"gram-able in) the supplied frame corpus: ${uncovered.map(_.get(0)).mkString(", ")}" +
+        " — the exact confirm cannot verify them; pass the corpus the index was built " +
+        "from, or use the estimate probe")
     verifyJaccard(cand, lookup)
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), (floor(col("jaccard") * 10000.0) / 10000.0).as("jaccard"))

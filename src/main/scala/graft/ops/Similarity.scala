@@ -437,7 +437,20 @@ object Similarity {
             "trainings — a refit crashed between the sibling publishes. Codes decoded " +
             "against wrong-generation quantizers score garbage; rebuild the index."
         )
-      case _ => () // pre-epoch table(s): grandfathered until the next full write
+      case (None, None) => () // genuinely pre-epoch index: grandfathered until rebuilt
+      case (codes, sib) =>
+        // an ASYMMETRIC pair is itself a torn state, and the only one a
+        // crash can actually reach on a pre-epoch index: the writer
+        // stamps the sibling BEFORE the codes, so pre-epoch codes
+        // beside an epoch-stamped sibling means a refit crashed between
+        // the publishes (the reverse means a version-downgraded writer
+        // replaced the sibling). Grandfathering these would silently
+        // reopen the same-geometry hole the epoch exists to close.
+        throw new IllegalArgumentException(
+          s"$table (epoch ${codes.getOrElse("<absent>")}) and $sibling " +
+            s"(epoch ${sib.getOrElse("<absent>")}) disagree on HAVING an epoch — a refit " +
+            "crashed between the sibling publishes (or a pre-epoch writer replaced one " +
+            "table). Rebuild the index.")
     }
   }
 

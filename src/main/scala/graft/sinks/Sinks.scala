@@ -173,6 +173,36 @@ object Sinks {
     ()
   }
 
+  /** The shared staged-publish envelope: heal previous crash windows,
+    * clear OUR leftover stage/retire (tables and catalog-orphaned
+    * dirs), run the caller's stage write, stamp props on the stage,
+    * publish. Factored so a protocol hardening lands ONCE — the
+    * bucketed and unbucketed writers differ only in the stage write
+    * itself and in whether a crashed COMPACTION of the live table must
+    * heal first (its data dir must be back in place before a rename
+    * orphans the `.old` copy).
+    */
+  private def publishViaStage(
+      spark: SparkSession,
+      table: String,
+      props: Map[String, String],
+      healBucketedSwap: Boolean
+  )(writeStage: String => Unit): Unit = {
+    val stage = stagedName(table)
+    val retire = retiredName(table)
+    recoverStagedPublish(spark, table)
+    if (healBucketedSwap) recoverBucketedSwap(spark, table, clearStaleOld = true)
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, stage).quotedString}")
+    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, retire).quotedString}")
+    Seq(table, stage, retire).foreach(clearOrphanTableDir(spark, _))
+    writeStage(stage)
+    if (props.nonEmpty)
+      spark.sql(
+        s"ALTER TABLE ${parseIdent(spark, stage).quotedString} SET TBLPROPERTIES (" +
+          props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    publishStaged(spark, table)
+  }
+
   /** [[writeBucketedWithProps]] for an UNBUCKETED table — the same
     * staged publish (props before visibility, atomic renames,
     * restore-only heal) without a bucket spec. Used by the ANN index
@@ -183,21 +213,10 @@ object Sinks {
       df: DataFrame,
       table: String,
       props: Map[String, String]
-  ): Unit = {
-    val spark = df.sparkSession
-    val stage = stagedName(table)
-    val retire = retiredName(table)
-    recoverStagedPublish(spark, table)
-    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, stage).quotedString}")
-    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, retire).quotedString}")
-    Seq(table, stage, retire).foreach(clearOrphanTableDir(spark, _))
-    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
-    if (props.nonEmpty)
-      spark.sql(
-        s"ALTER TABLE ${parseIdent(spark, stage).quotedString} SET TBLPROPERTIES (" +
-          props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
-    publishStaged(spark, table)
-  }
+  ): Unit =
+    publishViaStage(df.sparkSession, table, props, healBucketedSwap = false) { stage =>
+      df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
+    }
 
   /** [[writeBucketed]] with table properties stamped BEFORE the data
     * becomes visible under `table` (ADVICE r16): the rows and the
@@ -221,30 +240,15 @@ object Sinks {
       keys: Seq[String],
       numBuckets: Int,
       props: Map[String, String]
-  ): Unit = {
-    val spark = df.sparkSession
-    val stage = stagedName(table)
-    val retire = retiredName(table)
-    // heal a previous writer's crash window, then clear OUR leftovers;
-    // a crashed COMPACTION of the live table heals too (its data dir
-    // must be back in place before a rename orphans the `.old` copy)
-    recoverStagedPublish(spark, table)
-    recoverBucketedSwap(spark, table, clearStaleOld = true)
-    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, stage).quotedString}")
-    spark.sql(s"DROP TABLE IF EXISTS ${parseIdent(spark, retire).quotedString}")
-    Seq(table, stage, retire).foreach(clearOrphanTableDir(spark, _))
-    df.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(stage)
-    if (props.nonEmpty)
-      spark.sql(
-        s"ALTER TABLE ${parseIdent(spark, stage).quotedString} SET TBLPROPERTIES (" +
-          props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
-    publishStaged(spark, table)
-  }
+  ): Unit =
+    publishViaStage(df.sparkSession, table, props, healBucketedSwap = true) { stage =>
+      df.write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(stage)
+    }
 
   /** Clear a catalog-orphaned warehouse directory so a managed-table
     * write can proceed: a previous PROCESS's leftover dir that this

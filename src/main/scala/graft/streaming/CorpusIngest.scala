@@ -373,8 +373,11 @@ object CorpusIngest {
     val spark = batch.sparkSession
     // (1a) in-batch id dedup (a batch can carry the same vec_id twice —
     // deterministic keeper: first by id, then any one row; ids are the
-    // identity here, unlike text where the fingerprint is)
-    val idKept = batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    // identity here, unlike text where the fingerprint is). Materialized:
+    // it feeds the in-batch pairing, the batchKept anti-join, AND the
+    // ledger count — unpinned, the scan+dedup shuffle would run thrice.
+    val idKept = graft.ops.Materialize(
+      batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
     // (1b) in-batch near-dup: greedy min-id keeper over LSH pairs
     val inBatchPairs = Dedup.embeddingNearDupPairs(
       idKept, "embedding", "vec_id", dim, bands, bitsPerBand, threshold, seed)

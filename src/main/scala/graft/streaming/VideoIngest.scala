@@ -32,8 +32,13 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   *    across two batches dedups identically to single-batch delivery
   *    (VideoIngestSpec pins this);
   *  - without a `pendingPath`, an incomplete clip is a LOUD error;
-  *  - a delivered count ABOVE `expected_frames` is always a loud
+  *  - a delivered count ABOVE `expected_frames` — or rows of one clip
+  *    DECLARING contradictory expected counts — is always a loud
   *    error (the source is violating its own declared contract);
+  *  - a PARTIAL redelivery of a clip the corpus already holds is a
+  *    stale fragment, not a split clip (its missing frames completed
+  *    long ago): it is not parked — it flows through and is absorbed
+  *    by the same-id replay path, counting as a replay;
   *  - clips with a null `expected_frames` (or a stream without the
   *    column at all) keep the round-16 contract: the source delivers
   *    whole clips per batch, trusted.
@@ -71,9 +76,11 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   * in-batch duplicate (video_id, frame_idx) rows are contract
   * REJECTIONS, surfaced as `rejected` (FRAME units, this batch's raw
   * rows only — a frame redelivered across batches is absorbed by the
-  * pending union, not a rejection). The clip-unit stats cover exactly
-  * the complete clips processed this batch:
-  * `kept + nearDups + replays == <complete clips>`, and
+  * pending union, not a rejection). The clip-unit stats cover the
+  * complete clips processed this batch plus gate-dropped stale
+  * fragments: `kept + nearDups + replays == <complete clips> +
+  * <stale fragments>` (stale fragments land in `replays` — they are
+  * redeliveries of completed clips), and
   * `rejected == batch.count() − <post-contract frames>`; `deferred`
   * counts clips sitting in the pending store after this batch (a
   * still-incomplete clip recounts each batch until it completes).
@@ -138,10 +145,18 @@ object VideoIngest {
         .dropDuplicates("video_id", "frame_idx")
     )
     val rejectedFrames = rawCnt - batchFrames.count()
-    // (1b) clip-completeness gate (round 17 — see scaladoc)
-    val (workFrames, deferredClips) =
-      if (!hasExpected) (batchFrames, 0L)
-      else completenessGate(spark, batchFrames, pendingPath, batchId)
+    // a pre-r17 crash-window video index has no modality prop; the
+    // cross-modality check in step (2)'s probe would brick the loop on
+    // it before any maintenance pass could stamp it — adopt it here,
+    // owner-declared (verdict r16 #6)
+    if (spark.catalog.tableExists(indexTable))
+      Dedup.stampVideoMinHashIndexIfLegacy(spark, indexTable, numHashes, bands)
+    // (1b) clip-completeness gate (round 17 — see scaladoc); stale
+    // fragments of already-completed clips are dropped there and
+    // counted into `replays` below
+    val (workFrames, deferredClips, staleClips) =
+      if (!hasExpected) (batchFrames, 0L, 0L)
+      else completenessGate(spark, batchFrames, corpusPath, pendingPath, batchId)
     val keptFrames =
       if (hasExpected)
         Materialize(workFrames.select(col("video_id"), col("frame_idx"), col("media")))
@@ -213,7 +228,7 @@ object VideoIngest {
     NearDupIngestStats(
       kept = freshCnt + unshCnt,
       nearDups = batchClips.count() - freshCnt - unshCnt - replayCnt,
-      replays = replayCnt,
+      replays = replayCnt + staleClips,
       rejected = rejectedFrames,
       deferred = deferredClips
     )
@@ -222,14 +237,17 @@ object VideoIngest {
   /** Split this batch's (already contract-filtered) frames into the
     * COMPLETE clips to process now and the pending frames to carry —
     * see the object scaladoc's CLIP ATOMICITY section. Returns
-    * (complete frames incl. `expected_frames`, clips left pending).
+    * (complete frames incl. `expected_frames`, clips left pending,
+    * stale fragments dropped — redeliveries of corpus-present clips,
+    * counted into the caller's `replays`).
     */
   private def completenessGate(
       spark: SparkSession,
       batchFrames: DataFrame,
+      corpusPath: String,
       pendingPath: Option[String],
       batchId: Long
-  ): (DataFrame, Long) = {
+  ): (DataFrame, Long, Long) = {
     val unioned = pendingPath.flatMap(p => readPending(spark, p, batchId)) match {
       case Some(prior) =>
         Materialize(
@@ -240,7 +258,24 @@ object VideoIngest {
     }
     val perClip = unioned
       .groupBy(col("video_id"))
-      .agg(count(lit(1)).as("delivered"), max(col("expected_frames")).as("expected"))
+      .agg(
+        count(lit(1)).as("delivered"),
+        max(col("expected_frames")).as("expected"),
+        min(col("expected_frames")).as("expected_mn")
+      )
+    // a clip whose rows DECLARE different expected counts is a
+    // self-contradictory contract — resolve it loud, never by max
+    // (the over-delivery discipline); min/max ignore nulls, so a clip
+    // mixing nulls with ONE declared value keeps that value
+    val contra = perClip
+      .filter(col("expected_mn") =!= col("expected"))
+      .select(col("video_id"), col("expected_mn"), col("expected"))
+      .limit(5)
+      .collect()
+    if (contra.nonEmpty)
+      throw new IllegalStateException(
+        "video ingest: clips declare CONTRADICTORY expected_frames across their rows: " +
+          contra.map(r => s"${r.get(0)} (${r.get(1)} vs ${r.get(2)})").mkString(", "))
     val over = perClip
       .filter(col("expected").isNotNull && col("delivered") > col("expected"))
       .select(col("video_id"), col("delivered"), col("expected"))
@@ -251,16 +286,41 @@ object VideoIngest {
         "video ingest: clips delivered MORE distinct frames than their declared " +
           s"expected_frames — the source is violating its own contract: " +
           over.map(r => s"${r.get(0)} (${r.get(1)}/${r.get(2)})").mkString(", "))
-    val incompleteIds =
+    val incompleteAll = Materialize(
       perClip.filter(col("expected").isNotNull && col("delivered") < col("expected"))
-        .select(col("video_id"))
+        .select(col("video_id")))
+    // a PARTIAL redelivery of a clip the corpus already holds is a
+    // stale fragment, not a split clip — its missing frames will never
+    // arrive (the clip completed long ago), so parking it would leave
+    // `deferred` permanently nonzero. It must be DROPPED here, at the
+    // gate: flowing it on would NOT be absorbed downstream — a partial
+    // gram set sits below the Jaccard threshold against the clip's own
+    // indexed full-gram signature, so the same-id replay path never
+    // fires and the fragment would be indexed as a FRESH (corrupt,
+    // partial) entry under the completed clip's id. Dropped fragments
+    // surface in the stats as replays (they are redeliveries of
+    // completed clips). Residual (documented): a partial redelivery of
+    // a clip caught in the index-but-not-corpus crash window still
+    // parks — that needs BOTH a crash and a partial redelivery of the
+    // same clip, and resolves if the source ever redelivers it whole.
+    val (incompleteIds, staleClips) =
+      if (CorpusIngest.pathExists(spark, corpusPath)) {
+        val corpusIds =
+          spark.read.parquet(corpusPath).select(col("video_id")).distinct()
+        val park = Materialize(
+          incompleteAll.join(corpusIds, Seq("video_id"), "left_anti"))
+        (park, incompleteAll.count() - park.count())
+      } else (incompleteAll, 0L)
     pendingPath match {
       case Some(p) =>
         val pendingFrames = Materialize(
           unioned.join(incompleteIds, Seq("video_id"), "left_semi"))
         val deferred = pendingFrames.select(col("video_id")).distinct().count()
         writePending(spark, p, batchId, pendingFrames)
-        (Materialize(unioned.join(incompleteIds, Seq("video_id"), "left_anti")), deferred)
+        // complete clips leave the gate; parked AND stale clips are
+        // withheld (stale = dropped for good, counted as replays)
+        (Materialize(unioned.join(incompleteAll, Seq("video_id"), "left_anti")),
+          deferred, staleClips)
       case None =>
         val short = incompleteIds.limit(5).collect()
         if (short.nonEmpty)
@@ -269,7 +329,8 @@ object VideoIngest {
               "and no pendingPath is configured to carry them: " +
               short.map(_.get(0)).mkString(", ") +
               " — pass pendingPath to park split clips across batches")
-        (unioned, 0L)
+        (Materialize(unioned.join(incompleteAll, Seq("video_id"), "left_anti")),
+          0L, staleClips)
     }
   }
 

@@ -100,6 +100,15 @@ class VideoDedupSpec extends AnyFunSuite {
       !probeIds.contains(i) && probeIds.contains(j)
     }
     assert(exact.map(p => (p._1, p._2)).toSet === inline)
+    // a corpus that can no longer gram a candidate clip (retention
+    // purged its frames) must fail LOUD — the opt-in stronger
+    // guarantee never silently returns weaker results than the
+    // estimate probe would
+    val purged = corpus.filter($"video_id" =!= 0L)
+    val gap = intercept[IllegalArgumentException] {
+      Dedup.incrementalVideoNearDupsExact(spark, probe, "vdx_exact_idx", purged).count()
+    }
+    assert(gap.getMessage.contains("missing from"), gap.getMessage)
     spark.sql("DROP TABLE vdx_exact_idx")
   }
 }

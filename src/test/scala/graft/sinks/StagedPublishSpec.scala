@@ -152,9 +152,20 @@ class StagedPublishSpec extends AnyFunSuite {
       Similarity.readPqCodebooks(spark, t)
     }
     assert(torn.getMessage.contains("DIFFERENT quantizer trainings"), torn.getMessage)
-    // grandfather: a pre-epoch sibling (missing prop) skips the check
+    // ASYMMETRIC epoch presence is itself a torn state — the only one a
+    // crash can reach on a pre-epoch index (the writer stamps the
+    // sibling before the codes), so it fails loud too
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    val asym = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, t)
+    }
+    assert(asym.getMessage.contains("disagree on HAVING an epoch"), asym.getMessage)
+    // grandfather is BOTH sides missing: a genuinely pre-epoch index
     spark.sql(s"ALTER TABLE ${t}__codebooks UNSET TBLPROPERTIES ('graft.pq.epoch')")
     assert(Similarity.readPqCodebooks(spark, t) === cbs)
+    // restore the codes-side epoch for the rebuild-agreement check
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.pq.epoch'='${e1.get}')")
+    spark.sql(s"ALTER TABLE ${t}__codebooks SET TBLPROPERTIES ('graft.pq.epoch'='${e1.get}')")
     // identical-training agreement: a full rebuild on the same corpus
     // re-stamps matching epochs (content-derived, not random)
     Similarity.writePqIndex(emb, "embedding", "vec_id", t, dim = 16, m = 4, kCodes = 8,

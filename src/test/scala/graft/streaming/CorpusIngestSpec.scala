@@ -203,7 +203,11 @@ class CorpusIngestSpec extends AnyFunSuite {
     // LEDGER (round 17 — the ImageIngest ADVICE r16 fix applied here):
     // a duplicate vec_id is an identity-contract rejection, not a
     // phantom near-dup, and the ledger sums to the raw batch size
-    val dupBatch = Seq((6L, v3.map(-_)), (6L, v5.map(_ * 2.0))).toDF("vec_id", "embedding")
+    // BOTH copies are fresh vs the corpus and vs each other (negatives
+    // of v3/v5: cosine −1 to their originals, so neither is a near-dup
+    // of anything kept) — the ledger reads the same whichever copy the
+    // arbitrary-keeper id-dedup retains
+    val dupBatch = Seq((6L, v3.map(-_)), (6L, v5.map(-_))).toDF("vec_id", "embedding")
     val sl = CorpusIngest.ingestSemanticBatch(dupBatch, corpusB, idxB, dim = 8, nBuckets = 8)
     assert((sl.kept, sl.nearDups, sl.replays, sl.rejected) === ((1L, 0L, 0L, 1L)))
     assert(sl.kept + sl.nearDups + sl.replays + sl.rejected === dupBatch.count())

@@ -234,7 +234,8 @@ class VideoIngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vid_gap_idx")
   }
 
-  test("contract violations are loud: split clip without pendingPath; over-delivery") {
+  test("contract violations are loud: split clip without pendingPath; over-delivery; " +
+    "contradictory expected_frames declarations") {
     val tmp = Files.createTempDirectory("vidloud").toString
     spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
     val whole = vid(Seq(0L))
@@ -249,12 +250,70 @@ class VideoIngestSpec extends AnyFunSuite {
         pendingPath = Some(s"$tmp/pending"), batchId = 0L)
     }
     assert(e2.getMessage.contains("MORE"), e2.getMessage)
+    // rows of one clip declaring DIFFERENT expected counts: resolved
+    // loud, never silently by max
+    val contra = whole.withColumn("expected_frames",
+      when($"frame_idx" < 3, lit(6L)).otherwise(lit(4L)))
+    val e3 = intercept[IllegalStateException] {
+      VideoIngest.ingestVideoBatch(contra, s"$tmp/corpus", "vid_loud_idx",
+        pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    }
+    assert(e3.getMessage.contains("CONTRADICTORY"), e3.getMessage)
     // null expected_frames clips keep the trusted whole-clip contract
     val s = VideoIngest.ingestVideoBatch(
       whole.withColumn("expected_frames", lit(null).cast("long")),
       s"$tmp/corpus", "vid_loud_idx", pendingPath = Some(s"$tmp/pending"), batchId = 1L)
     assert((s.kept, s.deferred) === ((1L, 0L)))
     spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
+  }
+
+  test("a stale PARTIAL redelivery of a completed clip is replay-absorbed, never parked") {
+    val tmp = Files.createTempDirectory("vidstale").toString
+    spark.sql("DROP TABLE IF EXISTS vid_stale_idx")
+    val whole = vid(Seq(0L))
+    // batch 0: the whole clip completes and is indexed + stored
+    val s0 = VideoIngest.ingestVideoBatch(withExp(whole)(whole), s"$tmp/corpus",
+      "vid_stale_idx", pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    assert((s0.kept, s0.deferred) === ((1L, 0L)))
+    // batch 1: an at-least-once source redelivers only HALF the clip —
+    // its missing frames will never arrive (the clip completed long
+    // ago); parking it would leave `deferred` nonzero forever
+    val s1 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus",
+      "vid_stale_idx", pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    assert(s1.deferred === 0L, "stale fragment must not park")
+    assert(s1.replays === 1L, "absorbed by the same-id replay path")
+    assert(spark.read.parquet(s"$tmp/corpus").count() === whole.count(),
+      "no duplicate frames, no partial re-append")
+    // the index still holds the FULL-clip gram set: a later probe of
+    // the clip's class finds it (a partial re-index would have hidden it)
+    val hits = Dedup.incrementalVideoNearDups(spark, vid(Seq(23L)), "vid_stale_idx")
+    assert(hits.select($"i").as[Long].collect().toSet === Set(0L))
+    // batch 2: deferred stays drained on subsequent batches
+    val s2 = VideoIngest.ingestVideoBatch(withExp(vid(Seq(1L)))(vid(Seq(1L))),
+      s"$tmp/corpus", "vid_stale_idx", pendingPath = Some(s"$tmp/pending"), batchId = 2L)
+    assert((s2.kept, s2.deferred) === ((1L, 0L)))
+    spark.sql("DROP TABLE vid_stale_idx")
+  }
+
+  test("a legacy props-less VIDEO index is adopted by its own ingest loop, not bricked") {
+    val tmp = Files.createTempDirectory("vidlegacy").toString
+    spark.sql("DROP TABLE IF EXISTS vid_legacy_idx")
+    // batch 0 creates the index, then the props are stripped to
+    // simulate a pre-r17 crash-window (props-less) video index
+    VideoIngest.ingestVideoBatch(vid(Seq(0L)), s"$tmp/corpus", "vid_legacy_idx")
+    spark.sql("ALTER TABLE vid_legacy_idx UNSET TBLPROPERTIES " +
+      "('graft.minhash.source', 'graft.minhash.numHashes', 'graft.minhash.bands')")
+    // pre-fix, the next batch's probe threw cross-modality (props-less
+    // defaults to text) before any maintenance could stamp it — now the
+    // loop adopts its own index up front and keeps working
+    val s = VideoIngest.ingestVideoBatch(vid(Seq(46L, 1L)), s"$tmp/corpus", "vid_legacy_idx")
+    assert((s.kept, s.nearDups) === ((1L, 1L)), "46 found as a near-dup of indexed 0")
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("vid_legacy_idx"))
+      .properties
+    assert(props.get("graft.minhash.source").contains("video_framegram2"))
+    spark.sql("DROP TABLE vid_legacy_idx")
   }
 
   test("frame ledger: null ids and duplicate frames surface as rejected, not near-dups") {
