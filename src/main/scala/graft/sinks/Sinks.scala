@@ -141,30 +141,53 @@ object Sinks {
     * demotes the restored copy and tries again (bounded: each retry
     * consumes one reader heal). Two hardenings over the bounded loop
     * alone:
-    *  - stage ABSENT at the top of an attempt means the previous
-    *    stage → live rename actually SUCCEEDED and only the client-side
-    *    acknowledgement was lost — the new table is live; demoting it
-    *    here would retire the just-published table and then throw with
-    *    nothing live. Treat it as published.
+    *  - stage ABSENT at the top of a RETRY (never the first attempt —
+    *    ADVICE r17) means OUR OWN previous stage → live rename actually
+    *    SUCCEEDED and only the client-side acknowledgement was lost —
+    *    the new table is live; demoting it here would retire the
+    *    just-published table and then throw with nothing live. Treat it
+    *    as published. At ENTRY the same observation has no such
+    *    explanation — no rename of ours has run — so a missing stage is
+    *    a caller bug (nothing was staged), and "succeeding" would fall
+    *    through to the retire drop and could delete a crashed swap's
+    *    only surviving copy. Fail loud instead.
     *  - the live → retire demotion runs inside the same NonFatal
     *    handler as the publish rename, so a failing demotion consumes a
     *    bounded attempt instead of escaping the loop uncaught.
+    *
+    * `afterRename` is a test-only seam: it runs after a successful
+    * stage → live rename, INSIDE the attempt's failure handler, so a
+    * spec can simulate the lost-acknowledgement window (rename applied,
+    * client saw an error) without a mockable metastore.
     */
-  private[graft] def publishStaged(spark: SparkSession, table: String): Unit = {
+  private[graft] def publishStaged(
+      spark: SparkSession,
+      table: String,
+      afterRename: () => Unit = () => ()
+  ): Unit = {
     val liveIdent = parseIdent(spark, table).quotedString
     val stageIdent = parseIdent(spark, stagedName(table)).quotedString
     val retireIdent = parseIdent(spark, retiredName(table)).quotedString
+    if (!spark.catalog.tableExists(stagedName(table)))
+      throw new IllegalStateException(
+        s"publishStaged($table): staging table ${stagedName(table)} does not exist — " +
+          "nothing was staged (write the stage via publishViaStage/writeTableWithProps). " +
+          "Treating this as an already-completed publish is only safe after this call's " +
+          "own rename has run; at entry it would report success for a publish that never " +
+          "happened and then drop the __retire copy — possibly a crashed swap's only " +
+          "surviving table.")
     var attempts = 0
     var published = false
     var lastErr: Throwable = null
     while (!published && attempts < 3) {
       attempts += 1
-      if (!spark.catalog.tableExists(stagedName(table))) published = true
+      if (attempts > 1 && !spark.catalog.tableExists(stagedName(table))) published = true
       else
         try {
           if (spark.catalog.tableExists(table))
             spark.sql(s"ALTER TABLE $liveIdent RENAME TO $retireIdent")
           spark.sql(s"ALTER TABLE $stageIdent RENAME TO $liveIdent")
+          afterRename()
           published = true
         } catch { case scala.util.control.NonFatal(e) => lastErr = e }
     }

@@ -141,15 +141,25 @@ object CorpusIngest {
     * id was already indexed (`replays`), rows REJECTED by the
     * identity contract before any dedup ran (`rejected` — null id, or
     * an in-batch duplicate id where the id is the identity; round 17,
-    * ADVICE r16: these used to surface inside `nearDups`), and clips
-    * parked in the pending store awaiting frame completeness
-    * (`deferred` — [[VideoIngest]] only).
+    * ADVICE r16: these used to surface inside `nearDups`; null vec_id
+    * in the semantic ingest lands here too, ADVICE r17), and three
+    * [[VideoIngest]]-only clip counters: `deferred` (clips parked in
+    * the pending store awaiting frame completeness), `staleDropped`
+    * (round 18, verdict r17 #5 — PARTIAL redeliveries of clips the
+    * corpus already holds, dropped at the completeness gate; split out
+    * of `replays` because a source re-sending fragments of completed
+    * clips is a misbehaving-source signal, while `replays` is benign
+    * at-least-once redelivery), and `agedOut` (round 18, verdict r17
+    * #1 — clips EVICTED from the pending store for out-waiting
+    * `pendingMaxAgeBatches`; nonzero means a source is parking clips
+    * it never completes).
     *
     * LEDGER: for the row-unit ingests (text/semantic/image),
     * `kept + nearDups + replays + rejected == batch.count()`. For
     * [[VideoIngest]] the stats are CLIP-unit
     * (`kept + nearDups + replays` covers the complete clips processed
-    * this batch; `deferred` counts clips still pending) while
+    * this batch; `staleDropped` and `agedOut` count the clips the gate
+    * withheld for good; `deferred` counts clips still pending) while
     * `rejected` stays in FRAME units — see its scaladoc.
     */
   final case class NearDupIngestStats(
@@ -157,7 +167,9 @@ object CorpusIngest {
       nearDups: Long,
       replays: Long,
       rejected: Long = 0L,
-      deferred: Long = 0L
+      deferred: Long = 0L,
+      staleDropped: Long = 0L,
+      agedOut: Long = 0L
   )
 
   /** Streaming NEAR-dup ingest — "dedup today's crawl against the whole
@@ -371,13 +383,21 @@ object CorpusIngest {
       compactFanout: Int = 16
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
-    // (1a) in-batch id dedup (a batch can carry the same vec_id twice —
-    // deterministic keeper: first by id, then any one row; ids are the
-    // identity here, unlike text where the fingerprint is). Materialized:
+    // (1a) identity contract + in-batch id dedup (a batch can carry the
+    // same vec_id twice — deterministic keeper: first by id, then any
+    // one row; ids are the identity here, unlike text where the
+    // fingerprint is). A NULL vec_id is a contract rejection (ADVICE
+    // r17): it would survive dropDuplicates but never match the
+    // id-keyed anti-joins or the i===j replay check (null keys don't
+    // join), so pre-fix it was counted as kept and RE-APPENDED to the
+    // index and corpus on every batch that carried one. Materialized:
     // it feeds the in-batch pairing, the batchKept anti-join, AND the
     // ledger count — unpinned, the scan+dedup shuffle would run thrice.
     val idKept = graft.ops.Materialize(
-      batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
+      batch
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id").isNotNull)
+        .dropDuplicates("vec_id"))
     // (1b) in-batch near-dup: greedy min-id keeper over LSH pairs
     val inBatchPairs = Dedup.embeddingNearDupPairs(
       idKept, "embedding", "vec_id", dim, bands, bitsPerBand, threshold, seed)

@@ -37,8 +37,11 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   *    error (the source is violating its own declared contract);
   *  - a PARTIAL redelivery of a clip the corpus already holds is a
   *    stale fragment, not a split clip (its missing frames completed
-  *    long ago): it is not parked — it flows through and is absorbed
-  *    by the same-id replay path, counting as a replay;
+  *    long ago): it is dropped at the gate and counted as
+  *    `staleDropped` (round 18, verdict r17 #5 — its own counter, not
+  *    `replays`: fragment redelivery of COMPLETED clips is a
+  *    misbehaving-source signal an operator must be able to alert on,
+  *    distinct from benign whole-clip redelivery);
   *  - clips with a null `expected_frames` (or a stream without the
   *    column at all) keep the round-16 contract: the source delivers
   *    whole clips per batch, trusted.
@@ -51,9 +54,31 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   * Versions other than {k, N} are garbage-collected after the write
   * (batch N−1's checkpoint has committed by the time batch N runs).
   * Batch-mode callers passing `pendingPath` must supply a strictly
-  * increasing `batchId` themselves. A clip whose remaining frames
-  * never arrive stays pending indefinitely — surfacing/aging those is
-  * the operator's policy call, visible via the `deferred` stat.
+  * increasing `batchId` themselves.
+  *
+  * PENDING-STORE BOUND (round 18 — verdict r17 #1): every batch
+  * rewrites the FULL still-pending frame set to a new version, so a
+  * source that parks clips it never completes makes each subsequent
+  * batch pay O(total-pending) write cost with no alarm beyond the
+  * growing `deferred` count. `pendingMaxAgeBatches = Some(k)` bounds
+  * that: each frame carries the batch id it FIRST arrived in
+  * (`parked_batch` — redelivered copies keep the original stamp, see
+  * the keeper rule below), and a clip still incomplete more than `k`
+  * batches after its first frame arrived is EVICTED from the store
+  * and surfaced as `agedOut` — the alert counter an operator pages
+  * on. Eviction is replay-deterministic (age is a pure function of
+  * the pending version read and `batchId`) and is not data loss
+  * beyond what the source already caused: the clip was never going
+  * to complete from the store alone, and a later WHOLE redelivery
+  * still ingests it normally. `None` (the default) keeps the
+  * unbounded round-17 contract.
+  *
+  * KEEPER (ADVICE r17): when a parked frame is redelivered while
+  * still pending, the PENDING copy's bytes win, via an anti-join of
+  * batch rows against pending keys — first-arrival-wins is
+  * deterministic across a crash-replay of the same batch, where the
+  * previous union+dropDuplicates kept an arbitrary copy (and with it
+  * a nondeterministic gram set) if the redelivered bytes differed.
   *
   * Replay safety is the [[CorpusIngest.nearDupIngest]] protocol
   * verbatim at CLIP granularity: index-before-corpus ordering makes
@@ -72,18 +97,19 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   * (video_id, frame_idx) rows with different bytes cannot index one
   * copy's grams under another copy's frames.
   *
-  * LEDGER (round 17 — verdict r16 #2): rows without a video_id and
-  * in-batch duplicate (video_id, frame_idx) rows are contract
-  * REJECTIONS, surfaced as `rejected` (FRAME units, this batch's raw
-  * rows only — a frame redelivered across batches is absorbed by the
-  * pending union, not a rejection). The clip-unit stats cover the
-  * complete clips processed this batch plus gate-dropped stale
-  * fragments: `kept + nearDups + replays == <complete clips> +
-  * <stale fragments>` (stale fragments land in `replays` — they are
-  * redeliveries of completed clips), and
-  * `rejected == batch.count() − <post-contract frames>`; `deferred`
-  * counts clips sitting in the pending store after this batch (a
-  * still-incomplete clip recounts each batch until it completes).
+  * LEDGER (round 17 — verdict r16 #2; counters split round 18 —
+  * verdict r17 #5): rows without a video_id and in-batch duplicate
+  * (video_id, frame_idx) rows are contract REJECTIONS, surfaced as
+  * `rejected` (FRAME units, this batch's raw rows only — a frame
+  * redelivered across batches is absorbed by the pending union, not a
+  * rejection). The clip-unit stats partition the clips the gate saw:
+  * `kept + nearDups + replays == <complete clips processed this
+  * batch>`, `staleDropped == <stale fragments dropped at the gate>`,
+  * `agedOut == <clips evicted for out-waiting pendingMaxAgeBatches>`,
+  * and `rejected == batch.count() − <post-contract frames>`;
+  * `deferred` counts clips sitting in the pending store after this
+  * batch (a still-incomplete clip recounts each batch until it
+  * completes, ages out, or its source dies).
   */
 object VideoIngest {
 
@@ -101,14 +127,15 @@ object VideoIngest {
       threshold: Double = 0.5,
       nBuckets: Int = 64,
       compactFanout: Int = 16,
-      pendingPath: Option[String] = None
+      pendingPath: Option[String] = None,
+      pendingMaxAgeBatches: Option[Long] = None
   ): StreamingQuery =
     frames.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestVideoBatch(
           batch, corpusPath, indexTable, numHashes, bands, threshold, nBuckets,
-          compactFanout, pendingPath, id)
+          compactFanout, pendingPath, id, pendingMaxAgeBatches)
         ()
       }
       .start()
@@ -128,9 +155,13 @@ object VideoIngest {
       nBuckets: Int = 64,
       compactFanout: Int = 16,
       pendingPath: Option[String] = None,
-      batchId: Long = 0L
+      batchId: Long = 0L,
+      pendingMaxAgeBatches: Option[Long] = None
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    pendingMaxAgeBatches.foreach(k =>
+      require(k >= 1, s"pendingMaxAgeBatches must be >= 1 (a clip always gets at least " +
+        s"its arrival batch plus one to complete), got $k"))
     val hasExpected = batch.columns.contains("expected_frames")
     val rawCnt = batch.count()
     // (1a) identity + in-batch frame dedup, materialized so every
@@ -152,11 +183,13 @@ object VideoIngest {
     if (spark.catalog.tableExists(indexTable))
       Dedup.stampVideoMinHashIndexIfLegacy(spark, indexTable, numHashes, bands)
     // (1b) clip-completeness gate (round 17 — see scaladoc); stale
-    // fragments of already-completed clips are dropped there and
-    // counted into `replays` below
-    val (workFrames, deferredClips, staleClips) =
-      if (!hasExpected) (batchFrames, 0L, 0L)
-      else completenessGate(spark, batchFrames, corpusPath, pendingPath, batchId)
+    // fragments of already-completed clips and aged-out parked clips
+    // are withheld there, each on its own counter
+    val (workFrames, deferredClips, staleClips, agedOutClips) =
+      if (!hasExpected) (batchFrames, 0L, 0L, 0L)
+      else
+        completenessGate(spark, batchFrames, corpusPath, pendingPath, batchId,
+          pendingMaxAgeBatches)
     val keptFrames =
       if (hasExpected)
         Materialize(workFrames.select(col("video_id"), col("frame_idx"), col("media")))
@@ -228,9 +261,11 @@ object VideoIngest {
     NearDupIngestStats(
       kept = freshCnt + unshCnt,
       nearDups = batchClips.count() - freshCnt - unshCnt - replayCnt,
-      replays = replayCnt + staleClips,
+      replays = replayCnt,
       rejected = rejectedFrames,
-      deferred = deferredClips
+      deferred = deferredClips,
+      staleDropped = staleClips,
+      agedOut = agedOutClips
     )
   }
 
@@ -238,23 +273,34 @@ object VideoIngest {
     * COMPLETE clips to process now and the pending frames to carry —
     * see the object scaladoc's CLIP ATOMICITY section. Returns
     * (complete frames incl. `expected_frames`, clips left pending,
-    * stale fragments dropped — redeliveries of corpus-present clips,
-    * counted into the caller's `replays`).
+    * stale fragments dropped — redeliveries of corpus-present clips —
+    * and clips evicted for out-waiting `maxAgeBatches`).
     */
   private def completenessGate(
       spark: SparkSession,
       batchFrames: DataFrame,
       corpusPath: String,
       pendingPath: Option[String],
-      batchId: Long
-  ): (DataFrame, Long, Long) = {
+      batchId: Long,
+      maxAgeBatches: Option[Long]
+  ): (DataFrame, Long, Long, Long) = {
+    // every frame carries the batch it FIRST arrived in (the age-bound
+    // clock); when a still-parked frame is redelivered, the PENDING
+    // copy wins — bytes AND stamp — via the anti-join, so the keeper is
+    // first-arrival-deterministic across crash-replays (ADVICE r17; the
+    // previous union+dropDuplicates kept an arbitrary copy, and with it
+    // a nondeterministic gram set, if the redelivered bytes differed)
+    val stamped = batchFrames.withColumn("parked_batch", lit(batchId))
     val unioned = pendingPath.flatMap(p => readPending(spark, p, batchId)) match {
       case Some(prior) =>
         Materialize(
-          batchFrames
-            .unionByName(prior)
-            .dropDuplicates("video_id", "frame_idx"))
-      case None => batchFrames
+          stamped
+            .join(
+              prior.select(col("video_id"), col("frame_idx")),
+              Seq("video_id", "frame_idx"),
+              "left_anti")
+            .unionByName(prior))
+      case None => stamped
     }
     val perClip = unioned
       .groupBy(col("video_id"))
@@ -289,6 +335,7 @@ object VideoIngest {
     val incompleteAll = Materialize(
       perClip.filter(col("expected").isNotNull && col("delivered") < col("expected"))
         .select(col("video_id")))
+    val incompleteCnt = incompleteAll.count()
     // a PARTIAL redelivery of a clip the corpus already holds is a
     // stale fragment, not a split clip — its missing frames will never
     // arrive (the clip completed long ago), so parking it would leave
@@ -298,29 +345,56 @@ object VideoIngest {
     // indexed full-gram signature, so the same-id replay path never
     // fires and the fragment would be indexed as a FRESH (corrupt,
     // partial) entry under the completed clip's id. Dropped fragments
-    // surface in the stats as replays (they are redeliveries of
-    // completed clips). Residual (documented): a partial redelivery of
-    // a clip caught in the index-but-not-corpus crash window still
-    // parks — that needs BOTH a crash and a partial redelivery of the
-    // same clip, and resolves if the source ever redelivers it whole.
+    // surface as `staleDropped` (round 18 — their own counter, not
+    // `replays`: fragment redelivery of completed clips is a
+    // misbehaving-source signal). Residual (documented, spec-pinned):
+    // a partial redelivery of a clip caught in the index-but-not-corpus
+    // crash window still parks — that needs BOTH a crash and a partial
+    // redelivery of the same clip, resolves if the source ever
+    // redelivers it whole, and surfaces through the age bound below.
+    // The corpus scan is SKIPPED when nothing is incomplete — the
+    // steady-state whole-clips path pays no O(corpus) read (ADVICE r17).
     val (incompleteIds, staleClips) =
-      if (CorpusIngest.pathExists(spark, corpusPath)) {
+      if (incompleteCnt == 0L) (incompleteAll, 0L)
+      else if (CorpusIngest.pathExists(spark, corpusPath)) {
         val corpusIds =
           spark.read.parquet(corpusPath).select(col("video_id")).distinct()
         val park = Materialize(
           incompleteAll.join(corpusIds, Seq("video_id"), "left_anti"))
-        (park, incompleteAll.count() - park.count())
+        (park, incompleteCnt - park.count())
       } else (incompleteAll, 0L)
+    // age bound (round 18 — verdict r17 #1): a clip still incomplete
+    // more than maxAgeBatches after its FIRST frame arrived is evicted
+    // instead of parked again — the O(pending) per-batch rewrite stops
+    // paying for clips their source never completes, and `agedOut` is
+    // the loud signal. Age is a pure function of (pending version read,
+    // batchId), so a crash-replay evicts identically.
+    val (parkIds, agedOut) = maxAgeBatches match {
+      case Some(maxAge) if incompleteCnt > 0L =>
+        val aged = Materialize(
+          unioned
+            .join(incompleteIds, Seq("video_id"), "left_semi")
+            .groupBy(col("video_id"))
+            .agg(min(col("parked_batch")).as("first_seen"))
+            .filter(lit(batchId) - col("first_seen") > maxAge)
+            .select(col("video_id")))
+        val agedCnt = aged.count()
+        if (agedCnt == 0L) (incompleteIds, 0L)
+        else
+          (Materialize(incompleteIds.join(aged, Seq("video_id"), "left_anti")), agedCnt)
+      case _ => (incompleteIds, 0L)
+    }
     pendingPath match {
       case Some(p) =>
         val pendingFrames = Materialize(
-          unioned.join(incompleteIds, Seq("video_id"), "left_semi"))
+          unioned.join(parkIds, Seq("video_id"), "left_semi"))
         val deferred = pendingFrames.select(col("video_id")).distinct().count()
         writePending(spark, p, batchId, pendingFrames)
-        // complete clips leave the gate; parked AND stale clips are
-        // withheld (stale = dropped for good, counted as replays)
+        // complete clips leave the gate; parked, stale, AND aged-out
+        // clips are withheld (stale/aged = dropped for good, each on
+        // its own counter)
         (Materialize(unioned.join(incompleteAll, Seq("video_id"), "left_anti")),
-          deferred, staleClips)
+          deferred, staleClips, agedOut)
       case None =>
         val short = incompleteIds.limit(5).collect()
         if (short.nonEmpty)
@@ -330,13 +404,17 @@ object VideoIngest {
               short.map(_.get(0)).mkString(", ") +
               " — pass pendingPath to park split clips across batches")
         (Materialize(unioned.join(incompleteAll, Seq("video_id"), "left_anti")),
-          0L, staleClips)
+          0L, staleClips, agedOut)
     }
   }
 
   /** The newest pending version strictly below `batchId`, if any —
     * versions ≥ batchId belong to a crashed attempt of THIS batch and
-    * must be ignored for the replay to reproduce the same split.
+    * must be ignored for the replay to reproduce the same split. A
+    * pre-r18 store (no `parked_batch` column) is adopted by stamping
+    * its frames with the version they were read from — the earliest
+    * arrival the store can still prove, so the age clock starts
+    * conservatively rather than resetting.
     */
   private def readPending(
       spark: SparkSession,
@@ -354,7 +432,12 @@ object VideoIngest {
         .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
         .filter(_ < batchId)
       if (versions.isEmpty) None
-      else Some(spark.read.parquet(s"$path/v=${versions.max}"))
+      else {
+        val df = spark.read.parquet(s"$path/v=${versions.max}")
+        Some(
+          if (df.columns.contains("parked_batch")) df
+          else df.withColumn("parked_batch", lit(versions.max)))
+      }
     }
   }
 

@@ -46,16 +46,43 @@ class StagedPublishSpec extends AnyFunSuite {
     drop(t)
   }
 
-  test("publishStaged: ambiguous rename success (stage gone, live new) is NOT demoted") {
+  test("publishStaged: ambiguous rename success (lost ack on a retry) is NOT demoted") {
     val t = "sp_ambig"
     drop(t, s"${t}__stage", s"${t}__retire")
-    // the post-success state of a stage->live rename whose client-side
-    // acknowledgement was lost: live holds the NEW table, stage absent
-    Seq((1L, "new")).toDF("k", "v").write.saveAsTable(t)
-    Sinks.publishStaged(spark, t) // a blind retry would retire `t` and throw
+    Seq((1L, "old")).toDF("k", "v").write.saveAsTable(t)
+    Seq((2L, "new")).toDF("k", "v").write.saveAsTable(s"${t}__stage")
+    // simulate the lost-acknowledgement window via the test seam: the
+    // stage->live rename APPLIES but the client sees an error — the
+    // retry must read "stage absent" as our own success, not demote the
+    // just-published table (a blind retry would retire `t` and throw)
+    var failures = 0
+    Sinks.publishStaged(spark, t, afterRename = () => {
+      failures += 1
+      if (failures == 1) throw new RuntimeException("ack lost")
+    })
     assert(spark.catalog.tableExists(t))
     assert(spark.table(t).select($"v").as[String].head() === "new")
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
     assert(!spark.catalog.tableExists(s"${t}__retire"))
+    drop(t)
+  }
+
+  test("publishStaged: a missing stage at ENTRY is a loud caller bug, and the __retire " +
+    "copy of a crashed swap survives it (ADVICE r17)") {
+    val t = "sp_nostage"
+    drop(t, s"${t}__stage", s"${t}__retire")
+    // the state ADVICE r17 warned about: a crashed swap's only
+    // surviving copy parked at __retire, and a buggy caller invoking
+    // publishStaged without ever staging anything — the old
+    // interpretation reported success and dropped __retire
+    Seq((1L, "only-copy")).toDF("k", "v").write.saveAsTable(s"${t}__retire")
+    val e = intercept[IllegalStateException] { Sinks.publishStaged(spark, t) }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    assert(spark.catalog.tableExists(s"${t}__retire"), "the only copy must survive")
+    assert(spark.table(s"${t}__retire").select($"v").as[String].head() === "only-copy")
+    // the sanctioned path out of that state is the restore-only heal
+    Sinks.recoverStagedPublish(spark, t)
+    assert(spark.table(t).select($"v").as[String].head() === "only-copy")
     drop(t)
   }
 

@@ -212,6 +212,23 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert((sl.kept, sl.nearDups, sl.replays, sl.rejected) === ((1L, 0L, 0L, 1L)))
     assert(sl.kept + sl.nearDups + sl.replays + sl.rejected === dupBatch.count())
 
+    // a NULL vec_id is the same contract rejection (ADVICE r17): null
+    // keys don't join, so pre-fix the row skipped every id-keyed
+    // anti-join and replay check and was re-appended to the index AND
+    // corpus on EVERY delivery — deliver it twice and prove neither grew
+    val nullBatch = Seq((Option.empty[Long], v1.map(-_))).toDF("vec_id", "embedding")
+    val corpusRowsBefore = spark.read.parquet(corpusB).count()
+    val idxRowsBefore2 = spark.table(idxB).count()
+    Seq(1, 2).foreach { _ =>
+      val sn = CorpusIngest.ingestSemanticBatch(nullBatch, corpusB, idxB, dim = 8,
+        nBuckets = 8)
+      assert((sn.kept, sn.nearDups, sn.replays, sn.rejected) === ((0L, 0L, 0L, 1L)))
+    }
+    assert(spark.read.parquet(corpusB).count() === corpusRowsBefore,
+      "a null-id row must never reach the corpus")
+    assert(spark.table(idxB).count() === idxRowsBefore2,
+      "a null-id row must never reach the index")
+
     // invariant: the index always equals a rebuild over the KEPT corpus
     graft.ops.Dedup.writeEmbeddingLshIndex(
       spark.read.parquet(corpus), "embedding", "vec_id", "graft_sem_rebuild_idx",

@@ -267,7 +267,8 @@ class VideoIngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS vid_loud_idx")
   }
 
-  test("a stale PARTIAL redelivery of a completed clip is replay-absorbed, never parked") {
+  test("a stale PARTIAL redelivery of a completed clip surfaces as staleDropped, " +
+    "never parked (counter split out of replays — verdict r17 #5)") {
     val tmp = Files.createTempDirectory("vidstale").toString
     spark.sql("DROP TABLE IF EXISTS vid_stale_idx")
     val whole = vid(Seq(0L))
@@ -282,7 +283,10 @@ class VideoIngestSpec extends AnyFunSuite {
       withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus",
       "vid_stale_idx", pendingPath = Some(s"$tmp/pending"), batchId = 1L)
     assert(s1.deferred === 0L, "stale fragment must not park")
-    assert(s1.replays === 1L, "absorbed by the same-id replay path")
+    assert(s1.staleDropped === 1L, "dropped at the gate, on the misbehaving-source counter")
+    assert(s1.replays === 0L,
+      "NOT a replay: an operator watching replays must not see fragment redelivery " +
+        "as benign whole-clip redelivery")
     assert(spark.read.parquet(s"$tmp/corpus").count() === whole.count(),
       "no duplicate frames, no partial re-append")
     // the index still holds the FULL-clip gram set: a later probe of
@@ -294,6 +298,120 @@ class VideoIngestSpec extends AnyFunSuite {
       s"$tmp/corpus", "vid_stale_idx", pendingPath = Some(s"$tmp/pending"), batchId = 2L)
     assert((s2.kept, s2.deferred) === ((1L, 0L)))
     spark.sql("DROP TABLE vid_stale_idx")
+  }
+
+  test("pendingMaxAgeBatches: a clip parked past the bound is EVICTED, surfaces as " +
+    "agedOut, and a later WHOLE redelivery still ingests (verdict r17 #1)") {
+    val tmp = Files.createTempDirectory("vidage").toString
+    spark.sql("DROP TABLE IF EXISTS vid_age_idx")
+    val whole = vid(Seq(0L))
+    val age = Some(2L)
+    def gap(id: Long, b: Long) = VideoIngest.ingestVideoBatch(
+      withExp(vid(Seq(id)))(vid(Seq(id))), s"$tmp/corpus", "vid_age_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = b, pendingMaxAgeBatches = age)
+    // batch 0: first half of clip 0 parks (age 0)
+    val s0 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus", "vid_age_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 0L, pendingMaxAgeBatches = age)
+    assert((s0.kept, s0.deferred, s0.agedOut) === ((0L, 1L, 0L)))
+    // gap batches: ages 1 and 2 are both WITHIN the bound (breach is >, not >=)
+    val s1 = gap(1L, 1L)
+    assert((s1.kept, s1.deferred, s1.agedOut) === ((1L, 1L, 0L)))
+    val s2 = gap(2L, 2L)
+    assert((s2.kept, s2.deferred, s2.agedOut) === ((1L, 1L, 0L)))
+    // batch 3: age 3 > 2 — evicted, the pending store drains, agedOut is loud
+    val s3 = gap(3L, 3L)
+    assert((s3.kept, s3.deferred, s3.agedOut) === ((1L, 0L, 1L)))
+    assert(s3.staleDropped === 0L, "eviction is its own signal, not a stale fragment")
+    assert(corpusClips(s"$tmp/corpus") === Set(1L, 2L, 3L),
+      "an evicted partial never reaches corpus or index")
+    // the ledger still closes: every batch's complete clips are fully
+    // accounted and the evicted clip appears exactly once, in agedOut
+    assert(Seq(s0, s1, s2, s3).map(s => s.kept + s.nearDups + s.replays).sum === 3L)
+    // a later WHOLE redelivery of the evicted clip ingests normally —
+    // eviction lost nothing the source can still provide
+    val s4 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole), s"$tmp/corpus", "vid_age_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 4L, pendingMaxAgeBatches = age)
+    assert((s4.kept, s4.deferred, s4.agedOut) === ((1L, 0L, 0L)))
+    assert(corpusClips(s"$tmp/corpus") === Set(0L, 1L, 2L, 3L))
+    spark.sql("DROP TABLE vid_age_idx")
+  }
+
+  test("crash residual (verdict r17 #7): a partial redelivery of an index-but-not-corpus " +
+    "clip parks, SURFACES via the age bound, and resolves on whole redelivery") {
+    val tmp = Files.createTempDirectory("vidresid").toString
+    spark.sql("DROP TABLE IF EXISTS vid_resid_idx")
+    val whole = vid(Seq(0L))
+    val age = Some(1L)
+    def ingest(part: org.apache.spark.sql.DataFrame, full: org.apache.spark.sql.DataFrame,
+        b: Long) = VideoIngest.ingestVideoBatch(
+      withExp(full)(part), s"$tmp/corpus", "vid_resid_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = b, pendingMaxAgeBatches = age)
+    // batch 0: the whole clip completes — indexed AND stored
+    assert(ingest(whole, whole, 0L).kept === 1L)
+    val clip0IdxRows = spark.table("vid_resid_idx").filter($"doc_id" === 0L).count()
+    // the crash window: corpus append lost, index entry survived
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(s"$tmp/corpus"))
+    // batch 1: a PARTIAL redelivery of exactly that clip — the corpus
+    // cannot prove it completed, so the stale-fragment rule cannot fire
+    // and the fragment PARKS (the documented residual)
+    val s1 = ingest(whole.filter($"frame_idx" < 3), whole, 1L)
+    assert((s1.deferred, s1.staleDropped, s1.replays) === ((1L, 0L, 0L)))
+    // batch 2: a gap batch — still parked, within the bound; without
+    // the bound this clip would sit invisible in `deferred` forever
+    val s2 = ingest(vid(Seq(1L)), vid(Seq(1L)), 2L)
+    assert((s2.deferred, s2.agedOut) === ((1L, 0L)))
+    // batch 3: age 2 > 1 — the permanently-parked residual SURFACES
+    val s3 = ingest(vid(Seq(2L)), vid(Seq(2L)), 3L)
+    assert((s3.deferred, s3.agedOut) === ((0L, 1L)))
+    // whole redelivery resolves: same-id replay, corpus-only heal,
+    // never re-indexed (the round-17 replay protocol end to end)
+    val s4 = ingest(whole, whole, 4L)
+    assert((s4.replays, s4.kept, s4.deferred) === ((1L, 0L, 0L)),
+      s"whole redelivery must replay-absorb, got $s4")
+    assert(spark.read.parquet(s"$tmp/corpus").filter($"video_id" === 0L).count() ===
+      whole.count(), "the crash-window clip healed into the corpus whole")
+    assert(spark.table("vid_resid_idx").filter($"doc_id" === 0L).count() === clip0IdxRows,
+      "never re-indexed")
+    spark.sql("DROP TABLE vid_resid_idx")
+  }
+
+  test("keeper determinism (ADVICE r17): a redelivered parked frame keeps the PENDING " +
+    "copy's bytes, so the completed clip's gram set is first-arrival-deterministic") {
+    val tmp = Files.createTempDirectory("vidkeep").toString
+    spark.sql("DROP TABLE IF EXISTS vid_keep_idx")
+    val whole = vid(Seq(0L))
+    val origFrame1 = whole.filter($"frame_idx" === 1)
+      .select($"media").as[Array[Byte]].head()
+    // batch 0: frames 0-2 park
+    val s0 = VideoIngest.ingestVideoBatch(
+      withExp(whole)(whole.filter($"frame_idx" < 3)), s"$tmp/corpus", "vid_keep_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 0L)
+    assert(s0.deferred === 1L)
+    // batch 1: the source REDELIVERS frame 1 with DIFFERENT bytes
+    // (another clip's decodable frame) alongside the completing half —
+    // the union+dropDuplicates keeper this replaces kept an arbitrary
+    // copy; the contract is first-arrival-wins
+    val tampered = vid(Seq(5L)).filter($"frame_idx" === 1).withColumn("video_id", lit(0L))
+    val b1 = withExp(whole)(tampered.unionByName(whole.filter($"frame_idx" >= 3)))
+    val s1 = VideoIngest.ingestVideoBatch(b1, s"$tmp/corpus", "vid_keep_idx",
+      pendingPath = Some(s"$tmp/pending"), batchId = 1L)
+    assert((s1.kept, s1.deferred) === ((1L, 0L)), "clip completed")
+    val storedFrame1 = spark.read.parquet(s"$tmp/corpus")
+      .filter($"video_id" === 0L && $"frame_idx" === 1)
+      .select($"media").as[Array[Byte]].head()
+    assert(storedFrame1.sameElements(origFrame1),
+      "the PENDING (first-arrival) copy's bytes must win over the redelivered copy")
+    // and the indexed gram set matches a single-batch whole delivery:
+    // clip 23 (same class as an untampered clip 0) probes to a hit
+    val hits = Dedup.incrementalVideoNearDups(spark, vid(Seq(23L)), "vid_keep_idx")
+    assert(hits.select($"i").as[Long].collect().toSet === Set(0L),
+      "index holds the first-arrival gram set")
+    spark.sql("DROP TABLE vid_keep_idx")
   }
 
   test("a legacy props-less VIDEO index is adopted by its own ingest loop, not bricked") {
