@@ -247,4 +247,96 @@ class StagedPublishSpec extends AnyFunSuite {
     assert(after === before)
     drop(tt)
   }
+
+  test("epoch backfill (verdict r17 #6): a consistent pre-epoch pair gains matching " +
+    "epochs and probes identically; torn/contradictory states fail loud") {
+    import graft.ops.Similarity
+    def emb(seed: Long, n: Int) = spark.range(n).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod(xxhash64($"id", d.cast("long"), lit(seed)), lit(1000L)).cast("double")
+          / 500.0 - 1.0).cast("float")).as("embedding"))
+    val corpusA = emb(1L, 64)
+    val corpusB = emb(2L, 64)
+    val t = "sp_bf_pq"
+    drop(t, s"${t}__codebooks", s"${t}__stage", s"${t}__retire",
+      s"${t}__codebooks__stage", s"${t}__codebooks__retire")
+    Similarity.writePqIndex(corpusA, "embedding", "vec_id", t, dim = 16, m = 4,
+      kCodes = 8, lloydIters = 1)
+    val writerEpoch = props(t)("graft.pq.epoch")
+    val queries = corpusA.limit(3)
+    def probe(): Set[(Long, Long, Int)] = Similarity
+      .pqTopKIndexed(spark, t, queries, "embedding", "vec_id", k = 3)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val before = probe()
+
+    // no-op on a fully-stamped index: same epoch back, nothing restamped
+    assert(Similarity.backfillPqEpoch(spark, t, corpusA, "embedding", "vec_id")
+      === writerEpoch)
+
+    // a consistent PRE-epoch pair (both stamps stripped): the
+    // grandfather probe works, the backfill verifies by content,
+    // recomputes the WRITER's epoch, stamps both, and probes identically
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    spark.sql(s"ALTER TABLE ${t}__codebooks UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    assert(probe() === before, "grandfathered pre-epoch probe")
+    assert(Similarity.backfillPqEpoch(spark, t, corpusA, "embedding", "vec_id")
+      === writerEpoch, "content-derived: the backfilled epoch IS the writer's")
+    assert(props(t).get("graft.pq.epoch").contains(writerEpoch))
+    assert(props(s"${t}__codebooks").get("graft.pq.epoch").contains(writerEpoch))
+    assert(probe() === before, "stamped index probes identically")
+
+    // crashed-backfill window: sibling stamped, codes not — readers
+    // fail loud (asymmetric), a backfill RE-RUN heals without a rebuild
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    intercept[IllegalArgumentException] { Similarity.readPqCodebooks(spark, t) }
+    assert(Similarity.backfillPqEpoch(spark, t, corpusA, "embedding", "vec_id")
+      === writerEpoch)
+    assert(probe() === before)
+
+    // codes stamped with a DIFFERENT training's epoch: unrepairable, loud
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.pq.epoch'='999')")
+    spark.sql(s"ALTER TABLE ${t}__codebooks UNSET TBLPROPERTIES ('graft.pq.epoch')")
+    val torn = intercept[IllegalArgumentException] {
+      Similarity.backfillPqEpoch(spark, t, corpusA, "embedding", "vec_id")
+    }
+    assert(torn.getMessage.contains("DIFFERENT quantizer training"), torn.getMessage)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.pq.epoch')")
+
+    // an INCONSISTENT pre-epoch pair — same-geometry codebooks from a
+    // different training beside these codes (the exact hole the epoch
+    // closes) — fails loud at backfill time instead of being stamped
+    val t2 = "sp_bf_pq_other"
+    drop(t2, s"${t2}__codebooks")
+    Similarity.writePqIndex(corpusB, "embedding", "vec_id", t2, dim = 16, m = 4,
+      kCodes = 8, lloydIters = 1)
+    val foreignCbs = spark.table(s"${t2}__codebooks")
+    drop(s"${t}__codebooks")
+    foreignCbs.write.saveAsTable(s"${t}__codebooks") // props-less, wrong generation
+    val e = intercept[IllegalStateException] {
+      Similarity.backfillPqEpoch(spark, t, corpusA, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("NOT the encode"), e.getMessage)
+    drop(t, s"${t}__codebooks", t2, s"${t2}__codebooks")
+
+    // IVF-PQ (residual mode, three tables): strip all three stamps,
+    // backfill recomputes the writer's epoch, probes identically
+    val ti = "sp_bf_ivfpq"
+    drop(ti, s"${ti}__codebooks", s"${ti}__centroids")
+    Similarity.writeIvfPqIndex(corpusA, "embedding", "vec_id", ti, dim = 16,
+      nCells = 4, m = 4, kCodes = 8, lloydIters = 1, residual = true)
+    val ivfEpoch = props(ti)("graft.pq.epoch")
+    def probeIvf(): Set[(Long, Long, Int)] = Similarity
+      .ivfPqTopKIndexed(spark, ti, queries, "embedding", "vec_id", k = 3, nProbe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val beforeIvf = probeIvf()
+    Seq(ti, s"${ti}__codebooks", s"${ti}__centroids").foreach(x =>
+      spark.sql(s"ALTER TABLE $x UNSET TBLPROPERTIES ('graft.pq.epoch')"))
+    assert(Similarity.backfillPqEpoch(spark, ti, corpusA, "embedding", "vec_id")
+      === ivfEpoch)
+    Seq(ti, s"${ti}__codebooks", s"${ti}__centroids").foreach(x =>
+      assert(props(x).get("graft.pq.epoch").contains(ivfEpoch), x))
+    assert(probeIvf() === beforeIvf)
+    drop(ti, s"${ti}__codebooks", s"${ti}__centroids")
+  }
 }
