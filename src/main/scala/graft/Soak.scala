@@ -508,6 +508,48 @@ object Soak {
       }
     }.toMap
 
+    // Pending-store batch cost vs PARKED backlog (round 18 — verdict
+    // r17 #1): the completeness gate rewrites the FULL still-pending
+    // frame set every batch, so the steady-state batch cost must be
+    // measured AGAINST backlog size, not batch size. Setup (untimed):
+    // park 200*m split clips (2 of their 6-9 frames delivered,
+    // expected_frames declared). Timed body: one batch of 10 WHOLE
+    // fresh clips at a fresh batchId — the backlog carries forward
+    // through every run, so each run pays the full read-union-rewrite.
+    // Expect ~linear in parked clips (a full rewrite by design; the
+    // pendingMaxAgeBatches eviction bound is what keeps the backlog
+    // from growing unbounded in production). Compaction disabled so
+    // the index's own maintenance cadence can't blur the pending path.
+    if (wanted("video_pending")) results("video_pending") = scales.map { case (m, _) =>
+      val idx = s"soak_vidpend_x$m"
+      dropSoakTable(idx)
+      val dir = s"$base/x$m/vidpend"
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
+      def withExpFrom(full: org.apache.spark.sql.DataFrame)(
+          part: org.apache.spark.sql.DataFrame) =
+        part.join(
+          full.groupBy(col("video_id")).agg(count(lit(1)).as("expected_frames")),
+          Seq("video_id"))
+      val parkedFull = vidFrames(vidIds(0L, 200L * m), m)
+      var batchId = 0L
+      graft.streaming.VideoIngest.ingestVideoBatch(
+        withExpFrom(parkedFull)(parkedFull.filter(col("frame_idx") < 2)),
+        s"$dir/corpus", idx, compactFanout = 0,
+        pendingPath = Some(s"$dir/pending"), batchId = batchId)
+      var nextFresh = 10000000L
+      m -> timed(iters) {
+        batchId += 1
+        val whole = vidFrames(vidIds(nextFresh, 10L), m)
+        nextFresh += 10L
+        val st = graft.streaming.VideoIngest.ingestVideoBatch(
+          withExpFrom(whole)(whole), s"$dir/corpus", idx, compactFanout = 0,
+          pendingPath = Some(s"$dir/pending"), batchId = batchId)
+        st.deferred // == 200*m: proves the backlog held through the run
+      }
+    }.toMap
+
     // the reference's CDC core at soak scale: snapshot diff over wide
     // (40-col) snapshots with constant-rate churn, and the SCD2 fold
     // over a ~5-versions-per-key event stream

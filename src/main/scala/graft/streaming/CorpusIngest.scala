@@ -74,11 +74,17 @@ object CorpusIngest {
       expectedItems: Long
   ): Unit = {
     val spark = batch.sparkSession
+    // identity contract (round 18 — ADVICE r17's null-vec_id finding
+    // generalized): the fingerprint IS this loop's identity, and a null
+    // text fingerprints to null — it would pass the bloom's maybe-path
+    // but never match the corpus anti-join (null keys don't join), so
+    // pre-fix a null-text row re-appended on EVERY delivery
+    val contractKept = batch.filter(col("text").isNotNull)
     // in-batch dedup, deterministic keeper (smallest doc_id)
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fingerprint"))
       .orderBy(col("doc_id"))
-    val withFp = batch
+    val withFp = contractKept
       .select(col("doc_id"), md5(col("text")).as("fingerprint"), col("text"))
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
@@ -240,12 +246,21 @@ object CorpusIngest {
       compactFanout: Int = 16
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    val rawCnt = batch.count()
+    // identity contract (round 18 — ADVICE r17's null-vec_id finding
+    // generalized to every id-keyed ingest): this loop's replay
+    // detection is the same-id index hit and every dedup decision is an
+    // id-keyed anti-join, and null keys don't join — pre-fix a
+    // null-doc_id (or null-text) row skipped them all and re-appended
+    // on every delivery. Such rows are contract REJECTIONS.
+    val valid = batch
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
     // (1a) in-batch exact dedup, deterministic keeper (smallest doc_id)
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text")))
       .orderBy(col("doc_id"))
-    val exactKept = batch
-      .select(col("doc_id"), col("text"))
+    val exactKept = valid
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -282,27 +297,44 @@ object CorpusIngest {
         .join(replayIds, Seq("doc_id"), "left_anti")
     )
     val freshCnt = fresh.count()
+    // UNSHINGLEABLE docs (fewer than shingleSize tokens — round 18,
+    // the video ingest's unshingleable-clip rule applied to text): no
+    // gram set means no index entry, so the same-id replay path can
+    // NEVER fire for them and a redelivery would re-append to the
+    // corpus forever. Like sub-2-frame clips, they idempote via the
+    // corpus anti-join instead: append only if the corpus does not
+    // hold their id; a corpus-present copy counts as a replay.
+    def anti(df: DataFrame): DataFrame =
+      if (pathExists(spark, corpusPath))
+        df.join(
+          spark.read.parquet(corpusPath).select(col("doc_id")),
+          Seq("doc_id"),
+          "left_anti"
+        )
+      else df
+    val unshFresh = graft.ops.Materialize(
+      fresh.filter(size(graft.functions.Fns.tokens(col("text"))) < shingleSize))
+    val unshFreshCnt = unshFresh.count()
+    val unshAppend =
+      if (unshFreshCnt == 0L) unshFresh else graft.ops.Materialize(anti(unshFresh))
+    val unshReplays = unshFreshCnt - unshAppend.count()
     // (3) index append FIRST (the over-claiming membership structure —
-    // see the replay-safety scaladoc), then corpus
+    // see the replay-safety scaladoc), then corpus; unshingleable rows
+    // produce no index rows by construction
     if (freshCnt > 0)
       Dedup.appendToMinHashIndex(
         fresh, "text", "doc_id", indexTable, shingleSize, numHashes, bands, nBuckets)
-    // (4) corpus append: fresh docs + crash-window orphans (indexed under
-    // their own id but missing from the corpus)
+    // (4) corpus append: fresh docs (minus corpus-present unshingleable
+    // redeliveries) + crash-window orphans (indexed under their own id
+    // but missing from the corpus)
     val orphans = graft.ops.Materialize(
-      {
-        val replayed = batchKept.join(replayIds, Seq("doc_id"), "left_semi")
-        if (pathExists(spark, corpusPath))
-          replayed.join(
-            spark.read.parquet(corpusPath).select(col("doc_id")),
-            Seq("doc_id"),
-            "left_anti"
-          )
-        else replayed
-      }
-    )
-    val toCorpus = fresh.unionByName(orphans)
-    if (freshCnt + orphans.count() > 0)
+      anti(batchKept.join(replayIds, Seq("doc_id"), "left_semi")))
+    val toCorpus =
+      (if (unshReplays == 0L) fresh
+       else fresh.filter(size(graft.functions.Fns.tokens(col("text"))) >= shingleSize)
+         .unionByName(unshAppend))
+        .unionByName(orphans)
+    if (freshCnt - unshReplays + orphans.count() > 0)
       toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
     // (5) cadence-guarded maintenance: compact the index when append
     // fanout crosses the threshold (see scaladoc). The MinHash-aware
@@ -312,10 +344,15 @@ object CorpusIngest {
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
       Dedup.compactTextMinHashIndex(spark, indexTable, numHashes, bands)
     val replayCnt = replayIds.count()
+    // LEDGER: kept + nearDups + replays + rejected == batch.count() —
+    // corpus-present unshingleable redeliveries move from kept to
+    // replays, identity-null rows land in rejected
+    val validCnt = valid.count()
     NearDupIngestStats(
-      kept = freshCnt,
-      nearDups = batch.count() - freshCnt - replayCnt,
-      replays = replayCnt
+      kept = freshCnt - unshReplays,
+      nearDups = validCnt - freshCnt - replayCnt,
+      replays = replayCnt + unshReplays,
+      rejected = rawCnt - validCnt
     )
   }
 
@@ -474,10 +511,18 @@ object CorpusIngest {
     * here would silently skip the dedup branch every batch.
     */
   /** Per-batch accounting returned by [[ingestSpanBatch]]: docs kept,
-    * docs dropped for exceeding the duplicated-token bar, and replays
-    * (fingerprints already in the corpus).
+    * docs dropped for exceeding the duplicated-token bar, replays
+    * (fingerprints already in the corpus), and `rejected` (round 18):
+    * null-text rows, whose null fingerprint — this loop's identity —
+    * never matches the corpus anti-join, so pre-fix they re-appended
+    * on every delivery. `kept + dropped + replays + rejected` counts
+    * the post-in-batch-dedup rows plus rejections.
     */
-  final case class SpanIngestStats(kept: Long, dropped: Long, replays: Long)
+  final case class SpanIngestStats(
+      kept: Long,
+      dropped: Long,
+      replays: Long,
+      rejected: Long = 0L)
 
   /** Streaming SUBSTRING-dedup ingest — the Lee et al. family at
     * streaming cadence: each micro-batch is (1) exact-deduped in-batch
@@ -517,12 +562,14 @@ object CorpusIngest {
     spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>").parquet(dir)
 
   /** Per-batch accounting from [[ingestPqBatch]]: vectors appended to
-    * the index and replays — every input row that did NOT append, i.e.
-    * in-batch duplicate ids plus ids the index already holds (computed
-    * as `batch rows - appended`, so the two drop populations are both
-    * counted).
+    * the index, replays — every valid input row that did NOT append,
+    * i.e. in-batch duplicate ids plus ids the index already holds —
+    * and `rejected` (round 18): null-id rows, which the id IS the
+    * index key for, so they can never be replay-detected (null keys
+    * don't join) and pre-fix re-appended on every delivery.
+    * `appended + replays + rejected == batch.count()`.
     */
-  final case class PqIngestStats(appended: Long, replays: Long)
+  final case class PqIngestStats(appended: Long, replays: Long, rejected: Long = 0L)
 
   /** Streaming ANN-index ingest: each micro-batch of embeddings is
     * encoded with the at-rest PQ index's FROZEN codebooks
@@ -685,10 +732,14 @@ object CorpusIngest {
       spark.catalog.tableExists(table),
       s"$table does not exist — bootstrap the index with $bootstrapFn on a seed corpus first"
     )
-    // ids identify vectors (the id IS the index key): one row per id
-    // in-batch; two different payloads under one id is a caller bug and
-    // the survivor is arbitrary, same as any keyed upsert sink
-    val unique = batch.dropDuplicates(Seq(idCol))
+    // ids identify vectors (the id IS the index key): null ids are
+    // contract rejections (round 18 — they skip every id-keyed
+    // anti-join, so pre-fix they re-appended per delivery); one row per
+    // id in-batch; two different payloads under one id is a caller bug
+    // and the survivor is arbitrary, same as any keyed upsert sink
+    val rawCnt = batch.count()
+    val validBatch = batch.filter(col(idCol).isNotNull)
+    val unique = validBatch.dropDuplicates(Seq(idCol))
     val indexIds = spark.table(table).select(col("cid").as(idCol))
     val (fresh, bloomState) = bloomPath match {
       case None =>
@@ -749,7 +800,8 @@ object CorpusIngest {
       }
       append(spark, table, fresh)
     }
-    PqIngestStats(appended, batch.count() - appended)
+    val validCnt = validBatch.count()
+    PqIngestStats(appended, validCnt - appended, rawCnt - validCnt)
   }
 
   def spanDedupIngest(
@@ -784,11 +836,17 @@ object CorpusIngest {
       nBuckets: Int = 64
   ): SpanIngestStats = {
     val spark = batch.sparkSession
+    // identity contract (round 18): a null text fingerprints to null,
+    // which never matches the corpus anti-join — pre-fix such a row
+    // re-appended on every delivery. Contract rejection, counted.
+    val rawCnt = batch.count()
+    val validBatch = batch.filter(col("text").isNotNull)
+    val rejected = rawCnt - validBatch.count()
     // (1) in-batch exact dedup (deterministic keeper) + corpus replay filter
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fingerprint"))
       .orderBy(col("doc_id"))
-    val withFp = batch
+    val withFp = validBatch
       .select(col("doc_id"), md5(col("text")).as("fingerprint"), col("text"))
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
@@ -804,7 +862,7 @@ object CorpusIngest {
     )
     val freshCnt = fresh.count()
     val replays = withFp.count() - freshCnt
-    if (freshCnt == 0) return SpanIngestStats(0, 0, replays)
+    if (freshCnt == 0) return SpanIngestStats(0, 0, replays, rejected)
     // (2) duplicated-token fraction vs (kept corpus ∪ this batch)
     val spans =
       if (spark.catalog.tableExists(gramIndexTable))
@@ -829,7 +887,7 @@ object CorpusIngest {
       kept.write.mode(SaveMode.Append).parquet(corpusPath)
       Dedup.appendToGramIndex(kept, "text", "doc_id", gramIndexTable, gramTokens, nBuckets)
     }
-    SpanIngestStats(keptCnt, freshCnt - keptCnt, replays)
+    SpanIngestStats(keptCnt, freshCnt - keptCnt, replays, rejected)
   }
 
   /** Per-batch accounting for [[curatedIngest]]. `replayed = true`

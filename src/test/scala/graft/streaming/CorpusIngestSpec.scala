@@ -595,6 +595,82 @@ class CorpusIngestSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $idx")
   }
 
+  test("identity-null rows and shingle-less docs idempote across every ingest surface " +
+    "(ADVICE r17 generalized)") {
+    val tmp = Files.createTempDirectory("nullident").toString
+
+    // exact (bloom) ingest: a null text fingerprints to null and would
+    // re-append on EVERY delivery pre-fix — deliver it twice
+    val exBatch = Seq((1L, Option("solo text here")), (9L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(exBatch, s"$tmp/exc", s"$tmp/exbloom.bin", 1000L)
+    CorpusIngest.ingestBatch(exBatch, s"$tmp/exc", s"$tmp/exbloom.bin", 1000L)
+    assert(spark.read.parquet(s"$tmp/exc").count() === 1L,
+      "null-text row must never reach the exact corpus")
+
+    // text near-dup ingest: null id and null text are rejections; a
+    // SHORT doc (< shingleSize tokens → no gram set → never indexable)
+    // keeps once and replay-absorbs via the corpus anti-join (the
+    // video unshingleable-clip rule applied to text)
+    val ndBatch = Seq(
+      (Option(1L), Option("alpha beta gamma delta epsilon zeta eta")),
+      (Option(2L), Option("hi there")), // 2 tokens < shingleSize 3
+      (Option.empty[Long], Option("valid text without an id")),
+      (Option(3L), Option.empty[String])
+    ).toDF("doc_id", "text")
+    val n1 = CorpusIngest.ingestNearDupBatch(ndBatch, s"$tmp/ndc", "graft_nullid_nd_idx")
+    assert((n1.kept, n1.nearDups, n1.replays, n1.rejected) === ((2L, 0L, 0L, 2L)))
+    assert(n1.kept + n1.nearDups + n1.replays + n1.rejected === ndBatch.count())
+    val ndRows = spark.read.parquet(s"$tmp/ndc").count()
+    assert(spark.read.parquet(s"$tmp/ndc").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    val n2 = CorpusIngest.ingestNearDupBatch(ndBatch, s"$tmp/ndc", "graft_nullid_nd_idx")
+    assert((n2.kept, n2.replays, n2.rejected) === ((0L, 2L, 2L)),
+      "indexed doc replays via same-id hit; the shingle-less doc via the corpus anti-join")
+    assert(n2.kept + n2.nearDups + n2.replays + n2.rejected === ndBatch.count())
+    assert(spark.read.parquet(s"$tmp/ndc").count() === ndRows,
+      "neither the null rows nor the shingle-less doc re-append")
+    assert(spark.table("graft_nullid_nd_idx").filter($"doc_id".isNull).count() === 0L)
+    spark.sql("DROP TABLE graft_nullid_nd_idx")
+
+    // span ingest: null text (null fingerprint) is a rejection
+    val spBatch = Seq(
+      (Option(1L), Option("one two three four five six seven eight nine ten")),
+      (Option(2L), Option.empty[String])
+    ).toDF("doc_id", "text")
+    val sp1 = CorpusIngest.ingestSpanBatch(spBatch, s"$tmp/spc", "graft_nullid_gram_idx")
+    assert((sp1.kept, sp1.rejected) === ((1L, 1L)))
+    val sp2 = CorpusIngest.ingestSpanBatch(spBatch, s"$tmp/spc", "graft_nullid_gram_idx")
+    assert((sp2.kept, sp2.replays, sp2.rejected) === ((0L, 1L, 1L)))
+    assert(spark.read.parquet(s"$tmp/spc").count() === 1L)
+    spark.sql("DROP TABLE graft_nullid_gram_idx")
+
+    // PQ at-rest ingest: the id IS the index key — null ids are
+    // rejections and never append, across two deliveries
+    import graft.ops.Similarity
+    spark.sql("DROP TABLE IF EXISTS graft_nullid_pq_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_nullid_pq_idx__codebooks")
+    val seed = spark.range(32).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(xxhash64($"id", d.cast("long")), lit(1000L)).cast("double") / 500.0 - 1.0))
+        .as("embedding"))
+    Similarity.writePqIndex(seed, "embedding", "vec_id", "graft_nullid_pq_idx",
+      dim = 8, m = 4, kCodes = 4, lloydIters = 1)
+    val idxRows0 = spark.table("graft_nullid_pq_idx").count()
+    val pqBatch = spark.range(32, 33).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d => lit(0.5)).as("embedding"))
+      .unionByName(seed.limit(1).select(lit(null).cast("long").as("vec_id"), $"embedding"))
+    val p1 = CorpusIngest.ingestPqBatch(pqBatch, "graft_nullid_pq_idx")
+    assert(p1 === CorpusIngest.PqIngestStats(appended = 1L, replays = 0L, rejected = 1L))
+    val p2 = CorpusIngest.ingestPqBatch(pqBatch, "graft_nullid_pq_idx")
+    assert(p2 === CorpusIngest.PqIngestStats(appended = 0L, replays = 1L, rejected = 1L))
+    assert(spark.table("graft_nullid_pq_idx").count() === idxRows0 + 1L)
+    assert(spark.table("graft_nullid_pq_idx").filter($"cid".isNull).count() === 0L)
+    spark.sql("DROP TABLE graft_nullid_pq_idx")
+    spark.sql("DROP TABLE graft_nullid_pq_idx__codebooks")
+  }
+
   test("bloom-fronted replay guard: over-claiming bloom is confirmed, not trusted") {
     import graft.ops.Similarity
     val tmp = Files.createTempDirectory("pqbloom").toString
