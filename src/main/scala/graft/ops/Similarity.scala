@@ -521,6 +521,23 @@ object Similarity {
     graft.sinks.Sinks.recoverStagedPublish(spark, codebookTable(table))
     val isIvf = spark.catalog.tableExists(centroidTable(table))
     if (isIvf) graft.sinks.Sinks.recoverStagedPublish(spark, centroidTable(table))
+    // shape detection must agree with the codes' own declaration — an
+    // IVF-PQ index whose __centroids sibling is gone would otherwise be
+    // treated as plain PQ and fail downstream with a misleading
+    // "corruption" diagnosis instead of naming the missing table
+    val codesDeclareIvf = spark.sessionState.catalog
+      .getTableMetadata(graft.sinks.Sinks.parseIdent(spark, table))
+      .properties
+      .contains(IvfCellsProp)
+    require(
+      isIvf == codesDeclareIvf,
+      if (codesDeclareIvf)
+        s"$table records $IvfCellsProp (an IVF-PQ index) but its ${centroidTable(table)} " +
+          "sibling does not exist — the index is missing a table; rebuild it."
+      else
+        s"$table does not record $IvfCellsProp but a ${centroidTable(table)} table exists — " +
+          "a foreign table squats on the sibling name; remove it or rebuild the index."
+    )
     // geometry + unit validation ride along with the reads; the epoch
     // gate is skipped — repairing a torn pair requires reading it
     val cbs = readPqCodebooksImpl(spark, table, checkEpoch = false)

@@ -116,6 +116,14 @@ object VideoIngest {
   /** Start the ingest loop over a (video_id, frame_idx, media[,
     * expected_frames]) frame stream. See the object scaladoc for the
     * clip-atomicity contract `expected_frames` + `pendingPath` enable.
+    *
+    * `onStats` receives each micro-batch's ledger (round 18): the
+    * batch-mode API returns the stats, but a foreachBatch loop would
+    * otherwise swallow them — and the new alert counters (`agedOut`,
+    * `staleDropped`) exist precisely so a STREAMING operator can page
+    * on them. Runs inside the batch (after all writes commit for that
+    * batch); a throwing callback fails the batch, so alert emission
+    * shares the loop's at-least-once semantics.
     */
   def videoDedupIngest(
       frames: DataFrame,
@@ -128,14 +136,15 @@ object VideoIngest {
       nBuckets: Int = 64,
       compactFanout: Int = 16,
       pendingPath: Option[String] = None,
-      pendingMaxAgeBatches: Option[Long] = None
+      pendingMaxAgeBatches: Option[Long] = None,
+      onStats: NearDupIngestStats => Unit = _ => ()
   ): StreamingQuery =
     frames.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestVideoBatch(
+        onStats(ingestVideoBatch(
           batch, corpusPath, indexTable, numHashes, bands, threshold, nBuckets,
-          compactFanout, pendingPath, id, pendingMaxAgeBatches)
+          compactFanout, pendingPath, id, pendingMaxAgeBatches))
         ()
       }
       .start()

@@ -337,6 +337,14 @@ class StagedPublishSpec extends AnyFunSuite {
     Seq(ti, s"${ti}__codebooks", s"${ti}__centroids").foreach(x =>
       assert(props(x).get("graft.pq.epoch").contains(ivfEpoch), x))
     assert(probeIvf() === beforeIvf)
-    drop(ti, s"${ti}__codebooks", s"${ti}__centroids")
+
+    // an IVF-PQ index missing its __centroids sibling is NAMED, not
+    // misdiagnosed as corruption or treated as plain PQ
+    drop(s"${ti}__centroids")
+    val miss = intercept[IllegalArgumentException] {
+      Similarity.backfillPqEpoch(spark, ti, corpusA, "embedding", "vec_id")
+    }
+    assert(miss.getMessage.contains("__centroids"), miss.getMessage)
+    drop(ti, s"${ti}__codebooks")
   }
 }

@@ -448,7 +448,8 @@ class VideoIngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vid_ledger_idx")
   }
 
-  test("streaming loop with pendingPath: split clips complete across micro-batches") {
+  test("streaming loop with pendingPath: split clips complete across micro-batches, " +
+    "and the per-batch ledger reaches the operator via onStats") {
     val tmp = Files.createTempDirectory("vidstreamsplit").toString
     val (corpus, src) = (s"$tmp/corpus", s"$tmp/src")
     spark.sql("DROP TABLE IF EXISTS vid_ss_idx")
@@ -456,9 +457,12 @@ class VideoIngestSpec extends AnyFunSuite {
     val b1 = withExp(whole)(
       vid(Seq(0L)).filter($"frame_idx" < 3).unionByName(vid(Seq(1L))))
     b1.write.parquet(src)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.CorpusIngest.NearDupIngestStats]
     val q = VideoIngest.videoDedupIngest(
       spark.readStream.schema(b1.schema).parquet(src),
-      corpus, "vid_ss_idx", s"$tmp/ckpt", pendingPath = Some(s"$tmp/pending"))
+      corpus, "vid_ss_idx", s"$tmp/ckpt", pendingPath = Some(s"$tmp/pending"),
+      onStats = s => seen.synchronized { seen += s; () })
     try {
       q.processAllAvailable()
       assert(corpusClips(corpus) === Set(1L), "split clip 0 parked")
@@ -469,6 +473,11 @@ class VideoIngestSpec extends AnyFunSuite {
       val hits = Dedup.incrementalVideoNearDups(spark, vid(Seq(46L)), "vid_ss_idx")
       assert(hits.select($"i").as[Long].collect().toSet === Set(0L),
         "the completed clip's FULL gram set is indexed")
+      // the STREAMING operator saw the ledger, not just batch callers:
+      // batch 0 parked one clip, batch 1 drained it (round 18 — the
+      // alert counters only matter if the loop surfaces them)
+      assert(seen.synchronized(seen.map(_.deferred).toSeq) === Seq(1L, 0L))
+      assert(seen.synchronized(seen.map(_.kept).sum) === 2L)
     } finally q.stop()
     spark.sql("DROP TABLE vid_ss_idx")
   }
