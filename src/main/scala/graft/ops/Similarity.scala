@@ -517,10 +517,17 @@ object Similarity {
       vecCol: String,
       idCol: String
   ): String = {
+    // heal crashed staged publishes BEFORE any existence probe: the
+    // codes table's props are read below (its heal must precede), and
+    // a centroids sibling parked at __retire by a crashed swap must be
+    // restored before tableExists decides the index's SHAPE — gating
+    // the heal on existence would misdiagnose a healable IVF-PQ index
+    // as "missing a table; rebuild" (review r18). The codebooks heal
+    // lives in readPqCodebooksImpl, which runs before that table is
+    // touched.
     graft.sinks.Sinks.recoverStagedPublish(spark, table)
-    graft.sinks.Sinks.recoverStagedPublish(spark, codebookTable(table))
+    graft.sinks.Sinks.recoverStagedPublish(spark, centroidTable(table))
     val isIvf = spark.catalog.tableExists(centroidTable(table))
-    if (isIvf) graft.sinks.Sinks.recoverStagedPublish(spark, centroidTable(table))
     // shape detection must agree with the codes' own declaration — an
     // IVF-PQ index whose __centroids sibling is gone would otherwise be
     // treated as plain PQ and fail downstream with a misleading
@@ -549,15 +556,19 @@ object Similarity {
     }
     val siblings =
       Seq(codebookTable(table)) ++ (if (isIvf) Seq(centroidTable(table)) else Nil)
-    // a sibling's stamp is content-derived FROM that sibling: a stored
-    // epoch disagreeing with its own content hash is not a crash
-    // window, it is corruption (or a foreign writer) — never restampable
+    // sibling stamps are content-derived from the SIBLING SET (one
+    // epoch covers codebooks AND centroids for IVF), so a stored stamp
+    // disagreeing with the recomputed hash proves at least one sibling
+    // no longer matches the stamped training — corruption or a foreign
+    // writer, never a restampable crash window. Which sibling moved is
+    // not attributable from the hash alone; name the set, not a table.
     siblings.foreach { s =>
       storedEpoch(spark, s).foreach(e =>
         require(
           e == computed,
-          s"$s records epoch $e but its own content hashes to $computed — the table does " +
-            "not match its stamp (corruption, or a foreign writer); rebuild the index."))
+          s"$s records epoch $e but the sibling content (${siblings.mkString(" + ")}) " +
+            s"hashes to $computed — at least one sibling no longer matches the stamped " +
+            "training (corruption, or a foreign writer); rebuild the index."))
     }
     storedEpoch(spark, table) match {
       case Some(e) if e != computed =>

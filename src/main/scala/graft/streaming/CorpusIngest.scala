@@ -291,19 +291,24 @@ object CorpusIngest {
         val none = batchKept.select(col("doc_id")).limit(0)
         (none, none)
       }
-    val fresh = graft.ops.Materialize(
-      batchKept
-        .join(nearDupIds, Seq("doc_id"), "left_anti")
-        .join(replayIds, Seq("doc_id"), "left_anti")
-    )
-    val freshCnt = fresh.count()
     // UNSHINGLEABLE docs (fewer than shingleSize tokens — round 18,
     // the video ingest's unshingleable-clip rule applied to text): no
     // gram set means no index entry, so the same-id replay path can
     // NEVER fire for them and a redelivery would re-append to the
     // corpus forever. Like sub-2-frame clips, they idempote via the
     // corpus anti-join instead: append only if the corpus does not
-    // hold their id; a corpus-present copy counts as a replay.
+    // hold their id; a corpus-present copy counts as a replay. The
+    // grammability flag is computed ONCE, inside the pinned block —
+    // the splits below read it instead of re-tokenizing the hot path.
+    val fresh = graft.ops.Materialize(
+      batchKept
+        .join(nearDupIds, Seq("doc_id"), "left_anti")
+        .join(replayIds, Seq("doc_id"), "left_anti")
+        .withColumn(
+          "__gram",
+          size(graft.functions.Fns.tokens(col("text"))) >= shingleSize)
+    )
+    val freshCnt = fresh.count()
     def anti(df: DataFrame): DataFrame =
       if (pathExists(spark, corpusPath))
         df.join(
@@ -312,8 +317,7 @@ object CorpusIngest {
           "left_anti"
         )
       else df
-    val unshFresh = graft.ops.Materialize(
-      fresh.filter(size(graft.functions.Fns.tokens(col("text"))) < shingleSize))
+    val unshFresh = fresh.filter(!col("__gram")).select(col("doc_id"), col("text"))
     val unshFreshCnt = unshFresh.count()
     val unshAppend =
       if (unshFreshCnt == 0L) unshFresh else graft.ops.Materialize(anti(unshFresh))
@@ -323,15 +327,16 @@ object CorpusIngest {
     // produce no index rows by construction
     if (freshCnt > 0)
       Dedup.appendToMinHashIndex(
-        fresh, "text", "doc_id", indexTable, shingleSize, numHashes, bands, nBuckets)
+        fresh.select(col("doc_id"), col("text")),
+        "text", "doc_id", indexTable, shingleSize, numHashes, bands, nBuckets)
     // (4) corpus append: fresh docs (minus corpus-present unshingleable
     // redeliveries) + crash-window orphans (indexed under their own id
     // but missing from the corpus)
     val orphans = graft.ops.Materialize(
       anti(batchKept.join(replayIds, Seq("doc_id"), "left_semi")))
     val toCorpus =
-      (if (unshReplays == 0L) fresh
-       else fresh.filter(size(graft.functions.Fns.tokens(col("text"))) >= shingleSize)
+      (if (unshReplays == 0L) fresh.select(col("doc_id"), col("text"))
+       else fresh.filter(col("__gram")).select(col("doc_id"), col("text"))
          .unionByName(unshAppend))
         .unionByName(orphans)
     if (freshCnt - unshReplays + orphans.count() > 0)

@@ -104,7 +104,9 @@ import graft.streaming.CorpusIngest.NearDupIngestStats
   * redelivered across batches is absorbed by the pending union, not a
   * rejection). The clip-unit stats partition the clips the gate saw:
   * `kept + nearDups + replays == <complete clips processed this
-  * batch>`, `staleDropped == <stale fragments dropped at the gate>`,
+  * batch>` (a redelivered corpus-present UNSHINGLEABLE clip counts as
+  * a replay, not a keep — round 18, ledger parity with the text
+  * surface), `staleDropped == <stale fragments dropped at the gate>`,
   * `agedOut == <clips evicted for out-waiting pendingMaxAgeBatches>`,
   * and `rejected == batch.count() − <post-contract frames>`;
   * `deferred` counts clips sitting in the pending store after this
@@ -249,9 +251,19 @@ object VideoIngest {
           "left_anti"
         )
       else clips
+    // unshingleable clips idempote via the corpus anti-join; a
+    // corpus-PRESENT one is a redelivery and counts as a REPLAY, not a
+    // keep (round 18 — ledger parity with the text surface: pre-fix a
+    // source stuck re-sending a short clip read as steady-state
+    // kept=1/replays=0, the opposite of the redelivery signal the
+    // counters exist to expose)
+    val unshCnt = unshingleable.count()
+    val unshAppend =
+      if (unshCnt == 0L) unshingleable else Materialize(corpusAnti(unshingleable))
+    val unshReplays = unshCnt - unshAppend.count()
     val orphanClips = Materialize(
       corpusAnti(batchKept.join(replayIds, Seq("doc_id"), "left_semi").select(col("doc_id")))
-        .unionByName(corpusAnti(unshingleable))
+        .unionByName(unshAppend)
     )
     val toCorpusClips =
       fresh.select(col("doc_id")).unionByName(orphanClips)
@@ -266,11 +278,10 @@ object VideoIngest {
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
       Dedup.compactVideoMinHashIndex(spark, indexTable, numHashes, bands)
     val replayCnt = replayIds.count()
-    val unshCnt = unshingleable.count()
     NearDupIngestStats(
-      kept = freshCnt + unshCnt,
+      kept = freshCnt + unshCnt - unshReplays,
       nearDups = batchClips.count() - freshCnt - unshCnt - replayCnt,
-      replays = replayCnt,
+      replays = replayCnt + unshReplays,
       rejected = rejectedFrames,
       deferred = deferredClips,
       staleDropped = staleClips,

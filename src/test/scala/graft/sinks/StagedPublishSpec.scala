@@ -338,6 +338,15 @@ class StagedPublishSpec extends AnyFunSuite {
       assert(props(x).get("graft.pq.epoch").contains(ivfEpoch), x))
     assert(probeIvf() === beforeIvf)
 
+    // a centroids sibling parked at __retire by a crashed swap is
+    // HEALED by the backfill (restore precedes the shape probe), never
+    // misdiagnosed as a missing table (review r18)
+    spark.sql(s"ALTER TABLE ${ti}__centroids RENAME TO ${ti}__centroids__retire")
+    assert(Similarity.backfillPqEpoch(spark, ti, corpusA, "embedding", "vec_id")
+      === ivfEpoch)
+    assert(spark.catalog.tableExists(s"${ti}__centroids"))
+    assert(probeIvf() === beforeIvf)
+
     // an IVF-PQ index missing its __centroids sibling is NAMED, not
     // misdiagnosed as corruption or treated as plain PQ
     drop(s"${ti}__centroids")

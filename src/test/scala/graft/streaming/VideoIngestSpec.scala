@@ -72,10 +72,15 @@ class VideoIngestSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(0L, 1L, 2L))
 
     // full redelivery of batch 2: corpus and index unchanged — the
-    // unshingleable clip must NOT double (the corpus anti-join path)
+    // unshingleable clip must NOT double (the corpus anti-join path),
+    // and its redelivery counts as a REPLAY like the indexed clips'
+    // (round 18 — ledger parity with the text surface: a source stuck
+    // re-sending a short clip must not read as steady-state kept)
     val frameCount = spark.read.parquet(corpus).count()
     val s3 = VideoIngest.ingestVideoBatch(b2, corpus, "vid_ingest_idx")
-    assert(s3.replays === 2L, "0 and 2 both find their indexed copies")
+    assert(s3.replays === 3L,
+      "0 and 2 find their indexed copies; 999 replays via the corpus anti-join")
+    assert(s3.kept === 0L, "a full redelivery keeps nothing")
     assert(corpusClips(corpus) === Set(0L, 1L, 2L, 999L))
     assert(spark.read.parquet(corpus).count() === frameCount, "no duplicate frames")
     spark.sql("DROP TABLE vid_ingest_idx")
