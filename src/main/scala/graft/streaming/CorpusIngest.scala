@@ -207,14 +207,15 @@ object CorpusIngest {
       bands: Int = 8,
       threshold: Double = 0.5,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      onStats: NearDupIngestStats => Unit = _ => ()
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestNearDupBatch(
+        onStats(ingestNearDupBatch(
           batch, corpusPath, indexTable, shingleSize, numHashes, bands, threshold, nBuckets,
-          compactFanout)
+          compactFanout))
         ()
       }
       .start()
@@ -395,14 +396,15 @@ object CorpusIngest {
       seed: Long = 42L,
       threshold: Double = 0.9,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      onStats: NearDupIngestStats => Unit = _ => ()
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestSemanticBatch(
+        onStats(ingestSemanticBatch(
           batch, corpusPath, indexTable, dim, bands, bitsPerBand, seed, threshold,
-          nBuckets, compactFanout)
+          nBuckets, compactFanout))
         ()
       }
       .start()
@@ -624,13 +626,14 @@ object CorpusIngest {
       checkpoint: String,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
-      expectedItems: Long = 10000000L
+      expectedItems: Long = 10000000L,
+      onStats: PqIngestStats => Unit = _ => ()
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestPqBatch(batch, table, vecCol, idCol,
-          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems)
+        onStats(ingestPqBatch(batch, table, vecCol, idCol,
+          bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems))
         ()
       }
       .start()
@@ -684,14 +687,15 @@ object CorpusIngest {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       expectedItems: Long = 10000000L,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      onStats: PqIngestStats => Unit = _ => ()
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestIvfPqBatch(batch, table, vecCol, idCol,
+        onStats(ingestIvfPqBatch(batch, table, vecCol, idCol,
           bloomPath = Some(s"$checkpoint/graft-id-bloom"), expectedItems = expectedItems,
-          compactFanout = compactFanout)
+          compactFanout = compactFanout))
         ()
       }
       .start()
@@ -817,13 +821,14 @@ object CorpusIngest {
       gramTokens: Int = 8,
       minCount: Int = 2,
       maxDupFrac: Double = 0.5,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      onStats: SpanIngestStats => Unit = _ => ()
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestSpanBatch(
-          batch, corpusPath, gramIndexTable, gramTokens, minCount, maxDupFrac, nBuckets)
+        onStats(ingestSpanBatch(
+          batch, corpusPath, gramIndexTable, gramTokens, minCount, maxDupFrac, nBuckets))
         ()
       }
       .start()
@@ -984,14 +989,15 @@ object CorpusIngest {
       expectedItems: Long = 10000000L,
       segTokens: Int = 8,
       minDocsBoiler: Int = 50,
-      boilerCmsWidth: Int = 0
+      boilerCmsWidth: Int = 0,
+      onStats: CurateIngestStats => Unit = _ => ()
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestCuratedBatch(batch, batchId, corpusPath, bloomPath, modelPath,
+        onStats(ingestCuratedBatch(batch, batchId, corpusPath, bloomPath, modelPath,
           textCol, idCol, minQuality, maxAvgNll, nBuckets, warmupGrams, expectedItems,
-          segTokens, minDocsBoiler, boilerCmsWidth)
+          segTokens, minDocsBoiler, boilerCmsWidth))
         ()
       }
       .start()

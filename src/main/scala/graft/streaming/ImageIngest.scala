@@ -59,13 +59,14 @@ object ImageIngest {
       family: ImageHash.Family = ImageHash.DHash64,
       maxHamming: Option[Int] = None,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      onStats: CorpusIngest.NearDupIngestStats => Unit = _ => ()
   ): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestImageBatch(batch, corpusPath, indexTable, family, maxHamming, nBuckets,
-          compactFanout)
+        onStats(ingestImageBatch(batch, corpusPath, indexTable, family, maxHamming, nBuckets,
+          compactFanout))
         ()
       }
       .start()

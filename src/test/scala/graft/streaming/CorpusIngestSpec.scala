@@ -173,11 +173,19 @@ class CorpusIngestSpec extends AnyFunSuite {
     val semBatch2 = Seq((4L, v4), (5L, v5)).toDF("vec_id", "embedding")
 
     semBatch1.coalesce(1).write.mode("append").parquet(srcDir)
+    // round 18: every streaming ingest loop surfaces its ledger via
+    // onStats (the batch APIs return stats; foreachBatch used to
+    // swallow them) — collect and assert the semantic loop's here
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[CorpusIngest.NearDupIngestStats]
     val q = CorpusIngest.semanticDedupIngest(
       CorpusIngest.fileVecStream(spark, srcDir), corpus, idx, s"$tmp/ckpt",
-      dim = 8, nBuckets = 8)
+      dim = 8, nBuckets = 8, onStats = s => seen.synchronized { seen += s; () })
     q.processAllAvailable()
     q.stop()
+    assert(seen.synchronized(seen.toList) ===
+      List(CorpusIngest.NearDupIngestStats(kept = 2, nearDups = 1, replays = 0)),
+      "the streaming operator sees the same ledger the batch API returns")
     // restart: a NEW query on the SAME checkpoint picks up batch 2 only
     semBatch2.coalesce(1).write.mode("append").parquet(srcDir)
     val q2 = CorpusIngest.semanticDedupIngest(
