@@ -215,7 +215,7 @@ object Soak {
 
     if (wanted("curate")) results("curate") = scales.map { case (m, _) =>
       m -> timed(iters) {
-        val (kept, _) = Curation.curate(
+        val (kept, _) = Curation.curateDeferred(
           docs(m), "text", "doc_id",
           targetCond = col("source") === "s1",
           minDocsBoiler = 50 * m // constant boilerplate RATE across scales

@@ -1207,7 +1207,7 @@ object SparkEntry {
         ).as("text"),
         col("lang")
       )
-      val (kept, _) = graft.ops.Curation.curate(
+      val (kept, _) = graft.ops.Curation.curateDeferred(
         docs,
         "text",
         "doc_id",

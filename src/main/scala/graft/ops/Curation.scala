@@ -74,24 +74,54 @@ object Curation {
       keepFraction: Double = 0.5,
       exactRank: Boolean = false
   ): (DataFrame, StageCounts) = {
+    val (kept, report) = curateDeferred(
+      docs, textCol, idCol, targetCond, minQuality, maxAvgNll, segTokens,
+      minDocsBoiler, keepFraction, exactRank)
+    (kept, report())
+  }
+
+  /** [[curate]] with the stage-count report DEFERRED behind a thunk: a
+    * caller consuming only the kept frame (the driver query, the soak)
+    * never pays the report's flags-join job — the pipeline itself is
+    * identical, every stage still pins eagerly. Forcing the thunk runs
+    * the one report job over the already-pinned stage frames, exactly
+    * the numbers [[curate]] returns.
+    */
+  def curateDeferred(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetCond: Column,
+      minQuality: Double = 0.5,
+      maxAvgNll: Double = 9.0,
+      segTokens: Int = 8,
+      minDocsBoiler: Int = 50,
+      keepFraction: Double = 0.5,
+      exactRank: Boolean = false
+  ): (DataFrame, () => StageCounts) = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"), targetCond.as("_tgt"))
 
     // 1. boilerplate: rebuild text from surviving segments; drop docs
-    //    that were pure boilerplate (clean_text null)
+    //    that were pure boilerplate (clean_text null). `_tgt` rides
+    //    through the strip's own explode/rebuild (extra passthrough) —
+    //    the former re-join of the stripped corpus onto base shuffled
+    //    the whole corpus once more for one boolean (guide §2.4)
     val stripped = TextAnalysis
-      .stripBoilerplate(base, "text", "doc_id", segTokens, minDocsBoiler)
+      .stripBoilerplate(base, "text", "doc_id", segTokens, minDocsBoiler, extra = Seq("_tgt"))
       .filter(col("clean_text").isNotNull)
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .join(base.select(col("doc_id"), col("_tgt")), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("_tgt"))
     val afterBoiler = Materialize(stripped)
 
-    // 2. heuristic quality gate
-    val qualIds = TextAnalysis
-      .quality(afterBoiler, "text", "doc_id")
-      .filter(col("quality") >= minQuality)
-      .select(col("doc_id"))
-    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")))
+    // 2. heuristic quality gate — scored in place (quality is a per-row
+    //    projection; `keep` carries text/_tgt through), so the gate is
+    //    a filter, not an id re-join of the corpus (guide §2.4)
+    val afterQual = Materialize(
+      TextAnalysis
+        .quality(afterBoiler, "text", "doc_id", keep = Seq("text", "_tgt"))
+        .filter(col("quality") >= minQuality)
+        .select(col("doc_id"), col("text"), col("_tgt"))
+    )
 
     // 3+5 share ONE explode+hash pass: the position table (per-token
     // unigram bucket + right-bigram bucket) is pinned once over the
@@ -110,9 +140,19 @@ object Curation {
       .select(col("doc_id"))
     val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")))
 
-    // 4. exact dedup: keep each fingerprint's min-id doc
-    val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
-    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")))
+    // 4. exact dedup: keep each fingerprint's min-id doc — ranked in
+    //    place over the fingerprint partition (ONE shuffle) instead of
+    //    Dedup.exact's aggregate + keeper re-join (two); row_number
+    //    orderBy doc_id picks exactly the aggregate's min(doc_id)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val afterDedup = Materialize(
+      afterPpl
+        .withColumn("_rn", row_number().over(wDedup))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+    )
 
     // 5. DSIR selection against the labeled target subset — gram
     // multiset from the shared position pin, restricted to survivors
@@ -130,35 +170,35 @@ object Curation {
         .select(col("doc_id"), col("text"), col("logw_q"))
     )
 
-    // Stage report in ONE job: every stage frame above is pinned, so
-    // flag-joining them onto the input ids and aggregating reads the
-    // materialized blocks — no stage plan re-executes, no per-stage
-    // count() actions (the r10 shape ran 6).
+    // Stage report in ONE job, DEFERRED: every stage frame above is
+    // pinned, so flag-joining them onto the input ids and aggregating
+    // reads the materialized blocks — no stage plan re-executes, no
+    // per-stage count() actions (the r10 shape ran 6). The thunk means
+    // a kept-only consumer never runs even that one job.
     def flagged(df: DataFrame, name: String) =
       df.select(col("doc_id"), lit(true).as(name))
-    val report = base
-      .select(col("doc_id"))
-      .join(flagged(afterBoiler, "_s1"), Seq("doc_id"), "left")
-      .join(flagged(afterQual, "_s2"), Seq("doc_id"), "left")
-      .join(flagged(afterPpl, "_s3"), Seq("doc_id"), "left")
-      .join(flagged(afterDedup, "_s4"), Seq("doc_id"), "left")
-      .join(flagged(kept, "_s5"), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n0"),
-        count(col("_s1")).as("n1"),
-        count(col("_s2")).as("n2"),
-        count(col("_s3")).as("n3"),
-        count(col("_s4")).as("n4"),
-        count(col("_s5")).as("n5")
-      )
-      .head()
-
-    (
-      kept,
+    val report = () => {
+      val r = base
+        .select(col("doc_id"))
+        .join(flagged(afterBoiler, "_s1"), Seq("doc_id"), "left")
+        .join(flagged(afterQual, "_s2"), Seq("doc_id"), "left")
+        .join(flagged(afterPpl, "_s3"), Seq("doc_id"), "left")
+        .join(flagged(afterDedup, "_s4"), Seq("doc_id"), "left")
+        .join(flagged(kept, "_s5"), Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n0"),
+          count(col("_s1")).as("n1"),
+          count(col("_s2")).as("n2"),
+          count(col("_s3")).as("n3"),
+          count(col("_s4")).as("n4"),
+          count(col("_s5")).as("n5")
+        )
+        .head()
       StageCounts(
-        report.getLong(0), report.getLong(1), report.getLong(2),
-        report.getLong(3), report.getLong(4), report.getLong(5))
-    )
+        r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    (kept, report)
   }
 
   /** The pipeline driven entirely by AT-REST models — the catch-up /
@@ -203,11 +243,14 @@ object Curation {
         .select(col("doc_id"), col("clean_text").as("text"))
     )
 
-    val qualIds = TextAnalysis
-      .quality(afterBoiler, "text", "doc_id")
-      .filter(col("quality") >= minQuality)
-      .select(col("doc_id"))
-    val afterQual = Materialize(afterBoiler.join(qualIds, Seq("doc_id")))
+    // quality gate filtered in place (per-row projection + keep
+    // passthrough) — no id re-join of the corpus (guide §2.4)
+    val afterQual = Materialize(
+      TextAnalysis
+        .quality(afterBoiler, "text", "doc_id", keep = Seq("text"))
+        .filter(col("quality") >= minQuality)
+        .select(col("doc_id"), col("text"))
+    )
 
     // same shared explode+hash pass as curate(): one position pin
     // feeds the surprisal pair view and the DSIR gram view
@@ -225,8 +268,17 @@ object Curation {
       .select(col("doc_id"))
     val afterPpl = Materialize(afterQual.join(pplIds, Seq("doc_id")))
 
-    val keepers = Dedup.exact(afterPpl, "text", "doc_id").select(col("keeper").as("doc_id"))
-    val afterDedup = Materialize(afterPpl.join(keepers, Seq("doc_id")))
+    // min-id-per-fingerprint ranked in place — see curateDeferred's
+    // stage-4 note (one shuffle instead of aggregate + keeper re-join)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val afterDedup = Materialize(
+      afterPpl
+        .withColumn("_rn", row_number().over(wDedup))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+    )
 
     val weighted = Dsir
       .importanceWeightsFromModelsOverGrams(
@@ -283,9 +335,19 @@ object Curation {
           "scale; the default sketch-CDF threshold (exactRank = false) is the scale path")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("logw_q").desc, col("doc_id"))
-      val total = scored.count()
-      val keepN = math.max(1L, math.ceil(total * keepFraction).toLong)
-      scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= keepN).drop("_rk")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      // keepN rides the same single-task pass as the rank window
+      // (count over the unpartitioned frame) instead of a separate
+      // count() job; ceil(long→double · frac) is the identical IEEE
+      // expression the driver-side math.ceil computed
+      scored
+        .withColumn("_rk", row_number().over(w))
+        .withColumn(
+          "_keepN",
+          greatest(lit(1L), ceil(count(lit(1)).over(wAll) * lit(keepFraction)))
+        )
+        .filter(col("_rk") <= col("_keepN"))
+        .drop("_rk", "_keepN")
     } else {
       // scale path: no global sort — threshold on the sketch CDF of
       // the quantized weight (higher logw_q => higher cdf; keep top

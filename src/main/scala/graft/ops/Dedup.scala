@@ -72,7 +72,13 @@ object Dedup {
     * (TextExpressionsSpec).
     */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+    // spread the raw (id, text) rows before the tokenize+shingle
+    // projection — the family's hottest map stage ran in as many tasks
+    // as the scan had splits (one, for a single-row-group file); the
+    // gate makes this a no-op on any well-partitioned input (§2.5)
+    Spread
+      .byKey(df.select(col(idCol).as("doc_id"), col(textCol).as("_sh_text")), col("doc_id"))
+      .select(col("doc_id"), Fns.tokens(col("_sh_text")).as("toks"))
       .select(
         col("doc_id"),
         graft.plans.TextExpressions.distinctShingles(col("toks"), n).as("shingles")
@@ -464,12 +470,16 @@ object Dedup {
       idCol: String,
       tokenHash: Column => Column = t => xxhash64(t)
   ): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      graft.plans.SimHash64
-        .simhash64(transform(Fns.tokens(col(textCol)), t => tokenHash(t)))
-        .as("simhash")
-    )
+    // spread before the tokenize+vote projection (guide §2.5; no-op on
+    // well-partitioned input)
+    Spread
+      .byKey(df.select(col(idCol).as("doc_id"), col(textCol).as("_sim_text")), col("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.plans.SimHash64
+          .simhash64(transform(Fns.tokens(col("_sim_text")), t => tokenHash(t)))
+          .as("simhash")
+      )
 
   /** Oracle-replayable token hash: the first 15 hex chars of md5 as a
     * 60-bit long. xxhash64 (the default) has no DuckDB equivalent, so a

@@ -103,7 +103,8 @@ object Dsir {
       nBuckets: Int,
       extra: Seq[(String, Column)]
   ): DataFrame = {
-    val toks = Fns.tokens(col(textCol))
+    // token expressions bound to the post-spread text column
+    val toks = Fns.tokens(col("_g_text"))
     val unigrams = toks
     // empty-array literal via slice keeps the branch array<string>-typed
     val bigrams = when(
@@ -114,7 +115,15 @@ object Dsir {
       )
     ).otherwise(slice(toks, lit(1), lit(0)))
     val keep = col(idCol).as("doc_id") +: extra.map { case (n, c) => c.as(n) }
-    df.select(keep :+ explode(concat(unigrams, bigrams)).as("gram"): _*)
+    // spread before the gram explode + per-gram md5: the whole hash
+    // pass otherwise runs in the scan's task count (guide §2.5; the
+    // Spread gate is a no-op on well-partitioned input)
+    Spread
+      .byKey(df.select(keep :+ col(textCol).as("_g_text"): _*), col("doc_id"))
+      .select(
+        (col("doc_id") +: extra.map(e => col(e._1)) :+
+          explode(concat(unigrams, bigrams)).as("gram")): _*
+      )
       .select(col("doc_id") +: extra.map(e => col(e._1)) :+
         gramBucket(col("gram"), nBuckets).as("bucket"): _*)
   }
@@ -306,7 +315,30 @@ object Dsir {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(nBuckets > 0 && scale > 0, "need nBuckets > 0, scale > 0")
-    val lr = ratiosFromGrams(g, g.filter(col("_tgt")), nBuckets, scale)
+    // Fused within-corpus fit (guide §2.3 "aggregate before you
+    // shuffle" / §2.4): target ⊆ raw here, so ONE aggregation of the
+    // pinned gram table yields BOTH models' bucket counts — r over all
+    // rows, t over the flagged slice — where the general
+    // [[ratiosFromGrams]] path runs two full gram-table aggregations
+    // and full-outer-joins them (and its totals subtrees re-execute
+    // both). Counts, and therefore every glog input and lrq bit, are
+    // identical to the unfused form; only the pass count changes.
+    val counts = g
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("r"), count_if(col("_tgt")).as("t"))
+    val totals = counts.agg(
+      coalesce(sum(col("r")), lit(0L)).as("bigR"),
+      coalesce(sum(col("t")), lit(0L)).as("bigT")
+    )
+    val lr = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        round(
+          (glog(col("t") + 1) - glog(col("r") + 1) -
+            (glog(col("bigT") + nBuckets) - glog(col("bigR") + nBuckets))) * scale
+        ).cast("long").as("lrq")
+      )
     scoreGrams(g.drop("_tgt"), lr, scale)
   }
 
@@ -349,10 +381,13 @@ object Dsir {
       nBuckets: Int,
       extra: Seq[(String, Column)] = Nil
   ): DataFrame = {
-    val toks = Fns.tokens(col(textCol))
     val keep = col(idCol).as("doc_id") +: extra.map { case (n, c) => c.as(n) }
     val keepNames = col("doc_id") +: extra.map(e => col(e._1))
-    df.select(keep :+ toks.as("_toks"): _*)
+    // spread before tokenize + per-position md5 (same §2.5 note as
+    // [[gramsOf]]; no-op on well-partitioned input)
+    Spread
+      .byKey(df.select(keep :+ col(textCol).as("_p_text"): _*), col("doc_id"))
+      .select(keepNames :+ Fns.tokens(col("_p_text")).as("_toks"): _*)
       .filter(size(col("_toks")) >= 1)
       .select(
         keepNames :+ explode(
@@ -395,8 +430,13 @@ object Dsir {
     pos.filter(col("bb").isNotNull).select(col("doc_id"), col("ub").as("cb"), col("bb"))
 
   def bigramPairBuckets(df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame = {
-    val toks = Fns.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("_toks"))
+    // same input spread as [[gramsOf]] (§2.5; no-op when well-partitioned)
+    Spread
+      .byKey(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("_b_text")),
+        col("doc_id")
+      )
+      .select(col("doc_id"), Fns.tokens(col("_b_text")).as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(
         col("doc_id"),

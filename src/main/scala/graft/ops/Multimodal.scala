@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Per-JVM ImageIO tuning, invoked at the head of every codec
+    * partition: route ImageIO's image input/output streams through the
+    * MEMORY cache instead of the default temp-FILE cache — with the
+    * default, EVERY `ImageIO.read`/`write` call creates and deletes a
+    * temp file, which is pure overhead for the byte-array blobs this
+    * engine decodes and, under a cores-wide decode stage, contends on
+    * one tmp directory (measured here: the parallel dHash pass ran
+    * SLOWER than serial until this was set). Pixel/byte results are
+    * unaffected — the cache is an I/O buffering strategy only.
+    * Idempotent; the `getUseCache` guard keeps repeat calls free.
+    */
+  @inline private[ops] def fastImageIO(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaFeatures(
       doc_id: Long,
       byte_len: Long,
@@ -114,7 +128,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => decodeMedia(id, bytes) } }
   }
 
   /** Metadata-only projection, pure column expressions (no decode): what
@@ -148,7 +162,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) =>
         val out = try {
           val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (im == null) None
@@ -178,7 +192,7 @@ object Multimodal {
           case Some((b, w, h)) => (id, b, w, h, true)
           case None => (id, bytes, -1, -1, false)
         }
-      })
+      } }
       .toDF("doc_id", "media", "width", "height", "resized")
   }
 
@@ -283,7 +297,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, dHashOfBytes(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => (id, dHashOfBytes(bytes)) } }
       .toDF("doc_id", "dhash")
       .select(col("doc_id"), col("dhash").as("dhash"))
   }
@@ -303,7 +317,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, bytes, dHashOfBytes(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => (id, bytes, dHashOfBytes(bytes)) } }
       .toDF("doc_id", "media", "dhash")
   }
 
@@ -320,7 +334,7 @@ object Multimodal {
     frames
       .select(col("video_id"), col("frame_idx"), col("media"))
       .as[(Long, Int, Array[Byte])]
-      .mapPartitions(_.map { case (vid, f, bytes) => (vid, f, dHashOfBytes(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (vid, f, bytes) => (vid, f, dHashOfBytes(bytes)) } }
       .toDF("video_id", "frame_idx", "fh")
   }
 
@@ -399,7 +413,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, pHash256OfBytes(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => (id, pHash256OfBytes(bytes)) } }
       .toDF("doc_id", "phash")
   }
 
@@ -421,7 +435,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, bytes, pHash256OfBytes(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => (id, bytes, pHash256OfBytes(bytes)) } }
       .toDF("doc_id", "media", "phash")
   }
 
@@ -455,9 +469,13 @@ object Multimodal {
   def synthGrayImages(df: DataFrame, idCol: String, nClasses: Int = 97): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // spread the id list before the per-row PNG encode: the generator is
+    // the SOURCE here, and a single-row-group id scan would render every
+    // image in one task (guide §2.5; Spread gates itself off at scale)
+    Spread
+      .byKey(df.select(col(idCol).cast("long").as("doc_id")), col("doc_id"))
       .as[Long]
-      .mapPartitions(_.map { d =>
+      .mapPartitions { it => fastImageIO(); it.map { d =>
         val im = new java.awt.image.BufferedImage(
           36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val cls = d % nClasses
@@ -478,7 +496,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(im, "png", bos)
         (d, bos.toByteArray)
-      })
+      } }
       .toDF("doc_id", "media")
   }
 
@@ -493,9 +511,11 @@ object Multimodal {
   def synthGrayImagesWide(df: DataFrame, idCol: String, nClasses: Int = 97): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // same input spread as [[synthGrayImages]] — see the note there
+    Spread
+      .byKey(df.select(col(idCol).cast("long").as("doc_id")), col("doc_id"))
       .as[Long]
-      .mapPartitions(_.map { d =>
+      .mapPartitions { it => fastImageIO(); it.map { d =>
         val im = new java.awt.image.BufferedImage(
           68, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val cls = d % nClasses
@@ -516,7 +536,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(im, "png", bos)
         (d, bos.toByteArray)
-      })
+      } }
       .toDF("doc_id", "media")
   }
 
@@ -548,9 +568,12 @@ object Multimodal {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("video_id"))
+    // same input spread as [[synthGrayImages]] — a clip's frames all
+    // render in its id's task, so spreading ids spreads the PNG work
+    Spread
+      .byKey(df.select(col(idCol).cast("long").as("video_id")), col("video_id"))
       .as[Long]
-      .mapPartitions(_.flatMap { d =>
+      .mapPartitions { it => fastImageIO(); it.flatMap { d =>
         val vcls = d % nVidClasses
         val nf = framesBase + (vcls % 4).toInt
         (0 until nf).map { f =>
@@ -573,7 +596,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(im, "png", bos)
           (d, f, bos.toByteArray)
         }
-      })
+      } }
       .toDF("video_id", "frame_idx", "media")
   }
 
@@ -590,7 +613,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, countFrames(bytes)) })
+      .mapPartitions { it => fastImageIO(); it.map { case (id, bytes) => (id, countFrames(bytes)) } }
       .toDF("doc_id", "n_frames")
       .select(
         col("doc_id"),

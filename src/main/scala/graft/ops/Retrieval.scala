@@ -54,8 +54,14 @@ object Retrieval {
     * index-build pass, O(total tokens).
     */
   def invertedIndex(corpus: DataFrame, textCol: String, idCol: String): DataFrame =
-    corpus
-      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+    // spread before tokenize+explode so the build pass isn't bound to
+    // the scan's split count (guide §2.5; no-op on partitioned input)
+    Spread
+      .byKey(
+        corpus.select(col(idCol).as("doc_id"), col(textCol).as("_i_text")),
+        col("doc_id")
+      )
+      .select(col("doc_id"), Fns.tokens(col("_i_text")).as("words"))
       .select(col("doc_id"), size(col("words")).as("dl"), explode(col("words")).as("token"))
       .groupBy("token", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))

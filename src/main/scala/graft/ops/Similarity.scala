@@ -71,7 +71,13 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // spread the scored side: the queries×corpus cosine projection is
+    // the whole cost and otherwise runs in the scan's task count
+    // (guide §2.5; no-op on well-partitioned input)
+    val c = Spread.byKey(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      col("cid")
+    )
     val scored = q
       .crossJoin(c)
       .filter(col("qid") =!= col("cid"))
@@ -294,10 +300,14 @@ object Similarity {
       rerank: Int = 4
   ): DataFrame = {
     require(rerank >= 1, s"rerank must be >= 1, got $rerank")
-    val cbs = pqTrain(corpus, vecCol, idCol, dim, m, kCodes, lloydIters)
-    val enc = pqEncode(corpus, vecCol, idCol, cbs)
+    // one pinned, spread corpus projection feeds train + encode +
+    // rerank (see [[pinSpread]])
+    val pinned = pinSpread(corpus, vecCol, idCol)
+    val cbs = pqTrain(pinned, "cv", "cid", dim, m, kCodes, lloydIters)
+    val enc = pqEncode(pinned, "cv", "cid", cbs)
       .select(col("cid"), pqDecode(col("codes"), cbs).as("cv"))
-    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, Some(corpus), dim)
+    pqShortlistRerank(enc, queries, vecCol, idCol, k, rerank, Some(pinned), dim,
+      corpusVecCol = "cv", corpusIdCol = "cid")
   }
 
   /** Full-precision (cid, ev) side for the exact rerank pass. */
@@ -348,8 +358,14 @@ object Similarity {
       k: Int,
       rerank: Int,
       corpus: Option[DataFrame],
-      dim: Int
+      dim: Int,
+      // the rerank corpus may be a pre-normalized (cid, cv) pin — its
+      // column names then differ from the query frame's
+      corpusVecCol: String = null,
+      corpusIdCol: String = null
   ): DataFrame = {
+    val cVec = Option(corpusVecCol).getOrElse(vecCol)
+    val cId = Option(corpusIdCol).getOrElse(idCol)
     val queries = rawQueries.filter(assignable(col(vecCol), dim))
     // cv is reconstructed in QUANTIZED units; quantize the query side the
     // same way so the stage-1 cosine accumulates exact-integer terms
@@ -369,7 +385,7 @@ object Similarity {
       )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)
-    rerankStage(shortlist, corpus, vecCol, idCol, k, rerank)
+    rerankStage(shortlist, corpus, cVec, cId, k, rerank)
   }
 
   /** Table properties recording a PQ index's geometry — probing with a
@@ -1044,10 +1060,28 @@ object Similarity {
       nProbe: Int = 4,
       lloydIters: Int = 3
   ): DataFrame = {
-    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
-    val assigned = assignCells(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents)
+    val pinned = pinSpread(corpus, vecCol, idCol)
+    val cents = kmeansCentroids(pinned, "cv", "cid", nCells, lloydIters)
+    val assigned = assignCells(pinned, cents)
     searchCells(assigned, probeCells(queries, cents, vecCol, idCol, nProbe), k)
   }
+
+  /** One pinned, spread (cid, cv) projection per inline-ANN entry
+    * point: the training loop, the encode pass and the rerank side all
+    * re-read the corpus — pinning runs that scan ONCE (the MLlib
+    * cache-before-Lloyd convention; Materialize routes to reliable
+    * checkpoints on preemptible clusters), and the spread unsplits the
+    * map stages from the scan's task count (guide §2.5 — a one-split
+    * scan serialized every assignment/encode/training stage; Spread
+    * no-ops on well-partitioned input).
+    */
+  private def pinSpread(corpus: DataFrame, vecCol: String, idCol: String): DataFrame =
+    Materialize(
+      Spread.byKey(
+        corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        col("cid")
+      )
+    )
 
   /** nProbe best cells per query, map-side: sort the scored-cell array
     * descending, take nProbe, explode — one (qid, qv, cent_id) row per
@@ -1347,16 +1381,19 @@ object Similarity {
       residual: Boolean = false
   ): DataFrame = {
     require(rerank >= 1, s"rerank must be >= 1, got $rerank")
-    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells, lloydIters)
-    val cbs = trainIvfPqCodebooks(corpus, vecCol, idCol, cents, dim, m, kCodes, lloydIters,
+    // one pinned, spread corpus projection feeds both trainers, the
+    // encode pass and the rerank side (see [[pinSpread]])
+    val pinned = pinSpread(corpus, vecCol, idCol)
+    val cents = kmeansCentroids(pinned, "cv", "cid", nCells, lloydIters)
+    val cbs = trainIvfPqCodebooks(pinned, "cv", "cid", cents, dim, m, kCodes, lloydIters,
       residual)
     searchCellsCompressed(
-      assignAndEncode(corpus, vecCol, idCol, cents, cbs, residual),
+      assignAndEncode(pinned, "cv", "cid", cents, cbs, residual),
       probeCells(queries, cents, vecCol, idCol, nProbe),
       cbs,
-      Some(corpus),
-      vecCol,
-      idCol,
+      Some(pinned),
+      "cv",
+      "cid",
       k,
       rerank,
       if (residual) Some(cents) else None

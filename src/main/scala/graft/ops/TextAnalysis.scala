@@ -48,7 +48,15 @@ object TextAnalysis {
     * stopword ratio) — the classic cheap pre-filter before model-based
     * scoring.
     */
-  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    quality(df, textCol, idCol, Nil)
+
+  /** [[quality]] carrying extra per-doc columns through the projection
+    * (the [[langId]] `keep` convention) — a caller gating on the score
+    * filters in place instead of re-joining the corpus on the id (one
+    * corpus shuffle saved per gate; guide §2.4).
+    */
+  def quality(df: DataFrame, textCol: String, idCol: String, keep: Seq[String]): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     val words = size(toks)
     val distinctWords = size(array_distinct(toks))
@@ -65,15 +73,16 @@ object TextAnalysis {
     // tie-free and engine-independent.
     def trunc4(c: Column): Column = floor(c * 10000) / 10000
     df.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      words.cast("long").as("n_words"),
-      distinctWords.cast("long").as("n_distinct"),
-      trunc4(charSum.cast("double") / words.cast("double")).as("avg_word_len"),
-      trunc4(ttr).as("ttr"),
-      trunc4(stopRatio).as("stopword_ratio"),
-      trunc4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio))
-        .as("quality")
+      col(idCol).as("doc_id") +:
+        length(col(textCol)).cast("long").as("n_chars") +:
+        words.cast("long").as("n_words") +:
+        distinctWords.cast("long").as("n_distinct") +:
+        trunc4(charSum.cast("double") / words.cast("double")).as("avg_word_len") +:
+        trunc4(ttr).as("ttr") +:
+        trunc4(stopRatio).as("stopword_ratio") +:
+        trunc4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio))
+          .as("quality") +:
+        keep.map(col): _*
     )
   }
 
@@ -467,7 +476,13 @@ object TextAnalysis {
     */
   def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     def trunc4(c: Column): Column = floor(c * 10000) / 10000
-    val base = df.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
+    // the op is otherwise entirely map-side, so with a one-split scan
+    // the three sort+fold passes per doc run on ONE core; spreading
+    // first costs a tiny shuffle of the raw rows and runs the folds
+    // cores-wide (guide §2.5; no-op on well-partitioned input)
+    val base = Spread
+      .byKey(df.select(col(idCol).as("doc_id"), col(textCol).as("_n_text")), col("doc_id"))
+      .select(col("doc_id"), Fns.tokens(col("_n_text")).as("_toks"))
     val charSum = aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
     def frac(mass: Column): Column =
       when(
@@ -894,15 +909,29 @@ object TextAnalysis {
       idCol: String,
       segTokens: Int,
       minDocs: Int
+  ): DataFrame = stripBoilerplate(df, textCol, idCol, segTokens, minDocs, Nil)
+
+  /** [[stripBoilerplate]] carrying extra per-doc columns of `df`
+    * through to the output (the positionBuckets `extra` convention) —
+    * a composed pipeline keeps its flags without re-joining the
+    * stripped corpus on the id (one corpus shuffle saved; guide §2.4).
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocs: Int,
+      extra: Seq[String]
   ): DataFrame = {
     require(segTokens > 0 && minDocs > 1, "need segTokens > 0, minDocs > 1")
-    val segs = segmentsOf(df, textCol, idCol, segTokens)
+    val segs = segmentsOf(df, textCol, idCol, segTokens, extra)
     val boiler = segs
       .groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("seg"), lit(true).as("_boiler"))
-    rebuildDocs(flagAgainst(segs, boiler))
+    rebuildDocs(flagAgainst(segs, boiler), extra)
   }
 
   /** Addition-mergeable segment-count fold: one (seg, n) row per
@@ -1069,23 +1098,34 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      segTokens: Int
+      segTokens: Int,
+      extra: Seq[String] = Nil
   ): DataFrame = {
-    val base = df
-      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("_toks"))
+    // spread the raw rows before tokenize + segment explode (guide
+    // §2.5 — the scan's task count otherwise serializes the map pass;
+    // Spread gates itself off on well-partitioned input). `extra`
+    // names df columns carried through the explode (the positionBuckets
+    // convention) so callers need no re-join on the id afterwards.
+    val keep = col("doc_id") +: extra.map(col)
+    val base = Spread
+      .byKey(
+        df.select(col(idCol).as("doc_id") +: extra.map(col) :+ col(textCol).as("_s_text"): _*),
+        col("doc_id")
+      )
+      .select(keep :+ Fns.tokens(col("_s_text")).as("_toks"): _*)
       .filter(size(col("_toks")) > 0)
     val nSeg = ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
     base
       .select(
-        col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), nSeg - 1),
-            i => concat_ws(" ", slice(col("_toks"), i * segTokens + 1, lit(segTokens)))
-          )
-        )
+        keep :+
+          posexplode(
+            transform(
+              sequence(lit(0), nSeg - 1),
+              i => concat_ws(" ", slice(col("_toks"), i * segTokens + 1, lit(segTokens)))
+            )
+          ): _*
       )
-      .select(col("doc_id"), col("pos"), col("col").as("seg"))
+      .select(keep :+ col("pos") :+ col("col").as("seg"): _*)
   }
 
   private def flagAgainst(segs: DataFrame, boiler: DataFrame): DataFrame =
@@ -1093,9 +1133,11 @@ object TextAnalysis {
       .join(broadcast(boiler), Seq("seg"), "left")
       .withColumn("boiler", coalesce(col("_boiler"), lit(false)))
 
-  private def rebuildDocs(flagged: DataFrame): DataFrame =
+  private def rebuildDocs(flagged: DataFrame, extra: Seq[String] = Nil): DataFrame =
     flagged
-      .groupBy(col("doc_id"))
+      // extras are per-doc constants — grouping by them changes no
+      // group and carries them through without a first()/re-join
+      .groupBy(col("doc_id") +: extra.map(col): _*)
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
@@ -1103,11 +1145,12 @@ object TextAnalysis {
           .as("_kept")
       )
       .select(
-        col("doc_id"),
-        col("n_segs"),
-        col("n_boiler"),
-        (floor(col("n_boiler") / col("n_segs") * 10000) / 10000).as("frac_boiler"),
-        when(size(col("_kept")) > 0,
-          concat_ws(" ", transform(col("_kept"), s => s.getField("seg")))).as("clean_text")
+        col("doc_id") +:
+          col("n_segs") +:
+          col("n_boiler") +:
+          (floor(col("n_boiler") / col("n_segs") * 10000) / 10000).as("frac_boiler") +:
+          when(size(col("_kept")) > 0,
+            concat_ws(" ", transform(col("_kept"), s => s.getField("seg")))).as("clean_text") +:
+          extra.map(col): _*
       )
 }
