@@ -17,7 +17,15 @@ object ProfileQ {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ITERS", "2").toInt
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val builder = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class JobRec(
@@ -26,7 +34,9 @@ object ProfileQ {
         var start: Long,
         var end: Long,
         var stages: Int,
-        var tasks: Int
+        var tasks: Int,
+        var taskMs: Long,
+        var cpuMs: Long
     )
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     val stageTasks = mutable.Map.empty[Int, Int] // stageId -> numTasks
@@ -36,7 +46,7 @@ object ProfileQ {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
-        jobs(j.jobId) = JobRec(j.jobId, desc, j.time, 0L, j.stageInfos.size, 0)
+        jobs(j.jobId) = JobRec(j.jobId, desc, j.time, 0L, j.stageInfos.size, 0, 0L, 0L)
         j.stageIds.foreach(s => stageJob(s) = j.jobId)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -45,6 +55,12 @@ object ProfileQ {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = jobs.synchronized {
         val n = s.stageInfo.numTasks
         stageJob.get(s.stageInfo.stageId).flatMap(jobs.get).foreach(_.tasks += n)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = jobs.synchronized {
+        stageJob.get(t.stageId).flatMap(jobs.get).foreach { j =>
+          j.taskMs += t.taskInfo.duration
+          Option(t.taskMetrics).foreach(m => j.cpuMs += m.executorCpuTime / 1000000L)
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -69,7 +85,7 @@ object ProfileQ {
           jobs.values.foreach { j =>
             val d = math.max(0L, j.end - j.start) / 1e3
             acct += d
-            println(f"  job ${j.id}%4d  ${d}%7.3f s  stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.desc.take(80)}")
+            println(f"  job ${j.id}%4d  ${d}%7.3f s  stages=${j.stages}%2d tasks=${j.tasks}%4d taskSum=${j.taskMs / 1e3}%7.3f cpuSum=${j.cpuMs / 1e3}%7.3f  ${j.desc.take(60)}")
           }
           println(f"  [sum of job walls: $acct%.3f s — gaps to $wall%.3f are driver-side planning/collect]")
         }

@@ -2506,9 +2506,11 @@ object SparkEntry {
         (1L, "spark join merge"),
         (2L, "customer vector data")
       ).toDF("query_id", "qtext")
-      val lexical = Retrieval.bm25TopK(post, qs, "query_id", "qtext", k = 20, stats = Some(st))
-      val flat = Retrieval.bm25TopK(post, qs, "query_id", "qtext", k = 20,
-        k1 = 0.5, b = 0.5, stats = Some(st))
+      // both parameterizations from ONE shared candidate pass (r19) —
+      // per-list results identical to the two single-param calls
+      val Seq(lexical, flat) = Retrieval.bm25TopKMulti(
+        post, qs, "query_id", "qtext", k = 20,
+        params = Seq((1.2, 0.75), (0.5, 0.5)), stats = Some(st))
       Retrieval.rrfFuse(Seq(lexical, flat), kConst = 60L, topN = 10)
     }),
     // Greedy maximal-marginal-relevance selection of 8 diverse
@@ -2607,12 +2609,13 @@ object SparkEntry {
         (1L, "spark join merge"),
         (2L, "customer vector data")
       ).toDF("query_id", "qtext")
-      val a = Retrieval
-        .bm25TopK(post, qs, "query_id", "qtext", k = 20, stats = Some(st))
-        .select(col("query_id"), col("doc_id"), lit(true).as("in_a"))
-      val b = Retrieval
-        .bm25TopK(post, qs, "query_id", "qtext", k = 20, k1 = 0.5, b = 0.5, stats = Some(st))
-        .select(col("query_id"), col("doc_id"), lit(true).as("in_b"))
+      // both parameterizations from ONE shared candidate pass (r19) —
+      // per-list results identical to the two single-param calls
+      val Seq(aT, bT) = Retrieval.bm25TopKMulti(
+        post, qs, "query_id", "qtext", k = 20,
+        params = Seq((1.2, 0.75), (0.5, 0.5)), stats = Some(st))
+      val a = aT.select(col("query_id"), col("doc_id"), lit(true).as("in_a"))
+      val b = bT.select(col("query_id"), col("doc_id"), lit(true).as("in_b"))
       a.join(b, Seq("query_id", "doc_id"), "full_outer")
         .groupBy("query_id")
         .agg(

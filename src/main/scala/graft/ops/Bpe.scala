@@ -63,7 +63,13 @@ object Bpe {
     * full pass. Words segment to single characters.
     */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Fns.tokens(col(textCol))).as("w"))
+    // spread before the tokenize+explode pass (guide §2.5; no-op on
+    // well-partitioned input). monotonically_increasing_id is NOT used
+    // as the key — the caller may lack an id column, so spread on the
+    // text itself (deterministic hash of the value).
+    Spread
+      .byKey(df.select(col(textCol).as("_v_text")), col("_v_text"))
+      .select(explode(Fns.tokens(col("_v_text"))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
       .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
@@ -181,7 +187,11 @@ object Bpe {
     * runs once per vocabulary entry, never per occurrence. (w, bpe).
     */
   def segmentVocabulary(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
-    df.select(explode(Fns.tokens(col(textCol))).as("w"))
+    // spread before tokenize+explode (§2.5; the distinct's shuffle then
+    // parallelizes the per-word merge loop regardless of scan splits)
+    Spread
+      .byKey(df.select(col(textCol).as("_sv_text")), col("_sv_text"))
+      .select(explode(Fns.tokens(col("_sv_text"))).as("w"))
       .distinct()
       .select(
         col("w"),

@@ -320,8 +320,12 @@ object Dedup {
     // read three times (grams, probe argmin, verify joins) — materialize
     // lazily once, same pattern as minHashLshPairs
     val toks = Materialize(
-      df
-        .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+      // spread before tokenize (guide §2.5 — the pin preserves the
+      // scan's task count, so a one-split scan would serialize every
+      // downstream shingle/verify stage too; no-op on partitioned input)
+      Spread
+        .byKey(df.select(col(idCol).as("doc_id"), col(textCol).as("_c_text")), col("doc_id"))
+        .select(col("doc_id"), Fns.tokens(col("_c_text")).as("words"))
         .filter(size(col("words")) >= shingleSize)
         .select(col("doc_id"), concat_ws(" ", col("words")).as("tstr"), col("words"))
     )
@@ -401,7 +405,15 @@ object Dedup {
         .unionByName(pairs.select(col("j").as("id"), col("i").as("nb")))
         .distinct()
     )
-    var labels = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+    // seed each node at least(own id, min neighbor id) — exactly what
+    // round 1 of the identity-seeded loop computed before its jump, for
+    // the same one aggregation the identity seed's distinct() cost; the
+    // fixpoint (min id of the component, stable labels) is unchanged,
+    // one full round less reaches it (r19, guide §1.2: fewer passes)
+    var labels = edges
+      .groupBy(col("id"))
+      .agg(min(col("nb")).as("_mnb"))
+      .select(col("id"), least(col("id"), col("_mnb")).as("cluster"))
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -2470,7 +2482,14 @@ object Dedup {
           sequence(lit(0), size(col("words")) - k),
           i => concat_ws(" ", slice(col("words"), i + 1, lit(k)))
         )
-    df.select(col(idCol).cast("long").as("doc_id"), Fns.tokens(col(textCol)).as("words"))
+    // spread before tokenize + gram hashing (guide §2.5; no-op on
+    // well-partitioned input)
+    Spread
+      .byKey(
+        df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_gp_text")),
+        col("doc_id")
+      )
+      .select(col("doc_id"), Fns.tokens(col("_gp_text")).as("words"))
       .filter(size(col("words")) >= k)
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
   }

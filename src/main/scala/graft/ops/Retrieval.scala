@@ -117,7 +117,30 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75,
       stats: Option[DataFrame] = None
-  ): DataFrame = {
+  ): DataFrame =
+    bm25TopKMulti(postings, queries, queryIdCol, queryTextCol, k, Seq((k1, b)), stats).head
+
+  /** [[bm25TopK]] for SEVERAL (k1, b) parameterizations over one shared
+    * candidate pass (r19, guide §1.2 "fewer passes"): the multi-retriever
+    * ensembles (RRF fusion, retriever-agreement QA) score the same
+    * queries under 2+ parameterizations, and every per-parameterization
+    * call re-ran the candidate prune, df count and score shuffle on
+    * identical inputs. Here the candidate join computes every
+    * parameterization's quantized term score in ONE projection and ONE
+    * (query_id, doc_id) aggregation; each returned frame is
+    * column-for-column the single-parameter result (same glog idf, same
+    * per-term quantization, same exact long sums, same rank window).
+    */
+  def bm25TopKMulti(
+      postings: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      params: Seq[(Double, Double)],
+      stats: Option[DataFrame] = None
+  ): Seq[DataFrame] = {
+    require(params.nonEmpty, "bm25TopKMulti: need at least one (k1, b) parameterization")
     val qt = queries.select(
       col(queryIdCol).as("query_id"),
       explode(array_distinct(Fns.tokens(col(queryTextCol)))).as("token")
@@ -137,29 +160,42 @@ object Retrieval {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = Dsir.glog(lit(2) * col("n_docs") + lit(2)) -
       Dsir.glog(lit(2) * col("df") + lit(1))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
-    val termQ = round(idf * tfNorm * lit(1e9)).cast("long")
+    def termQ(k1: Double, b: Double): Column = {
+      val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+      round(idf * tfNorm * lit(1e9)).cast("long")
+    }
 
-    val scored = cand
+    val termCols = params.zipWithIndex.map { case ((k1, b), i) => termQ(k1, b).as(s"_tq$i") }
+    val scoredAll = cand
       .join(broadcast(dfT), Seq("token"))
       .crossJoin(broadcast(st))
-      .select(col("token"), col("doc_id"), termQ.as("term_q"))
+      .select(col("token") +: col("doc_id") +: termCols: _*)
       .join(broadcast(qt), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum("term_q").as("score_q"))
+      .agg(
+        sum(s"_tq0").as("_sq0"),
+        params.indices.tail.map(i => sum(s"_tq$i").as(s"_sq$i")): _*
+      )
+    // several consumers re-read the aggregated grid — pin it (bounded:
+    // queries × candidate docs); the single-parameterization path keeps
+    // the original no-pin plan
+    val grid = if (params.size > 1) Materialize(scoredAll) else scoredAll
 
     val w = Window.partitionBy("query_id").orderBy(col("score_q").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("doc_id"),
-        col("rank"),
-        col("score_q"),
-        (col("score_q").cast("double") / lit(1e9)).as("score")
-      )
+    params.indices.map { i =>
+      grid
+        .select(col("query_id"), col("doc_id"), col(s"_sq$i").as("score_q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(
+          col("query_id"),
+          col("doc_id"),
+          col("rank"),
+          col("score_q"),
+          (col("score_q").cast("double") / lit(1e9)).as("score")
+        )
+    }
   }
 
   /** Build and persist the index at `path`: postings under

@@ -370,9 +370,15 @@ object Similarity {
     // cv is reconstructed in QUANTIZED units; quantize the query side the
     // same way so the stage-1 cosine accumulates exact-integer terms
     // (order-free, oracle-replayable — cosine is scale-invariant, so the
-    // quantized score ranks the same space the raw score would)
+    // quantized score ranks the same space the raw score would). The
+    // quantization rides the broadcast side, computed once per QUERY —
+    // inline it re-ran per (query, candidate) pair (guide §1.2).
     val q = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      queries.select(
+        col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"),
+        quantizeVec(col(vecCol)).as("_qvq")
+      )
     )
     val shortlist = q
       .crossJoin(enc)
@@ -381,7 +387,7 @@ object Similarity {
         col("qid"),
         col("qv"),
         col("cid"),
-        Fns.cosine(quantizeVec(col("qv")), col("cv")).as("cosine")
+        Fns.cosine(col("_qvq"), col("cv")).as("cosine")
       )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)
@@ -466,7 +472,9 @@ object Similarity {
           s"$table (epoch ${codes.getOrElse("<absent>")}) and $sibling " +
             s"(epoch ${sib.getOrElse("<absent>")}) disagree on HAVING an epoch — a refit " +
             "crashed between the sibling publishes (or a pre-epoch writer replaced one " +
-            "table). Rebuild the index.")
+            "table). Run backfillPqEpoch(corpus) first: it verifies the codes against the " +
+            "sibling quantizers and heals exactly this crashed-backfill window without a " +
+            "rebuild; rebuild only if the backfill itself reports the pair torn.")
     }
   }
 
@@ -525,6 +533,11 @@ object Similarity {
     * (O(corpus) map-side encode + two set-difference shuffles). That is
     * the price of a trustworthy epoch and this is a one-time
     * maintenance pass per legacy index, not a steady-state path.
+    *
+    * Concurrency contract (ADVICE r18): SINGLE WRITER — pause the
+    * ingest loop for the duration. The verify diffs a codes-table read
+    * against a corpus re-encode; a row appended between those reads
+    * shows up as an exceptAll extra and fails a healthy index as torn.
     */
   def backfillPqEpoch(
       spark: org.apache.spark.sql.SparkSession,
@@ -603,9 +616,17 @@ object Similarity {
               .select(col("cid"), col("cent_id"), col("codes"))
           case None => pqEncode(corpus, vecCol, idCol, cbs)
         }
+        // Concurrency contract (ADVICE r18): run this with the ingest
+        // loop PAUSED — the verify diffs a codes-table read against a
+        // corpus re-encode, and rows appended between those reads would
+        // surface as spurious exceptAll extras and fail a healthy index
+        // as "torn". The diffs are PINNED so the counts and the failure
+        // sample below read the same materialized rows (re-evaluating
+        // the lazy diffs could sample cids that disagree with the
+        // reported counts under any concurrent change).
         val actual = spark.table(table).select(expected.columns.map(col): _*)
-        val extra = actual.exceptAll(expected)
-        val missing = expected.exceptAll(actual)
+        val extra = Materialize(actual.exceptAll(expected))
+        val missing = Materialize(expected.exceptAll(actual))
         val (extraCnt, missingCnt) = (extra.count(), missing.count())
         if (extraCnt + missingCnt > 0) {
           val sample = extra.select(col("cid"))
@@ -845,15 +866,28 @@ object Similarity {
   }
 
   /** Per-vector scored-cell array against a literal centroid set:
-    * `array(struct(round(cos,6), -cent_id), ...)` — struct ordering makes
+    * `struct(round(cos,6), -cent_id)` per cell — struct ordering makes
     * max = (best cosine, then SMALLEST cent_id), the deterministic
-    * tiebreak. Entirely map-side: the centroids ride along as literals
-    * (same role as a broadcast), no join, no shuffle.
+    * tiebreak. Entirely map-side: the centroids ride along as ONE
+    * array-of-structs literal iterated by `transform` (r19: the former
+    * per-cell `array(struct(cosine(vec, lit_c)), ...)` unrolled
+    * nCells×dim literals into the expression tree, and EVERY Lloyd
+    * iteration's fresh centroid values produced a fresh giant
+    * whole-stage source whose janino compile stalled the whole stage —
+    * measured ~0.5–0.9 s per iteration job with all tasks blocked on
+    * the compile. The transform body is interpreted, but its kernel is
+    * the native [[graft.plans.CosineSimilarity]] eval — identical
+    * arithmetic, bit-identical scores, tiny stable generated code).
     */
   private def scoredCells(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    array(cents.map { case (id, v) =>
-      struct(round(Fns.cosine(vec, typedLit(v)), 6).as("cs"), lit(-id).as("negid"))
-    }: _*)
+    transform(
+      typedLit(cents.map { case (id, v) => (v, -id) }),
+      c =>
+        struct(
+          round(Fns.cosine(vec, c.getField("_1")), 6).as("cs"),
+          c.getField("_2").as("negid")
+        )
+    )
 
   /** Above this cell count, nearest-centroid assignment switches from
     * the literal-folded expression to the broadcast-join plan: the
@@ -909,12 +943,19 @@ object Similarity {
       val zeros = Seq.fill(dim)(0.0)
       val ok = assignable(col("cv"), dim)
       val safe = when(ok, col("cv")).otherwise(typedLit(zeros))
-      vecs.select(
-        col("cid"),
-        col("cv"),
-        ((-array_max(scoredCells(quantizeVec(safe), cents)).getField("negid")) +
-          when(ok, lit(0L))).as("cent_id")
-      )
+      // the quantized vector is HOISTED into its own projection: the
+      // transform-based scoredCells reads it per CELL, and an inline
+      // quantizeVec would re-run its 64-element fold nCells times per
+      // row (CollapseProject keeps a non-cheap multi-referenced alias
+      // in its own Project, so this is computed once per row)
+      vecs
+        .select(col("cid"), col("cv"), quantizeVec(safe).as("_qvq"))
+        .select(
+          col("cid"),
+          col("cv"),
+          ((-array_max(scoredCells(col("_qvq"), cents)).getField("negid")) +
+            when(assignable(col("cv"), dim), lit(0L))).as("cent_id")
+        )
     }
 
   /** The high-cell-count assignment plan: centroids as a BROADCAST
@@ -1342,17 +1383,29 @@ object Similarity {
           (c, r) => c + r
         )
     }
+    // r19 hoists (guide §1.2 "per-task work", identical arithmetic):
+    //  - the code reconstruction is decoded ONCE PER CORPUS ROW before
+    //    the probe join — inline it was re-decoded once per
+    //    (probe, candidate) pair, i.e. ~(queries·nProbe/nCells)× per cid;
+    //  - the query is quantized ONCE PER PROBE ROW instead of per pair
+    //    (recon is in quantized units — quantizing the query keeps the
+    //    stage-1 score exact-integer/oracle-replayable; cosine's
+    //    scale-invariance keeps the ranking equivalent).
+    val decoded = codes.select(col("cid"), col("cent_id"), recon.as("_rv"))
     val shortlist = probes
-      .join(codes, "cent_id")
-      .filter(col("qid") =!= col("cid"))
       .select(
         col("qid"),
         col("qv").cast("array<double>").as("qv"),
+        quantizeVec(col("qv")).as("_qvq"),
+        col("cent_id")
+      )
+      .join(decoded, "cent_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(
+        col("qid"),
+        col("qv"),
         col("cid"),
-        // recon is in quantized units — quantize the query the same way
-        // so the stage-1 score is exact-integer (oracle-replayable);
-        // cosine's scale-invariance keeps the ranking equivalent
-        Fns.cosine(quantizeVec(col("qv")), recon).as("cosine")
+        Fns.cosine(col("_qvq"), col("_rv")).as("cosine")
       )
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k * rerank)

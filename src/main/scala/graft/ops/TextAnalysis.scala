@@ -853,10 +853,21 @@ object TextAnalysis {
       "doc_id",
       splits
     )
-    val grams = Dedup
-      .shingleSets(labeled, "_text", "doc_id", n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .join(labeled.select(col("doc_id"), col("split")), Seq("doc_id"))
+    // shingle with the split label carried THROUGH the projection (r19)
+    // — the former shingleSets + re-join on doc_id shuffled the gram
+    // table once more just to restore one small column (guide §2.4);
+    // same distinct-shingle expression, same gram multiset per doc
+    val grams = Spread
+      .byKey(labeled.select(col("doc_id"), col("split"), col("_text")), col("doc_id"))
+      .select(
+        col("doc_id"),
+        col("split"),
+        graft.plans.TextExpressions
+          .distinctShingles(graft.functions.Fns.tokens(col("_text")), n)
+          .as("shingles")
+      )
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
     val trainSh = grams.filter(col("split") === trainSplit).select(col("sh")).distinct()
     val contaminated = grams
       .filter(col("split") =!= trainSplit)

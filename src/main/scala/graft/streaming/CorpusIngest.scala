@@ -434,13 +434,22 @@ object CorpusIngest {
     // r17): it would survive dropDuplicates but never match the
     // id-keyed anti-joins or the i===j replay check (null keys don't
     // join), so pre-fix it was counted as kept and RE-APPENDED to the
-    // index and corpus on every batch that carried one. Materialized:
-    // it feeds the in-batch pairing, the batchKept anti-join, AND the
-    // ledger count — unpinned, the scan+dedup shuffle would run thrice.
+    // index and corpus on every batch that carried one. A DEGENERATE
+    // embedding — null, wrong width, or with a null element — is the
+    // same class (ADVICE r18): it derives no LSH band keys, so the row
+    // is never indexed, never replay-detected, and re-appended on every
+    // redelivery; reject it into `rejected` like the null id.
+    // Materialized: it feeds the in-batch pairing, the batchKept
+    // anti-join, AND the ledger count — unpinned, the scan+dedup
+    // shuffle would run thrice.
     val idKept = graft.ops.Materialize(
       batch
         .select(col("vec_id"), col("embedding"))
-        .filter(col("vec_id").isNotNull)
+        .filter(
+          col("vec_id").isNotNull &&
+            col("embedding").isNotNull && size(col("embedding")) === dim &&
+            !exists(col("embedding"), v => v.isNull)
+        )
         .dropDuplicates("vec_id"))
     // (1b) in-batch near-dup: greedy min-id keeper over LSH pairs
     val inBatchPairs = Dedup.embeddingNearDupPairs(

@@ -174,6 +174,15 @@ object VideoIngest {
       require(k >= 1, s"pendingMaxAgeBatches must be >= 1 (a clip always gets at least " +
         s"its arrival batch plus one to complete), got $k"))
     val hasExpected = batch.columns.contains("expected_frames")
+    // the bound only has meaning inside the completeness gate, and the
+    // gate only runs when the stream declares expected_frames — a
+    // configured bound on a contract-less stream would otherwise be a
+    // SILENT no-op: no eviction, no agedOut signal (ADVICE r18)
+    require(
+      pendingMaxAgeBatches.isEmpty || hasExpected,
+      "pendingMaxAgeBatches is set but the stream has no expected_frames column — " +
+        "the completeness gate (and therefore the age bound) only runs on streams that " +
+        "declare it; drop the bound or add the column")
     val rawCnt = batch.count()
     // (1a) identity + in-batch frame dedup, materialized so every
     // later stage (shingles, index, corpus append) reads the SAME rows

@@ -124,4 +124,30 @@ class RetrievalSpec extends AnyFunSuite {
     // the only SortMergeJoin-free shape: postings never join postings
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("bm25TopKMulti == per-parameterization bm25TopK, column for column (r19: the " +
+    "ensemble queries share one candidate pass; fusion must be invisible in results)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "spark join merge shuffle"),
+      (2L, "join join merge vector data"),
+      (3L, "customer vector data spark"),
+      (4L, "window filter scan merge"),
+      (5L, "spark spark spark")
+    ).toDF("doc_id", "text")
+    val post = Retrieval.invertedIndex(docs, "text", "doc_id")
+    val st = Retrieval.indexStats(post)
+    val qs = Seq((1L, "spark join merge"), (2L, "customer vector data")).toDF("qid", "qt")
+    val params = Seq((1.2, 0.75), (0.5, 0.5))
+    val fused = Retrieval.bm25TopKMulti(post, qs, "qid", "qt", k = 3, params, Some(st))
+    val single = params.map { case (k1, b) =>
+      Retrieval.bm25TopK(post, qs, "qid", "qt", k = 3, k1 = k1, b = b, stats = Some(st))
+    }
+    fused.zip(single).foreach { case (f, s) =>
+      val fa = f.orderBy("query_id", "rank").collect().toSeq
+      val sa = s.orderBy("query_id", "rank").collect().toSeq
+      assert(fa === sa, "fused parameterization diverged from the single-param result")
+    }
+  }
 }

@@ -237,6 +237,45 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.table(idxB).count() === idxRowsBefore2,
       "a null-id row must never reach the index")
 
+    // a DEGENERATE embedding under a non-null id is the same class
+    // (ADVICE r18): it derives no LSH band keys, so the row is never
+    // indexed and never replay-detected — pre-fix it re-appended to the
+    // corpus on every redelivery. Null, wrong-width, and null-element
+    // vectors, each delivered twice: rejected both times, nothing grows.
+    // rows: null embedding (70), wrong width (71), null element (72),
+    // and a clean control (73). Built via an explicit Row schema — the
+    // product encoder cannot represent a null ELEMENT in Seq[Double].
+    val degRows = Seq[(java.lang.Long, Array[java.lang.Double])](
+      (70L, null),
+      (71L, Array[java.lang.Double](1.0, 2.0)),
+      (72L, v1.map(-_).map(java.lang.Double.valueOf).updated(3, null: java.lang.Double).toArray),
+      (73L, v2.map(-_).map(java.lang.Double.valueOf).toArray)
+    )
+    val degDf = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        degRows.map { case (id, arr) => org.apache.spark.sql.Row(id, arr) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = true), nullable = true)
+        ))
+      )
+    }
+    val corpusBefore3 = spark.read.parquet(corpusB).count()
+    val d1 = CorpusIngest.ingestSemanticBatch(degDf, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert((d1.kept, d1.nearDups, d1.replays, d1.rejected) === ((1L, 0L, 0L, 3L)),
+      "null/wrong-width/null-element embeddings are contract rejections")
+    val d2 = CorpusIngest.ingestSemanticBatch(degDf, corpusB, idxB, dim = 8, nBuckets = 8)
+    assert((d2.kept, d2.nearDups, d2.replays, d2.rejected) === ((0L, 0L, 1L, 3L)),
+      "on redelivery the clean row replays; degenerate rows stay rejected")
+    assert(spark.read.parquet(corpusB).count() === corpusBefore3 + 1L,
+      "degenerate-embedding rows must never re-append to the corpus")
+    assert(spark.table(idxB).filter($"vec_id" >= 70L && $"vec_id" =!= 73L).count() === 0L,
+      "degenerate-embedding rows must never reach the index")
+
     // invariant: the index always equals a rebuild over the KEPT corpus
     graft.ops.Dedup.writeEmbeddingLshIndex(
       spark.read.parquet(corpus), "embedding", "vec_id", "graft_sem_rebuild_idx",

@@ -508,4 +508,21 @@ class VideoIngestSpec extends AnyFunSuite {
     } finally q.stop()
     spark.sql("DROP TABLE vid_stream_idx")
   }
+
+  test("pendingMaxAgeBatches on a contract-less stream fails loud (ADVICE r18: the " +
+    "completeness gate never runs without expected_frames, so the bound would be a " +
+    "silent no-op — no eviction, no agedOut signal)") {
+    val tmp = Files.createTempDirectory("vidnoctr").toString
+    val frames = Multimodal
+      .synthVideoFrames(Seq(0L).toDF("doc_id"), "doc_id")
+      .select($"video_id", $"frame_idx", $"media") // no expected_frames column
+    val e = intercept[IllegalArgumentException] {
+      VideoIngest.ingestVideoBatch(
+        frames, s"$tmp/corpus", "vid_noctr_idx",
+        pendingPath = Some(s"$tmp/pending"), batchId = 0L,
+        pendingMaxAgeBatches = Some(3L))
+    }
+    assert(e.getMessage.contains("expected_frames"))
+    spark.sql("DROP TABLE IF EXISTS vid_noctr_idx")
+  }
 }
