@@ -208,14 +208,16 @@ object CorpusIngest {
       threshold: Double = 0.5,
       nBuckets: Int = 64,
       compactFanout: Int = 16,
-      onStats: NearDupIngestStats => Unit = _ => ()
+      onStats: NearDupIngestStats => Unit = _ => (),
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onStats(ingestNearDupBatch(
           batch, corpusPath, indexTable, shingleSize, numHashes, bands, threshold, nBuckets,
-          compactFanout))
+          compactFanout, idBloomPath, idBloomItems))
         ()
       }
       .start()
@@ -244,9 +246,15 @@ object CorpusIngest {
       bands: Int = 8,
       threshold: Double = 0.5,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    // bloom-fronted corpus-id gate (r19 — see [[CorpusIdGate]]): with a
+    // path configured, the unshingleable/orphan membership checks stop
+    // scanning the corpus id column in the steady no-replay state
+    val gate = new CorpusIdGate(spark, corpusPath, "doc_id", idBloomPath, idBloomItems)
     val rawCnt = batch.count()
     // identity contract (round 18 — ADVICE r17's null-vec_id finding
     // generalized to every id-keyed ingest): this loop's replay
@@ -310,14 +318,7 @@ object CorpusIngest {
           size(graft.functions.Fns.tokens(col("text"))) >= shingleSize)
     )
     val freshCnt = fresh.count()
-    def anti(df: DataFrame): DataFrame =
-      if (pathExists(spark, corpusPath))
-        df.join(
-          spark.read.parquet(corpusPath).select(col("doc_id")),
-          Seq("doc_id"),
-          "left_anti"
-        )
-      else df
+    def anti(df: DataFrame): DataFrame = gate.absent(df)
     val unshFresh = fresh.filter(!col("__gram")).select(col("doc_id"), col("text"))
     val unshFreshCnt = unshFresh.count()
     val unshAppend =
@@ -340,8 +341,13 @@ object CorpusIngest {
        else fresh.filter(col("__gram")).select(col("doc_id"), col("text"))
          .unionByName(unshAppend))
         .unionByName(orphans)
-    if (freshCnt - unshReplays + orphans.count() > 0)
+    if (freshCnt - unshReplays + orphans.count() > 0) {
+      // bloom BEFORE the corpus append (the over-claiming direction —
+      // see [[CorpusIdGate]]); toCorpus unions pinned frames, so the
+      // id projection reads materialized blocks, not a re-run
+      gate.update(toCorpus.select(col("doc_id")))
       toCorpus.select(col("doc_id"), col("text")).write.mode(SaveMode.Append).parquet(corpusPath)
+    }
     // (5) cadence-guarded maintenance: compact the index when append
     // fanout crosses the threshold (see scaladoc). The MinHash-aware
     // entry point also stamps the contract props on a legacy index
@@ -397,14 +403,16 @@ object CorpusIngest {
       threshold: Double = 0.9,
       nBuckets: Int = 64,
       compactFanout: Int = 16,
-      onStats: NearDupIngestStats => Unit = _ => ()
+      onStats: NearDupIngestStats => Unit = _ => (),
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onStats(ingestSemanticBatch(
           batch, corpusPath, indexTable, dim, bands, bitsPerBand, seed, threshold,
-          nBuckets, compactFanout))
+          nBuckets, compactFanout, idBloomPath, idBloomItems))
         ()
       }
       .start()
@@ -424,9 +432,15 @@ object CorpusIngest {
       seed: Long = 42L,
       threshold: Double = 0.9,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    // bloom-fronted corpus-id gate (r19 — see [[CorpusIdGate]]): with a
+    // path configured, the crash-window orphan check stops scanning the
+    // corpus id column in the steady no-replay state
+    val gate = new CorpusIdGate(spark, corpusPath, "vec_id", idBloomPath, idBloomItems)
     // (1a) identity contract + in-batch id dedup (a batch can carry the
     // same vec_id twice — deterministic keeper: first by id, then any
     // one row; ids are the identity here, unlike text where the
@@ -486,22 +500,17 @@ object CorpusIngest {
         fresh, "embedding", "vec_id", indexTable, dim, bands, bitsPerBand, seed, nBuckets)
     // (4) corpus append: fresh vectors + crash-window orphans
     val orphans = graft.ops.Materialize(
-      {
-        val replayed = batchKept.join(replayIds, Seq("vec_id"), "left_semi")
-        if (pathExists(spark, corpusPath))
-          replayed.join(
-            spark.read.parquet(corpusPath).select(col("vec_id")),
-            Seq("vec_id"),
-            "left_anti"
-          )
-        else replayed
-      }
+      gate.absent(batchKept.join(replayIds, Seq("vec_id"), "left_semi"))
     )
     val toCorpus = fresh.unionByName(orphans)
-    if (freshCnt + orphans.count() > 0)
+    if (freshCnt + orphans.count() > 0) {
+      // bloom BEFORE the corpus append (the over-claiming direction —
+      // see [[CorpusIdGate]])
+      gate.update(toCorpus.select(col("vec_id")))
       toCorpus
         .select(col("vec_id"), col("embedding"))
         .write.mode(SaveMode.Append).parquet(corpusPath)
+    }
     // (5) cadence-guarded index compaction
     if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)
@@ -831,13 +840,16 @@ object CorpusIngest {
       minCount: Int = 2,
       maxDupFrac: Double = 0.5,
       nBuckets: Int = 64,
-      onStats: SpanIngestStats => Unit = _ => ()
+      onStats: SpanIngestStats => Unit = _ => (),
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onStats(ingestSpanBatch(
-          batch, corpusPath, gramIndexTable, gramTokens, minCount, maxDupFrac, nBuckets))
+          batch, corpusPath, gramIndexTable, gramTokens, minCount, maxDupFrac, nBuckets,
+          idBloomPath, idBloomItems))
         ()
       }
       .start()
@@ -852,9 +864,16 @@ object CorpusIngest {
       gramTokens: Int = 8,
       minCount: Int = 2,
       maxDupFrac: Double = 0.5,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): SpanIngestStats = {
     val spark = batch.sparkSession
+    // bloom-fronted corpus-fingerprint gate (r19 — see [[CorpusIdGate]]):
+    // this loop's PRIMARY replay check is the per-batch corpus
+    // anti-join; with a path configured it stops scanning the corpus in
+    // the steady no-replay state
+    val gate = new CorpusIdGate(spark, corpusPath, "fingerprint", idBloomPath, idBloomItems)
     // identity contract (round 18): a null text fingerprints to null,
     // which never matches the corpus anti-join — pre-fix such a row
     // re-appended on every delivery. Contract rejection, counted.
@@ -870,15 +889,7 @@ object CorpusIngest {
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val fresh = graft.ops.Materialize(
-      if (pathExists(spark, corpusPath))
-        withFp.join(
-          spark.read.parquet(corpusPath).select(col("fingerprint")),
-          Seq("fingerprint"),
-          "left_anti"
-        )
-      else withFp
-    )
+    val fresh = graft.ops.Materialize(gate.absent(withFp))
     val freshCnt = fresh.count()
     val replays = withFp.count() - freshCnt
     if (freshCnt == 0) return SpanIngestStats(0, 0, replays, rejected)
@@ -903,6 +914,10 @@ object CorpusIngest {
     val keptCnt = kept.count()
     // (3) corpus, then (4) the kept docs' grams — see the ordering contract
     if (keptCnt > 0) {
+      // bloom BEFORE the corpus append (the over-claiming direction —
+      // see [[CorpusIdGate]]); only KEPT fingerprints enter the filter,
+      // matching exactly what the corpus will hold
+      gate.update(kept.select(col("fingerprint")))
       kept.write.mode(SaveMode.Append).parquet(corpusPath)
       Dedup.appendToGramIndex(kept, "text", "doc_id", gramIndexTable, gramTokens, nBuckets)
     }
@@ -1153,6 +1168,115 @@ object CorpusIngest {
   private[streaming] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Bloom-fronted corpus-ID membership gate (r19 — VERDICT r18 #3):
+    * the non-exact ingest surfaces confirm replays/orphans by
+    * anti-joining the batch against an id-column scan of the WHOLE
+    * corpus every micro-batch; at 100 TB that scan dominates
+    * steady-state batch cost while answering "absent" for almost every
+    * row. This gate fronts the scan with the exact-ingest bloom
+    * template ([[ingestBatch]]): a stored filter over the corpus's ids
+    * answers bloom-NEGATIVE rows (the common no-replay case) with no
+    * corpus read at all; bloom-POSITIVE rows fall through to today's
+    * exact anti-join (a false positive costs a scan, never
+    * correctness). `bloomPath = None` keeps the legacy exact-only
+    * behavior bit-for-bit.
+    *
+    * Crash-consistency direction: [[update]] must run BEFORE the
+    * corpus append (the index-before-corpus over-claiming rule). A
+    * crash between the bloom swap and the append leaves a false
+    * positive — absorbed by the exact confirm; the reverse order would
+    * leave a corpus-present id bloom-negative, i.e. a silent duplicate
+    * on redelivery. Adoption: the first [[update]] against an existing
+    * corpus seeds the filter from the corpus's own id column (one
+    * full id scan, once per adopted corpus), so pre-bloom ids can
+    * never read as false negatives.
+    *
+    * Single-writer, like every swap protocol here: the one
+    * foreachBatch loop owns the state.
+    */
+  private[streaming] final class CorpusIdGate(
+      spark: SparkSession,
+      corpusPath: String,
+      idCol: String,
+      bloomPath: Option[String],
+      expectedItems: Long,
+      // the corpus may store the id under a different name / at a finer
+      // grain (video: frame rows keyed video_id, probed by clip id) —
+      // `corpusIdCol` names the stored column, `distinctCorpusIds`
+      // keeps the finer-grain case's exact-confirm scan deduplicated
+      corpusIdCol: String = null,
+      distinctCorpusIds: Boolean = false
+  ) {
+    private val cCol = Option(corpusIdCol).getOrElse(idCol)
+    private def corpusExists: Boolean = pathExists(spark, corpusPath)
+    private val stored: Option[StoredBloom] =
+      bloomPath.flatMap(bp => readBloom(graft.sinks.Dfs.fs(spark, bp), bp))
+
+    private def corpusIds: DataFrame = {
+      val ids = spark.read.parquet(corpusPath).select(col(cCol).as(idCol))
+      if (distinctCorpusIds) ids.distinct() else ids
+    }
+
+    private def plainAnti(df: DataFrame): DataFrame =
+      df.join(corpusIds, Seq(idCol), "left_anti")
+
+    /** Rows of `df` whose id is NOT in the corpus — exact at every
+      * configuration (the bloom only decides whether the corpus scan
+      * happens, never the answer). The input is pinned once; an empty
+      * input or an all-bloom-negative batch returns without
+      * constructing the corpus read at all.
+      */
+    def absent(df: DataFrame): DataFrame = {
+      if (!corpusExists) return df
+      val pinned = graft.ops.Materialize(df)
+      if (pinned.isEmpty) return pinned
+      stored match {
+        case None => plainAnti(pinned)
+        case Some(StoredBloom(_, _, bytes)) =>
+          val tagged = graft.ops.Materialize(
+            pinned.withColumn("__maybe", graft.ops.Dedup.bloomProbe(bytes, xxhash64(col(idCol))))
+          )
+          val nMaybe = tagged.filter(col("__maybe")).count()
+          val definite = tagged.filter(!col("__maybe")).drop("__maybe")
+          if (nMaybe == 0L) definite
+          else definite.unionByName(plainAnti(tagged.filter(col("__maybe")).drop("__maybe")))
+      }
+    }
+
+    /** Merge the ids this batch appends into the filter and swap —
+      * call BEFORE the corpus append (see the class note on ordering).
+      * First update against a pre-existing corpus additionally folds
+      * the corpus's current ids in (adoption). No-op without a
+      * bloomPath or when nothing appends.
+      */
+    def update(appendedIds: DataFrame): Unit = bloomPath.foreach { bp =>
+      val (items, bits) = stored match {
+        case Some(StoredBloom(i, b, _)) => (i, b)
+        case None => graft.ops.Dedup.bloomSizing(expectedItems, fpp = 0.01)
+      }
+      val adopt = stored.isEmpty && corpusExists
+      val ids =
+        if (adopt) appendedIds.select(col(idCol)).unionByName(corpusIds)
+        else appendedIds.select(col(idCol))
+      val delta = ids
+        .agg(graft.ops.Dedup.bloomAggWithBits(xxhash64(col(idCol)), items, bits).as("bf"))
+        .head()
+        .getAs[Array[Byte]](0)
+      if (delta != null) {
+        val merged = stored match {
+          case None => delta
+          case Some(StoredBloom(_, _, cur)) =>
+            val f = BloomFilter.readFrom(new ByteArrayInputStream(cur))
+            f.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(delta)))
+            val out = new java.io.ByteArrayOutputStream()
+            f.writeTo(out)
+            out.toByteArray
+        }
+        writeBloom(graft.sinks.Dfs.fs(spark, bp), bp, items, bits, merged)
+      }
+    }
   }
 
   private val BloomMagic = 0x47424631 // "GBF1": graft bloom file v1

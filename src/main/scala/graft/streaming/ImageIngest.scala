@@ -60,13 +60,15 @@ object ImageIngest {
       maxHamming: Option[Int] = None,
       nBuckets: Int = 64,
       compactFanout: Int = 16,
-      onStats: CorpusIngest.NearDupIngestStats => Unit = _ => ()
+      onStats: CorpusIngest.NearDupIngestStats => Unit = _ => (),
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onStats(ingestImageBatch(batch, corpusPath, indexTable, family, maxHamming, nBuckets,
-          compactFanout))
+          compactFanout, idBloomPath, idBloomItems))
         ()
       }
       .start()
@@ -83,9 +85,16 @@ object ImageIngest {
       family: ImageHash.Family = ImageHash.DHash64,
       maxHamming: Option[Int] = None,
       nBuckets: Int = 64,
-      compactFanout: Int = 16
+      compactFanout: Int = 16,
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    // bloom-fronted corpus-id gate (r19 — see [[CorpusIngest.CorpusIdGate]]):
+    // with a path configured, the orphan/undecodable membership checks
+    // stop scanning the corpus id column in the steady no-replay state
+    val gate =
+      new CorpusIngest.CorpusIdGate(spark, corpusPath, "doc_id", idBloomPath, idBloomItems)
     val bar = maxHamming.getOrElse(family.defaultMaxHamming)
     val hc = family.hashCol
     // (1a) identity + in-batch id dedup. doc_id is the replay key — a
@@ -141,23 +150,19 @@ object ImageIngest {
         freshDecodable.select(col("doc_id"), col(hc)), indexTable, nBuckets)
     // (4) corpus append: fresh images + crash-window orphans +
     //     corpus-absent undecodables
-    def corpusAnti(df: DataFrame): DataFrame =
-      if (CorpusIngest.pathExists(spark, corpusPath))
-        df.join(
-          spark.read.parquet(corpusPath).select(col("doc_id")),
-          Seq("doc_id"),
-          "left_anti"
-        )
-      else df
     val orphans = Materialize(
-      corpusAnti(batchKept.join(replayIds, Seq("doc_id"), "left_semi"))
-        .unionByName(corpusAnti(undecodable))
+      gate.absent(batchKept.join(replayIds, Seq("doc_id"), "left_semi"))
+        .unionByName(gate.absent(undecodable))
     )
     val toCorpus = freshDecodable.unionByName(orphans)
-    if (freshCnt + orphans.count() > 0)
+    if (freshCnt + orphans.count() > 0) {
+      // bloom BEFORE the corpus append (the over-claiming direction —
+      // see [[CorpusIngest.CorpusIdGate]])
+      gate.update(toCorpus.select(col("doc_id")))
       toCorpus
         .select(col("doc_id"), col("media"))
         .write.mode(SaveMode.Append).parquet(corpusPath)
+    }
     // (5) cadence-guarded index compaction
     if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
       graft.sinks.Sinks.bucketFileFanout(spark, indexTable) > compactFanout)

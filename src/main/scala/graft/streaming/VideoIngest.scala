@@ -139,14 +139,16 @@ object VideoIngest {
       compactFanout: Int = 16,
       pendingPath: Option[String] = None,
       pendingMaxAgeBatches: Option[Long] = None,
-      onStats: NearDupIngestStats => Unit = _ => ()
+      onStats: NearDupIngestStats => Unit = _ => (),
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): StreamingQuery =
     frames.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         onStats(ingestVideoBatch(
           batch, corpusPath, indexTable, numHashes, bands, threshold, nBuckets,
-          compactFanout, pendingPath, id, pendingMaxAgeBatches))
+          compactFanout, pendingPath, id, pendingMaxAgeBatches, idBloomPath, idBloomItems))
         ()
       }
       .start()
@@ -167,9 +169,20 @@ object VideoIngest {
       compactFanout: Int = 16,
       pendingPath: Option[String] = None,
       batchId: Long = 0L,
-      pendingMaxAgeBatches: Option[Long] = None
+      pendingMaxAgeBatches: Option[Long] = None,
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): NearDupIngestStats = {
     val spark = batch.sparkSession
+    // bloom-fronted corpus-CLIP-id gate (r19 — see
+    // [[CorpusIngest.CorpusIdGate]]): the corpus stores frame rows, so
+    // the membership checks probe clip ids against the video_id column;
+    // with a path configured, the unshingleable/orphan checks (and the
+    // completeness gate's stale check, via its own view below) stop
+    // scanning the corpus in the steady no-replay state
+    val gate = new CorpusIngest.CorpusIdGate(
+      spark, corpusPath, "doc_id", idBloomPath, idBloomItems,
+      corpusIdCol = "video_id", distinctCorpusIds = true)
     pendingMaxAgeBatches.foreach(k =>
       require(k >= 1, s"pendingMaxAgeBatches must be >= 1 (a clip always gets at least " +
         s"its arrival batch plus one to complete), got $k"))
@@ -209,7 +222,7 @@ object VideoIngest {
       if (!hasExpected) (batchFrames, 0L, 0L, 0L)
       else
         completenessGate(spark, batchFrames, corpusPath, pendingPath, batchId,
-          pendingMaxAgeBatches)
+          pendingMaxAgeBatches, idBloomPath, idBloomItems)
     val keptFrames =
       if (hasExpected)
         Materialize(workFrames.select(col("video_id"), col("frame_idx"), col("media")))
@@ -252,14 +265,7 @@ object VideoIngest {
       Dedup.appendToVideoIndexFromShingles(fresh, indexTable, numHashes, bands, nBuckets)
     // (4) corpus append (frame rows of kept clips): fresh clips +
     //     crash-window orphans + corpus-absent unshingleable clips
-    def corpusAnti(clips: DataFrame): DataFrame =
-      if (CorpusIngest.pathExists(spark, corpusPath))
-        clips.join(
-          spark.read.parquet(corpusPath).select(col("video_id").as("doc_id")).distinct(),
-          Seq("doc_id"),
-          "left_anti"
-        )
-      else clips
+    def corpusAnti(clips: DataFrame): DataFrame = gate.absent(clips)
     // unshingleable clips idempote via the corpus anti-join; a
     // corpus-PRESENT one is a redelivery and counts as a REPLAY, not a
     // keep (round 18 — ledger parity with the text surface: pre-fix a
@@ -276,11 +282,15 @@ object VideoIngest {
     )
     val toCorpusClips =
       fresh.select(col("doc_id")).unionByName(orphanClips)
-    if (freshCnt + orphanClips.count() > 0)
+    if (freshCnt + orphanClips.count() > 0) {
+      // bloom BEFORE the corpus append (the over-claiming direction —
+      // see [[CorpusIngest.CorpusIdGate]]); the filter holds CLIP ids
+      gate.update(toCorpusClips)
       keptFrames
         .join(toCorpusClips.withColumnRenamed("doc_id", "video_id"), Seq("video_id"),
           "left_semi")
         .write.mode(SaveMode.Append).parquet(corpusPath)
+    }
     // (5) cadence-guarded index compaction; the MinHash-aware entry
     // point stamps the modality prop on a legacy index (verdict r16 #6)
     if (compactFanout > 0 && spark.catalog.tableExists(indexTable) &&
@@ -311,7 +321,9 @@ object VideoIngest {
       corpusPath: String,
       pendingPath: Option[String],
       batchId: Long,
-      maxAgeBatches: Option[Long]
+      maxAgeBatches: Option[Long],
+      idBloomPath: Option[String] = None,
+      idBloomItems: Long = 1000000L
   ): (DataFrame, Long, Long, Long) = {
     // every frame carries the batch it FIRST arrived in (the age-bound
     // clock); when a still-parked frame is redelivered, the PENDING
@@ -385,13 +397,15 @@ object VideoIngest {
     // steady-state whole-clips path pays no O(corpus) read (ADVICE r17).
     val (incompleteIds, staleClips) =
       if (incompleteCnt == 0L) (incompleteAll, 0L)
-      else if (CorpusIngest.pathExists(spark, corpusPath)) {
-        val corpusIds =
-          spark.read.parquet(corpusPath).select(col("video_id")).distinct()
-        val park = Materialize(
-          incompleteAll.join(corpusIds, Seq("video_id"), "left_anti"))
+      else {
+        // same stored filter as the step-4 gate, probed on video_id
+        // (r19: bloom-negative incompletes park without a corpus scan)
+        val staleGate = new CorpusIngest.CorpusIdGate(
+          spark, corpusPath, "video_id", idBloomPath, idBloomItems,
+          corpusIdCol = "video_id", distinctCorpusIds = true)
+        val park = Materialize(staleGate.absent(incompleteAll))
         (park, incompleteCnt - park.count())
-      } else (incompleteAll, 0L)
+      }
     // age bound (round 18 — verdict r17 #1): a clip still incomplete
     // more than maxAgeBatches after its FIRST frame arrived is evicted
     // instead of parked again — the O(pending) per-batch rewrite stops
