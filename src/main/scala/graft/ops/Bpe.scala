@@ -63,13 +63,10 @@ object Bpe {
     * full pass. Words segment to single characters.
     */
   def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    // spread before the tokenize+explode pass (guide §2.5; no-op on
-    // well-partitioned input). monotonically_increasing_id is NOT used
-    // as the key — the caller may lack an id column, so spread on the
-    // text itself (deterministic hash of the value).
-    Spread
-      .byKey(df.select(col(textCol).as("_v_text")), col("_v_text"))
-      .select(explode(Fns.tokens(col("_v_text"))).as("w"))
+    // NOT spread (r19): the explode feeds a partial aggregation — a
+    // pre-agg repartition shuffles raw text before aggregating (§2.3's
+    // anti-pattern) and measured SLOWER than the one-task map stage
+    df.select(explode(Fns.tokens(col(textCol))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
       .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
@@ -187,11 +184,10 @@ object Bpe {
     * runs once per vocabulary entry, never per occurrence. (w, bpe).
     */
   def segmentVocabulary(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
-    // spread before tokenize+explode (§2.5; the distinct's shuffle then
-    // parallelizes the per-word merge loop regardless of scan splits)
-    Spread
-      .byKey(df.select(col(textCol).as("_sv_text")), col("_sv_text"))
-      .select(explode(Fns.tokens(col("_sv_text"))).as("w"))
+    // NOT spread (r19): the explode feeds the distinct's aggregation —
+    // same §2.3 reasoning as [[vocabulary]]; the per-word merge loop
+    // already runs post-shuffle at the distinct's parallelism
+    df.select(explode(Fns.tokens(col(textCol))).as("w"))
       .distinct()
       .select(
         col("w"),
